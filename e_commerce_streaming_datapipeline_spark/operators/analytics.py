@@ -1,0 +1,282 @@
+"""Analytic query surface beyond the reference's streaming metrics: the
+classic OLAP shapes (pricing summary, top-k, window frames, sessionization,
+set ops, rollup) that SURVEY §2.2 lists as "not present in the reference" and
+§7 Phase 1 adds as first-class, each a stock Catalyst primitive.
+
+These double as the bench headliners: scan-heavy aggregation
+(pricing_summary), shuffle join + top-k (top_customers), window functions
+(top_orders_per_customer, daily_revenue_ma), and gaps-and-islands
+sessionization — together they exercise every physical operator class that
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from pyspark.sql.functions import broadcast
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+SESSION_GAP_MINUTES = 30
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    -- DECIMAL sums/avgs: exact, order-independent — double summation order
+    -- differs across engines and flips rounding on exact half-cent sums
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2)
+        AS sum_disc_price,
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+               AS DOUBLE), 2) AS sum_charge,
+    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+    round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+    count(*)                                                    AS count_order
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the scan+hash-agg
+    benchmark headliner.  Map-side partial aggregation reduces 600k rows to
+    ~6 groups before the shuffle; the parquet scan reads 8 of 11 columns."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal aggregation: exact + order-independent (see oracle note); the
+    # final division/round runs on identical doubles in both engines
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    price_sum = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    disc_sum = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        fround(qty_sum, 2).alias("sum_qty"),
+        fround(price_sum, 2).alias("sum_base_price"),
+        fround(F.sum(disc_price.cast("decimal(18,4)")).cast("double"), 2).alias("sum_disc_price"),
+        fround(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")).cast("double"), 2)
+        .alias("sum_charge"),
+        fround(qty_sum / F.count("*"), 2).alias("avg_qty"),
+        fround(price_sum / F.count("*"), 2).alias("avg_price"),
+        fround(disc_sum / F.count("*"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+SELECT
+    c.c_custkey,
+    c.c_name,
+    count(*)                       AS orders,
+    round(sum(o.o_totalprice), 2)  AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + global top-k: revenue per customer, top 10.
+    Deterministic: ordered by (rounded revenue desc, custkey).  TakeOrdered
+    avoids a full sort — only k rows per partition survive."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("orders"), fround(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (row_number with deterministic tie-break):
+    top-3 orders per customer — grouped top-k without collecting groups."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "daily_revenue_ma",
+    oracle="""
+WITH daily AS (
+    SELECT
+        -- duckdb date_trunc('day') yields DATE; Spark yields TIMESTAMP
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        round(sum(o_totalprice), 2)    AS revenue,
+        count(*)                       AS orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT
+    day,
+    revenue,
+    orders,
+    -- decimal frame aggregation: order-independent (determinism note in
+    -- pricing_summary)
+    round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (
+        ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (
+        ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_ma7,
+    round(CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+        AS revenue_cum
+FROM daily
+""",
+)
+def q_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: 7-day moving average + running total of daily revenue —
+    the dashboard smoothing query (Grafana time-series panels)."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(fround(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("orders"))
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-6, 0)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rev_dec = F.col("revenue").cast("decimal(18,2)")
+    return daily.select(
+        "day",
+        "revenue",
+        "orders",
+        fround(F.sum(rev_dec).over(w_ma).cast("double") / F.count("*").over(w_ma), 2)
+        .alias("revenue_ma7"),
+        fround(F.sum(rev_dec).over(w_cum).cast("double"), 2).alias("revenue_cum"),
+    )
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+WITH ordered AS (
+    SELECT
+        user_id, ts, event_id, coalesce(value, 0.0) AS value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT *, CAST(sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM ordered
+)
+SELECT
+    user_id,
+    session_seq,
+    min(ts)                  AS session_start,
+    max(ts)                  AS session_end,
+    count(*)                 AS n_events,
+    round(sum(value), 2)     AS session_value
+FROM numbered
+GROUP BY 1, 2
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-minute inactivity gap) — the
+    batch twin of ``session_window``/``applyInPandasWithState`` in the
+    streaming layer.  One shuffle on user_id; both window functions reuse the
+    same partitioning."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.unix_micros(F.col("ts")) - prev_ts) > gap_us), 1
+    ).otherwise(0)
+    numbered = (
+        events.select("user_id", "ts", "event_id", F.coalesce("value", F.lit(0.0)).alias("value"))
+        .withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        fround(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@query(
+    "engaged_users",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+""",
+)
+def q_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation INTERSECT: users who both signed up and purchased."""
+    events = load_table(spark, "events", sf_dir)
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id")
+    signups = events.where(F.col("event_type") == "signup").select("user_id")
+    return purchasers.intersect(signups)
+
+
+@query(
+    "window_shoppers",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation EXCEPT: users who viewed but never purchased — the
+    drop-off population computed by set difference."""
+    events = load_table(spark, "events", sf_dir)
+    viewers = events.where(F.col("event_type") == "view").select("user_id")
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(purchasers)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "status_priority_rollup",
+    oracle="""
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    count(*)                      AS n_orders,
+    round(sum(o_totalprice), 2)   AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP: status x priority hierarchy with subtotals and
+    a grand total — one pass, Catalyst expands the grouping sets."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

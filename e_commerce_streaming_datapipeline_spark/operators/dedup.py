@@ -1,0 +1,350 @@
+"""Deduplication family — reference operator D1
+(``dropDuplicates(["event_id"])``, stream_processor.py:138-139) generalized
+into the dedup toolbox a 100 TB training-data pipeline needs (BASELINE.json
+scale-up mandate): exact key dedup, content-hash dedup, token-bag
+fingerprints, MinHash+LSH near-dup, and SimHash signatures.
+
+Design rules for 100 TB:
+* Everything is hash-groupBy / hash-join — one shuffle per stage, no
+  pairwise O(n²) anywhere: LSH banding turns near-dup search into an
+  equi-join on band keys.
+* All hashing is md5 (JVM-side, codegen) over explicit strings so the DuckDB
+  oracle computes bit-identical signatures — no engine-private hash
+  functions in oracle-checked paths.
+* The streaming twin (``dropDuplicatesWithinWatermark``) lives in
+  streaming/processors.py; batch winners here are defined by deterministic
+  ``row_number`` tie-breaks, never arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+# MinHash/LSH parameters: 16 hashes in 4 bands of 4 — standard S-curve puts
+# the candidate threshold near jaccard ≈ (1/4)^(1/4) ≈ 0.71; verification
+# keeps pairs ≥ JACCARD_THRESHOLD.
+N_HASHES = 16
+N_BANDS = 4
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.2
+
+
+# -- D1: exact key dedup -----------------------------------------------------
+
+@query(
+    "dedup_events",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY event_id ORDER BY ts, user_id, event_type
+) = 1
+""",
+)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 batch twin: keep one row per event_id with a deterministic
+    min-(ts, user_id, event_type) winner — unlike the reference's
+    arrival-order ``dropDuplicates`` (stream_processor.py:138-139), this is
+    stable under any partitioning."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# -- exact content dedup -----------------------------------------------------
+
+@query(
+    "dedup_docs_exact",
+    oracle="""
+SELECT
+    md5(lower(trim(text)))   AS content_hash,
+    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+    count(*)                 AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 of normalized text, keep the min doc_id.
+    One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup plan
+    (hash is computed map-side; only (hash, id) pairs shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_docs_bag",
+    oracle="""
+SELECT
+    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        AS bag_fingerprint,
+    CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+    count(*)                    AS n_docs,
+    count(*) > 1                AS is_dup_group
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_docs_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bag fingerprint dedup: order-insensitive duplicate detection
+    (catches shuffled/re-ordered copies that exact hashing misses — the
+    fixture contains 21 such groups)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))))
+    return (
+        docs.select(bag.alias("bag_fingerprint"), "doc_id")
+        .groupBy("bag_fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+            (F.count("*") > 1).alias("is_dup_group"),
+        )
+    )
+
+
+# -- MinHash + LSH near-dup --------------------------------------------------
+
+def shingled_docs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id + distinct k-token shingles (word k-grams)."""
+    toks = F.split(F.col("text"), " ")
+    shingle_expr = F.expr(
+        f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {k}), "
+        "i -> concat_ws(' ', "
+        + ", ".join(f"split(text, ' ')[i + {j}]" for j in range(k))
+        + ")))"
+    )
+    return (
+        docs.where(F.size(toks) >= k)
+        .select("doc_id", shingle_expr.alias("shingles"))
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): md5-minhash signatures grouped into LSH bands.
+
+    Pipeline shape (all hash-partitioned, no cartesian anywhere):
+    explode shingles -> cross with 16 seeds -> min(md5(seed:shingle)) per
+    (doc, seed) -> md5 over each 4-seed band.
+    """
+    exploded = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    seeded = exploded.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.expr(f"sequence(0, {N_HASHES - 1})")).alias("seed"),
+    )
+    minhashes = (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("mh"))
+    )
+    per_band = F.expr(f"seed div {N_HASHES // N_BANDS}")
+    return (
+        minhashes.withColumn("band", per_band)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh")))
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+@query(
+    "minhash_near_dups",
+    oracle=f"""
+WITH shingled AS (
+    SELECT
+        doc_id,
+        list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1] || ' ' ||
+                 string_split(text, ' ')[i + 2]
+        )) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+), exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+), minhashes AS (
+    SELECT
+        e.doc_id,
+        s.seed,
+        min(md5(s.seed || ':' || e.shingle)) AS mh
+    FROM exploded e, generate_series(0, {N_HASHES - 1}) s(seed)
+    GROUP BY 1, 2
+), bands AS (
+    SELECT
+        doc_id,
+        seed // {N_HASHES // N_BANDS} AS band,
+        md5(string_agg(seed || ':' || mh, ',' ORDER BY seed || ':' || mh)) AS band_sig
+    FROM minhashes
+    GROUP BY 1, 2
+), candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT
+        c.doc_a,
+        c.doc_b,
+        len(list_intersect(sa.shingles, sb.shingles))
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM candidates c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Scale story: candidate generation is an equi-join on (band, band_sig) —
+    near-dups collide, everything else doesn't — so the cost is
+    O(docs x shingles) for signatures plus a join whose size is the number
+    of true-ish candidates, not O(n²).  Verification touches candidates only.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bands = minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = shingled_docs(docs)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jaccard = inter / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", fround(jaccard, 4))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, tok,
+           ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+    FROM toks
+), bit_votes AS (
+    SELECT doc_id, b.b AS bit_pos,
+           CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS vote
+    FROM hashed, generate_series(0, {SIMHASH_BITS - 1}) b(b)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN 1 << bit_pos ELSE 0 END) AS BIGINT) AS simhash
+FROM bit_votes
+GROUP BY 1
+""",
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {SIMHASH_BITS}-bit SimHash over distinct tokens (bit
+    votes weighted ±1).  Near-dup blocking then groups equal signatures or
+    small-hamming prefixes — both equi-join shaped at scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    )
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("bit_pos")
+    )
+    votes = (
+        bits.withColumn(
+            "v",
+            F.when(F.expr("(shiftright(h, bit_pos) & 1) = 1"), 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit_pos")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return (
+        votes.withColumn(
+            "contrib",
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, bit_pos)")).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+@query(
+    "simhash_dup_groups",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM toks
+), bit_votes AS (
+    SELECT doc_id, b.b AS bit_pos,
+           CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS vote
+    FROM hashed, generate_series(0, {SIMHASH_BITS - 1}) b(b)
+    GROUP BY 1, 2
+), sigs AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN 1 << bit_pos ELSE 0 END) AS BIGINT) AS simhash
+    FROM bit_votes GROUP BY 1
+)
+SELECT simhash, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM sigs
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision groups (signature-equal near-dups): the blocking
+    stage of simhash dedup, keeping the min doc_id per group."""
+    sigs = q_simhash_docs(spark, sf_dir)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,103 @@
+"""Drop-off analysis — reference operator A3
+(src/processors/dropoff_processor.py:30-70).
+
+Semantics reproduced: windowed aggregation grouped by window **plus a status
+key**, with ``count``, ``count_distinct(customer)``, a drop rate, a boolean
+alert flag, and a ≤3-element sample of ids (the reference's
+``slice(collect_list(order_id), 1, 3)`` at dropoff_processor.py:67).
+
+Determinism upgrade (SURVEY §7 hard-part 2): the reference's
+``collect_list`` order is undefined under parallel execution — here samples
+are ``slice(array_sort(collect_list(...)), 1, 3)`` so results are stable and
+oracle-hashable.  ``first(is_dropoff)`` is replaced by deriving the flag from
+the grouping key itself (it is functionally dependent on event_type — the
+reference's ``first`` only worked by accident).
+
+Scale notes: collect_list of an unbounded group is a memory hazard at 100 TB;
+the sample is capped at 3 like the reference, and the sorted-sample can be
+computed with a bounded top-k (min_by-style) if groups grow hot.  The
+``drop_rate`` denominator (events per window across all statuses) is computed
+with a window function over the *aggregated* relation — i.e. over #windows
+rows, not #events rows — the aggregate-then-join shape from SURVEY §2.4 J2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+from e_commerce_streaming_datapipeline_spark.functions.windows import tumbling_window
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.schemas import EVENT_DROPOFF_TYPES
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+ALERT_THRESHOLD = 10
+
+
+def dropoff_analysis(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    per_status = (
+        tumbling_window(events, "ts", duration)
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(
+            F.count("*").alias("dropped_events"),
+            F.count_distinct(F.col("user_id")).alias("unique_users_affected"),
+            F.slice(
+                F.array_sort(F.collect_list(F.col("event_id").cast("string"))), 1, 3
+            ).alias("sample_event_ids"),
+        )
+    )
+    over_window = Window.partitionBy("window_start")
+    return (
+        per_status
+        .withColumn("window_total", F.sum("dropped_events").over(over_window))
+        .where(F.col("event_type").isin(*EVENT_DROPOFF_TYPES))
+        .select(
+            "window_start",
+            "window_end",
+            F.col("event_type").alias("drop_status"),
+            "dropped_events",
+            "unique_users_affected",
+            fround(F.col("dropped_events") / F.col("window_total") * 100, 2).alias("drop_rate"),
+            (F.col("dropped_events") > ALERT_THRESHOLD).alias("alert_triggered"),
+            "sample_event_ids",
+        )
+    )
+
+
+_DROPOFF_ORACLE = f"""
+WITH per_status AS (
+    SELECT
+        date_trunc('hour', ts)                     AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        event_type,
+        count(*)                                   AS dropped_events,
+        count(DISTINCT user_id)                    AS unique_users_affected,
+        list_sort(list(CAST(event_id AS VARCHAR)))[1:3] AS sample_event_ids
+    FROM events
+    GROUP BY 1, 2, 3
+), with_total AS (
+    SELECT *, CAST(sum(dropped_events) OVER (PARTITION BY window_start) AS BIGINT) AS window_total
+    FROM per_status
+)
+SELECT
+    window_start,
+    window_end,
+    event_type AS drop_status,
+    dropped_events,
+    unique_users_affected,
+    round(dropped_events / window_total * 100, 2) AS drop_rate,
+    dropped_events > {ALERT_THRESHOLD} AS alert_triggered,
+    sample_event_ids
+FROM with_total
+WHERE event_type IN ('click', 'error')
+"""
+
+
+@query("dropoff_hourly", oracle=_DROPOFF_ORACLE)
+def q_dropoff_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: hourly drop-off per status with sorted id samples, share-of-window
+    drop rate, and threshold alerts (reference drop_off_analysis table,
+    init_metrics.sql:77-109)."""
+    return dropoff_analysis(load_table(spark, "events", sf_dir), "1 hour")

@@ -1,0 +1,243 @@
+"""Join family — reference operators J1-J3 (SURVEY §2.4) plus the true
+multi-stream funnel join the reference advertises but never implements
+(README.md:79 vs funnel_processor.py:23).
+
+* ``complete_funnel`` replicates the Postgres view ``v_complete_funnel``
+  (init_metrics.sql:175-209): aggregate-then-join LEFT OUTER on window
+  bounds with COALESCE defaults (J1 + J2).
+* ``order_details`` is the real orders ⋈ lineitem correlation (J3 upgraded
+  from the producer's pandas point lookup, event_generator.py:109,131).
+* semi/anti variants answer the reference's proxied funnel stages honestly:
+  "orders with items" / "orders without items".
+* ``region_revenue`` is the dimension-enrichment join the reference loads
+  CSVs for but never performs (event_generator.py:51-69 dead weight).
+
+Scale notes: metric-table joins are tiny-on-tiny (post-aggregation
+cardinality = #windows) — broadcast.  orders ⋈ lineitem is the big
+fact-fact equi-join: co-partitioned shuffle on the order key; at 100 TB both
+sides would be bucketed by orderkey so the shuffle disappears.  Dimension
+joins (customer/nation/region) are explicit ``broadcast()`` so the 600k-row
+fact side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from pyspark.sql.functions import broadcast
+
+from e_commerce_streaming_datapipeline_spark.operators.dropoff import dropoff_analysis
+from e_commerce_streaming_datapipeline_spark.operators.funnel import funnel_metrics
+from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+# -- J1/J2: v_complete_funnel replica ---------------------------------------
+
+@query(
+    "complete_funnel",
+    oracle="""
+WITH funnel AS (
+    SELECT
+        date_trunc('hour', ts)                      AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
+        count(*)                                    AS total_events,
+        CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
+    FROM events GROUP BY 1, 2
+), gmv AS (
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        round(sum(value), 2)   AS gmv,
+        count(*)               AS item_count
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pay AS (
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        round(sum(coalesce(value, 0.0)), 2) AS total_payment_value,
+        count(DISTINCT user_id)             AS paying_users
+    FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1
+)
+SELECT
+    f.window_start,
+    f.window_end,
+    f.total_events,
+    f.purchases,
+    coalesce(g.gmv, 0.0)                  AS gmv,
+    coalesce(g.item_count, 0)             AS item_count,
+    coalesce(p.total_payment_value, 0.0)  AS total_payment_value,
+    coalesce(p.paying_users, 0)           AS paying_users
+FROM funnel f
+LEFT JOIN gmv g USING (window_start)
+LEFT JOIN pay p USING (window_start)
+""",
+)
+def q_complete_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: aggregate-then-join replica of v_complete_funnel
+    (init_metrics.sql:175-209) — funnel ⟕ gmv ⟕ pre-aggregated payments on
+    window bounds with COALESCE defaults."""
+    events = load_table(spark, "events", sf_dir)
+    hour = F.window(F.col("ts"), "1 hour")
+
+    funnel = (
+        events.groupBy(hour.alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "total_events", "purchases")
+    )
+    gmv = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("w"))
+        .agg(fround(F.sum("value"), 2).alias("gmv"), F.count("*").alias("item_count"))
+        .select(F.col("w.start").alias("window_start"), "gmv", "item_count")
+    )
+    pay = (
+        events.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(hour.alias("w"))
+        .agg(
+            fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_payment_value"),
+            F.count_distinct(F.col("user_id")).alias("paying_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "total_payment_value", "paying_users")
+    )
+    # post-aggregation relations are #windows rows — broadcast both right sides
+    return (
+        funnel.join(broadcast(gmv), "window_start", "left")
+        .join(broadcast(pay), "window_start", "left")
+        .select(
+            "window_start",
+            "window_end",
+            "total_events",
+            "purchases",
+            F.coalesce(F.col("gmv"), F.lit(0.0)).alias("gmv"),
+            F.coalesce(F.col("item_count"), F.lit(0)).alias("item_count"),
+            F.coalesce(F.col("total_payment_value"), F.lit(0.0)).alias("total_payment_value"),
+            F.coalesce(F.col("paying_users"), F.lit(0)).alias("paying_users"),
+        )
+    )
+
+
+# -- J3 upgraded: the true funnel join (orders ⋈ lineitem) -------------------
+
+@query(
+    "order_details",
+    oracle="""
+SELECT
+    o.o_orderkey,
+    o.o_orderstatus,
+    o.o_totalprice,
+    count(*)                                            AS item_count,
+    CAST(count(DISTINCT l.l_partkey) AS BIGINT)         AS distinct_parts,
+    -- DECIMAL sum: the summands have 4 decimal places, so a double sum can
+    -- land on an exact half-cent where cross-engine addition order flips the
+    -- rounding; exact decimal arithmetic is order-independent
+    round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE), 2) AS order_revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True orders ⋈ lineitem correlation per order — the fact-fact equi-join
+    the reference proxies via status buckets.  Shuffle on orderkey both
+    sides; bucket-by-orderkey at scale removes it."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(
+            F.count("*").alias("item_count"),
+            F.count_distinct("l_partkey").alias("distinct_parts"),
+            # decimal sum: order-independent exact arithmetic (see oracle note)
+            fround(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("order_revenue"),
+        )
+    )
+
+
+@query(
+    "orders_with_items",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_orders_with_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: orders that have at least one lineitem (honest version
+    of the reference's 'orders_with_items' funnel stage,
+    funnel_processor.py:32-35)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "orders_without_items",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: orders with no lineitems — the 'dropped_after_order'
+    population (funnel_processor.py:56-58) computed by correlation instead of
+    status proxy."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# -- dimension enrichment (multi-hop broadcast joins) ------------------------
+
+@query(
+    "region_revenue",
+    oracle="""
+SELECT
+    r.r_name                    AS region,
+    n.n_name                    AS nation,
+    count(DISTINCT o.o_orderkey) AS orders,
+    count(DISTINCT c.c_custkey)  AS customers,
+    round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dimension enrichment: orders ⋈ customer ⋈ nation ⋈ region,
+    revenue per region/nation.  All three dims are broadcast — the fact table
+    never shuffles for the joins, only for the final small-key aggregation."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count_distinct("o_orderkey").alias("orders"),
+            F.count_distinct("c_custkey").alias("customers"),
+            fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

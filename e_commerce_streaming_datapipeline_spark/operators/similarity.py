@@ -1,0 +1,170 @@
+"""Similarity search over the embeddings table (BASELINE.json scale-up
+mandate): brute-force cosine top-k as the exactness baseline, a
+cluster-pruned (IVF-style) variant as the scale path, and a Pandas-UDF
+batch-vectorized variant showing the Arrow path.
+
+Determinism contract (SURVEY §7 hard-part 4): all similarity math is DOUBLE
+with left-to-right summation, similarities are rounded to 6dp *before*
+ranking, and ranks tie-break on neighbor id — so Spark, numpy and the DuckDB
+oracle produce the identical top-k.
+
+Scale story: brute force is O(Q x N) — fine for reranking, wrong for
+N=10^9.  The IVF variant prunes candidates to the query's cluster
+(here the fixture's ``label`` column; at scale: k-means centroid ids
+computed offline), turning the cross join into an equi-join on cluster id.
+LSH bucketing (random hyperplanes) composes the same way: equi-join on
+signature prefix.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+from e_commerce_streaming_datapipeline_spark.functions.vector import cosine_similarity_expr, to_double_array
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+N_QUERIES = 8  # fixture convention: vec_id < 8 are the query vectors
+TOP_K = 5
+
+_ORACLE_PAIRS = """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+    SELECT * FROM v WHERE vec_id < {n_queries}
+), pairs AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        round(
+            list_inner_product(q.e, c.e)
+            / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+            6
+        ) AS cos_sim
+    FROM q JOIN v c ON {join_cond}
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn
+    FROM pairs
+)
+WHERE rn <= {top_k}
+"""
+
+
+def _ranked_topk(pairs: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "embedding_topk",
+    oracle=_ORACLE_PAIRS.format(
+        n_queries=N_QUERIES, top_k=TOP_K, join_cond="q.vec_id <> c.vec_id"
+    ),
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < 8) against the full
+    table via broadcast nested-loop, dot products as codegen'd higher-order
+    functions (zip_with/aggregate) — zero Python in the loop."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(pairs)
+
+
+@query(
+    "embedding_topk_ivf",
+    oracle=_ORACLE_PAIRS.format(
+        n_queries=N_QUERIES,
+        top_k=3,
+        join_cond="q.label = c.label AND q.vec_id <> c.vec_id",
+    ),
+)
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned ANN: candidates restricted to the query's cluster
+    (label = coarse centroid id), turning the scan into an equi-join — the
+    plan shape that survives N=10^9 vectors."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(emb, (F.col("qlabel") == F.col("label")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(pairs, top_k=3)
+
+
+@query(
+    "embedding_topk_pandas",
+    oracle=_ORACLE_PAIRS.format(
+        n_queries=N_QUERIES, top_k=TOP_K, join_cond="q.vec_id <> c.vec_id"
+    ),
+)
+def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k computed through the Arrow/Pandas-UDF path: queries are
+    broadcast into a numpy matrix per executor; each ``mapInPandas`` batch
+    does one (batch x dim) @ (dim x q) GEMM.  The shape to use when vectors
+    are wide (>1k dims) or when a real model does the scoring."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # N_QUERIES rows only — the candidate side stays distributed
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            cand = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            norms = np.sqrt((cand * cand).sum(axis=1))
+            sims = (cand @ q_mat.T) / np.outer(norms, q_norm)
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, len(ids)),
+                "neighbor_id": np.tile(ids, len(q_ids)),
+                "cos_sim": np.round(sims.T.reshape(-1), 6),
+            })
+            yield out[out.query_id != out.neighbor_id]
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    return _ranked_topk(pairs)

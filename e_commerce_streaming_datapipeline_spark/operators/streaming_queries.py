@@ -1,0 +1,106 @@
+"""Streaming queries exposed through the driver contract.
+
+Each runs a real Structured Streaming query over a file source with
+``trigger(availableNow=True)`` into a memory sink, then returns the final
+table — so the DRIVER's batch-style compare still works, and the oracle is
+the *same SQL as the batch twin*: streaming-vs-batch equivalence is the
+correctness property (SURVEY §7 Phase 2).
+
+``outputMode("complete")`` makes the memory sink hold the final value of
+every window regardless of watermark timing at end-of-input (append mode
+would withhold windows the final watermark hasn't passed).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+    streaming_funnel,
+    streaming_gmv,
+    streaming_sessions,
+    streaming_unique_buyers,
+)
+
+
+def _run_to_table(spark: SparkSession, stream_df: DataFrame, name_prefix: str) -> DataFrame:
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "gmv_stream_minutely",
+    oracle="""
+SELECT
+    date_trunc('minute', ts)                        AS window_start,
+    date_trunc('minute', ts) + INTERVAL '1 minute'  AS window_end,
+    round(sum(value), 2)               AS gmv,
+    count(*)                           AS item_count,
+    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 2)
+                                       AS avg_item_price,
+    round(max(value), 2)               AS max_item_price,
+    round(min(value), 2)               AS min_item_price
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def q_gmv_stream_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a REAL streaming query (file source, availableNow) hash-checked
+    against the same oracle as the batch twin — the streaming-vs-batch
+    equivalence gate."""
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(spark, streaming_gmv(events, "1 minute"), "gmv_stream")
+
+
+@query(
+    "unique_buyers_stream",
+    oracle="""
+SELECT
+    date_trunc('minute', ts)                        AS window_start,
+    date_trunc('minute', ts) + INTERVAL '1 minute'  AS window_end,
+    count(DISTINCT user_id)                         AS unique_buyers
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def q_unique_buyers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per window on a stream — streaming forbids
+    count_distinct, so this is the two-stage dropDuplicates-then-count plan,
+    hash-checked against the batch COUNT(DISTINCT) oracle."""
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(
+        spark, streaming_unique_buyers(events, "1 minute"), "unique_buyers_stream"
+    )
+
+
+@query("funnel_stream_hourly")  # rows-only: covered exactly by funnel_hourly's oracle shape
+def q_funnel_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a streaming query (complete mode, hourly windows)."""
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(spark, streaming_funnel(events, "1 hour"), "funnel_stream")
+
+
+@query("session_stream")  # rows-only: session_window is the non-SQL-expressible stateful op
+def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (30-min gap) on a stream — the custom
+    stateful operator class the driver records as a rows-only check."""
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(spark, streaming_sessions(events, "30 minutes"), "session_stream")

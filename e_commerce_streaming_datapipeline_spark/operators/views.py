@@ -1,0 +1,222 @@
+"""Downstream query surface — reference operators V1-V7 (SURVEY §2.7).
+
+These queries run in Postgres in the reference (init_metrics.sql:157-239,
+Grafana dashboards); here the whole tier is Spark SQL over the metric
+DataFrames — no second database.
+
+Also carries the approx_count_distinct surface (§2.3): HLL sketches don't
+hash-match across engines, so the approx variant is registered without an
+oracle (driver does a rows-only check) while every exact variant elsewhere is
+fully hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+from e_commerce_streaming_datapipeline_spark.operators.dropoff import dropoff_analysis
+from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
+from e_commerce_streaming_datapipeline_spark.operators.payment import payment_metrics
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+@query(
+    "latest_gmv_windows",
+    oracle="""
+SELECT * FROM (
+    SELECT
+        date_trunc('hour', ts)                     AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        round(sum(value), 2)                       AS gmv,
+        count(*)                                   AS item_count,
+        count(DISTINCT user_id)                    AS unique_buyers,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 2)
+                                                   AS avg_item_price,
+        round(max(value), 2)                       AS max_item_price,
+        round(min(value), 2)                       AS min_item_price
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+) ORDER BY window_start DESC LIMIT 24
+""",
+)
+def q_latest_gmv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: latest-N metric windows (v_latest_funnel shape,
+    init_metrics.sql:157-170) — ORDER BY window_start DESC LIMIT 24.
+    window_start is unique per row so the top-N is deterministic."""
+    events = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    return gmv_tumbling(events, "1 hour").orderBy(F.col("window_start").desc()).limit(24)
+
+
+@query(
+    "payment_rollup",
+    oracle="""
+WITH typed AS (
+    SELECT *, ['credit_card', 'boleto', 'voucher', 'debit_card']
+        [(CAST(props->>'$.k' AS BIGINT) % 4) + 1] AS payment_type
+    FROM events
+)
+SELECT
+    payment_type,
+    count(*)                                 AS transactions,
+    round(sum(coalesce(value, 0.0)), 2)      AS total_value,
+    round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+          / count(*), 2)                     AS avg_value,
+    count(DISTINCT user_id)                  AS unique_users
+FROM typed
+GROUP BY 1
+""",
+)
+def q_payment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: re-rollup over payment_type (v_payment_performance,
+    init_metrics.sql:213-223) — global, not windowed."""
+    from e_commerce_streaming_datapipeline_spark.operators.payment import with_payment_type
+
+    events = with_payment_type(load_table(spark, "events", sf_dir))
+    return events.groupBy("payment_type").agg(
+        F.count("*").alias("transactions"),
+        fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
+        fround(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double") / F.count("*"),
+            2,
+        ).alias("avg_value"),
+        F.count_distinct(F.col("user_id")).alias("unique_users"),
+    )
+
+
+@query(
+    "active_alerts",
+    oracle="""
+WITH per_status AS (
+    SELECT
+        date_trunc('hour', ts)                     AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+        event_type,
+        count(*)                                   AS dropped_events,
+        count(DISTINCT user_id)                    AS unique_users_affected,
+        list_sort(list(CAST(event_id AS VARCHAR)))[1:3] AS sample_event_ids
+    FROM events GROUP BY 1, 2, 3
+), with_total AS (
+    SELECT *, CAST(sum(dropped_events) OVER (PARTITION BY window_start) AS BIGINT) AS window_total
+    FROM per_status
+)
+SELECT
+    window_start, window_end,
+    event_type AS drop_status,
+    dropped_events,
+    unique_users_affected,
+    round(dropped_events / window_total * 100, 2) AS drop_rate
+FROM with_total
+WHERE event_type IN ('click', 'error') AND dropped_events > 10
+""",
+)
+def q_active_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: boolean-filtered alert feed (v_active_alerts,
+    init_metrics.sql:227-239)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        dropoff_analysis(events, "1 hour")
+        .where(F.col("alert_triggered"))
+        .select(
+            "window_start", "window_end", "drop_status",
+            "dropped_events", "unique_users_affected", "drop_rate",
+        )
+    )
+
+
+@query(
+    "stats_rollup",
+    oracle="""
+SELECT
+    count(*)                                          AS total_events,
+    count(DISTINCT user_id)                           AS unique_users,
+    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS total_gmv,
+    CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases,
+    CAST(min(ts) AS TIMESTAMP)                        AS first_event,
+    CAST(max(ts) AS TIMESTAMP)                        AS last_event
+FROM events
+""",
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5: scalar stat rollup (Grafana stat panels,
+    ecommerce-streaming.json:55,102) — single-row global aggregate."""
+    events = load_table(spark, "events", sf_dir)
+    return events.agg(
+        F.count("*").alias("total_events"),
+        F.count_distinct(F.col("user_id")).alias("unique_users"),
+        fround(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("total_gmv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
+
+
+@query(
+    "status_flags",
+    oracle="""
+SELECT
+    o_orderstatus,
+    count(*)                               AS orders,
+    bool_or(o_totalprice > 400000)         AS any_jumbo_order,
+    bool_and(o_totalprice > 0)             AS all_positive,
+    round(max(o_totalprice), 2)            AS max_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_status_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6: BOOL_OR/BOOL_AND per status group (Grafana panel,
+    ecommerce-streaming.json:346)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("orders"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo_order"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        fround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query("approx_unique_users_hourly")  # no oracle: HLL estimates don't cross-match
+def q_approx_unique_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 approx_count_distinct surface (HyperLogLog++, the reference's
+    choice in every processor).  Exposed rows-only: sketch estimates are
+    engine-specific.  Exact twins of every metric are oracle-checked."""
+    events = load_table(spark, "events", sf_dir)
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_unique_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_unique_users",
+        )
+    )
+
+
+@query(
+    "retention_filter",
+    oracle="""
+SELECT
+    count(*)                 AS retained_events,
+    CAST(min(ts) AS TIMESTAMP) AS oldest_retained
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '7 days'
+""",
+)
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7: retention TTL (init_metrics.sql:247-287 delete) expressed as its
+    read-side complement — events within the 7-day retention horizon.  At
+    scale this is a partition-drop on an ingest-date layout, not a row scan."""
+    events = load_table(spark, "events", sf_dir)
+    horizon = events.agg(F.max("ts").alias("m")).hint("broadcast")
+    kept = events.join(horizon, F.col("ts") >= F.col("m") - F.expr("INTERVAL 7 DAYS"))
+    return kept.agg(
+        F.count("*").alias("retained_events"),
+        F.min("ts").alias("oldest_retained"),
+    )

@@ -1,0 +1,86 @@
+"""SparkSession factory.
+
+Mirrors the intent of the reference's ``config/spark_config.py:21-33`` (AQE on,
+tuned shuffle parallelism, Kryo, graceful shutdown) but sized for the test
+host and designed so the same settings scale to a real cluster:
+
+* AQE on (coalesce partitions, skew-join) — at 100 TB this is what turns a
+  static ``shuffle.partitions`` guess into runtime-sized partitions.
+* ``shuffle.partitions`` defaults to the local core count; on a cluster you
+  override via ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (rule of thumb: 2-3x total
+  cores, AQE coalesces down).
+* Arrow enabled for the few Pandas-UDF operators (similarity/multimodal).
+* Session timezone pinned to UTC so window bucketing is reproducible across
+  engines (the DuckDB oracle is tz-naive).
+* ``parquet.nanosAsLong`` — the driver fixtures write pandas ns timestamps;
+  Spark 4 refuses TIMESTAMP(NANOS) without it. sources/batch.py converts the
+  raw long back to a proper TimestampType column.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "e_commerce_streaming_datapipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Cluster-scale notes: everything here is config, not code — on a 1000-
+    executor cluster the same plans run with ``master=yarn``/``k8s`` and a
+    larger shuffle partition count; operators never assume local mode.
+    """
+    cpus = _default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- optimizer / execution (reference: config/spark_config.py:26-33) --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- determinism across engines --
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- python interop --
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- fixture compatibility: pandas writes TIMESTAMP(NANOS) --
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- streaming (reference: spark_config.py:27, stream graceful stop) --
+        .config("spark.sql.streaming.stateStore.providerClass",
+                os.environ.get(
+                    "SPARK_GRAFT_STATESTORE",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                ))
+        .config("spark.streaming.stopGracefullyOnShutdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+@contextmanager
+def spark_session(**kwargs) -> Iterator[SparkSession]:
+    spark = get_spark(**kwargs)
+    try:
+        yield spark
+    finally:
+        spark.stop()

