@@ -1,0 +1,93 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop write (full computation, no
+collect-to-driver cost, no count-only column pruning shortcut).  The headline
+set spans every physical operator class: parquet scan + hash agg, sliding
+windows, fact-fact shuffle join, broadcast dim join, window functions,
+sessionization, MinHash LSH, vector similarity, Pandas-UDF decode, and a real
+Structured Streaming query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+HEADLINE = [
+    "pricing_summary",        # scan + hash agg (TPC-H Q1 shape)
+    "gmv_minutely",           # tumbling window agg
+    "gmv_sliding",            # sliding windows (2x row expansion)
+    "funnel_hourly",          # conditional aggregation
+    "dropoff_hourly",         # window + key grouping, collect_list sample
+    "payment_hourly",         # JSON decode + grouped agg
+    "complete_funnel",        # aggregate-then-join (3 aggs + 2 joins)
+    "order_details",          # fact-fact shuffle join
+    "region_revenue",         # multi-hop broadcast dim joins
+    "top_orders_per_customer",  # window function top-k
+    "user_sessions",          # gaps-and-islands sessionization
+    "dedup_events",           # keyed dedup via row_number
+    "dedup_docs_bag",         # content-hash dedup
+    "minhash_near_dups",      # MinHash + LSH near-dup pipeline
+    "simhash_docs",           # simhash signatures
+    "text_stats",             # text analysis scan
+    "embedding_topk",         # brute-force cosine top-k
+    "embedding_topk_pandas",  # Arrow/Pandas-UDF similarity path
+    "multimodal_decode",      # mapInPandas decode stage
+    "gmv_stream_minutely",    # real Structured Streaming (availableNow)
+]
+
+
+def main() -> None:
+    from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+    from e_commerce_streaming_datapipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="e_commerce_streaming_datapipeline-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # warm up the JVM/codegen paths outside the timed region
+    registry["stats_rollup"].builder(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        start = time.perf_counter()
+        df = q.builder(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,37 +136,34 @@ def shingled_docs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig): md5-minhash signatures grouped into LSH bands.
 
-    Pipeline shape (all hash-partitioned, no cartesian anywhere):
-    explode shingles -> cross with 16 seeds -> min(md5(seed:shingle)) per
-    (doc, seed) -> md5 over each 4-seed band.
+    Scale shape: ONE shuffle.  All 16 minhashes are computed as parallel
+    ``min`` aggregates over the exploded shingles (map-side partial min, so
+    only 16 hashes per doc per partition cross the wire — not 16x the shingle
+    stream), and band keys are a column-wise projection afterwards.
     """
     exploded = shingled_docs(docs).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    seeded = exploded.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.expr(f"sequence(0, {N_HASHES - 1})")).alias("seed"),
-    )
-    minhashes = (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("mh"))
-    )
-    per_band = F.expr(f"seed div {N_HASHES // N_BANDS}")
-    return (
-        minhashes.withColumn("band", per_band)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh")))
-                    ),
-                )
-            ).alias("band_sig")
+    sigs = exploded.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(N_HASHES)
+    ])
+    rows_per_band = N_HASHES // N_BANDS
+    band_sig_cols = []
+    for band in range(N_BANDS):
+        members = F.array(*[
+            F.concat_ws(":", F.lit(str(seed)), F.col(f"mh{seed}"))
+            for seed in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ])
+        band_sig_cols.append(
+            F.struct(
+                F.lit(band).cast("long").alias("band"),
+                F.md5(F.concat_ws(",", F.array_sort(members))).alias("band_sig"),
+            )
         )
-    )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_sig_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
 
 
 @query(
@@ -227,24 +224,39 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups collide, everything else doesn't — so the cost is
     O(docs x shingles) for signatures plus a join whose size is the number
     of true-ish candidates, not O(n²).  Verification touches candidates only.
+
+    Physical notes: the raw docs are repartitioned across the cluster BEFORE
+    the md5-heavy shingle projection runs (the single-file fixture otherwise
+    executes the whole hash pipeline on one task — and at 100 TB a filtered
+    input can be just as skewed), and the per-doc shingle sets are broadcast
+    into the verification join (bounded by candidate count, not corpus size).
     """
     docs = load_table(spark, "documents", sf_dir)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     bands = minhash_bands(docs)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # candidate pairs via bucket grouping, not a self-join: one pass over the
+    # signatures, and pair expansion is per-bucket (so a hot band bucket is a
+    # local loop, not a shuffled quadratic join; cap the slice here if a
+    # corpus has degenerate mega-clusters)
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sets = shingled_docs(docs)
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")))
+    sb = F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jaccard = inter / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter)
     return (
