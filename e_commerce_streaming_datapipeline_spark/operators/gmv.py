@@ -32,7 +32,8 @@ from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 # avg is computed as exact-decimal sum / count so both engines divide the
 # identical double — a plain double avg can land a knife-edge half-cent whose
 # rounding depends on engine-specific summation order
-_GMV_AGGS = [
+def _gmv_aggs():
+    return [
     fround(F.sum("value"), 2).alias("gmv"),
     F.count("*").alias("item_count"),
     F.count_distinct(F.col("user_id")).alias("unique_buyers"),
@@ -40,7 +41,7 @@ _GMV_AGGS = [
     .alias("avg_item_price"),
     fround(F.max("value"), 2).alias("max_item_price"),
     fround(F.min("value"), 2).alias("min_item_price"),
-]
+    ]
 
 _GMV_ORACLE_AGGS = """
     round(sum(value), 2)               AS gmv,
@@ -58,7 +59,7 @@ def gmv_tumbling(purchases: DataFrame, duration: str = "1 minute") -> DataFrame:
     return (
         tumbling_window(purchases, "ts", duration)
         .groupBy("window_start", "window_end")
-        .agg(*_GMV_AGGS)
+        .agg(*_gmv_aggs())
     )
 
 
@@ -68,7 +69,7 @@ def gmv_sliding(purchases: DataFrame, duration: str = "1 minute", slide: str = "
     return (
         sliding_window(purchases, "ts", duration, slide)
         .groupBy("window_start", "window_end")
-        .agg(*_GMV_AGGS)
+        .agg(*_gmv_aggs())
     )
 
 

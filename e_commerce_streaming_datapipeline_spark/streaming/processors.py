@@ -112,7 +112,12 @@ def streaming_funnel(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user — the stateful operator the reference's
-    sliding windows stand in for.  State bounded by the watermark."""
+    sliding windows stand in for.  State bounded by the watermark.
+
+    ``session_window``'s end bound is last-event-time + gap; subtract the gap
+    so ``session_end`` means "last event in the session", matching the batch
+    gaps-and-islands definition (operators/analytics.py::q_user_sessions).
+    """
     return (
         events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
         .agg(
@@ -122,7 +127,7 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
             "n_events",
             "session_value",
         )

@@ -1,0 +1,91 @@
+"""Engine-level unit/property tests: determinism under repartitioning,
+cross-engine rounding, vector math, source normalization."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.vector import cosine_similarity_expr, to_double_array
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+def test_fround_matches_duckdb_on_halves(spark):
+    """The exact failure case that motivated fround: avg landing on an exact
+    half-cent must round identically to DuckDB."""
+    values = [52.755, 2.675, 1.005, 0.125, 93.015, -52.755]
+    df = spark.createDataFrame([(v,) for v in values], "x double").select(
+        fround(F.col("x"), 2).alias("r")
+    )
+    got = [r["r"] for r in df.collect()]
+    expected = [
+        duckdb.sql(f"SELECT round({v!r}::DOUBLE, 2)").fetchone()[0] for v in values
+    ]
+    assert got == expected
+
+
+def test_dedup_winner_stable_under_repartition(spark, sf_dir):
+    from e_commerce_streaming_datapipeline_spark.operators.dedup import q_dedup_events
+
+    a = sorted(map(tuple, q_dedup_events(spark, sf_dir).collect()))
+    events = load_table(spark, "events", sf_dir).repartition(13)
+    events.createOrReplaceTempView("_ev13")
+    # same plan over a different partitioning must produce identical winners
+    b = sorted(map(tuple, q_dedup_events(spark, sf_dir).repartition(7).collect()))
+    assert a == b
+
+
+def test_cosine_expr_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).astype(float).tolist()) for i in range(20)]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    pairs = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine_similarity_expr(F.col("a.v"), F.col("b.v")).alias("cs"),
+        )
+    )
+    for row in pairs.collect():
+        va = np.array(vecs[row["ia"]][1])
+        vb = np.array(vecs[row["ib"]][1])
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(row["cs"] - want) < 1e-12
+
+
+def test_events_ts_matches_duckdb_truncation(spark, sf_dir):
+    """ns->µs normalization must agree with DuckDB's parquet read exactly."""
+    got = (
+        load_table(spark, "events", sf_dir)
+        .orderBy("event_id")
+        .select("ts")
+        .limit(50)
+        .collect()
+    )
+    want = duckdb.sql(
+        f"SELECT ts FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 50"
+    ).fetchall()
+    assert [r["ts"] for r in got] == [w[0] for w in want]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """The GMV filter must be pushed into the parquet scan (SURVEY scale
+    mandate: PushedFilters + pruned ReadSchema)."""
+    df = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase").select("value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    from e_commerce_streaming_datapipeline_spark.operators.joins import q_region_revenue
+
+    plan = q_region_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
