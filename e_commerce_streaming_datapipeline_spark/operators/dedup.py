@@ -360,3 +360,77 @@ def q_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# -- Direct n-gram Jaccard similarity -----------------------------------------
+
+N_PROBES = 8  # fixture convention shared with similarity.py: ids < 8 probe
+JACCARD_TOP_K = 5
+
+@query(
+    "ngram_jaccard_topk",
+    oracle=f"""
+WITH shingled AS (
+    SELECT
+        doc_id,
+        list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - {SHINGLE_K - 1}),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1] || ' ' ||
+                 string_split(text, ' ')[i + 2]
+        )) AS shingles
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+), probes AS (
+    SELECT doc_id AS probe_id, shingles AS sh_p FROM shingled
+    WHERE doc_id < {N_PROBES}
+), scored AS (
+    SELECT
+        p.probe_id,
+        s.doc_id,
+        round(
+            len(list_intersect(p.sh_p, s.shingles))
+            / (len(p.sh_p) + len(s.shingles)
+               - len(list_intersect(p.sh_p, s.shingles))),
+            4
+        ) AS jaccard
+    FROM probes p JOIN shingled s ON p.probe_id <> s.doc_id
+)
+SELECT probe_id, doc_id, jaccard, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY jaccard DESC, doc_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {JACCARD_TOP_K}
+""",
+)
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct word-3-gram Jaccard similarity: probe docs (doc_id < 8) scored
+    against the whole corpus, top-5 most similar per probe.
+
+    This is the exact n-gram Jaccard the MinHash pipeline approximates —
+    exposed directly for the probe-vs-corpus shape (near-dup lookup of a
+    specific document), where broadcasting the tiny probe side keeps the scan
+    embarrassingly parallel with no shuffle until the final |probes|x|k|
+    top-k.  Corpus-vs-corpus all-pairs stays the LSH path
+    (``minhash_near_dups``): O(n^2) exact Jaccard does not survive 100 TB.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sets = shingled_docs(docs)
+    probes = sets.where(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("probe_id"), F.col("shingles").alias("sh_p")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_p"), F.col("shingles")))
+    jaccard = inter / (F.size(F.col("sh_p")) + F.size(F.col("shingles")) - inter)
+    scored = (
+        sets.join(F.broadcast(probes), F.col("probe_id") != F.col("doc_id"))
+        .select("probe_id", "doc_id", fround(jaccard, 4).alias("jaccard"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("jaccard").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= JACCARD_TOP_K)
+        .select("probe_id", "doc_id", "jaccard", "rank")
+    )

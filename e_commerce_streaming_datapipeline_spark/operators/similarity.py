@@ -168,3 +168,52 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, "query_id long, neighbor_id long, cos_sim double"
     )
     return _ranked_topk(pairs)
+
+
+NEAR_DUP_COSINE = 0.4  # fixture has no planted twins; 0.4 captures the tail
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT
+    a.vec_id AS vec_a,
+    b.vec_id AS vec_b,
+    round(
+        list_inner_product(a.e, b.e)
+        / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+        6
+    ) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+        list_inner_product(a.e, b.e)
+        / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+        6
+    ) >= {NEAR_DUP_COSINE}
+""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cluster-blocked: candidate
+    pairs come from an equi-join on the coarse cluster id (label), never a
+    full cross join — the same IVF blocking as ``embedding_topk_ivf``, here
+    used for corpus-vs-corpus dedup.  At 10^9 vectors the blocking key is a
+    k-means centroid (or LSH hyperplane signature) computed upstream; the
+    per-block pair expansion is quadratic only in block size."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("e").alias("e_b")
+    )
+    pairs = emb.join(
+        right,
+        (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")),
+    ).select(
+        F.col("vec_id").alias("vec_a"),
+        "vec_b",
+        fround(cosine_similarity_expr(F.col("e"), F.col("e_b")), 6).alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= NEAR_DUP_COSINE)

@@ -23,19 +23,22 @@ from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
 from e_commerce_streaming_datapipeline_spark.streaming.processors import (
     streaming_funnel,
+    streaming_user_stats,
     streaming_gmv,
     streaming_sessions,
     streaming_unique_buyers,
 )
 
 
-def _run_to_table(spark: SparkSession, stream_df: DataFrame, name_prefix: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession, stream_df: DataFrame, name_prefix: str, output_mode: str = "complete"
+) -> DataFrame:
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -104,3 +107,36 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator class the driver records as a rows-only check."""
     events = read_file_stream(spark, sf_dir)
     return _run_to_table(spark, streaming_sessions(events, "30 minutes"), "session_stream")
+
+
+@query(
+    "user_stats_stream",
+    oracle="""
+SELECT
+    user_id,
+    count(*)                                        AS n_events,
+    round(sum(coalesce(value, 0.0)), 2)             AS total_value,
+    count(*) FILTER (event_type = 'purchase')       AS n_purchases,
+    max(ts)                                         AS last_seen
+FROM events
+GROUP BY 1
+""",
+)
+def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming op (``applyInPandasWithState``): per-user
+    running profiles, hash-checked against the batch GROUP BY oracle.  The
+    memory sink collects every update; the final update per user (max
+    n_events) is the complete profile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = read_file_stream(spark, sf_dir)
+    updates = _run_to_table(
+        spark, streaming_user_stats(events), "user_stats_stream", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

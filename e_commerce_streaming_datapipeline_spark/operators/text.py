@@ -190,3 +190,41 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_shingle.alias("min_shingle_fp"),
         )
     )
+
+
+@query(
+    "top_terms",
+    oracle="""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counted AS (
+    SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1
+)
+SELECT term, n_occurrences, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, term) AS rn
+    FROM counted
+)
+WHERE rn <= 20
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies via explode (the UDTF/generator surface) with
+    a deterministic top-20 — vocabulary accounting for tokenizer training.
+
+    Scale shape: explode -> partial map-side count -> one shuffle on term;
+    the final top-k is a single-partition sort over only |vocab| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counted = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("term", "n_occurrences", "rank")
+    )

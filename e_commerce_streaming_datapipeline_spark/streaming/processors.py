@@ -132,3 +132,61 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+def streaming_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running profile (event count, total spend, last-seen timestamp) — the
+    arbitrary-state shape for logic windowed aggregation can't express
+    (counters, ML feature state, CEP).
+
+    State is one small tuple per user, Arrow-batched per group; an event-time
+    timeout (watermark-driven) evicts idle users so state stays bounded at
+    100 TB the same way the windowed aggregations do.  Emits the current
+    profile for every user touched by the micro-batch (update semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, "
+        "n_purchases long, last_seen timestamp"
+    )
+    state_schema = "n_events long, total_value double, n_purchases long, last_seen long"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, purchases, last_us = (
+            state.get if state.exists else (0, 0.0, 0, 0)
+        )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            purchases += int((pdf["event_type"] == "purchase").sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, round(total, 2), purchases, last_us))
+        # evict users idle past the watermark + 1h
+        state.setTimeoutTimestamp(last_us // 1000 + 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_purchases": [purchases],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

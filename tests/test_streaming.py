@@ -88,3 +88,28 @@ def test_idempotent_sink_converges(spark, sf_dir):
     sink(batch, 1)  # replay the same windows — e.g. after a restart
     twice = spark.read.parquet(out).count()
     assert once == twice == batch.count()
+
+
+def test_custom_stateful_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running profiles converge to the batch GROUP BY."""
+    from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import q_user_stats_stream
+
+    got = {r["user_id"]: r for r in q_user_stats_stream(spark, sf_dir).collect()}
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+            F.max("ts").alias("last_seen"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch)
+    for r in batch:
+        g = got[r["user_id"]]
+        assert (g["n_events"], g["n_purchases"], g["last_seen"]) == (
+            r["n_events"], r["n_purchases"], r["last_seen"]
+        )
+        assert abs(g["total_value"] - r["total_value"]) < 0.02
