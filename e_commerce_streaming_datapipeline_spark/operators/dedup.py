@@ -119,36 +119,63 @@ def q_dedup_docs_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash + LSH near-dup --------------------------------------------------
 
 def shingled_docs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """doc_id + distinct k-token shingles (word k-grams)."""
-    toks = F.split(F.col("text"), " ")
+    """doc_id + distinct k-token shingles (word k-grams).
+
+    ``split(text)`` is projected ONCE into a ``toks`` column before the
+    shingle lambda runs — a lambda body re-evaluates outer expressions per
+    array element (no common-subexpression elimination across the HOF
+    boundary), which at 100 TB means re-tokenizing every document ~3x per
+    shingle."""
+    toks_df = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     shingle_expr = F.expr(
-        f"array_distinct(transform(sequence(0, size(split(text, ' ')) - {k}), "
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), "
         "i -> concat_ws(' ', "
-        + ", ".join(f"split(text, ' ')[i + {j}]" for j in range(k))
+        + ", ".join(f"toks[i + {j}]" for j in range(k))
         + ")))"
     )
     return (
-        docs.where(F.size(toks) >= k)
+        toks_df.where(F.size("toks") >= k)
         .select("doc_id", shingle_expr.alias("shingles"))
     )
+
+
+# Each band's 4 minhashes are carved from ONE md5 per shingle (non-overlapping
+# 8-hex-char chunks — md5 diffusion makes the chunks independent), so the
+# signature stage computes N_BANDS md5s per shingle, not N_HASHES: 4x less
+# hashing, the classic split-a-wide-hash minhash construction.
+_CHUNK_HEX = 32 // (N_HASHES // N_BANDS)
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig): md5-minhash signatures grouped into LSH bands.
 
-    Scale shape: ONE shuffle.  All 16 minhashes are computed as parallel
-    ``min`` aggregates over the exploded shingles (map-side partial min, so
-    only 16 hashes per doc per partition cross the wire — not 16x the shingle
-    stream), and band keys are a column-wise projection afterwards.
+    Scale shape: ZERO shuffles.  Minhashing is per-document math, so it runs
+    as array expressions (``transform`` + ``array_min``) inside the scan's
+    codegen stage — no explode, no groupBy, nothing crosses the wire until
+    the band-bucket join downstream.
     """
-    exploded = shingled_docs(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    sigs = exploded.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("shingle")))).alias(f"mh{seed}")
-        for seed in range(N_HASHES)
-    ])
     rows_per_band = N_HASHES // N_BANDS
+    shingled = shingled_docs(docs)
+    # stage 1: one md5 array per band (computed once each — own projection,
+    # so the 4 chunk-min expressions below don't re-hash the shingles)
+    with_md5 = shingled.select(
+        "doc_id",
+        *[
+            F.expr(f"transform(shingles, s -> md5(concat('{band}', ':', s)))").alias(f"md5s{band}")
+            for band in range(N_BANDS)
+        ],
+    )
+    # stage 2: minhash per (band, chunk) = min over one substring window
+    sigs = with_md5.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(md5s{seed // rows_per_band}, m -> "
+                       f"substring(m, {(seed % rows_per_band) * _CHUNK_HEX + 1}, {_CHUNK_HEX}))")
+            ).alias(f"mh{seed}")
+            for seed in range(N_HASHES)
+        ],
+    )
     band_sig_cols = []
     for band in range(N_BANDS):
         members = F.array(*[
@@ -183,10 +210,13 @@ WITH shingled AS (
 ), exploded AS (
     SELECT doc_id, unnest(shingles) AS shingle FROM shingled
 ), minhashes AS (
+    -- 4 minhashes per band from non-overlapping 8-hex chunks of ONE md5
     SELECT
         e.doc_id,
         s.seed,
-        min(md5(s.seed || ':' || e.shingle)) AS mh
+        min(substr(md5((s.seed // {N_HASHES // N_BANDS}) || ':' || e.shingle),
+                   (s.seed % {N_HASHES // N_BANDS}) * {32 // (N_HASHES // N_BANDS)} + 1,
+                   {32 // (N_HASHES // N_BANDS)})) AS mh
     FROM exploded e, generate_series(0, {N_HASHES - 1}) s(seed)
     GROUP BY 1, 2
 ), bands AS (
