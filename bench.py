@@ -35,6 +35,8 @@ HEADLINE = [
     "payment_hourly",         # JSON decode + grouped agg
     "complete_funnel",        # aggregate-then-join (3 aggs + 2 joins)
     "order_details",          # fact-fact shuffle join
+    "asof_last_purchase",     # as-of join (union + running last)
+    "user_activity_1h",       # range join (bucketed equi-join rewrite)
     "region_revenue",         # multi-hop broadcast dim joins
     "top_orders_per_customer",  # window function top-k
     "user_sessions",          # gaps-and-islands sessionization

@@ -133,11 +133,12 @@ SELECT
     o.o_totalprice,
     count(*)                                            AS item_count,
     CAST(count(DISTINCT l.l_partkey) AS BIGINT)         AS distinct_parts,
-    -- DECIMAL sum: the summands have 4 decimal places, so a double sum can
-    -- land on an exact half-cent where cross-engine addition order flips the
-    -- rounding; exact decimal arithmetic is order-independent
-    round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-               AS DOUBLE), 2) AS order_revenue
+    -- fixed-point integer sum: the summands have 4 decimal places, so a
+    -- double sum can land on an exact half-cent where cross-engine addition
+    -- order flips the rounding; scaled-long arithmetic is exact and
+    -- order-independent like DECIMAL but stays on the fast long-sum path
+    round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+               AS DOUBLE) / 10000.0 * 100) / 100 AS order_revenue
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1, 2, 3
@@ -155,10 +156,14 @@ def q_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("item_count"),
             F.count_distinct("l_partkey").alias("distinct_parts"),
-            # decimal sum: order-independent exact arithmetic (see oracle note)
+            # scaled-long sum: order-independent exact arithmetic (oracle note)
             fround(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(18,4)")).cast("double"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                    ).cast("long")
+                )
+                / 10000.0,
                 2,
             ).alias("order_revenue"),
         )

@@ -30,20 +30,33 @@ from e_commerce_streaming_datapipeline_spark.streaming.processors import (
 )
 
 
+# Stateful streaming shuffles are NOT resized by AQE — every shuffle
+# partition materializes a state-store instance for the life of the query, so
+# the partition count must be sized to state volume, not to batch-CPU count.
+# Windowed-agg state here is #windows/#users rows (tiny); at real scale raise
+# this with expected state size, not with core count.
+_STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
 def _run_to_table(
     spark: SparkSession, stream_df: DataFrame, name_prefix: str, output_mode: str = "complete"
 ) -> DataFrame:
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 
@@ -107,6 +120,42 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator class the driver records as a rows-only check."""
     events = read_file_stream(spark, sf_dir)
     return _run_to_table(spark, streaming_sessions(events, "30 minutes"), "session_stream")
+
+
+@query(
+    "dedup_stream_counts",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(coalesce(value, 0.0)), 2) AS total_value
+FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id, event_type) AS rn
+    FROM events
+)
+WHERE rn = 1
+GROUP BY 1
+""",
+)
+def q_dedup_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1's streaming twin through the driver contract: watermarked ingest
+    dedup (``withWatermark`` + ``dropDuplicatesWithinWatermark`` — the state
+    hygiene the reference configured but never applied, stream_processor.py:135,
+    .env.example) followed by a per-type aggregation, hash-checked against the
+    batch one-row-per-event_id oracle."""
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import with_event_time_discipline
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    events = read_file_stream(spark, sf_dir)
+    counts = (
+        with_event_time_discipline(events)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
+        )
+    )
+    return _run_to_table(spark, counts, "dedup_stream")
 
 
 @query(

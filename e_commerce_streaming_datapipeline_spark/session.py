@@ -30,6 +30,16 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+_STATESTORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
 def get_spark(
     app_name: str = "e_commerce_streaming_datapipeline_spark",
     master: str | None = None,
@@ -64,11 +74,14 @@ def get_spark(
         # -- fixture compatibility: pandas writes TIMESTAMP(NANOS) --
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- streaming (reference: spark_config.py:27, stream graceful stop) --
+        # Default = Spark's HDFS/heap-backed store: windowed-agg state here is
+        # #windows rows, far under heap, and RocksDB costs ~7 s native init +
+        # per-batch JNI.  SPARK_GRAFT_STATESTORE=rocksdb flips to RocksDB for
+        # deployments where state exceeds heap (100 TB dedup/session state).
         .config("spark.sql.streaming.stateStore.providerClass",
-                os.environ.get(
-                    "SPARK_GRAFT_STATESTORE",
-                    "org.apache.spark.sql.execution.streaming.state."
-                    "RocksDBStateStoreProvider",
+                _STATESTORE_PROVIDERS.get(
+                    os.environ.get("SPARK_GRAFT_STATESTORE", "hdfs").lower(),
+                    os.environ.get("SPARK_GRAFT_STATESTORE", ""),
                 ))
         .config("spark.streaming.stopGracefullyOnShutdown", "true")
     )

@@ -89,3 +89,49 @@ def test_broadcast_join_for_dims(spark, sf_dir):
     plan = q_region_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    """Every matched purchase must be the latest one at-or-before the click;
+    unmatched clicks must have no earlier purchase by that user."""
+    from e_commerce_streaming_datapipeline_spark.operators.advanced import q_asof_last_purchase
+
+    res = q_asof_last_purchase(spark, sf_dir)
+    assert res.where(F.col("last_purchase_ts") > F.col("ts")).count() == 0
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    unmatched = res.where(F.col("last_purchase_ts").isNull())
+    bad = unmatched.join(
+        purchases,
+        (unmatched.user_id == purchases.p_user) & (purchases.p_ts <= unmatched.ts),
+    )
+    assert bad.count() == 0
+
+
+def test_range_join_bucketing_matches_naive(spark, sf_dir):
+    """The bucketed range-join rewrite must agree with the naive inequality
+    join it replaces."""
+    from e_commerce_streaming_datapipeline_spark.operators.advanced import q_user_activity_1h
+
+    events = load_table(spark, "events", sf_dir)
+    left = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+    naive = (
+        left.join(
+            right,
+            (left.user_id == right.r_user)
+            & (right.r_ts >= left.ts - F.expr("INTERVAL 1 HOUR"))
+            & (right.r_ts < left.ts),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("r_ts").alias("n"))
+    )
+    got = {r["event_id"]: r["events_prev_1h"] for r in q_user_activity_1h(spark, sf_dir).collect()}
+    want = {r["event_id"]: r["n"] for r in naive.collect()}
+    assert got == want
