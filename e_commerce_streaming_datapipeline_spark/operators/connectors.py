@@ -1,0 +1,133 @@
+"""Connector-path operators exposed as oracle-checkable queries: the Kafka
+producer payload path (K3, ``src/producers/base_producer.py:25-76``) and the
+CSV batch source (S5, ``src/producers/event_generator.py:47-85``).
+
+Neither needs live infrastructure to verify: the Kafka path is checked as a
+serialize→deserialize round-trip (the lossy step is the JSON codec, not the
+broker), and the CSV path writes the fixture out and reads it back through
+the real CSV parser (header, quoting, timestamp parsing — the parts that
+break).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+@query(
+    "kafka_payload_roundtrip",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, round(coalesce(value, 0.0) * 100) / 100 AS value
+FROM events
+""",
+)
+def q_kafka_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 producer payload path, round-tripped: build the exact wire format
+    the reference produces (JSON value keyed by the entity id,
+    base_producer.py:25 ``json.dumps`` / kafka key ``order_id``,
+    event_generator.py:174-178), then decode it with the consumer's S3 path
+    (``from_json`` + flatten) and hash-check that nothing was lost.
+
+    ``value`` is rounded to 2dp BEFORE serialization: JSON carries decimal
+    text, so a raw double's 17-digit round-trip is exact only if both codecs
+    print shortest-roundtrip floats — Spark's and DuckDB's disagree; money
+    fields on a wire format should be fixed-point anyway (the reference's
+    Postgres DDL agrees: DECIMAL(15,2), init_metrics.sql:28).
+    """
+    events = load_table(spark, "events", sf_dir)
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # micros-precision timestamp format: to_json's default prints millis,
+    # which would silently truncate event times on the wire
+    ts_fmt = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+    wire = events.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                "ts",
+                "user_id",
+                "event_type",
+                (F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) / 100).alias("value"),
+            ),
+            ts_fmt,
+        ).alias("value"),
+    )
+    # consumer side: S3 decode + S4 flatten (sources/streaming.py, batch twin)
+    parsed = wire.withColumn("parsed", F.from_json(F.col("value"), payload_schema, ts_fmt))
+    return parsed.filter(F.col("parsed").isNotNull()).select("parsed.*")
+
+
+_CSV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@query(
+    "csv_source_stats",
+    oracle="""
+SELECT
+    event_type,
+    count(*)                                    AS n_events,
+    round(sum(coalesce(value, 0.0)) * 100) / 100 AS total_value,
+    count(props)                                AS n_props
+FROM events
+GROUP BY 1
+""",
+)
+def q_csv_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV batch source, proven lossless: write the events fixture as CSV
+    (header, quoted JSON props, ISO timestamps) and read it back through
+    ``spark.read.csv`` with an explicit schema — no inferSchema job, the
+    production pattern — then aggregate.  Matching the parquet-side oracle
+    means the CSV parser preserved every row, timestamp, and quoted JSON
+    payload.  At scale the same reader handles the reference's Olist CSVs
+    (event_generator.py:51-69) as a parallel multi-file scan."""
+    events = load_table(spark, "events", sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_csv",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    (
+        events.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(out_dir)
+    )
+    back = (
+        spark.read.schema(_CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(out_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))) * 100, 0) / 100).alias(
+            "total_value"
+        ),
+        F.count("props").alias("n_props"),
+    )

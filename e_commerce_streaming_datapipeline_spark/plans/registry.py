@@ -30,6 +30,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.dedup",
     "e_commerce_streaming_datapipeline_spark.operators.joins",
     "e_commerce_streaming_datapipeline_spark.operators.advanced",
+    "e_commerce_streaming_datapipeline_spark.operators.connectors",
     "e_commerce_streaming_datapipeline_spark.operators.views",
     "e_commerce_streaming_datapipeline_spark.operators.analytics",
     "e_commerce_streaming_datapipeline_spark.operators.text",

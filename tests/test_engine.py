@@ -135,3 +135,24 @@ def test_range_join_bucketing_matches_naive(spark, sf_dir):
     got = {r["event_id"]: r["events_prev_1h"] for r in q_user_activity_1h(spark, sf_dir).collect()}
     want = {r["event_id"]: r["n"] for r in naive.collect()}
     assert got == want
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must plan as a hash equi-join — if the bucket
+    keys fell out of the join condition, Catalyst would fall back to
+    BroadcastNestedLoopJoin and the operator would not survive scale."""
+    from e_commerce_streaming_datapipeline_spark.operators.advanced import q_user_activity_1h
+
+    plan = q_user_activity_1h(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_order_details_plan_avoids_distinct_expand(spark, sf_dir):
+    """COUNT(DISTINCT) via pre-aggregation: the physical plan must not
+    contain an Expand node (the distinct-aggregate rewrite that doubles the
+    shuffled row count)."""
+    from e_commerce_streaming_datapipeline_spark.operators.joins import q_order_details
+
+    plan = q_order_details(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
