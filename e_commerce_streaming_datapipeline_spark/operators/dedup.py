@@ -139,11 +139,16 @@ def shingled_docs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-# Each band's 4 minhashes are carved from ONE md5 per shingle (non-overlapping
-# 8-hex-char chunks — md5 diffusion makes the chunks independent), so the
-# signature stage computes N_BANDS md5s per shingle, not N_HASHES: 4x less
-# hashing, the classic split-a-wide-hash minhash construction.
-_CHUNK_HEX = 32 // (N_HASHES // N_BANDS)
+# The 16 minhashes are carved from TWO md5s per shingle (non-overlapping
+# 4-hex-char chunks — md5 diffusion makes the chunks independent), so the
+# signature stage computes N_MD5_GROUPS md5s per shingle, not N_HASHES: 8x
+# less hashing, the classic split-a-wide-hash minhash construction.  16-bit
+# chunks are plenty: a spurious band collision needs all 4 of a band's
+# 16-bit minhashes to tie at once (~(#shingles/65536)^4), and exact-Jaccard
+# verification filters whatever slips through.
+N_MD5_GROUPS = 2
+_CHUNKS_PER_MD5 = N_HASHES // N_MD5_GROUPS
+_CHUNK_HEX = 32 // _CHUNKS_PER_MD5
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
@@ -156,22 +161,22 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     """
     rows_per_band = N_HASHES // N_BANDS
     shingled = shingled_docs(docs)
-    # stage 1: one md5 array per band (computed once each — own projection,
-    # so the 4 chunk-min expressions below don't re-hash the shingles)
+    # stage 1: one md5 array per group (computed once each — own projection,
+    # so the chunk-min expressions below don't re-hash the shingles)
     with_md5 = shingled.select(
         "doc_id",
         *[
-            F.expr(f"transform(shingles, s -> md5(concat('{band}', ':', s)))").alias(f"md5s{band}")
-            for band in range(N_BANDS)
+            F.expr(f"transform(shingles, s -> md5(concat('{g}', ':', s)))").alias(f"md5s{g}")
+            for g in range(N_MD5_GROUPS)
         ],
     )
-    # stage 2: minhash per (band, chunk) = min over one substring window
+    # stage 2: minhash per seed = min over one substring window of its group
     sigs = with_md5.select(
         "doc_id",
         *[
             F.array_min(
-                F.expr(f"transform(md5s{seed // rows_per_band}, m -> "
-                       f"substring(m, {(seed % rows_per_band) * _CHUNK_HEX + 1}, {_CHUNK_HEX}))")
+                F.expr(f"transform(md5s{seed // _CHUNKS_PER_MD5}, m -> "
+                       f"substring(m, {(seed % _CHUNKS_PER_MD5) * _CHUNK_HEX + 1}, {_CHUNK_HEX}))")
             ).alias(f"mh{seed}")
             for seed in range(N_HASHES)
         ],
@@ -210,13 +215,13 @@ WITH shingled AS (
 ), exploded AS (
     SELECT doc_id, unnest(shingles) AS shingle FROM shingled
 ), minhashes AS (
-    -- 4 minhashes per band from non-overlapping 8-hex chunks of ONE md5
+    -- 8 minhashes per md5 group from non-overlapping 4-hex chunks
     SELECT
         e.doc_id,
         s.seed,
-        min(substr(md5((s.seed // {N_HASHES // N_BANDS}) || ':' || e.shingle),
-                   (s.seed % {N_HASHES // N_BANDS}) * {32 // (N_HASHES // N_BANDS)} + 1,
-                   {32 // (N_HASHES // N_BANDS)})) AS mh
+        min(substr(md5((s.seed // {N_HASHES // N_MD5_GROUPS}) || ':' || e.shingle),
+                   (s.seed % {N_HASHES // N_MD5_GROUPS}) * {32 // (N_HASHES // N_MD5_GROUPS)} + 1,
+                   {32 // (N_HASHES // N_MD5_GROUPS)})) AS mh
     FROM exploded e, generate_series(0, {N_HASHES - 1}) s(seed)
     GROUP BY 1, 2
 ), bands AS (
