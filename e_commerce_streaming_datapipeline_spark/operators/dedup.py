@@ -469,3 +469,62 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= JACCARD_TOP_K)
         .select("probe_id", "doc_id", "jaccard", "rank")
     )
+
+
+@query(
+    "incremental_dedup",
+    oracle="""
+WITH fp AS (
+    SELECT doc_id, source,
+        list_aggregate(
+            list_transform(
+                generate_series(1, len(string_split(text, ' ')) - 2),
+                i -> md5(string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])
+            ), 'min') AS min_shingle_fp
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT n.doc_id, n.min_shingle_fp
+FROM fp n
+WHERE n.source = 'src19'
+  AND NOT EXISTS (
+      SELECT 1 FROM fp e
+      WHERE e.min_shingle_fp = n.min_shingle_fp AND e.source <> 'src19'
+  )
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (source='src19') anti-joined on
+    winnowing fingerprint against the already-ingested corpus — the
+    every-snapshot dedup gate of a continuously crawled training set.
+
+    Scale shape: the existing-corpus side is ONE 16-byte hash per document
+    (the dedup index), not the documents themselves — distinct-ed before the
+    join so the anti join probes a set.  At 100 TB the index is a bucketed
+    table on fp, making each nightly ingest a shuffle-free anti join; here it
+    is a plain hash anti join that AQE will broadcast when the index side is
+    small."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    min_shingle = F.array_min(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+            "split(text, ' ')[i+2])))"
+        )
+    )
+    fp = (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", "source", min_shingle.alias("min_shingle_fp"))
+    )
+    new_batch = fp.where(F.col("source") == "src19").select("doc_id", "min_shingle_fp")
+    existing = (
+        fp.where(F.col("source") != "src19")
+        .select("min_shingle_fp")
+        .distinct()
+    )
+    return new_batch.join(existing, "min_shingle_fp", "left_anti").select(
+        "doc_id", "min_shingle_fp"
+    )

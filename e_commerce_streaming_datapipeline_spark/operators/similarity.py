@@ -217,3 +217,48 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(cosine_similarity_expr(F.col("e"), F.col("e_b")), 6).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= NEAR_DUP_COSINE)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+WITH ex AS (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) -> {'pos': i, 'v': CAST(x AS DOUBLE)})) AS u
+    FROM embeddings
+), per_dim AS (
+    SELECT label, u.pos AS pos, round(avg(u.v), 4) + 0 AS c, count(*) AS n
+    FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors, list(c ORDER BY pos) AS centroid
+FROM per_dim GROUP BY 1
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid vectors (the offline half of IVF / one k-means
+    Lloyd step): mean embedding per label, dimension-wise.
+
+    Scale shape: ``posexplode`` -> groupBy(label, dim) with map-side partial
+    sums — 64 float partials per (label, dim) group combine before the single
+    shuffle, so 10^9 vectors shuffle |labels| x dims partial aggregates, not
+    vectors.  The alternative (collect all vectors per label and average
+    driver- or UDF-side) is the non-scalable shape this avoids.  Averages
+    are rounded to 4dp before reassembly so cross-engine summation-order
+    ULPs cannot leak into the hash (SURVEY §7 hard-part 2)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"), F.count("*").alias("n"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.array_sort(
+                # + 0.0 normalizes IEEE negative zero (round can yield -0.0 on
+                # one engine and +0.0 on the other for tiny negative means)
+                F.collect_list(F.struct(F.col("pos"), (fround(F.col("c"), 4) + F.lit(0.0)).alias("c")))
+            ),
+            lambda s: s["c"],
+        ).alias("centroid"),
+    )

@@ -159,6 +159,77 @@ def q_dedup_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attribution_stream_join",
+    oracle="""
+SELECT
+    p.user_id,
+    p.event_id        AS purchase_id,
+    c.event_id        AS click_id,
+    p.ts              AS purchase_ts,
+    c.ts              AS click_ts,
+    round(p.value, 2) AS purchase_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+)
+def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the multi-stream correlation
+    the reference advertises (README.md:79) and its processors accept but
+    never perform (SURVEY §2.4: funnel/dropoff/payment each read only one
+    input, funnel_processor.py:23): purchases joined to the clicks that
+    preceded them within 1 hour, per user.
+
+    Both sides carry watermarks and the join predicate carries an explicit
+    event-time range, so each side's buffered state is evicted once the
+    other side's watermark passes — bounded state at any scale, the
+    condition Structured Streaming requires to avoid unbounded buffers.
+    Hash-checked against the identical batch join oracle (append-mode inner
+    join emits exactly the matched pairs)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    purchases = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("buyer_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        F.col("buyer_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        fround(F.col("value"), 2).alias("purchase_value"),
+    )
+    return _run_to_table(spark, joined, "attribution_stream", output_mode="append")
+
+
+@query(
     "user_stats_stream",
     oracle="""
 SELECT

@@ -193,6 +193,169 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the keyword-extraction stage of a
+    corpus pipeline.
+
+    Scale shape: one explode -> groupBy(doc_id, term) with map-side partial
+    combine; df is a re-aggregation of that same relation (exchange reuse on
+    term); the corpus size joins in as a broadcast single-row aggregate.  The
+    rank ordering uses the ROUNDED score so cross-engine float ULPs cannot
+    flip the top-3 (SURVEY §7 hard-part 2)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    total = docs.agg(F.count("*").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            fround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@query(
+    "corpus_quality_filter",
+    oracle="""
+WITH stats AS (
+    SELECT
+        doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' ')) AS ttr,
+        list_aggregate(
+            list_transform(
+                generate_series(1, len(string_split(text, ' ')) - 2),
+                i -> md5(string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])
+            ), 'min') AS fp
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+), filtered AS (
+    SELECT * FROM stats WHERE n_tokens BETWEEN 30 AND 90 AND ttr >= 0.35
+)
+SELECT doc_id, lang, n_tokens, round(ttr, 4) AS ttr
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filtered
+)
+WHERE rn = 1
+""",
+)
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed clean-corpus pipeline: length gate + lexical-diversity
+    gate + near-dup removal (winnowing min-shingle fingerprint, keep lowest
+    doc_id) — the filter chain every LLM training-data build runs.
+
+    Scale shape: the quality gates are codegen'd predicates applied during the
+    scan (nothing survives to the shuffle that the gates kill); the only
+    shuffle is the fingerprint-keyed dedup, whose key space is |corpus|
+    hashes.  At 100 TB the dedup winner is a groupBy(fp).min(doc_id) +
+    semi-join if fingerprint groups get hot."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    min_shingle = F.array_min(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+            "split(text, ' ')[i+2])))"
+        )
+    )
+    stats = (
+        docs.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+            min_shingle.alias("fp"),
+        )
+    )
+    filtered = stats.where(F.col("n_tokens").between(30, 90) & (F.col("ttr") >= 0.35))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens", fround(F.col("ttr"), 4).alias("ttr"))
+    )
+
+
+@query(
+    "train_test_split",
+    oracle="""
+SELECT
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+         THEN 'train' ELSE 'test' END AS split,
+    lang,
+    count(*) AS docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (~81/19: md5 first hex digit
+    <= 'c') with per-language stratification accounting.  Content-hash
+    splits are reproducible across engines, runs, and cluster sizes — unlike
+    ``rand()``-seeded sampling, which is partition-layout-dependent; the
+    assignment is a codegen'd expression, so splitting 100 TB is a scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "c", "train"
+    ).otherwise("test")
+    return (
+        docs.groupBy(split.alias("split"), F.col("lang"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("total_ws_tokens"),
+        )
+    )
+
+
+@query(
     "top_terms",
     oracle="""
 WITH toks AS (
