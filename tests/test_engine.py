@@ -156,3 +156,47 @@ def test_order_details_plan_avoids_distinct_expand(spark, sf_dir):
 
     plan = q_order_details(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_incremental_dedup_plan_is_broadcast_anti_join(spark, sf_dir):
+    """The existing-corpus side must reach the anti join as a distinct-ed
+    broadcast hash relation (the dedup index), never a sort-merge of raw
+    documents."""
+    from e_commerce_streaming_datapipeline_spark.operators.dedup import q_incremental_dedup
+
+    plan = q_incremental_dedup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_plan_pushes_topk_below_shuffle(spark, sf_dir):
+    """The per-doc top-3 must plan as a WindowGroupLimit (partial top-k
+    before the doc_id shuffle) — the rank-filter pushdown that keeps the
+    window sort bounded at any corpus size."""
+    from e_commerce_streaming_datapipeline_spark.operators.text import q_tfidf_top_terms
+
+    plan = q_tfidf_top_terms(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_centroids_partial_agg_before_shuffle(spark, sf_dir):
+    """Dimension-wise means must combine map-side (partial_avg before the
+    (label, pos) exchange) so 10^9 vectors shuffle |labels| x dims partials,
+    not vectors."""
+    from e_commerce_streaming_datapipeline_spark.operators.similarity import q_embedding_centroids
+
+    plan = q_embedding_centroids(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_avg" in plan
+
+
+def test_train_test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    """Hash-split property: every document lands in exactly one split, and
+    re-running assigns identically (content-addressed, not rand-seeded)."""
+    from e_commerce_streaming_datapipeline_spark.operators.text import q_train_test_split
+
+    res = q_train_test_split(spark, sf_dir)
+    total = res.agg(F.sum("docs")).collect()[0][0]
+    assert total == load_table(spark, "documents", sf_dir).count()
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, q_train_test_split(spark, sf_dir).collect()))
+    assert a == b
