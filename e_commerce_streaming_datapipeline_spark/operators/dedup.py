@@ -263,8 +263,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical notes: the raw docs are repartitioned across the cluster BEFORE
     the md5-heavy shingle projection runs (the single-file fixture otherwise
     executes the whole hash pipeline on one task — and at 100 TB a filtered
-    input can be just as skewed), and the per-doc shingle sets are broadcast
-    into the verification join (bounded by candidate count, not corpus size).
+    input can be just as skewed), and the verification join broadcasts the
+    candidate-pair side (bounded by candidate count) while the corpus-sized
+    shingle sets are only ever probed in place.
     """
     docs = load_table(spark, "documents", sf_dir)
     docs = docs.repartition(
@@ -290,13 +291,17 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sets = shingled_docs(docs)
-    sa = F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")))
-    sb = F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jaccard = inter / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter)
+    # Broadcast the CANDIDATES (small by construction), never the corpus-sized
+    # shingle sets: each join broadcasts the candidate-bounded side and probes
+    # the sharded sets relation in place — no corpus shuffle, no corpus
+    # broadcast, verification cost stays O(candidates) at any corpus size.
+    with_a = sa.join(F.broadcast(candidates), "doc_a")
     return (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sb.join(F.broadcast(with_a), "doc_b")
         .withColumn("jaccard", fround(jaccard, 4))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")

@@ -160,3 +160,163 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The stub kernel is md5-derived, so even this Python stage is
     oracle-checkable — DuckDB reproduces the fake decode in SQL."""
     return decode_assets(as_assets(load_table(spark, "documents", sf_dir)))
+
+
+RESIZE_TARGET = 224
+FRAME_STEP = 8
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH assets AS (
+    SELECT
+        doc_id AS asset_id,
+        ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
+        encode(text) AS payload
+    FROM documents
+), decoded AS (
+    SELECT
+        asset_id, modality,
+        64 + ('0x' || substr(md5(payload::VARCHAR), 1, 2))::BIGINT * 4 AS width,
+        64 + ('0x' || substr(md5(payload::VARCHAR), 3, 2))::BIGINT * 4 AS height
+    FROM assets
+    WHERE modality IN ('image', 'video')
+)
+SELECT
+    asset_id, modality, width, height,
+    CAST(greatest(1, floor(width  * ({RESIZE_TARGET}.0 / greatest(width, height)))) AS BIGINT) AS out_width,
+    CAST(greatest(1, floor(height * ({RESIZE_TARGET}.0 / greatest(width, height)))) AS BIGINT) AS out_height
+FROM decoded
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: aspect-preserving fit of every image/video frame into
+    {RESIZE_TARGET}px, fused with the decode kernel in ONE ``mapInPandas``
+    pass (kernel fusion is the scale shape: one Arrow hop, one Python worker
+    traversal, instead of decode->resize as two chained Python stages).
+
+    The modality filter runs Spark-side BEFORE the Python stage, so audio and
+    text payloads never cross the Arrow boundary.  The pixel-resample kernel
+    itself would live inside the same function (PIL/ffmpeg, stubbed here);
+    the output geometry math is deterministic and oracle-checked."""
+    import numpy as np
+
+    assets = as_assets(load_table(spark, "documents", sf_dir)).where(
+        F.col("modality").isin("image", "video")
+    )
+
+    def decode_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_asset_bytes(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            w = np.array([m["width"] for m in meta], dtype="int64")
+            h = np.array([m["height"] for m in meta], dtype="int64")
+            scale = float(RESIZE_TARGET) / np.maximum(w, h)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "width": w,
+                "height": h,
+                "out_width": np.maximum(1, np.floor(w * scale)).astype("int64"),
+                "out_height": np.maximum(1, np.floor(h * scale)).astype("int64"),
+            })
+
+    return assets.mapInPandas(
+        decode_resize,
+        "asset_id long, modality string, width long, height long, out_width long, out_height long",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH assets AS (
+    SELECT
+        doc_id AS asset_id,
+        ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
+        encode(text) AS payload
+    FROM documents
+), decoded AS (
+    SELECT
+        asset_id,
+        1 + ('0x' || substr(md5(payload::VARCHAR), 5, 2))::BIGINT AS frames
+    FROM assets
+    WHERE modality = 'video'
+)
+SELECT
+    asset_id,
+    frames,
+    generate_series(0, frames - 1, {FRAME_STEP}) AS sampled_frames,
+    CAST(len(generate_series(0, frames - 1, {FRAME_STEP})) AS INT) AS n_sampled
+FROM decoded
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage for video assets: every {FRAME_STEP}th frame
+    index, decode fused into the same ``mapInPandas`` pass.  At scale the
+    sampled frames would be emitted as one binary row each (explode after
+    this stage); the index math is the oracle-checked part."""
+    assets = as_assets(load_table(spark, "documents", sf_dir)).where(
+        F.col("modality") == "video"
+    )
+
+    def decode_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                decode_asset_bytes(p, m)["frames"]
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            sampled = [list(range(0, n, FRAME_STEP)) for n in frames]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "frames": pd.Series(frames, dtype="int64"),
+                "sampled_frames": sampled,
+                "n_sampled": pd.Series([len(s) for s in sampled], dtype="int32"),
+            })
+
+    return assets.mapInPandas(
+        decode_sample,
+        "asset_id long, frames long, sampled_frames array<long>, n_sampled int",
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+WITH assets AS (
+    SELECT
+        doc_id AS asset_id,
+        ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
+        encode(text) AS payload
+    FROM documents
+)
+SELECT
+    asset_id,
+    modality,
+    [('0x' || substr(md5(payload::VARCHAR), 1, 2))::BIGINT / 255.0,
+     ('0x' || substr(md5(payload::VARCHAR), 3, 2))::BIGINT / 255.0,
+     ('0x' || substr(md5(payload::VARCHAR), 5, 2))::BIGINT / 255.0,
+     ('0x' || substr(md5(payload::VARCHAR), 7, 2))::BIGINT / 255.0] AS features
+FROM assets
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: binary payload -> fixed-width float vector
+    (the CLIP-embedding / mel-spectrogram slot, stubbed as normalized md5
+    bytes).  Demonstrates the vector-output-column UDF shape that feeds the
+    similarity-search operators; exact doubles, so even the Python stage
+    hash-matches the SQL oracle."""
+    assets = as_assets(load_table(spark, "documents", sf_dir))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [b / 255.0 for b in hashlib.md5(p).digest()[:4]] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "features": feats,
+            })
+
+    return assets.mapInPandas(extract, "asset_id long, modality string, features array<double>")
