@@ -13,12 +13,17 @@ oracle-hashable.  ``first(is_dropoff)`` is replaced by deriving the flag from
 the grouping key itself (it is functionally dependent on event_type — the
 reference's ``first`` only worked by accident).
 
-Scale notes: collect_list of an unbounded group is a memory hazard at 100 TB;
-the sample is capped at 3 like the reference, and the sorted-sample can be
-computed with a bounded top-k (min_by-style) if groups grow hot.  The
-``drop_rate`` denominator (events per window across all statuses) is computed
-with a window function over the *aggregated* relation — i.e. over #windows
-rows, not #events rows — the aggregate-then-join shape from SURVEY §2.4 J2.
+Scale notes: ``collect_list`` of an unbounded group is a memory AND shuffle
+hazard at 100 TB — the partial aggregation ships every element to the
+reducer.  The sample branch therefore computes the 3 smallest ids with
+``row_number() <= 3``, which Spark 3.5 plans as a partial ``WindowGroupLimit``
+BEFORE the shuffle: each map task emits at most 3 rows per group, so the
+sample shuffle is bounded by 3 x #tasks x #groups regardless of corpus size,
+and the ``collect_list`` that follows runs over <= 3 rows per group.  The
+count/distinct metrics aggregate in a separate branch joined back on the
+group key (aggregate-then-join, SURVEY §2.4 J2); the ``drop_rate``
+denominator is a window function over the *aggregated* relation — #windows
+rows, not #events rows.
 """
 
 from __future__ import annotations
@@ -37,20 +42,24 @@ ALERT_THRESHOLD = 10
 
 
 def dropoff_analysis(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    per_status = (
-        tumbling_window(events, "ts", duration)
-        .groupBy("window_start", "window_end", "event_type")
-        .agg(
-            F.count("*").alias("dropped_events"),
-            F.count_distinct(F.col("user_id")).alias("unique_users_affected"),
-            F.slice(
-                F.array_sort(F.collect_list(F.col("event_id").cast("string"))), 1, 3
-            ).alias("sample_event_ids"),
-        )
+    base = tumbling_window(events, "ts", duration)
+    per_status = base.groupBy("window_start", "window_end", "event_type").agg(
+        F.count("*").alias("dropped_events"),
+        F.count_distinct(F.col("user_id")).alias("unique_users_affected"),
+    )
+    # bounded top-3 sample: WindowGroupLimit caps each map task at 3 rows per
+    # group before the shuffle (see module docstring)
+    wtop = Window.partitionBy("window_start", "event_type").orderBy("eid")
+    samples = (
+        base.select("window_start", "event_type", F.col("event_id").cast("string").alias("eid"))
+        .withColumn("__rn", F.row_number().over(wtop))
+        .where(F.col("__rn") <= 3)
+        .groupBy("window_start", "event_type")
+        .agg(F.array_sort(F.collect_list("eid")).alias("sample_event_ids"))
     )
     over_window = Window.partitionBy("window_start")
     return (
-        per_status
+        per_status.join(samples, ["window_start", "event_type"])
         .withColumn("window_total", F.sum("dropped_events").over(over_window))
         .where(F.col("event_type").isin(*EVENT_DROPOFF_TYPES))
         .select(

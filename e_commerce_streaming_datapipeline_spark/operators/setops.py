@@ -1,0 +1,252 @@
+"""Set operations, skew-salted joins, and idempotent merge-upsert.
+
+Fills the "not present in the reference" inventory gaps called out in
+SURVEY §2.2 (no set operations, no analytic lag/lead, no grouping sets) and
+makes the Phase-2 sink semantics (SURVEY §2.5 D5 — idempotent MERGE keyed on
+window bounds, replacing the reference's append-and-swallow-duplicate-key at
+``src/sinks/metrics_sink.py:30-41``) a first-class, oracle-checked batch
+operator.
+
+Scale notes per operator live on each docstring; the common thread is that
+every pattern here is the 100-TB-safe version of its naive counterpart:
+set-ops as semi/anti joins on pre-distinct keys, salting for hot join keys,
+merge-upsert as union+row_number (one shuffle) rather than a full-outer join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.windows import tumbling_window
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+@query(
+    "cohort_setops",
+    oracle="""
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT 'both' AS cohort, count(*) AS users
+FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+UNION ALL
+SELECT 'purchase_only' AS cohort, count(*) AS users
+FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+UNION ALL
+SELECT 'click_only' AS cohort, count(*) AS users
+FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+""",
+)
+def q_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) over user cohorts —
+    the inventory gap flagged at SURVEY §2.2 "no set operations".
+
+    Spark compiles ``intersect`` to a left-semi and ``subtract`` to a
+    left-anti hash join over pre-aggregated distinct keys, so each branch
+    shuffles only the distinct user-id sets (|users|, not |events|).  At
+    100 TB the single-pass alternative — ``groupBy(user_id).agg(bool_or ...)``
+    then bucket-count — does one events shuffle instead of two; both branches
+    here read a pre-distincted projection, which AQE sizes correctly.
+    """
+    events = load_table(spark, "events", sf_dir)
+    p = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    c = events.where(F.col("event_type") == "click").select("user_id").distinct()
+
+    def bucket(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(name).alias("cohort"), "users"
+        )
+
+    return (
+        bucket(p.intersect(c), "both")
+        .unionByName(bucket(p.subtract(c), "purchase_only"))
+        .unionByName(bucket(c.subtract(p), "click_only"))
+    )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "salted_priority_revenue",
+    oracle="""
+SELECT
+    o.o_orderpriority                              AS priority,
+    count(*)                                       AS line_items,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact equi-join: lineitem ⋈ orders on a deterministic
+    8-way salt, producing bit-identical results to the plain join.
+
+    The pattern for a hot join key at 100 TB (one mega-order, one bot user):
+    the probe side gets ``salt = pmod(hash(l_linenumber), 8)`` (any
+    deterministic per-row column works); the build side is exploded 8× via
+    ``sequence(0,7)``; the join key becomes ``(key, salt)`` so a hot key's
+    rows spread over 8 reducers instead of one.  AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``) does this adaptively for sort-merge
+    joins; explicit salting is the portable fallback and the only option for
+    streaming-state joins.  Build-side replication costs 8× |orders| rows
+    shuffled — acceptable when the build side is the smaller fact.
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    salted_l = lineitem.withColumn(
+        "__salt", F.pmod(F.hash(F.col("l_linenumber")), F.lit(_SALT_BUCKETS))
+    )
+    salted_o = orders.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+    )
+    return (
+        salted_l.join(
+            salted_o,
+            (salted_l.l_orderkey == salted_o.o_orderkey)
+            & (salted_l.__salt == salted_o.__salt),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("line_items"),
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Idempotent MERGE: rows from ``updates`` replace same-key rows in
+    ``existing``; unmatched rows of both survive (SURVEY §2.5 D5 — the
+    exactly-once sink the reference approximates with Postgres UNIQUE
+    constraints + swallow-duplicate-key, ``metrics_sink.py:30-41``).
+
+    Expressed as union + row_number over the merge key (one shuffle on the
+    key, no full-outer join).  At scale this is the relational core of a
+    Delta/Iceberg MERGE INTO; in a ``foreachBatch`` sink it makes re-emitted
+    update-mode windows idempotent.
+    """
+    tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
+        existing.withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy("__pri")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
+@query(
+    "metrics_merge_upsert",
+    oracle="""
+SELECT
+    date_trunc('hour', ts)                     AS window_start,
+    round(sum(value), 2)                       AS gmv,
+    count(*)                                   AS purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_metrics_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE check: a stale metrics table (windows strictly before
+    a day-aligned cutoff) merged with a recomputation of the tail (windows on
+    or after the cutoff) must equal the single-shot computation over all data
+    — which is exactly what the oracle computes.
+
+    The cutoff is derived from ``max(ts)`` via a broadcast scalar join (no
+    driver collect); day-aligned so no 1-hour window straddles it.
+    """
+    events = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    cutoff = events.agg(
+        F.date_trunc("day", F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("__cut")
+    ).hint("broadcast")
+    ev = events.crossJoin(cutoff)
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return (
+            tumbling_window(df, "ts", "1 hour")
+            .groupBy("window_start")
+            .agg(
+                fround(F.sum("value"), 2).alias("gmv"),
+                F.count("*").alias("purchases"),
+            )
+        )
+
+    existing = hourly(ev.where(F.col("ts") < F.col("__cut")))
+    updates = hourly(ev.where(F.col("ts") >= F.col("__cut")))
+    return merge_upsert(existing, updates, ["window_start"])
+
+
+@query(
+    "revenue_dod",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(sum(value), 2) AS revenue
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT
+    day,
+    revenue,
+    lag(revenue) OVER (ORDER BY day)                          AS prev_revenue,
+    round((revenue - lag(revenue) OVER (ORDER BY day)) * 100) / 100 AS change
+FROM daily
+""",
+)
+def q_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag(): day-over-day revenue delta — the lag/lead gap from
+    SURVEY §2.2 "no analytic window functions".
+
+    The unpartitioned ORDER BY window runs over the *aggregated* relation
+    (#days rows, not #events), so the single-task window is bounded and fine
+    at any fact-table scale; never apply such a window pre-aggregation.
+    """
+    events = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        fround(F.sum("value"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        prev.alias("prev_revenue"),
+        fround(F.col("revenue") - prev, 2).alias("change"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(grouping(l_returnflag) AS INTEGER)  AS g_flag,
+    CAST(grouping(l_linestatus) AS INTEGER)  AS g_status,
+    count(*)                                 AS line_items,
+    round(sum(l_extendedprice) * 100) / 100  AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form) — three grouping
+    combinations in one Expand + single hash-agg pass over the fact (reads
+    the 100-TB table once, vs. three separate groupBys reading it thrice)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    grouped = lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return grouped.agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("line_items"),
+        fround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

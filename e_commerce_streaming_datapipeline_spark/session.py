@@ -67,6 +67,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level filtering for big fact-fact joins: inject a bloom
+        # filter built from the smaller join side into the larger side's scan
+        # (cuts shuffle volume for selective joins like orders ⋈ lineitem at
+        # 100 TB; no-op for broadcast joins, which already prune).
+        # NOTE: runtimeFilter.semiJoinReduction.enabled is deliberately NOT
+        # set — on Spark 4.1.2 it hangs every query (first action never
+        # completes; verified by bisection on a bare session).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # -- determinism across engines --
         .config("spark.sql.session.timeZone", "UTC")
         # -- python interop --

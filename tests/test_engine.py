@@ -200,3 +200,12 @@ def test_train_test_split_is_exhaustive_and_disjoint(spark, sf_dir):
     a = sorted(map(tuple, res.collect()))
     b = sorted(map(tuple, q_train_test_split(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_dropoff_sample_is_bounded_topk(spark, sf_dir):
+    """The id sample must plan as a partial WindowGroupLimit (<= 3 rows per
+    group leave each map task) — never a full collect_list shuffle."""
+    from e_commerce_streaming_datapipeline_spark.operators.dropoff import q_dropoff_hourly
+
+    plan = q_dropoff_hourly(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
