@@ -1,0 +1,144 @@
+"""Deterministic sampling and compression operators for training-data
+pipelines.
+
+A 100-TB corpus is rarely consumed whole: pipelines carve stratified samples
+(per-language quotas), per-group exemplars, and quantized embedding columns.
+None of this exists in the reference (its only sampling is `show(5)` in the
+console sink, ``src/sinks/metrics_sink.py:24-26``); these are the BASELINE
+scale-up operators.
+
+Determinism discipline: Spark's ``sample``/``sampleBy`` are seeded RNGs whose
+draws can't be reproduced by another engine, so every sampler here derives its
+"randomness" from a multiplicative integer hash of the row key (Knuth's
+2654435761 mod 2^32) — plain 64-bit arithmetic that DuckDB evaluates
+bit-identically, keeping every query hash-checkable.  Statistically this is a
+fixed permutation of keys: uniform for synthetic sequential ids and
+well-mixed for anything without adversarial structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+_KNUTH = 2654435761  # golden-ratio multiplicative hash constant
+_MOD = 2**32
+
+
+def hash_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic pseudo-random bucket in [0, buckets) from an integer
+    key — identical arithmetic on any engine (no RNG, no engine hash)."""
+    return (key * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(buckets)
+
+
+@query(
+    "stratified_doc_sample",
+    oracle="""
+WITH sampled AS (
+    SELECT *,
+        (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 20 END AS pct
+    FROM documents
+)
+SELECT
+    lang,
+    count(*)                            AS sampled_docs,
+    round(avg(n_chars) * 100) / 100     AS avg_chars
+FROM sampled WHERE bucket < pct
+GROUP BY 1
+""",
+)
+def q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language quotas (50% en / 30% de /
+    20% rest) via the deterministic hash bucket — the reproducible
+    train-set carve-out.
+
+    The filter is a pure row-local predicate: no shuffle, no RNG state,
+    full predicate pushdown past it for any conjunct, and re-running on a
+    re-partitioned or incrementally-grown corpus keeps previously-selected
+    rows selected (stable under append — the property seeded ``sampleBy``
+    lacks across partition layouts)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pct = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 30).otherwise(20)
+    )
+    sampled = docs.where(hash_bucket(F.col("doc_id"), 100) < pct)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("sampled_docs"),
+        (F.round(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
+    )
+
+
+@query(
+    "group_sample_topk",
+    oracle="""
+SELECT lang, doc_id, n_chars, rn
+FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+""",
+)
+def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exemplar sample: 5 pseudo-random docs per language, chosen
+    by hash order — the bounded substitute for per-group reservoir sampling.
+
+    ``row_number() <= k`` plans as a partial WindowGroupLimit: each map task
+    forwards at most k rows per group into the shuffle, so cost is bounded by
+    k × #tasks × #groups however large the corpus — the same plan shape the
+    dropoff sample uses (operators/dropoff.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), _MOD), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH scaled AS (
+    SELECT vec_id,
+           127.0 / greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12)
+               AS scale
+    FROM embeddings
+)
+SELECT
+    e.vec_id,
+    round(s.scale * 10000) / 10000 AS scale_4dp,
+    list_transform(e.embedding, x -> CAST(round(x * s.scale) AS INTEGER)) AS qvec
+FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    absmax scale, elements mapped to round(x·127/absmax) — 4× smaller at
+    rest, and the form ANN kernels consume.
+
+    All higher-order array functions (``transform``/``array_max``) — stays
+    inside whole-stage codegen, no UDF, no shuffle; each row is independent
+    so the operator scales embarrassingly.  The scale is reported at 4dp
+    (display only); quantized values use the full-precision scale on both
+    engines with identical double arithmetic."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    scale = 127.0 / F.greatest(absmax.cast("double"), F.lit(1e-12))
+    return emb.select(
+        "vec_id",
+        (F.round(scale * 10000) / 10000).alias("scale_4dp"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x * scale).cast("int")
+        ).alias("qvec"),
+    )

@@ -93,7 +93,10 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``spark.sql.adaptive.skewJoin``) does this adaptively for sort-merge
     joins; explicit salting is the portable fallback and the only option for
     streaming-state joins.  Build-side replication costs 8× |orders| rows
-    shuffled — acceptable when the build side is the smaller fact.
+    shuffled — acceptable when the build side is the smaller fact.  The
+    ``shuffle_hash`` hint pins the shuffle-join path: at test SF the salted
+    build side still fits the broadcast threshold, which would silently
+    bypass the very distribution the salt exists to fix.
     """
     lineitem = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -105,7 +108,7 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         salted_l.join(
-            salted_o,
+            salted_o.hint("shuffle_hash"),
             (salted_l.l_orderkey == salted_o.o_orderkey)
             & (salted_l.__salt == salted_o.__salt),
         )

@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.multimodal",
     "e_commerce_streaming_datapipeline_spark.operators.streaming_queries",
     "e_commerce_streaming_datapipeline_spark.operators.setops",
+    "e_commerce_streaming_datapipeline_spark.operators.sampling",
 ]
 
 

@@ -209,3 +209,67 @@ def test_dropoff_sample_is_bounded_topk(spark, sf_dir):
 
     plan = q_dropoff_hourly(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must plan as ONE scan + Expand + hash agg — never one
+    scan per grouping combination."""
+    from e_commerce_streaming_datapipeline_spark.operators.setops import q_grouping_sets_revenue
+
+    plan = q_grouping_sets_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
+    """The salted join must exercise the shuffle-join path it exists to fix
+    (a broadcast would silently bypass the salt) and carry the salt in the
+    join keys."""
+    from e_commerce_streaming_datapipeline_spark.operators.setops import q_salted_priority_revenue
+
+    plan = q_salted_priority_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" in plan
+
+
+def test_group_sample_is_bounded_topk(spark, sf_dir):
+    """The per-group sampler must plan as a partial WindowGroupLimit (<= 5
+    rows per group leave each map task)."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import q_group_sample_topk
+
+    plan = q_group_sample_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_stable_under_append(spark, sf_dir):
+    """Hash sampling must keep previously-selected rows selected when the
+    corpus grows (the reproducibility property seeded sampleBy lacks)."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    pct = F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 30).otherwise(20)
+    full = {r.doc_id for r in docs.where(hash_bucket(F.col("doc_id"), 100) < pct).select("doc_id").collect()}
+    half = docs.where(F.col("doc_id") < 200)
+    sub = {r.doc_id for r in half.where(hash_bucket(F.col("doc_id"), 100) < pct).select("doc_id").collect()}
+    assert sub == {d for d in full if d < 200}
+
+
+def test_embedding_quantize_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized vectors must be within half a quantization step of the
+    original (the invariant that makes int8 ANN recall predictable)."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import q_embedding_quantize
+
+    q = q_embedding_quantize(spark, sf_dir).limit(50).collect()
+    emb = {r.vec_id: r.embedding for r in load_table(spark, "embeddings", sf_dir).limit(500).collect()}
+    checked = 0
+    for row in q:
+        vec = emb.get(row.vec_id)
+        if vec is None or row.scale_4dp == 0:
+            continue
+        absmax = max(abs(x) for x in vec)
+        scale = 127.0 / max(absmax, 1e-12)
+        for x, qx in zip(vec, row.qvec):
+            assert abs(qx - x * scale) <= 0.5 + 1e-6
+        checked += 1
+    assert checked > 0
