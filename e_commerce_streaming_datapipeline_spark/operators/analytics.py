@@ -293,3 +293,110 @@ def q_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         fround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "cascaded_rollup",
+    oracle="""
+WITH minutely AS (
+    SELECT
+        date_trunc('minute', ts) AS m,
+        sum(round(value * 100)::BIGINT) AS cents,
+        count(*) AS n
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT
+    CAST(date_trunc('hour', m) AS TIMESTAMP)   AS window_start,
+    CAST(sum(cents) AS DOUBLE) / 100           AS gmv,
+    sum(n)                                     AS purchases,
+    count(*)                                   AS minutes_active
+FROM minutely
+GROUP BY 1
+""",
+)
+def q_cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup: hourly metrics RE-AGGREGATED from the
+    minutely relation rather than from raw events — the continuous-aggregate
+    pattern for multi-resolution dashboards (minute -> hour -> day).
+
+    At 100 TB the raw fact is aggregated once into the finest grain; every
+    coarser grain reads #minutes rows, not #events, so each extra resolution
+    costs ~nothing.  Money sums use scaled-long cents at the fine grain so
+    the re-aggregation is exact integer addition — no float drift between
+    resolution levels (the property that makes cascading safe; see
+    pricing_summary for the fixed-point rationale)."""
+    events = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    minutely = events.groupBy(F.date_trunc("minute", F.col("ts")).alias("m")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    return minutely.groupBy(F.date_trunc("hour", F.col("m")).alias("window_start")).agg(
+        (F.sum("cents").cast("double") / 100).alias("gmv"),
+        F.sum("n").alias("purchases"),
+        F.count("*").alias("minutes_active"),
+    )
+
+
+@query(
+    "running_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(round(value * 100)::BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT
+    day,
+    CAST(cents AS DOUBLE) / 100 AS revenue,
+    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        AS cumulative_revenue
+FROM daily
+""",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window FRAME (ROWS UNBOUNDED PRECEDING): cumulative revenue
+    over days.  Frame runs over the aggregated relation (#days rows) so the
+    single-partition ordered window is bounded; the running sum is exact
+    scaled-long arithmetic, converted to currency only at the edge."""
+    events = load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase")
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.sum("cents").over(w).cast("double") / 100).alias("cumulative_revenue"),
+    )
+
+
+@query(
+    "quantity_price_unpivot",
+    oracle="""
+SELECT l_returnflag, metric, round(sum(val) * 100) / 100 AS total
+FROM (
+    UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem)
+    ON l_quantity AS 'quantity', l_extendedprice AS 'price'
+    INTO NAME metric VALUE val
+)
+GROUP BY 1, 2
+""",
+)
+def q_quantity_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long reshape, the inverse of payment_type_pivot):
+    measure columns melted into (metric, value) rows then re-aggregated.
+    Spark's ``unpivot`` is a zero-shuffle Expand — each input row emits one
+    row per measure locally; only the final small-key agg shuffles."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    long = lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity").otherwise("price"),
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        fround(F.sum("val"), 2).alias("total")
+    )

@@ -131,3 +131,71 @@ def q_csv_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("props").alias("n_props"),
     )
+
+
+def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events fixture in the 100-TB ingest layout — parquet
+    partitioned by event_date — and return its path (cached per sf_dir).
+
+    This is the storage design SCALE.md prescribes: date partitioning turns
+    retention (V7) into partition drops and gives every time-bounded query
+    partition pruning instead of a full scan."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_part",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        events = load_table(spark, "events", sf_dir)
+        (
+            events.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")  # one writer task per partition => one file
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+    return out_dir
+
+
+@query(
+    "partitioned_scan_counts",
+    oracle="""
+SELECT
+    CAST(date_trunc('day', ts) AS DATE)  AS event_date,
+    count(*)                             AS n_events,
+    count(DISTINCT user_id)              AS unique_users
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '7 days'
+  AND date_trunc('day', ts) >= date_trunc('day', (SELECT max(ts) FROM events) - INTERVAL '7 days')
+GROUP BY 1
+""",
+)
+def q_partitioned_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side partitioning + read-side partition PRUNING: events land
+    date-partitioned (hive-style ``event_date=.../``), and the last-7-days
+    filter prunes to ~8 of the ~30 daily partitions before any file is
+    opened — the layout that makes time-bounded queries O(days queried), not
+    O(corpus), at 100 TB.
+
+    The cutoff comes from a one-row subquery collected driver-side: its
+    value feeds the partition filter, which must be a literal at planning
+    time for pruning to happen (dynamic partition pruning covers the
+    join-driven variant; see test_partition_pruning_prunes_files)."""
+    part_dir = partitioned_events_dir(spark, sf_dir)
+    events = spark.read.parquet(part_dir)
+    # collect() of a 1-row aggregate: the scalar must be a plan-time literal
+    # for static partition pruning; this is a deliberate driver round-trip.
+    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cut_ts = max_ts - datetime.timedelta(days=7)
+    cut_date = cut_ts.date()
+    return (
+        events.where((F.col("event_date") >= F.lit(cut_date)) & (F.col("ts") >= F.lit(cut_ts)))
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+    )

@@ -273,3 +273,20 @@ def test_embedding_quantize_roundtrip_error_bounded(spark, sf_dir):
             assert abs(qx - x * scale) <= 0.5 + 1e-6
         checked += 1
     assert checked > 0
+
+
+def test_partition_pruning_prunes_files(spark, sf_dir):
+    """A single-day filter on the date-partitioned layout must touch only
+    that day's files, and the scan must carry a PartitionFilter."""
+    from e_commerce_streaming_datapipeline_spark.operators.connectors import partitioned_events_dir
+
+    import re
+
+    part_dir = partitioned_events_dir(spark, sf_dir)
+    events = spark.read.parquet(part_dir)
+    one_day = events.where(F.col("event_date") == F.lit("2024-01-10"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the day filter must land in PartitionFilters (directory-level pruning,
+    # no file opened outside the day), not in DataFilters (row-level)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date#\d+ = 2024-01-10", plan), plan
+    assert "DataFilters: []" in plan
