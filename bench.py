@@ -35,6 +35,7 @@ HEADLINE = [
     "payment_hourly",         # JSON decode + grouped agg
     "complete_funnel",        # aggregate-then-join (3 aggs + 2 joins)
     "order_details",          # fact-fact shuffle join
+    "shipping_priority",      # TPC-H Q3: selective 3-way join + top-10
     "asof_last_purchase",     # as-of join (union + running last)
     "user_activity_1h",       # range join (bucketed equi-join rewrite)
     "region_revenue",         # multi-hop broadcast dim joins

@@ -250,3 +250,122 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+SELECT
+    l.l_orderkey                                       AS orderkey,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue,
+    o.o_orderdate                                      AS orderdate,
+    o.o_orderpriority                                  AS priority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2024-06-01'
+  AND l.l_shipdate  > TIMESTAMP '2024-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three relations, two joins,
+    grouped revenue, global top-10.
+
+    The scale anatomy Catalyst produces from this declarative plan: both
+    date predicates push into the parquet scans (pruned before the joins);
+    the filtered customer list broadcasts (semi-join role: only c_custkey
+    survives pruning); lineitem — the only big relation left — shuffles once
+    on orderkey; the top-10 is a TakeOrderedAndProject (per-partition heap,
+    no global sort).  ORDER BY carries `orderkey` as tiebreak so the row set
+    is deterministic across engines."""
+    customer = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < "2024-06-01"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > "2024-06-01"
+    )
+    return (
+        lineitem.join(
+            orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "above_avg_orders",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders, round(min(o_totalprice), 2) AS min_price
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY 1
+""",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above the global average price): Catalyst
+    plans the uncorrelated subquery as an independent one-row aggregate
+    evaluated once and injected as a literal — the fact is scanned twice but
+    filtered in one pass, never nested-loop re-evaluated per row."""
+    orders = load_table(spark, "orders", sf_dir)
+    spark_avg = orders.select(F.avg("o_totalprice").alias("a"))
+    return (
+        orders.join(broadcast(spark_avg), F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fround(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
+@query(
+    "big_spender_nations",
+    oracle="""
+SELECT n.n_name AS nation, count(*) AS big_spenders
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+GROUP BY 1
+""",
+)
+def q_big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS, decorrelated to a left-semi join: customers with at
+    least one 300k+ order, counted per nation.  The filter on orders applies
+    BEFORE the semi join (build side is only qualifying custkeys), and the
+    nation dim broadcasts — the standard decorrelation Catalyst performs on
+    the equivalent SQL."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    big = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("big_spenders"))
+    )

@@ -290,3 +290,15 @@ def test_partition_pruning_prunes_files(spark, sf_dir):
     # no file opened outside the day), not in DataFilters (row-level)
     assert re.search(r"PartitionFilters: \[[^\]]*event_date#\d+ = 2024-01-10", plan), plan
     assert "DataFilters: []" in plan
+
+
+def test_shipping_priority_plan(spark, sf_dir):
+    """Q3 shape must keep date filters in the scans, top-10 as
+    TakeOrderedAndProject (per-partition heap, no global sort), and no
+    nested-loop/cartesian fallback."""
+    from e_commerce_streaming_datapipeline_spark.operators.joins import q_shipping_priority
+
+    plan = q_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
