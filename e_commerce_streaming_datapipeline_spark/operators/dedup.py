@@ -198,10 +198,10 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
 
 
-@query(
-    "minhash_near_dups",
-    oracle=f"""
-WITH shingled AS (
+# Shared CTE chain: shingles -> minhash -> LSH bands -> candidates ->
+# exact-Jaccard-verified pairs.  Used by the minhash_near_dups oracle and,
+# extended with a recursive reachability CTE, by dup_clusters.
+_MINHASH_VERIFIED_CTES = f"""shingled AS (
     SELECT
         doc_id,
         list_distinct(list_transform(
@@ -246,7 +246,13 @@ WITH shingled AS (
     FROM candidates c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+
+@query(
+    "minhash_near_dups",
+    oracle=f"""
+WITH {_MINHASH_VERIFIED_CTES}
 SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
 FROM verified
 WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -533,3 +539,81 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_batch.join(existing, "min_shingle_fp", "left_anti").select(
         "doc_id", "min_shingle_fp"
     )
+
+
+@query(
+    "dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+), sym AS (
+    SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), nodes AS (
+    SELECT DISTINCT a AS node FROM sym
+), reach(node, src) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.b, reach.src FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id, min(src) AS cluster_id
+FROM reach
+GROUP BY 1
+""",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph: every doc
+    touching at least one near-dup edge is labeled with the smallest doc_id
+    reachable through near-dup links — the transitive-closure grouping that
+    turns pairwise dedup into keep-one-per-cluster dedup.
+
+    ITERATIVE algorithm (label propagation / hash-to-min): labels start as
+    each node's own id and every round each node takes the min of its own
+    and its neighbors' labels, until a fixpoint.  Rounds needed = graph
+    diameter (near-dup clusters are shallow; the hash-to-min doubling
+    variant drops it to O(log n) if ever needed).  Each round is ONE
+    shuffle of the edge list joined to the label table, and
+    ``localCheckpoint`` truncates the plan between rounds so lineage —
+    and with it planning time — stays flat however many rounds run.  The
+    driver-side convergence check is a scalar count per round, not a data
+    collect.  The DuckDB oracle computes the same fixpoint declaratively
+    with a recursive CTE — an engine-independent spec of the semantics."""
+    pairs = q_minhash_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(20):  # safety bound >> any real near-dup cluster diameter
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dup_clusters: label propagation did not converge")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -369,3 +369,97 @@ def q_big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("big_spenders"))
     )
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+SELECT
+    CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+    round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT
+                           ELSE 0 END)
+          / sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) * 100) / 100
+        AS promo_share_pct,
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — lineitem ⋈ part
+    with a conditional numerator over the joined relation.
+
+    The part dim broadcasts (the fact never shuffles for the join); both
+    sides of the share ratio aggregate scaled-long cents so the division
+    operates on exact integers — the conditional-sum-over-join pattern with
+    no float drift (see pricing_summary for the fixed-point rationale)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    joined = lineitem.join(broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias("_p"),
+            F.sum(cents).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            fround(100.0 * F.col("_p") / F.col("_t"), 2).alias("promo_share_pct"),
+            (F.col("_t").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+SELECT
+    n.n_name AS nation,
+    count(*) AS local_lineitems,
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS local_revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a nation
+    (the "local supply chain" join) — a 5-relation join whose selective
+    predicate (`c_nationkey = s_nationkey`) correlates two different
+    branches of the join tree.
+
+    supplier/nation broadcast; orders⋈customer prunes to (orderkey,
+    nationkey) before touching lineitem, so the big fact shuffles once on
+    orderkey and everything else rides broadcasts."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    order_nation = orders.join(
+        broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    return (
+        lineitem.join(order_nation, lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("local_lineitems"),
+            (F.sum(cents).cast("double") / 100).alias("local_revenue"),
+        )
+    )
