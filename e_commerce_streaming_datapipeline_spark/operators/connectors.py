@@ -199,3 +199,75 @@ def q_partitioned_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("unique_users"),
         )
     )
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, source: str, key: str, n: int = 8) -> str:
+    """Materialize ``source`` as a bucketed table (hash-bucketed by ``key``
+    into ``n`` buckets, sorted within buckets) and return its catalog name.
+
+    Bucketing is the write-time contract that removes the shuffle from every
+    subsequent join/agg on the bucket key: each bucket file holds exactly the
+    keys with ``hash(key) % n == bucket_id``, so a join of two tables
+    bucketed the same way is map-side — the SCALE.md co-location story for
+    repeated fact-fact joins at 100 TB (pay one shuffle at write, never at
+    read)."""
+    safe_sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"bucketed_{source}_{safe_sf}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(
+            tempfile.gettempdir(), "e_commerce_streaming_datapipeline_buckets", safe_sf, source
+        )
+        (
+            load_table(spark, source, sf_dir)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join itself: both facts bucketed by orderkey, joined
+    with ZERO Exchange nodes (test-pinned)."""
+    lt = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ot = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    lineitem = spark.table(lt)
+    orders = spark.table(ot)
+    return lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+
+
+@query(
+    "bucketed_order_join",
+    oracle="""
+SELECT
+    o.o_orderstatus                      AS status,
+    l.l_linestatus                       AS linestatus,
+    count(*)                             AS line_items,
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def q_bucketed_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over bucketed storage: lineitem ⋈ orders co-located by
+    orderkey — the join runs with no shuffle on either side (the only
+    Exchange left in the plan is the final small-key aggregation).  Results
+    are identical to the plain parquet join, which is what the oracle
+    computes."""
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        bucketed_order_lineitem_join(spark, sf_dir)
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.count("*").alias("line_items"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+    )

@@ -302,3 +302,25 @@ def test_shipping_priority_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key: the join subplan must contain
+    ZERO shuffle Exchange nodes — co-location replaces the shuffle.  At
+    fixture scale the planner would broadcast instead (equally shuffle-free),
+    so broadcast is disabled to surface the path a 100-TB fact-fact join
+    takes."""
+    from e_commerce_streaming_datapipeline_spark.operators.connectors import bucketed_order_lineitem_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            bucketed_order_lineitem_join(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("Bucketed: true") == 2
