@@ -264,8 +264,8 @@ FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '2024-06-01'
-  AND l.l_shipdate  > TIMESTAMP '2024-06-01'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1997-06-01'
 GROUP BY 1, 3, 4
 ORDER BY revenue DESC, orderkey
 LIMIT 10
@@ -286,10 +286,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, "orders", sf_dir).where(
-        F.col("o_orderdate") < "2024-06-01"
+        F.col("o_orderdate") < "1997-06-01"
     )
     lineitem = load_table(spark, "lineitem", sf_dir).where(
-        F.col("l_shipdate") > "2024-06-01"
+        F.col("l_shipdate") > "1997-06-01"
     )
     return (
         lineitem.join(

@@ -1,0 +1,436 @@
+"""Remaining classic TPC-H query shapes, adapted to the fixture star schema.
+
+SURVEY.md §2.2 records the reference has no join/subquery surface beyond the
+windowed metrics (the only joins live in downstream Postgres views,
+``infrastructure/postgres/init_metrics.sql:175-209``); §7 Phase 1 item 5-6
+mandates the full join/subquery family as first-class engine operators.
+Q1/Q3/Q5/Q14 shapes live in analytics.py / joins.py — this module adds the
+shapes that exercise the remaining physical-plan families:
+
+- Q4  correlated-EXISTS -> left-semi join with a non-equi conjunct
+- Q7  multi-hop snowflake join with a symmetric disjunctive nation filter
+- Q10 join + grouped revenue + top-k (TakeOrderedAndProject)
+- Q12 join + conditional aggregation buckets
+- Q16 distinct-aggregate over a join with negated dim predicates
+- Q18 HAVING-subquery -> aggregate-then-semi-join on the fact itself
+- Q19 disjunction of conjunctive brackets across both join sides
+- Q22 scalar-subquery threshold + NOT-EXISTS anti join
+
+The fixture has no partsupp/l_shipmode/l_commitdate, so predicates are
+re-targeted to existing columns (linestatus stands in for shipmode; ship-30-
+days-late stands in for commit<receipt) — shapes, not the spec literals, are
+the point.  All money/quantity sums use scaled-long fixed point (see
+pricing_summary rationale) so the DuckDB oracle hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+def _cents_sum(col: F.Column) -> F.Column:
+    """Exact order-independent money sum: scaled-long cents."""
+    return F.sum(F.round(col * 100, 0).cast("long"))
+
+
+def _revenue_cents() -> F.Column:
+    return _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@query(
+    "order_priority_check",
+    oracle="""
+SELECT
+    o.o_orderpriority AS priority,
+    count(*)          AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date range having at least one line item
+    shipped >30 days after the order date, counted per priority.
+
+    The correlated EXISTS becomes a LEFT SEMI join whose condition carries
+    both the equi key (orderkey — drives the shuffle/broadcast) and the
+    non-equi lateness conjunct (evaluated as a join residual).  Semi join
+    means lineitem rows never multiply the output — one probe hit per order
+    short-circuits, which is exactly what EXISTS promises."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+SELECT
+    n1.n_name                      AS supp_nation,
+    n2.n_name                      AS cust_nation,
+    CAST(year(l.l_shipdate) AS INT) AS l_year,
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+JOIN customer c ON c.c_custkey   = o.o_custkey
+JOIN nation  n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation  n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the deepest join chain in the surface (5 joins, snowflake).
+
+    Scale anatomy: supplier⋈nation and customer⋈nation reduce to tiny keyed
+    lists and broadcast; lineitem (the only 100-TB relation) shuffles once on
+    orderkey to meet orders, every other join is map-side.  The symmetric
+    nation disjunction is applied AFTER both nation joins resolve names —
+    Catalyst can't split it into per-side filters (either side may be
+    NATION_3 or NATION_7), but it does push the 2-name IN-list into both
+    dimension scans."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    nations = ("NATION_3", "NATION_7")
+    nation = load_table(spark, "nation", sf_dir).where(F.col("n_name").isin(*nations))
+    supplier = (
+        load_table(spark, "supplier", sf_dir)
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    customer = (
+        load_table(spark, "customer", sf_dir)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        lineitem.join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((_revenue_cents().cast("double") / 100).alias("revenue"))
+    )
+
+
+@query(
+    "returned_item_ranking",
+    oracle="""
+SELECT
+    c.c_custkey AS custkey,
+    c.c_name    AS name,
+    n.n_name    AS nation,
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS revenue
+FROM customer c
+JOIN orders   o ON c.c_custkey    = o.o_custkey
+JOIN lineitem l ON l.l_orderkey   = o.o_orderkey
+JOIN nation   n ON c.c_nationkey  = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+)
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a year,
+    top 20.  Filters push into both fact scans (returnflag into lineitem,
+    the date range into orders); customer and nation broadcast; the top-20
+    is TakeOrderedAndProject with custkey tiebreak for determinism."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg((_revenue_cents().cast("double") / 100).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "late_ship_priority",
+    oracle="""
+SELECT
+    l.l_linestatus AS linestatus,
+    CAST(count_if(o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+        AS high_line_count,
+    CAST(count_if(o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+        AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l.l_shipdate >  o.o_orderdate
+GROUP BY 1
+""",
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (linestatus standing in for shipmode): line items
+    shipped in 1996 after their order date, bucketed by line status with
+    urgent/non-urgent conditional counts.
+
+    The cross-relation predicate (shipdate > orderdate) must survive to the
+    join residual, while the single-relation date range pushes into the
+    lineitem scan — the plan shows both behaviors side by side.  Conditional
+    counts compile into one hash aggregate (no second pass per bucket)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+SELECT
+    p.p_brand AS brand,
+    p.p_type  AS type,
+    p.p_size  AS size,
+    count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type  <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for partsupp): how many
+    distinct suppliers ship each surviving (brand, type, size) combination,
+    with negated brand/type predicates and an IN-list on size.
+
+    count(DISTINCT) over a join is the two-shuffle shape: partial distinct
+    on (group keys, suppkey), then final count — Catalyst plans the expand +
+    two-phase aggregate automatically; the part dim broadcasts after its
+    three pushed-down predicates prune it."""
+    part = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        lineitem.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+SELECT
+    c.c_name     AS name,
+    c.c_custkey  AS custkey,
+    o.o_orderkey AS orderkey,
+    o.o_orderdate  AS orderdate,
+    o.o_totalprice AS totalprice,
+    CAST(sum(round(l.l_quantity * 100)::BIGINT) AS DOUBLE) / 100 AS total_qty
+FROM customer c
+JOIN orders   o ON c.c_custkey  = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY 1
+    HAVING sum(round(l_quantity * 100)::BIGINT) > 250 * 100)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY totalprice DESC, orderkey
+LIMIT 20
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed orders totalling >250 units.
+
+    The HAVING subquery is the fact aggregated against itself — computed
+    ONCE as qty-per-order and reused both as the filter and as the output
+    total (the spec's IN-subquery + re-join re-reads lineitem; aggregating
+    first halves the fact traffic).  Quantity sums compare in scaled-long
+    units so the >250 threshold cuts identically in both engines.  The
+    surviving order list is tiny (~1% of orders) so everything after the
+    one groupBy shuffle is broadcast."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_cents_sum(F.col("l_quantity")).alias("qty_cents"))
+        .where(F.col("qty_cents") > 250 * 100)
+    )
+    return (
+        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            (F.col("qty_cents").cast("double") / 100).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "bracket_revenue",
+    oracle="""
+SELECT
+    CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS DOUBLE) / 100
+        AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/quantity
+    brackets spanning both join sides.
+
+    Catalyst extracts the common sub-predicates it can (each bracket
+    constrains p_brand, so `p_brand IN (12,23,15)` pushes into the part
+    scan; the quantity bounds' union pushes into lineitem) and leaves the
+    full disjunction as a post-join filter — pruning the broadcast dim from
+    200k parts to 3 brands before the join is what matters at scale."""
+    brackets = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(brackets)
+        .agg((_revenue_cents().cast("double") / 100).alias("revenue"))
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+WITH thresh AS (
+    SELECT CAST(sum(round(c_acctbal * 100)::BIGINT) AS DOUBLE) / 100 / count(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT
+    c.c_nationkey AS nationkey,
+    count(*)      AS numcust,
+    CAST(sum(round(c.c_acctbal * 100)::BIGINT) AS DOUBLE) / 100 AS totacctbal
+FROM customer c, thresh t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no recent
+    (year-2000+) orders, rolled up per nation.  (Every fixture customer has
+    at least one lifetime order, so the spec's "never ordered" predicate is
+    re-targeted to "lapsed since 2000" to keep the anti join non-trivial.)
+
+    Two subquery families in one plan: the scalar average becomes a 1-row
+    broadcast cross join (computed in exact scaled-long arithmetic so the
+    threshold comparison agrees bit-for-bit with DuckDB), and NOT EXISTS
+    becomes a LEFT ANTI join against just the o_custkey column.  At 100 TB
+    the anti join's build side is a single pruned long column — Bloom-filter
+    friendly, never the full orders relation."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (_cents_sum(F.col("c_acctbal")).cast("double") / 100 / F.count("*")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        customer.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (_cents_sum(F.col("c_acctbal")).cast("double") / 100).alias("totacctbal"),
+        )
+    )

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.streaming_queries",
     "e_commerce_streaming_datapipeline_spark.operators.setops",
     "e_commerce_streaming_datapipeline_spark.operators.sampling",
+    "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes",
 ]
 
 

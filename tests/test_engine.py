@@ -324,3 +324,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert plan.count("Bucketed: true") == 2
+
+
+def test_order_priority_check_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI join (one probe hit per order,
+    no row multiplication) with the non-equi lateness conjunct as a join
+    residual, and the date range pushed into the orders scan."""
+    from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes import q_order_priority_check
+
+    plan = q_order_priority_check(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "GreaterThan(o_orderdate" in plan or "o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_idle_rich_customers_is_anti_join(spark, sf_dir):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI join, and the scalar
+    average threshold as a 1-row broadcast (no per-row recompute)."""
+    from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes import q_idle_rich_customers
+
+    plan = q_idle_rich_customers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_large_volume_customers_aggregates_fact_once(spark, sf_dir):
+    """Q18 must scan lineitem ONCE (aggregate-then-join), not re-join the
+    raw fact after the HAVING subquery like the literal spec plan would."""
+    from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes import q_large_volume_customers
+
+    plan = q_large_volume_customers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
