@@ -36,6 +36,11 @@ HEADLINE = [
     "complete_funnel",        # aggregate-then-join (3 aggs + 2 joins)
     "order_details",          # fact-fact shuffle join
     "shipping_priority",      # TPC-H Q3: selective 3-way join + top-10
+    "order_priority_check",   # TPC-H Q4: EXISTS -> left-semi with residual
+    "returned_item_ranking",  # TPC-H Q10: join + grouped revenue top-20
+    "large_volume_customers", # TPC-H Q18: HAVING subquery -> agg-then-join
+    "bracket_revenue",        # TPC-H Q19: disjunctive bracket predicates
+    "gapfilled_minutely_gmv", # generated spine + zero-fill left join
     "asof_last_purchase",     # as-of join (union + running last)
     "user_activity_1h",       # range join (bucketed equi-join rewrite)
     "region_revenue",         # multi-hop broadcast dim joins

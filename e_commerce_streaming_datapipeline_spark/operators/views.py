@@ -220,3 +220,30 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("retained_events"),
         F.min("ts").alias("oldest_retained"),
     )
+
+
+@query("hll_users_daily_to_monthly")  # no oracle: sketch estimates are engine-specific
+def q_hll_users_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of user_id, unioned up
+    to a monthly distinct estimate WITHOUT re-touching the raw events — the
+    pattern that makes distinct counting tractable at 100 TB (store tiny
+    per-partition sketches, re-aggregate to any coarser grain).
+
+    `approx_count_distinct` (the reference's per-window choice) can't do
+    this: its estimate is final, not mergeable.  `hll_sketch_agg` emits the
+    sketch itself as a binary column; `hll_union_agg` + `hll_sketch_estimate`
+    do the lossless union at rollup time.  Rows-only check (estimates are
+    engine-specific); the daily exact twin is `funnel_hourly`'s
+    count_distinct surface."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("events"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_monthly_users"),
+            F.sum("events").alias("events"),
+        )
+    )
