@@ -462,3 +462,51 @@ def q_gapfilled_minutely_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cents").cast("double") / 100, F.lit(0.0)).alias("revenue"),
         F.coalesce(F.col("purchases"), F.lit(0)).alias("purchases"),
     )
+
+
+@query(
+    "orders_vs_customer_avg",
+    oracle="""
+WITH avgs AS (
+    SELECT o_custkey,
+           CAST(sum(round(o_totalprice * 100)::BIGINT) AS DOUBLE) / 100 / count(*)
+               AS cust_avg_raw
+    FROM orders GROUP BY 1
+)
+SELECT
+    o.o_orderkey   AS orderkey,
+    o.o_custkey    AS custkey,
+    o.o_totalprice AS totalprice,
+    round(a.cust_avg_raw * 100) / 100 AS cust_avg
+FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > 1.5 * a.cust_avg_raw
+""",
+)
+def q_orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlated scalar subquery (each order vs its own
+    customer's average order value, keeping orders 1.5x above it) — the
+    decorrelation shape one level beyond `above_avg_orders`' global scalar.
+
+    Spark-first: expressed as a window aggregate over partitionBy(custkey)
+    — ONE shuffle of orders, no join, no second scan; the SQL oracle states
+    it as the classic aggregate + join-back, which is exactly what Catalyst
+    would decorrelate the subquery into.  Same result, and the window form
+    is strictly less data movement (the per-key average never leaves the
+    partition).  Average in scaled-long cents so the 1.5x threshold cuts
+    identically in both engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cust_avg_raw = (
+        F.sum(cents).over(w).cast("double") / 100 / F.count("*").over(w)
+    )
+    return (
+        orders.withColumn("cust_avg_raw", cust_avg_raw)
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg_raw"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            fround(F.col("cust_avg_raw"), 2).alias("cust_avg"),
+        )
+    )

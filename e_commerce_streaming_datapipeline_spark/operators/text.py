@@ -391,3 +391,80 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("term", "n_occurrences", "rank")
     )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count({c})                        AS non_null,
+       count(DISTINCT {c})               AS distinct_cnt,
+       CAST(min({c}) AS VARCHAR)         AS min_value,
+       CAST(max({c}) AS VARCHAR)         AS max_value
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("dataset_profile", oracle=_PROFILE_ORACLE)
+def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profiling (null/distinct/min/max), long format —
+    the pre-training data-audit pass every corpus pipeline runs before
+    touching a tokenizer.  Not in the reference (its only data validation is
+    required-field presence, src/schemas/avro_schemas.py:69-74).
+
+    ONE pass over the table: all per-column aggregates compute in a single
+    wide aggregation (multi-distinct plans via Expand — 5x row expansion,
+    still one scan), then `stack()` unpivots the 1-row wide result into
+    (column, stats) rows driver-side-free.  The naive per-column loop would
+    scan the table N times; at 100 TB that's the difference between one job
+    and five."""
+    docs = load_table(spark, "documents", sf_dir)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__dist, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, non_null, distinct_cnt, min_value, max_value)"
+        )
+    )
+
+
+@query(
+    "source_id_stats",
+    oracle="""
+SELECT
+    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS source_id,
+    count(*)                                           AS docs,
+    CAST(sum(n_chars) AS BIGINT)                       AS total_chars,
+    round(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100) / 100 AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_source_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction (§2.2 notes the reference has NO regex/substr
+    surface — added here as first-class): parse the numeric id out of the
+    source tag and aggregate per id.  `regexp_extract` runs JVM-side inside
+    codegen — no UDF; the avg divides an exact integer sum so both engines
+    agree bit-for-bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    sid = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+    return (
+        docs.groupBy(sid.alias("source_id"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            fround(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )
