@@ -259,17 +259,22 @@ def q_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_shoppers",
     oracle="""
-SELECT user_id FROM events WHERE event_type = 'view'
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'view'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'purchase'
 """,
 )
 def q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation EXCEPT: users who viewed but never purchased — the
-    drop-off population computed by set difference."""
+    """Set operation EXCEPT: (user, day) pairs with a view but no purchase
+    that day — the drop-off population by set difference.  Day-grained
+    (lifetime grain is empty on any fixture whose users all eventually
+    purchase — every-SF-nonempty results keep the oracle hash meaningful)."""
     events = load_table(spark, "events", sf_dir)
-    viewers = events.where(F.col("event_type") == "view").select("user_id")
-    purchasers = events.where(F.col("event_type") == "purchase").select("user_id")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    viewers = events.where(F.col("event_type") == "view").select("user_id", day)
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id", day)
     return viewers.subtract(purchasers)  # EXCEPT DISTINCT semantics
 
 

