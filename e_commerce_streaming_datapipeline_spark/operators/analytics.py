@@ -515,3 +515,110 @@ def q_orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("cust_avg_raw"), 2).alias("cust_avg"),
         )
     )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+WITH ordered AS (
+    SELECT
+        user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM ordered
+)
+SELECT
+    user_id,
+    min(ts)                                           AS session_start,
+    max(ts) + INTERVAL '{SESSION_GAP_MINUTES} minutes' AS session_end,
+    count(*)                                          AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessionization (the Spark primitive SURVEY
+    §2.5 D2 notes the reference lacks): dynamic-gap windows merged inside
+    ONE hash aggregate — no lag/cumsum window-function pass, and the same
+    operator streams with state + watermark unchanged (session_stream).
+
+    Boundary semantics pinned by the oracle: a gap of exactly the session
+    duration starts a NEW session (session_window merges only while
+    gap < duration), and window.end = last_event + gap — both encoded in
+    the gaps-and-islands SQL (`>=` new-session test, `max(ts) + gap` end)
+    so the cross-engine hash checks Spark's native operator, not a
+    re-implementation."""
+    events = load_table(spark, "events", sf_dir)
+    sw = F.session_window(F.col("ts"), f"{SESSION_GAP_MINUTES} minutes")
+    return (
+        events.groupBy(F.col("user_id"), sw.alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "order_value_quartiles",
+    oracle="""
+WITH ranked AS (
+    SELECT
+        CAST(year(o_orderdate) AS INT) AS order_year,
+        o_totalprice,
+        ntile(4)       OVER w AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist()    OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY year(o_orderdate) ORDER BY o_totalprice, o_orderkey)
+)
+SELECT
+    order_year,
+    CAST(quartile AS INT)             AS quartile,
+    count(*)                          AS n_orders,
+    round(min(o_totalprice), 2)       AS min_price,
+    round(max(o_totalprice), 2)       AS max_price,
+    round(max(pr) * 10000) / 10000    AS max_percent_rank,
+    round(max(cd) * 10000) / 10000    AS max_cume_dist
+FROM ranked
+GROUP BY 1, 2
+""",
+)
+def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic window functions (ntile / percent_rank /
+    cume_dist — the §2.2 "not present" analytic family beyond rank/lag):
+    per-year order-value quartiles with each quartile's price range.
+
+    Ranks are computed WITHIN year partitions, not globally: a global ntile
+    needs a total order (single-partition WindowExec — the classic scale
+    trap); partitioning by a time grain keeps every rank computation
+    parallel and is what a 100 TB percentile report does anyway.  The
+    (totalprice, orderkey) compound sort makes every rank deterministic —
+    percent_rank/cume_dist over a unique total order are pure row-number
+    arithmetic, identical in both engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("order_year", "quartile").agg(
+        F.count("*").alias("n_orders"),
+        fround(F.min("o_totalprice"), 2).alias("min_price"),
+        fround(F.max("o_totalprice"), 2).alias("max_price"),
+        fround(F.max("pr"), 4).alias("max_percent_rank"),
+        fround(F.max("cd"), 4).alias("max_cume_dist"),
+    )
