@@ -356,3 +356,40 @@ def test_large_volume_customers_aggregates_fact_once(spark, sf_dir):
     plan = q_large_volume_customers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """Registry-wide plan lint: no batch query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed ONLY for the queries that
+    deliberately cross-join a 1-row scalar relation (threshold / query-
+    vector / corpus-stat broadcasts).  Catches the classic silent
+    regression where a dropped join condition or a non-equi predicate
+    downgrades an equi-join into an O(n*m) loop that only explodes at
+    scale."""
+    from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+
+    # 1-row scalar broadcast cross joins, intentional by construction:
+    scalar_cross = {
+        "above_avg_orders",       # global avg threshold
+        "active_alerts",          # mean-drop-count threshold
+        "idle_rich_customers",    # avg balance threshold
+        "retention_filter",       # max-ts horizon
+        "embedding_topk",         # query vector
+        "ngram_jaccard_topk",     # query document
+        "tfidf_top_terms",        # corpus doc count
+    }
+    # builders with side effects or streaming runs — not pure explain targets:
+    skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
+                   "multimodal", "merge_upsert")
+    checked = 0
+    for name, q in sorted(all_queries().items()):
+        if any(s in name for s in skip_substr):
+            continue
+        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in scalar_cross:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a nested-loop join (missing equi condition?)"
+            )
+        checked += 1
+    assert checked > 80
