@@ -468,3 +468,53 @@ def q_source_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
         )
     )
+
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+SELECT
+    doc_id,
+    CAST((start - 1) / {CHUNK_STRIDE} AS INT)  AS chunk_id,
+    length(substr(text, start, {CHUNK_CHARS})) AS chunk_chars,
+    md5(substr(text, start, {CHUNK_CHARS}))    AS chunk_hash
+FROM (
+    SELECT doc_id, text, unnest(generate_series(1, greatest(n_chars, 1), {CHUNK_STRIDE})) AS start
+    FROM documents
+)
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking ({CHUNK_CHARS}-char windows, stride
+    {CHUNK_STRIDE}) — the context-window splitting step every training-data
+    pipeline runs between cleaning and tokenization.
+
+    Pure generated-explode: `sequence(1, n_chars, stride)` produces each
+    document's chunk starts row-locally (no join, no shuffle, no UDF), and
+    `substring` slices stay inside codegen.  Chunks are emitted as
+    (len, md5) instead of raw text so the relation stays narrow; a real
+    pipeline would carry the chunk text — same plan, wider rows.  Chunk
+    count scales with corpus size only (row-local), so this is
+    embarrassingly parallel at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    chunk = F.expr(f"substring(text, start, {CHUNK_CHARS})")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.greatest("n_chars", F.lit(1).cast("long")),
+                           F.lit(CHUNK_STRIDE).cast("long"))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.length(chunk).alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
