@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.setops",
     "e_commerce_streaming_datapipeline_spark.operators.sampling",
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes",
+    "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2",
 ]
 
 
