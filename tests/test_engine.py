@@ -377,6 +377,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "embedding_topk",         # query vector
         "ngram_jaccard_topk",     # query document
         "tfidf_top_terms",        # corpus doc count
+        "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
+        "top_supplier",           # scalar max revenue (Q15 shape)
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
