@@ -434,10 +434,17 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the supplier(s) with maximum revenue in 1996Q1.
 
     The spec phrases this as a view used twice (once grouped, once for the
-    scalar max); here the derived revenue relation is built once and the
-    1-row max cross-joins back broadcast — Spark reuses the shuffle for
-    both consumers.  Equality against the exact cents max keeps ties (the
-    spec's semantics) instead of an arbitrary limit-1."""
+    scalar max).  An agg-then-cross-join would plan TWO lineitem scans (the
+    branches pick up different pushed isnotnull filters, canonicalize
+    differently, and defeat exchange reuse), so the scalar max is instead
+    an empty-frame window over the per-supplier aggregate — ONE fact scan,
+    one shuffle.  The single-partition window funnels only the
+    supplier-cardinality relation (one skinny row per supplier, ~16 MB even
+    at 1M suppliers), never fact rows.  Equality against the exact cents
+    max keeps ties (the spec's semantics) instead of an arbitrary
+    limit-1."""
+    from pyspark.sql.window import Window
+
     rev = (
         load_table(spark, "lineitem", sf_dir)
         .where(
@@ -446,10 +453,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(_revenue_cents().alias("rev_cents"))
     )
-    best = rev.agg(F.max("rev_cents").alias("best_cents"))
     supplier = load_table(spark, "supplier", sf_dir)
     return (
-        rev.crossJoin(broadcast(best))
+        rev.withColumn("best_cents", F.max("rev_cents").over(Window.partitionBy()))
         .where(F.col("rev_cents") == F.col("best_cents"))
         .join(broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
         .select(
@@ -548,20 +554,22 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     total volume of some bolt-family part (availqty>half-shipped re-targeted
     to a share-of-shipments dominance test; lineitem stands in for partsupp).
 
-    Two-level rollup over ONE shuffled relation: (part,supplier) sums, then
-    per-part totals reusing the same exchange.  The 30% fraction compares
-    ``sp*10 > total*3`` in longs.  DISTINCT collapses a supplier dominating
-    several parts — the spec's semi-join semantics ("there exists such a
-    part") without an EXISTS."""
+    The per-part total is a window sum OVER the (part,supplier) aggregate —
+    not a second aggregation joined back, which would scan lineitem twice
+    (the two branches pick up different pushed isnotnull filters and defeat
+    exchange reuse).  One fact scan, one agg shuffle on (part,supplier),
+    one partkey window shuffle of the already-reduced relation.  The 30%
+    fraction compares ``sp*10 > total*3`` in longs.  DISTINCT collapses a
+    supplier dominating several parts — the spec's semi-join semantics
+    ("there exists such a part") without an EXISTS."""
+    from pyspark.sql.window import Window
+
     lineitem = load_table(spark, "lineitem", sf_dir).where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     shipped = lineitem.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(_cents_sum(F.col("l_quantity")).alias("sp_cents"))
-    totals = shipped.groupBy(F.col("partkey").alias("t_partkey")).agg(
-        F.sum("sp_cents").alias("part_cents")
-    )
     part = (
         load_table(spark, "part", sf_dir)
         .where(F.col("p_name").like("%bolt%"))
@@ -580,7 +588,9 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        shipped.join(totals, F.col("partkey") == F.col("t_partkey"))
+        shipped.withColumn(
+            "part_cents", F.sum("sp_cents").over(Window.partitionBy("partkey"))
+        )
         .where(F.col("sp_cents") * 10 > F.col("part_cents") * 3)
         .join(broadcast(part), F.col("partkey") == F.col("p_partkey"))
         .join(broadcast(asia_supp), F.col("suppkey") == F.col("s_suppkey"))

@@ -358,6 +358,55 @@ def test_large_volume_customers_aggregates_fact_once(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_discount_revenue_pushdown(spark, sf_dir):
+    """Q6 is the pushdown canary: all three predicates must reach the
+    parquet scan as PushedFilters and ReadSchema must prune to the 4
+    referenced lineitem columns — a regression here means every scan in
+    the engine got slower."""
+    import re
+
+    from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2 import q_discount_revenue_potential
+
+    df = q_discount_revenue_potential(spark, sf_dir)
+    # toString() abbreviates long PushedFilters lists; formatted mode doesn't
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                   "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                   "LessThan(l_quantity"):
+        assert pushed in plan, f"{pushed} not pushed to scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, plan
+
+
+def test_windowed_totals_scan_fact_once(spark, sf_dir):
+    """Q15/Q20 compute their scalar-max / per-part totals as a window over
+    the already-aggregated relation, NOT an aggregate-then-join-back (whose
+    branches canonicalize differently and plan two fact scans).  The final
+    AQE plan must contain exactly one lineitem scan each; Q2's join-back
+    variant must show ReuseExchange firing instead."""
+    from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2 import (
+        q_dominant_part_suppliers,
+        q_min_cost_supplier,
+        q_top_supplier,
+    )
+
+    for builder in (q_top_supplier, q_dominant_part_suppliers):
+        df = builder(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        scans = [l for l in final.splitlines()
+                 if "FileScan" in l and "lineitem.parquet" in l]
+        assert len(scans) == 1, f"{builder.__name__}: {len(scans)} lineitem scans"
+
+    df = q_min_cost_supplier(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
 def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     """Registry-wide plan lint: no batch query may plan a CartesianProduct,
     and BroadcastNestedLoopJoin is allowed ONLY for the queries that
@@ -378,7 +427,6 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "ngram_jaccard_topk",     # query document
         "tfidf_top_terms",        # corpus doc count
         "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
-        "top_supplier",           # scalar max revenue (Q15 shape)
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
