@@ -1,0 +1,345 @@
+"""Corpus-curation operators for LLM training-data pipelines (BASELINE.json
+scale-up mandate, beyond the reference surface): pattern redaction,
+benchmark decontamination, sequence packing, source-mixture resampling, and
+repetition (boilerplate) quality signals.
+
+All hot paths are built-in Catalyst expressions — regexp/split/explode/
+window — so they run JVM-side at parquet-scan speed.  Cross-engine rules:
+regex patterns restricted to the Java-regex ∩ RE2 common dialect, sampling
+"randomness" from the shared multiplicative hash (`sampling.hash_bucket`),
+and every computed column aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+# --------------------------------------------------------------------------
+# Pattern redaction (PII-scrub shape)
+# --------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 safe: no backrefs, no lookaround.  The email/phone
+# patterns are the real-world PII shapes (zero hits on the synthetic
+# fixture — they prove plumbing); the term pattern targets fixture
+# vocabulary so the redaction path is value-checked with real hits.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+_TERM_RE = "\\b(key|hash|customer)\\b"
+_MASK = "[MASKED]"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+SELECT
+    doc_id,
+    CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+    CAST(len(regexp_extract_all(text, '{_TERM_RE}')) AS INT)  AS n_terms,
+    length(regexp_replace(regexp_replace(regexp_replace(text,
+        '{_EMAIL_RE}', '{_MASK}', 'g'),
+        '{_PHONE_RE}', '{_MASK}', 'g'),
+        '{_TERM_RE}', '{_MASK}', 'g'))                        AS clean_chars,
+    md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{_EMAIL_RE}', '{_MASK}', 'g'),
+        '{_PHONE_RE}', '{_MASK}', 'g'),
+        '{_TERM_RE}', '{_MASK}', 'g'))                        AS clean_hash
+FROM documents
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction — the PII-scrub step of a corpus pipeline: mask
+    email / phone / term-list patterns, count what was masked, and emit the
+    cleaned text's hash (the pipeline would carry the cleaned text itself;
+    hashing keeps the checked relation narrow).
+
+    Purely row-local `regexp_replace`/`regexp_extract_all` inside one
+    codegen'd projection: no shuffle, no UDF, embarrassingly parallel at
+    100 TB.  Patterns stay in the Java-regex ∩ RE2 dialect so the DuckDB
+    oracle masks bit-identically.  Reference parity: the reference has no
+    string functions at all (SURVEY §2.2 "not present"); this is the
+    scale-up surface built on the same projection machinery as its P1-P12
+    row ops."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, _MASK),
+            _PHONE_RE,
+            _MASK,
+        ),
+        _TERM_RE,
+        _MASK,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_TERM_RE), F.lit(0))).alias("n_terms"),
+        F.length(clean).alias("clean_chars"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+# Word n-gram length.  8 is the common eval-overlap setting for web-scale
+# corpora; 5 keeps hits non-trivial on the short synthetic fixture docs so
+# the oracle check exercises the join path, not an empty result.
+_NGRAM = 5
+_BENCH_MOD = 97     # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@query(
+    "benchmark_decontam",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, lang, md5(array_to_string(t[i:i+{_NGRAM - 1}], ' ')) AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS u(i)
+    WHERE len(t) >= {_NGRAM}
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+)
+SELECT
+    grams.doc_id,
+    any_value(grams.lang)         AS lang,
+    CAST(count(DISTINCT grams.g) AS INT) AS n_shared_ngrams
+FROM grams JOIN bench USING (g)
+WHERE grams.doc_id % {_BENCH_MOD} <> 0
+GROUP BY grams.doc_id
+""",
+)
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any word
+    {_NGRAM}-gram with the held-out eval set (docs with
+    ``doc_id % {_BENCH_MOD} == 0`` play the benchmark), reporting how many
+    distinct n-grams leaked.  The consuming pipeline anti-joins the flagged
+    ids out of the corpus.
+
+    Plan shape: n-gram hashes are generated row-locally (sequence +
+    transform + explode — no self-join), the benchmark n-gram set is tiny
+    relative to the corpus (eval sets are fixed-size) so it **broadcasts**,
+    and the contamination check is a map-side hash join on the training
+    side — the corpus never shuffles.  At 100 TB the benchmark set is still
+    a few million hashes; this stays a broadcast join by construction.
+    Docs shorter than {_NGRAM} tokens are filtered on BOTH sides (Spark's
+    `sequence` would flip to a descending range on negative spans)."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = (
+        toks.where(F.size("t") >= _NGRAM)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _NGRAM), " ")),
+                )
+            ).alias("g"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count_distinct("g").cast("int").alias("n_shared_ngrams"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed context window
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), binned AS (
+    SELECT lang, n_tokens,
+        CAST(floor((sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens) / {_PACK_BUDGET}) AS INT) AS bin_id
+    FROM sized
+)
+SELECT
+    lang,
+    bin_id,
+    CAST(count(*) AS INT)       AS n_docs,
+    CAST(sum(n_tokens) AS INT)  AS total_tokens,
+    round(sum(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+FROM binned
+GROUP BY lang, bin_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget context
+    windows ({_PACK_BUDGET} tokens) by contiguous cumulative-sum binning,
+    the step between curation and tokenized-shard writing in a training
+    pipeline.  ``bin = floor(exclusive_prefix_tokens / budget)`` packs each
+    language's docs in deterministic doc_id order; a doc that straddles a
+    boundary opens the next bin (overflow policy, matching the truncate-or
+    -carry behavior of streaming packers).
+
+    One window shuffle partitioned by ``lang``, then a hash agg over bin
+    grain.  At 100 TB a single ORDER BY per partition key would bottleneck
+    on the hottest language — the scale move is sharding the partition key
+    (lang, hash_bucket(doc_id, K)) so K independent packers run per
+    language, which only renumbers bins; plan shape is unchanged."""
+    sized = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = sized.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("int")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("int").alias("total_tokens"),
+        fround(F.sum("n_tokens") / float(_PACK_BUDGET), 4).alias("fill_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture resampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_mixture_sample",
+    oracle="""
+WITH rated AS (
+    SELECT doc_id, source,
+        (CAST(substr(source, 4) AS INT) * 37) % 101 AS target_pct,
+        (doc_id * 2654435761) % 4294967296 % 100    AS bucket
+    FROM documents
+)
+SELECT
+    source,
+    any_value(target_pct)                                   AS target_pct,
+    CAST(count(*) AS INT)                                   AS n_total,
+    CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS INT) AS n_kept,
+    round(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END)
+          * 100.0 / count(*), 4)                            AS achieved_pct
+FROM rated
+GROUP BY source
+""",
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture resampling — down-sample each source to a per-source
+    target rate (domain re-weighting: the "20% web, 5% forums, 100% books"
+    dial of a training-data mixture).  Target rates here derive
+    arithmetically from the source id ((idx*37)%101) so both engines agree
+    without a side table; a real pipeline would broadcast-join a tiny
+    rates dimension — identical plan, the rate column just arrives by join.
+
+    Keep/drop is the shared multiplicative-hash bucket on ``doc_id`` —
+    row-local, reproducible across engines and runs, stable under corpus
+    append (a doc's fate never depends on other rows).  The only shuffle
+    is the per-source audit aggregation; the sampling itself is a
+    map-side predicate that composes with parquet filter pushdown."""
+    docs = load_table(spark, "documents", sf_dir)
+    rated = docs.select(
+        "doc_id",
+        "source",
+        ((F.substring("source", 4, 10).cast("int") * 37) % 101).alias("target_pct"),
+        hash_bucket(F.col("doc_id"), 100).alias("bucket"),
+    )
+    kept = F.when(F.col("bucket") < F.col("target_pct"), 1).otherwise(0)
+    return rated.groupBy("source").agg(
+        F.any_value("target_pct").alias("target_pct"),
+        F.count("*").cast("int").alias("n_total"),
+        F.sum(kept).cast("int").alias("n_kept"),
+        fround(F.sum(kept) * 100.0 / F.count("*"), 4).alias("achieved_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition / boilerplate quality signals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "repetition_signals",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bigrams AS (
+    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+), counts AS (
+    SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+)
+SELECT
+    doc_id,
+    CAST(sum(c) AS INT)                          AS n_bigrams,
+    CAST(max(c) AS INT)                          AS top_bigram_count,
+    round(max(c) * 1.0 / sum(c), 4)              AS top_bigram_frac,
+    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+                                                 AS dup_bigram_frac
+FROM counts
+GROUP BY doc_id
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): per document, the share
+    of text occupied by its most frequent word bigram and the share made of
+    bigrams that repeat at all — the standard boilerplate / spam detectors
+    a quality-filter chain thresholds on.
+
+    Bigrams explode row-locally; both aggregations are hash aggs keyed by
+    (doc_id[, bigram]) so map-side partial combine collapses each
+    document's duplicates before the shuffle — bytes shuffled scale with
+    per-doc *distinct* bigrams, not text length.  The groupBy key includes
+    doc_id, so data skew equals document-length skew (bounded by the
+    pipeline's upstream length cap), never corpus-popularity skew."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i, 2), " "),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_bigrams"),
+        F.max("c").cast("int").alias("top_bigram_count"),
+        fround(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        fround(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias("dup_bigram_frac"),
+    )

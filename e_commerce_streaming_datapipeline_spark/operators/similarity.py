@@ -170,6 +170,134 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(pairs)
 
 
+LSH_DIM = 64     # fixture embedding dimensionality
+LSH_NBITS = 16   # hyperplanes -> 2 bands x 8 bits
+LSH_TOP_K = 3
+
+
+def _lsh_plane(j: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Plain integer LCG arithmetic — exactly reproducible in Python, Spark
+    expressions, and the DuckDB oracle SQL (no engine-specific hash/rand).
+    """
+    return (((1103515245 * (j * LSH_DIM + i) + 12345) % 2147483648) % 2001 - 1000) / 1000.0
+
+
+_ORACLE_LSH = f"""
+WITH planes AS (
+    SELECT j, i,
+        ((((CAST(1103515245 AS BIGINT) * (j * {LSH_DIM} + i) + 12345)
+            % 2147483648) % 2001) - 1000) / 1000.0 AS h
+    FROM generate_series(0, {LSH_NBITS - 1}) t1(j),
+         generate_series(0, {LSH_DIM - 1}) t2(i)
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bits AS (
+    SELECT v.vec_id, p.j, round(sum(v.e[p.i + 1] * p.h), 4) >= 0 AS bit
+    FROM v, planes p
+    GROUP BY 1, 2
+), sigs AS (
+    SELECT vec_id,
+        sum(CASE WHEN j < 8 AND bit THEN 1 << j ELSE 0 END) AS band0,
+        sum(CASE WHEN j >= 8 AND bit THEN 1 << (j - 8) ELSE 0 END) AS band1
+    FROM bits GROUP BY 1
+), cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sigs q JOIN sigs c
+      ON (q.band0 = c.band0 OR q.band1 = c.band1) AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+    SELECT
+        cd.query_id,
+        cd.neighbor_id,
+        round(
+            list_inner_product(q.e, c.e)
+            / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))),
+            6
+        ) AS cos_sim
+    FROM cands cd
+    JOIN v q ON q.vec_id = cd.query_id
+    JOIN v c ON c.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {LSH_TOP_K}
+"""
+
+
+@query("embedding_topk_lsh", oracle=_ORACLE_LSH)
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 16 random-hyperplane sign bits per vector, split
+    into 2 bands of 8; candidates are vectors sharing at least one band
+    with the query, reranked by exact cosine to top-3.
+
+    The hyperplanes come from a pure-integer LCG (`_lsh_plane`) so the
+    DuckDB oracle regenerates them bit-identically — this is a FULLY
+    oracle-checked LSH pipeline, not a rows-only sketch.  Dot products for
+    sign bits round to 4dp before the >=0 test so cross-engine summation
+    order cannot flip a boundary bit.
+
+    Scale anatomy: signatures are pure map-side expression work (zip_with/
+    aggregate over plane literal arrays — no explode of vectors x planes,
+    no Python); each band is an equi-join key, so the candidate search is
+    B=2 hash joins + distinct instead of a cross join.  At 10^9 vectors the
+    per-band bucket sizes (~N/256) bound the pair expansion, and recall
+    tunes by adding bands (more joins) or multi-probing neighboring
+    signatures — the plan shape stays equi-join."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    bit_cols = []
+    for j in range(LSH_NBITS):
+        plane = F.array(*[F.lit(_lsh_plane(j, i)) for i in range(LSH_DIM)])
+        dot = F.aggregate(
+            F.zip_with(F.col("e"), plane, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append((fround(dot, 4) >= 0).cast("int").alias(f"bit{j}"))
+    sigs = emb.select("vec_id", *bit_cols).select(
+        "vec_id",
+        sum(F.col(f"bit{j}") * (1 << j) for j in range(8)).alias("band0"),
+        sum(F.col(f"bit{j}") * (1 << (j - 8)) for j in range(8, 16)).alias("band1"),
+    )
+    qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band0").alias("qband0"),
+        F.col("band1").alias("qband1"),
+    )
+    cands = (
+        F.broadcast(qsigs)
+        .join(sigs, (F.col("qband0") == F.col("band0")) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .unionByName(
+            F.broadcast(qsigs)
+            .join(sigs, (F.col("qband1") == F.col("band1")) & (F.col("query_id") != F.col("vec_id")))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        .distinct()
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("query_id") == F.col("q_id"))
+        .join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, top_k=LSH_TOP_K)
+
+
 NEAR_DUP_COSINE = 0.4  # fixture has no planted twins; 0.4 captures the tail
 
 

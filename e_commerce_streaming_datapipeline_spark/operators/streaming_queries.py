@@ -301,3 +301,84 @@ def q_segment_revenue_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum("value"), 2).alias("revenue"),
     )
     return _run_to_table(spark, rolled, "segment_revenue_stream")
+
+
+@query(
+    "replay_rate_source",
+    oracle="""
+SELECT
+    CASE (v % 3) WHEN 0 THEN 'view' WHEN 1 THEN 'cart' ELSE 'purchase' END
+        AS event_type,
+    count(*) AS n_events,
+    CAST(sum((v % 1000) * 137) AS DOUBLE) / 100 AS total_amount
+FROM generate_series(0, 499) t(v)
+GROUP BY 1
+""",
+)
+def q_replay_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay/rate source (SURVEY §2.1 S6): the reference paces synthetic
+    events into Kafka with per-order sleeps (``src/producers/
+    event_generator.py:150-218``); the Spark-first equivalent is the
+    ``rate-micro-batch`` source — deterministic (timestamp, value) rows at a
+    configured rows-per-batch — mapped into typed events by pure column
+    expressions, then aggregated like any other stream.
+
+    Every derived field is integer arithmetic on ``value`` (event type =
+    value%3, amount cents = (value%1000)*137), so the DuckDB oracle
+    regenerates the whole stream with generate_series — the replay path is
+    hash-checked end to end, not rows-only.  The aggregation filters to the
+    first 500 events, so the result is stable no matter how many extra
+    batches the rate source emits before stop().
+
+    Scale note: rate sources are also the standard load-generator for
+    sizing state stores and sink back-pressure before pointing a real Kafka
+    topic at the job; rows-per-batch plays the reference's --speed knob."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    limit = 500
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 250)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    events = stream.where(F.col("value") < limit).select(
+        F.when(F.col("value") % 3 == 0, "view")
+        .when(F.col("value") % 3 == 1, "cart")
+        .otherwise("purchase")
+        .alias("event_type"),
+        ((F.col("value") % 1000) * 137).alias("amount_cents"),
+    )
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("amount_cents").cast("double") / 100).alias("total_amount"),
+    )
+
+    name = f"replay_rate_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        # a rate source never ends: poll the complete-mode sink until the
+        # first `limit` events are all accounted for, then stop
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            row = spark.table(name).agg(F.sum("n_events")).collect()[0]
+            if row[0] == limit:
+                break
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(name)

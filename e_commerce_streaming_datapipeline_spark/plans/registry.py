@@ -41,6 +41,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.sampling",
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes",
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2",
+    "e_commerce_streaming_datapipeline_spark.operators.curation",
 ]
 
 

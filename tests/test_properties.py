@@ -95,7 +95,18 @@ def test_safe_rate_is_total_and_bounded(spark, pairs):
         if r.denom == 0:
             assert r.rate == 0.0
         else:
-            assert r.rate == round(r.num / r.denom * 100, 2)
+            # model fround's cross-engine semantics exactly: HALF_UP on the
+            # double's exact value (Spark round / DuckDB std::round), NOT
+            # Python round()'s half-even
+            import decimal
+
+            x = r.num / r.denom * 100  # safe_rate's scale multiply
+            expected = float(
+                decimal.Decimal(x * 100.0).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            ) / 100.0
+            assert r.rate == expected
             if r.num <= r.denom:
                 assert 0.0 <= r.rate <= 100.0
 
