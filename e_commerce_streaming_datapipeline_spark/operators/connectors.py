@@ -271,3 +271,60 @@ def q_bucketed_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100).alias("revenue"),
         )
     )
+
+
+@query(
+    "corrupt_record_drop",
+    oracle="""
+WITH m AS (
+    SELECT event_type,
+        CASE WHEN event_id % 7 = 0 THEN substr(props, 2) ELSE props END AS mp
+    FROM events
+), flagged AS (
+    -- TRY_CAST(... AS JSON) is DuckDB's PERMISSIVE parse: NULL on corrupt
+    -- (plain json_extract raises on malformed input)
+    SELECT event_type,
+        CAST(json_extract(TRY_CAST(mp AS JSON), '$.k') AS INT) AS k,
+        CAST(json_extract(TRY_CAST(mp AS JSON), '$.k') AS INT) IS NOT NULL AS ok
+    FROM m
+)
+SELECT
+    event_type,
+    CAST(count(CASE WHEN ok THEN 1 END) AS INT)     AS n_valid,
+    CAST(count(CASE WHEN NOT ok THEN 1 END) AS INT) AS n_dropped,
+    CAST(sum(CASE WHEN ok THEN k END) AS BIGINT)    AS sum_k
+FROM flagged
+GROUP BY event_type
+""",
+)
+def q_corrupt_record_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 corrupt-record semantics (PERMISSIVE parse + drop,
+    ``src/consumers/stream_processor.py:117-122``): parse a JSON payload
+    column with a declared schema and drop rows that fail.  Corruption is
+    synthesized deterministically (every 7th event loses its opening brace)
+    because the fixture's ``props`` are all well-formed.
+
+    Spark 4 nuance the reference's ``.filter(parsed.isNotNull())`` misses:
+    PERMISSIVE ``from_json`` yields an all-null STRUCT for corrupt input,
+    not a null struct, so the drop filter must test the required FIELD —
+    which is exactly the reference's own producer-side validation rule
+    (required-field presence, ``src/schemas/avro_schemas.py:69-74``)
+    applied consumer-side.
+
+    Row-local projection + one hash agg over (event_type): parse cost is
+    map-side codegen (Jackson inside the JVM), nothing shuffles but the
+    5-row aggregate — at 100 TB this is scan-bound, and the dropped count
+    per type is the data-quality telemetry a real ingest job emits."""
+    events = load_table(spark, "events", sf_dir)
+    mangled = F.when(
+        F.col("event_id") % 7 == 0, F.expr("substring(props, 2)")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, "k INT")
+    ok = parsed["k"].isNotNull()
+    return events.select("event_type", ok.alias("ok"), parsed["k"].alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("ok"), 1)).cast("int").alias("n_valid"),
+        F.count(F.when(~F.col("ok"), 1)).cast("int").alias("n_dropped"),
+        F.sum(F.when(F.col("ok"), F.col("k"))).alias("sum_k"),
+    )
