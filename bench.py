@@ -54,6 +54,10 @@ HEADLINE = [
     "embedding_topk",         # brute-force cosine top-k
     "embedding_topk_pandas",  # Arrow/Pandas-UDF similarity path
     "multimodal_decode",      # mapInPandas decode stage
+    "embedding_topk_lsh",     # random-hyperplane LSH candidate pruning
+    "pii_redaction",          # chained regexp_replace scan
+    "benchmark_decontam",     # n-gram broadcast decontamination
+    "sequence_packing",       # window cumsum token packing
     "gmv_stream_minutely",    # real Structured Streaming (availableNow)
 ]
 

@@ -328,3 +328,57 @@ def q_corrupt_record_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("ok"), 1)).cast("int").alias("n_dropped"),
         F.sum(F.when(F.col("ok"), F.col("k"))).alias("sum_k"),
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+SELECT
+    CASE WHEN event_id % 2 = 1
+         THEN CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END
+    END                                            AS channel,
+    CAST(count(*) AS INT)                          AS n_events,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                                                   AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution source path: a dataset written in two generations —
+    generation 1 without a ``channel`` column, generation 2 with it — read
+    back as ONE relation via parquet ``mergeSchema``; old rows surface the
+    new column as NULL.  This is the ingest reality of any long-lived
+    pipeline (the reference hard-codes one fixed StructType per topic,
+    stream_processor.py:60-93, and would crash on a producer upgrade).
+
+    Physical note: ``mergeSchema`` reconciles footers at planning time;
+    data files are untouched and column pruning/pushdown still work per
+    file.  At 100 TB you pay one footer pass per file (or none, with a
+    catalog/Delta log holding the merged schema) — the scan itself is
+    unchanged.  The write side here is the test fixture generator; the
+    READ is the operator."""
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_schema_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    gen1 = events.where(F.col("event_id") % 2 == 0)
+    gen2 = events.where(F.col("event_id") % 2 == 1).withColumn(
+        "channel",
+        F.when(F.col("user_id") % 2 == 0, "web").otherwise("app"),
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out_dir, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out_dir, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out_dir)
+    return merged.groupBy("channel").agg(
+        F.count("*").cast("int").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )

@@ -343,3 +343,54 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
         ).alias("dup_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten erasure
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_erasure",
+    oracle="""
+WITH erasure AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0
+)
+SELECT
+    ev.event_type,
+    CAST(count(CASE WHEN er.user_id IS NULL THEN 1 END) AS INT)     AS n_retained,
+    CAST(count(CASE WHEN er.user_id IS NOT NULL THEN 1 END) AS INT) AS n_erased,
+    CAST(count(DISTINCT CASE WHEN er.user_id IS NOT NULL
+                             THEN ev.user_id END) AS INT)           AS users_erased
+FROM events ev LEFT JOIN erasure er ON ev.user_id = er.user_id
+GROUP BY ev.event_type
+""",
+)
+def q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure (GDPR delete): mark every event
+    belonging to a user on the erasure-request list, and emit the per-type
+    retained/erased audit a compliance pipeline must produce alongside the
+    delete itself.  The request list here derives from the fixture
+    (``user_id % 53 = 0`` plays the request table).
+
+    This is the mark-then-act half of a Delta/Iceberg ``MERGE ... DELETE``:
+    the erasure list is always tiny relative to the corpus, so the mark is
+    a **broadcast** left join — the 100 TB fact never shuffles — and the
+    actual delete is the same join as a left-anti filter feeding a
+    partition rewrite.  One fact scan produces both the filtered data and
+    the audit counts."""
+    events = load_table(spark, "events", sf_dir)
+    erasure = (
+        events.where(F.col("user_id") % 53 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("erase", F.lit(True))
+    )
+    marked = events.join(F.broadcast(erasure), "user_id", "left")
+    return marked.groupBy("event_type").agg(
+        F.count(F.when(F.col("erase").isNull(), 1)).cast("int").alias("n_retained"),
+        F.count(F.when(F.col("erase").isNotNull(), 1)).cast("int").alias("n_erased"),
+        F.count_distinct(
+            F.when(F.col("erase").isNotNull(), F.col("user_id"))
+        ).cast("int").alias("users_erased"),
+    )

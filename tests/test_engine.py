@@ -443,3 +443,46 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
             )
         checked += 1
     assert checked > 80
+
+
+def test_decontam_is_broadcast_join_corpus_never_shuffles(spark, sf_dir):
+    """The benchmark n-gram set must reach the contamination join as a
+    broadcast relation — the 100 TB training side probes map-side and never
+    shuffles raw n-grams (SCALE.md corpus curation)."""
+    from e_commerce_streaming_datapipeline_spark.operators.curation import q_benchmark_decontam
+
+    plan = q_benchmark_decontam(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_user_erasure_marks_via_broadcast(spark, sf_dir):
+    """The erasure-request list is tiny by nature: the mark join must be a
+    broadcast left outer — the fact side never shuffles for a delete."""
+    from e_commerce_streaming_datapipeline_spark.operators.curation import q_user_erasure
+
+    plan = q_user_erasure(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_window_shuffle(spark, sf_dir):
+    """Cumsum binning must cost exactly ONE exchange (the lang partition for
+    the running sum); the bin aggregation reuses that partitioning."""
+    from e_commerce_streaming_datapipeline_spark.operators.curation import q_sequence_packing
+
+    plan = q_sequence_packing(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # count distinct Exchange operators (AQE may reuse); expect 1 shuffle
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+def test_pii_redaction_prunes_scan_to_two_columns(spark, sf_dir):
+    """Redaction touches only (doc_id, text): the parquet ReadSchema must
+    prune lang/source/n_chars — at 100 TB reading dead columns IS the cost."""
+    from e_commerce_streaming_datapipeline_spark.operators.curation import q_pii_redaction
+
+    plan = q_pii_redaction(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
