@@ -300,3 +300,66 @@ def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         fround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# -- fixed-width histogram ----------------------------------------------------
+
+_HIST_WIDTH = 50.0
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+SELECT
+    event_type,
+    CAST(floor(value / {_HIST_WIDTH}) AS INT)          AS bucket,
+    floor(value / {_HIST_WIDTH}) * {_HIST_WIDTH}       AS bucket_lo,
+    CAST(count(*) AS INT)                              AS n,
+    round(sum(CAST(round(value * 100) AS BIGINT))) / 100.0 AS bucket_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values per event type — the
+    distribution profile a pipeline publishes for drift monitoring and the
+    optimizer-statistics shape (equi-width buckets) engines keep per column.
+
+    Bucketing is a row-local floor division — the histogram is ONE hash agg
+    whose key domain is (#types x #buckets), independent of row count, so
+    map-side partial combine absorbs virtually all input before the
+    shuffle.  This is the scalable answer to "what does the distribution
+    look like" — the exact-percentile twin (value_percentiles) needs a
+    per-group sort; the histogram never sorts."""
+    events = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / _HIST_WIDTH)
+    return events.groupBy(
+        "event_type",
+        bucket.cast("int").alias("bucket"),
+        (bucket * _HIST_WIDTH).alias("bucket_lo"),
+    ).agg(
+        F.count("*").cast("int").alias("n"),
+        (F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")), 0) / 100.0).alias(
+            "bucket_value"
+        ),
+    )
+
+
+# -- approximate percentiles (100 TB twin of value_percentiles) ---------------
+
+@query("approx_value_percentiles")  # no oracle: t-digest estimates are engine-specific
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` twin of value_percentiles: the Greenwald-Khanna
+    sketch aggregates in one pass with bounded memory and NO per-group sort,
+    which is the only viable percentile plan at 100 TB.  Estimates are
+    engine-specific (driver records the rows-only check); accuracy is the
+    documented 1/accuracy=10000 bound, and the sanity floor is pinned by
+    test_approx_percentiles_bracket_exact."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        fround(F.approx_percentile(F.col("value"), 0.5, 10000), 4).alias("p50"),
+        fround(F.approx_percentile(F.col("value"), 0.9, 10000), 4).alias("p90"),
+        fround(F.approx_percentile(F.col("value"), 0.99, 10000), 4).alias("p99"),
+        F.count("value").alias("n_values"),
+    )

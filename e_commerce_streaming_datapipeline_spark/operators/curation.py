@@ -394,3 +394,74 @@ def q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("erase").isNotNull(), F.col("user_id"))
         ).cast("int").alias("users_erased"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot reconciliation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH statuses AS (
+    SELECT
+        CASE
+            WHEN doc_id % 13 = 5 THEN 'added'
+            WHEN doc_id % 11 = 3 THEN 'removed'
+            WHEN doc_id % 7 = 2 THEN 'changed'
+            ELSE 'unchanged'
+        END AS status,
+        n_chars
+    FROM documents
+    -- in NEITHER snapshot (added-after-v1 ∧ deleted-in-v2): no row to diff
+    WHERE NOT (doc_id % 13 = 5 AND doc_id % 11 = 3)
+)
+SELECT status,
+    CAST(count(*) AS INT)      AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM statuses
+GROUP BY status
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation — diff two dataset versions by
+    content hash and classify every document as added / removed / changed /
+    unchanged, the audit step between two releases of a training corpus
+    (and the engine-level equivalent of a Delta CDF read).  Versions are
+    carved deterministically from the fixture: v1 lacks the %13=5 docs
+    (later additions), v2 lacks the %11=3 docs (deletions) and rewrites
+    the %7=2 docs (content drift).
+
+    The diff is a **full outer join on doc_id comparing md5(text)** —
+    classification falls out of null-ness and hash inequality.  Both sides
+    shuffle once on the join key; at 100 TB the join is naturally
+    bucket-able (both snapshots written bucketed by doc_id ⇒ zero-exchange
+    diff, the bucketed_order_join layout), and the output audit is
+    #statuses rows.  The oracle derives the same classification from the
+    carving predicates directly — the join must reproduce it exactly."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "n_chars")
+    v1 = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5("text").alias("h1"), F.col("n_chars").alias("c1")
+    )
+    v2 = docs.where(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+        F.col("n_chars").alias("c2"),
+    )
+    diff = v1.join(v2, "doc_id", "full_outer").select(
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("c2"), F.col("c1")).alias("n_chars"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

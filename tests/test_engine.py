@@ -486,3 +486,38 @@ def test_pii_redaction_prunes_scan_to_two_columns(spark, sf_dir):
 
     plan = q_pii_redaction(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_approx_percentiles_bracket_exact(spark, sf_dir):
+    """approx_percentile (GK sketch, accuracy 10000 ⇒ rank error < 1 row on
+    the fixture) returns a DISCRETE order statistic while the exact twin
+    interpolates — so the right sanity floor is a quantile bracket: the
+    sketch's p-quantile must lie within the exact [p-0.02, p+0.02] value
+    range.  Its values stay excluded from hash checks (engine-specific)."""
+    from e_commerce_streaming_datapipeline_spark.operators.advanced import (
+        q_approx_value_percentiles,
+    )
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    brackets = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile(F.col("value"), max(p - 0.02, 0.0)).alias(f"lo{i}")
+                for i, p in enumerate((0.5, 0.9, 0.99))
+            ],
+            *[
+                F.percentile(F.col("value"), min(p + 0.02, 1.0)).alias(f"hi{i}")
+                for i, p in enumerate((0.5, 0.9, 0.99))
+            ],
+        )
+        .collect()
+    }
+    approx = {r["event_type"]: r for r in q_approx_value_percentiles(spark, sf_dir).collect()}
+    assert brackets.keys() == approx.keys()
+    for et, a in approx.items():
+        b = brackets[et]
+        for i, p in enumerate(("p50", "p90", "p99")):
+            assert b[f"lo{i}"] - 1e-9 <= a[p] <= b[f"hi{i}"] + 1e-9, (et, p, a[p])
