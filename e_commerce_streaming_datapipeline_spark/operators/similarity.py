@@ -390,3 +390,50 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["c"],
         ).alias("centroid"),
     )
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+WITH bf AS (
+    {_ORACLE_PAIRS.format(n_queries=N_QUERIES, top_k=LSH_TOP_K, join_cond="q.vec_id <> c.vec_id")}
+), lshr AS (
+    {_ORACLE_LSH}
+)
+SELECT
+    bf.query_id,
+    CAST(count(*) AS INT)                AS n_true,
+    CAST(count(l.neighbor_id) AS INT)    AS n_hit,
+    round(count(l.neighbor_id) * 1.0 / count(*), 4) AS recall
+FROM bf LEFT JOIN lshr l
+    ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+GROUP BY bf.query_id
+""",
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the LSH index against exact brute force, per query:
+    |LSH top-k ∩ true top-k| / k — the measurement loop every ANN
+    deployment runs before trusting the index (tune bands/bits until
+    recall clears the bar, re-audit on drift).
+
+    Both sides are deterministic pipelines already under oracle check, so
+    the audit itself is hash-checked too — the oracle recomputes exact AND
+    approximate top-k in SQL and joins them, proving the Spark join
+    reproduces the same hit set.  At scale the audit runs on a sampled
+    query set (it costs one brute-force pass over the sample); recall on
+    the sample bounds recall on the corpus."""
+    bf = q_embedding_topk(spark, sf_dir).where(F.col("rank") <= LSH_TOP_K)
+    lsh = (
+        q_embedding_topk_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("n_true"),
+            F.count("hit").cast("int").alias("n_hit"),
+            fround(F.count("hit") / F.count("*"), 4).alias("recall"),
+        )
+    )

@@ -518,3 +518,53 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_hash"),
         )
     )
+
+
+_STOPWORDS = ("the", "a")
+
+
+@query(
+    "text_normalize",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+        array_to_string(
+            list_filter(
+                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                t -> t NOT IN {_STOPWORDS!r}
+            ), ' ') AS norm_text,
+        len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id,
+    CAST(length(norm_text) AS INT)                        AS norm_chars,
+    CAST(n_tokens - len(string_split(norm_text, ' ')) AS INT) AS n_stopwords_dropped,
+    md5(norm_text)                                        AS norm_hash
+FROM norm
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the canonical-form step ahead of exact dedup
+    and tokenization: lowercase, trim, collapse whitespace runs, drop
+    stopword tokens; emit the normalized hash the dedup stage keys on.
+
+    One row-local codegen'd projection (regexp_replace + higher-order
+    ``filter`` over the token array — no explode, no shuffle, no UDF).
+    The stopword list is a literal here; a real pipeline broadcasts a
+    lexicon and the filter becomes `NOT array_contains(lex, t)` — same
+    row-local shape.  Cited parity: the reference has no string pipeline
+    at all (SURVEY §2.2); this is the scale-up surface that feeds
+    dedup_docs_exact's normalized-content hashing."""
+    docs = load_table(spark, "documents", sf_dir)
+    collapsed = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    toks = F.split(collapsed, " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*_STOPWORDS))
+    norm = F.array_join(kept, " ")
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("int").alias("norm_chars"),
+        (F.size(F.split(F.col("text"), " ")) - F.size(kept)).cast("int").alias(
+            "n_stopwords_dropped"
+        ),
+        F.md5(norm).alias("norm_hash"),
+    )
