@@ -521,3 +521,17 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
         b = brackets[et]
         for i, p in enumerate(("p50", "p90", "p99")):
             assert b[f"lo{i}"] - 1e-9 <= a[p] <= b[f"hi{i}"] + 1e-9, (et, p, a[p])
+
+
+def test_ordered_funnel_single_fact_shuffle(spark, sf_dir):
+    """Three funnel stages must share ONE user_id exchange (each stage is a
+    window expression over the same partitioning, not a self-join); only the
+    final 1-row rollup adds a SinglePartition exchange."""
+    from e_commerce_streaming_datapipeline_spark.operators.funnel import q_ordered_funnel
+
+    plan = q_ordered_funnel(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan}"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
