@@ -465,3 +465,142 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+_Q_MIN_TOK, _Q_MAX_TOK, _Q_MIN_TTR = 20, 90, 0.35
+_SAMPLE_PCT = 80
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+{_NGRAM - 1}], ' ')) AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS u(i)
+    WHERE len(t) >= {_NGRAM}
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), contam AS (
+    SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+    WHERE grams.doc_id % {_BENCH_MOD} <> 0
+), s AS (
+    SELECT doc_id,
+        doc_id % {_BENCH_MOD} <> 0                                    AS in_corpus,
+        len(t)                                                        AS nt,
+        len(list_distinct(t)) * 1.0 / len(t)                          AS ttr,
+        md5(array_to_string(list_sort(list_distinct(t)), ' '))        AS bag,
+        (doc_id * 2654435761) % 4294967296 % 100                      AS bucket
+    FROM toks
+), q AS (
+    SELECT *,
+        in_corpus AND nt BETWEEN {_Q_MIN_TOK} AND {_Q_MAX_TOK}
+                  AND ttr >= {_Q_MIN_TTR}                             AS ok_q
+    FROM s
+), w AS (
+    SELECT *,
+        doc_id = min(CASE WHEN ok_q THEN doc_id END)
+                 OVER (PARTITION BY bag)                              AS is_winner,
+        doc_id IN (SELECT doc_id FROM contam)                         AS bad
+    FROM q
+), c AS (
+    SELECT
+        count(CASE WHEN in_corpus THEN 1 END)                                 AS n0,
+        count(CASE WHEN ok_q THEN 1 END)                                      AS n1,
+        count(CASE WHEN ok_q AND is_winner THEN 1 END)                        AS n2,
+        count(CASE WHEN ok_q AND is_winner AND NOT bad THEN 1 END)            AS n3,
+        count(CASE WHEN ok_q AND is_winner AND NOT bad
+                    AND bucket < {_SAMPLE_PCT} THEN 1 END)                    AS n4
+    FROM w
+)
+SELECT 0 AS stage_idx, 'ingest' AS stage, CAST(n0 AS INT) AS n_surviving,
+       0 AS n_dropped FROM c
+UNION ALL SELECT 1, 'quality', CAST(n1 AS INT), CAST(n0 - n1 AS INT) FROM c
+UNION ALL SELECT 2, 'dedup', CAST(n2 AS INT), CAST(n1 - n2 AS INT) FROM c
+UNION ALL SELECT 3, 'decontam', CAST(n3 AS INT), CAST(n2 - n3 AS INT) FROM c
+UNION ALL SELECT 4, 'sample', CAST(n4 AS INT), CAST(n3 - n4 AS INT) FROM c
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as ONE composed query — ingest → quality
+    filter → token-bag dedup → benchmark decontamination → mixture sample —
+    reporting survivors and drops per stage, the acceptance report every
+    corpus release ships with.
+
+    Composition shape: every stage is a boolean column over the SAME doc
+    relation (quality: row-local stats; dedup: conditional-min window over
+    the bag fingerprint; decontam: broadcast membership of the contaminated
+    id set; sample: row-local hash) and the report is one conditional
+    aggregation — so the whole five-stage funnel costs one n-gram
+    generation, one bag-partition shuffle, one broadcast join, and one
+    final 1-row reduce.  No stage materializes an intermediate corpus; at
+    100 TB this is the difference between one pass and five.
+
+    Stage predicates nest cumulatively (a doc "survives dedup" only if it
+    also passed quality — the winner min is conditional on ok_q), matching
+    how a staged pipeline actually composes."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = toks.where(F.size("t") >= _NGRAM).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _NGRAM), " ")),
+            )
+        ).alias("g"),
+    )
+    bench = grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    contam = (
+        grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    s = toks.select(
+        "doc_id",
+        (F.col("doc_id") % _BENCH_MOD != 0).alias("in_corpus"),
+        F.size("t").alias("nt"),
+        (F.size(F.array_distinct("t")) * 1.0 / F.size("t")).alias("ttr"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("t")))).alias("bag"),
+        hash_bucket(F.col("doc_id"), 100).alias("bucket"),
+    ).withColumn(
+        "ok_q",
+        F.col("in_corpus")
+        & F.col("nt").between(_Q_MIN_TOK, _Q_MAX_TOK)
+        & (F.col("ttr") >= _Q_MIN_TTR),
+    )
+    w = s.withColumn(
+        "is_winner",
+        F.col("doc_id")
+        == F.min(F.when(F.col("ok_q"), F.col("doc_id"))).over(
+            Window.partitionBy("bag")
+        ),
+    ).join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "bad", F.coalesce(F.col("bad"), F.lit(False))
+    )
+    surv = [
+        F.col("in_corpus"),
+        F.col("ok_q"),
+        F.col("ok_q") & F.col("is_winner"),
+        F.col("ok_q") & F.col("is_winner") & ~F.col("bad"),
+        F.col("ok_q") & F.col("is_winner") & ~F.col("bad") & (F.col("bucket") < _SAMPLE_PCT),
+    ]
+    counts = w.agg(
+        *[F.count(F.when(p, 1)).cast("int").alias(f"n{i}") for i, p in enumerate(surv)]
+    )
+    stages = ["ingest", "quality", "dedup", "decontam", "sample"]
+    rows = [
+        f"{i}, '{st}', n{i}, {'0' if i == 0 else f'n{i-1} - n{i}'}"
+        for i, st in enumerate(stages)
+    ]
+    return counts.selectExpr(
+        f"stack({len(stages)}, {', '.join(rows)}) AS (stage_idx, stage, n_surviving, n_dropped)"
+    )

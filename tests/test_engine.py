@@ -427,6 +427,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "ngram_jaccard_topk",     # query document
         "tfidf_top_terms",        # corpus doc count
         "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
+        "lsh_recall_audit",       # inherits embedding_topk's query-vector cross join
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
