@@ -437,3 +437,77 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.count("hit") / F.count("*"), 4).alias("recall"),
         )
     )
+
+
+@query(
+    "training_record_export",
+    oracle="""
+WITH v AS (
+    SELECT vec_id,
+        CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * 10000) AS BIGINT) AS norm_e4
+    FROM embeddings
+)
+SELECT
+    d.doc_id,
+    d.lang,
+    CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+    v.norm_e4,
+    md5(concat_ws('|', d.doc_id, d.lang,
+                  len(string_split(d.text, ' ')), v.norm_e4)) AS record_hash
+FROM documents d JOIN v ON d.doc_id = v.vec_id
+""",
+)
+def q_training_record_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-record export — the final assembly step of a data pipeline:
+    join the curated text table to its embedding table (shared id space)
+    and emit one self-describing record per document, fingerprinted so
+    shard contents are verifiable after transport.  Floats never enter the
+    record hash as strings (engines format doubles differently); the
+    vector norm rides as scaled-long e4 — integer text is identical
+    everywhere.
+
+    The join is fact-fact on the id: at 100 TB both tables are written
+    bucketed by doc_id (the bucketed_order_join layout), making the export
+    a zero-exchange zip of co-located buckets; embedding bytes stay
+    columnar until the shard writer consumes them."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        to_double_array("embedding"),
+                        to_double_array("embedding"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("norm_e4"),
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("int")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            "norm_e4",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id"),
+                    F.col("lang"),
+                    n_tokens,
+                    F.col("norm_e4"),
+                )
+            ).alias("record_hash"),
+        )
+    )

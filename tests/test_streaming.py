@@ -184,3 +184,94 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
                  .select("window_start", "window_end", "gmv", "item_count",
                          "avg_item_price", "max_item_price", "min_item_price").collect()}
     assert got_again == expect
+
+def test_watermark_bounds_state_and_append_emits_once(spark, sf_dir, tmp_path):
+    """The D3 contract that IS guaranteed (and that the reference's missing
+    watermark forfeits, stream_processor.py:135): windowed-agg state is
+    EVICTED once the watermark passes a window, so state size tracks open
+    windows, not stream history; and append mode emits each window at most
+    once.  (The late-row input drop itself is documented best-effort —
+    Spark 4 admits stragglers and immediately finalizes them — so this
+    pins eviction + exactly-once emission, not the drop.)"""
+    import shutil
+    import time as _time
+    import datetime
+
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = events.agg(F.min("ts")).collect()[0][0] + datetime.timedelta(days=3)
+    on_time = events.where(F.col("ts") >= cut)
+    late = events.where(F.col("ts") < cut)
+    assert late.count() > 0 and on_time.count() > 0
+
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+
+    def _write_one(df, name, mtime_offset):
+        staging = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        dest = stream_dir / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        ts = _time.time() + mtime_offset
+        os.utime(dest, (ts, ts))
+
+    # file source processes oldest-mtime first: on-time batch, THEN stragglers
+    _write_one(on_time, "a_on_time", -1000)
+    _write_one(late, "b_late", 0)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"t_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+
+    # two micro-batches actually ran (on-time file, then the straggler file)
+    batches = {p["batchId"] for p in q.recentProgress}
+    assert len(batches) >= 2
+
+    # watermark advanced off the on-time batch before the stragglers arrived
+    wm_used = [
+        p["eventTime"].get("watermark")
+        for p in sorted(q.recentProgress, key=lambda p: p["batchId"])
+    ]
+    assert wm_used[-1].startswith("2024-01-30"), wm_used
+
+    # EVICTION: final state holds only windows past the watermark (~1), not
+    # the stream's full window history (~500) — the reference's unbounded
+    # state bug, fixed
+    final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 5, f"state not evicted: {final_state} rows"
+
+    # EXACTLY-ONCE EMISSION: append emitted every window at most once
+    dupes = got.groupBy("window_start").count().where(F.col("count") > 1).count()
+    assert dupes == 0
+
+    # nothing silently lost end-to-end: emitted events + events in windows
+    # still open (window end past the final watermark) = all events
+    emitted = got.agg(F.sum("n")).collect()[0][0]
+    wm = datetime.datetime.fromisoformat(wm_used[-1].replace("Z", ""))
+    open_events = events.where(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm)
+    ).count()
+    assert emitted + open_events == events.count()
