@@ -275,3 +275,43 @@ def test_watermark_bounds_state_and_append_emits_once(spark, sf_dir, tmp_path):
         F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm)
     ).count()
     assert emitted + open_events == events.count()
+
+
+def test_metrics_collector_captures_batch_health(spark, sf_dir):
+    """The StreamingQueryListener (SURVEY §4's sanctioned custom component)
+    must capture per-batch input rows, duration, watermark, and state size
+    for a named query — the engine-native replacement for the reference's
+    Prometheus servlet + Grafana panels."""
+    from e_commerce_streaming_datapipeline_spark.streaming.monitoring import MetricsCollector
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import streaming_gmv
+
+    collector = MetricsCollector().attach(spark)
+    try:
+        events = read_file_stream(spark, sf_dir)
+        name = f"metrics_probe_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_gmv(events.withWatermark("ts", "10 minutes"), "1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener-bus delivery is async; give it a moment
+        import time as _time
+
+        for _ in range(40):
+            if any(m.query_name == name for m in collector.records):
+                break
+            _time.sleep(0.25)
+        mine = [m for m in collector.records if m.query_name == name]
+        assert mine, "listener captured no progress for the query"
+        total_rows = sum(m.num_input_rows for m in mine)
+        assert total_rows == load_table(spark, "events", sf_dir).count()
+        assert all(m.batch_duration_ms >= 0 for m in mine)
+        assert any(m.state_rows > 0 for m in mine)  # windowed agg has state
+        mdf = collector.to_df(spark)
+        assert mdf.where(F.col("query_name") == name).count() == len(mine)
+    finally:
+        collector.detach(spark)
