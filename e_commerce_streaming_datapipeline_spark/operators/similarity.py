@@ -511,3 +511,107 @@ def q_training_record_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("record_hash"),
         )
     )
+
+
+_COGROUP_BUCKETS = 16
+
+
+@query(
+    "cogrouped_doc_vec_profile",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id,
+        CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   * 10000) AS BIGINT) AS norm_e4,
+        vec_id % {_COGROUP_BUCKETS} AS bucket
+    FROM embeddings
+), d AS (
+    SELECT doc_id, n_chars, doc_id % {_COGROUP_BUCKETS} AS bucket FROM documents
+), m AS (
+    SELECT d.bucket,
+        CAST(count(*) AS INT)                    AS n_matched,
+        CAST(sum(d.n_chars * v.norm_e4) AS BIGINT) AS cross_sum
+    FROM d JOIN v ON d.doc_id = v.vec_id
+    GROUP BY d.bucket
+)
+SELECT
+    dd.bucket,
+    CAST(dd.n_docs AS INT)            AS n_docs,
+    CAST(vv.n_vecs AS INT)            AS n_vecs,
+    coalesce(m.n_matched, 0)          AS n_matched,
+    coalesce(m.cross_sum, 0)          AS cross_sum
+FROM (SELECT bucket, count(*) AS n_docs FROM d GROUP BY 1) dd
+JOIN (SELECT bucket, count(*) AS n_vecs FROM v GROUP BY 1) vv USING (bucket)
+LEFT JOIN m USING (bucket)
+""",
+)
+def q_cogrouped_doc_vec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped CO-GROUP with arbitrary Python per key:
+    ``groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` hands each key's
+    slice of BOTH tables to one Arrow-batched pandas function — the API for
+    per-key logic that needs two relations at once and can't be expressed
+    as a join + aggregate (custom alignment, per-key model scoring,
+    imputation against a reference slice).
+
+    The function here merges the bucket's docs and vectors and emits count
+    and integer cross-product stats — deliberately simple so the DuckDB
+    oracle can state the same result relationally and hash-check the whole
+    cogroup path (shuffle on both sides, Arrow transfer, pandas merge,
+    schema projection).  All hashed values are integers: nothing about
+    pandas float summation order can leak into the check.
+
+    Scale: both sides shuffle once on the key; each task sees one key
+    group's pair of Arrow batches, so memory is bounded by the largest
+    key group (pick the bucket count to bound it), and Python cost is
+    amortized per batch, not per row."""
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "n_chars", (F.col("doc_id") % _COGROUP_BUCKETS).alias("bucket")
+    )
+    vecs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        to_double_array("embedding"),
+                        to_double_array("embedding"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("norm_e4"),
+        (F.col("vec_id") % _COGROUP_BUCKETS).alias("bucket"),
+    )
+
+    def profile(key, dpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        merged = dpdf.merge(vpdf, left_on="doc_id", right_on="vec_id")
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": int(key[0]),
+                    "n_docs": len(dpdf),
+                    "n_vecs": len(vpdf),
+                    "n_matched": len(merged),
+                    "cross_sum": int((merged["n_chars"] * merged["norm_e4"]).sum())
+                    if len(merged)
+                    else 0,
+                }
+            ]
+        )
+
+    return (
+        docs.groupBy("bucket")
+        .cogroup(vecs.groupBy("bucket"))
+        .applyInPandas(
+            profile,
+            "bucket int, n_docs int, n_vecs int, n_matched int, cross_sum long",
+        )
+    )

@@ -1,0 +1,85 @@
+"""Physical-plan linting as a library: the scale-regression checks the test
+suite runs registry-wide (tests/test_engine.py), exposed so pipelines can
+gate their own plans in CI — ``lint_plan(df)`` returns findings instead of
+assertions.
+
+What it catches (each one is a silent O(n·m) or O(n²) regression that only
+explodes at 100 TB):
+
+* ``CartesianProduct`` — a dropped join condition.
+* ``BroadcastNestedLoopJoin`` — a non-equi predicate demoted from hash join
+  (legitimate only for deliberate 1-row scalar cross joins; allow those
+  explicitly).
+* ``Expand`` from COUNT(DISTINCT) rewrites — doubles shuffled rows; the
+  engine's convention is two-stage dedup-then-count (SCALE.md).
+* Unbounded per-group ``collect_list``/``collect_set`` without a bounding
+  ``slice`` in the same plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    rule: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - repr convenience
+        return f"[{self.rule}] {self.detail}"
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def lint_plan(
+    df: DataFrame,
+    *,
+    allow_nested_loop: bool = False,
+    allow_expand: bool = False,
+) -> list[Finding]:
+    """Lint a DataFrame's physical plan for scale anti-patterns.
+
+    ``allow_nested_loop`` — set for deliberate 1-row scalar broadcasts
+    (threshold / query-vector cross joins), where a nested-loop over one
+    row is the intended plan.
+    ``allow_expand`` — set for intentional CUBE/ROLLUP/GROUPING SETS plans
+    (their single Expand is the point); leave unset elsewhere so sneaky
+    COUNT(DISTINCT) rewrites surface.
+    """
+    plan = physical_plan(df)
+    findings: list[Finding] = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding("cartesian", "plan contains CartesianProduct (dropped join condition?)")
+        )
+    if not allow_nested_loop and "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            Finding(
+                "nested-loop",
+                "plan contains BroadcastNestedLoopJoin (non-equi join demoted "
+                "from hash join?)",
+            )
+        )
+    if not allow_expand and "Expand" in plan:
+        findings.append(
+            Finding(
+                "distinct-expand",
+                "plan contains Expand (COUNT DISTINCT rewrite doubles shuffle "
+                "volume; use dedup-then-count)",
+            )
+        )
+    if ("collect_list" in plan or "collect_set" in plan) and "slice" not in plan:
+        findings.append(
+            Finding(
+                "unbounded-collect",
+                "collect_list/collect_set without a bounding slice in the "
+                "same plan (unbounded per-group arrays)",
+            )
+        )
+    return findings

@@ -432,16 +432,19 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
                    "multimodal", "merge_upsert")
+    from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
     checked = 0
     for name, q in sorted(all_queries().items()):
         if any(s in name for s in skip_substr):
             continue
-        plan = q.builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-        if name not in scalar_cross:
-            assert "BroadcastNestedLoopJoin" not in plan, (
-                f"{name} plans a nested-loop join (missing equi condition?)"
-            )
+        findings = lint_plan(
+            q.builder(spark, sf_dir),
+            allow_nested_loop=name in scalar_cross,
+            allow_expand=True,  # cube/rollup/grouping-sets Expands are intended
+        )
+        findings = [f for f in findings if f.rule != "unbounded-collect"]
+        assert not findings, f"{name}: {[str(f) for f in findings]}"
         checked += 1
     assert checked > 80
 
@@ -536,3 +539,33 @@ def test_ordered_funnel_single_fact_shuffle(spark, sf_dir):
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan}"
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_lint_plan_flags_and_allows(spark, sf_dir):
+    """lint_plan (the library form of this suite's plan gates) must flag a
+    genuine cartesian product and a nested loop, stay quiet on a clean
+    equi-join, and honor the allow flags."""
+    from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang").limit(10)
+    other = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("id2")
+    ).limit(10)
+
+    cross = docs.crossJoin(other)
+    rules = {f.rule for f in lint_plan(cross)}
+    assert "cartesian" in rules or "nested-loop" in rules
+
+    nlj = docs.join(other, docs.doc_id < other.id2)
+    assert any(f.rule == "nested-loop" for f in lint_plan(nlj))
+    assert not any(
+        f.rule == "nested-loop" for f in lint_plan(nlj, allow_nested_loop=True)
+    )
+
+    clean = docs.join(other, docs.doc_id == other.id2)
+    assert lint_plan(clean) == []
+
+    distinct_mix = load_table(spark, "events", sf_dir).groupBy("event_type").agg(
+        F.count("*"), F.count_distinct("user_id"), F.count_distinct("event_id")
+    )
+    assert any(f.rule == "distinct-expand" for f in lint_plan(distinct_mix))
