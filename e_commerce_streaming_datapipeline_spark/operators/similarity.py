@@ -267,20 +267,22 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(F.col(f"bit{j}") * (1 << j) for j in range(8)).alias("band0"),
         sum(F.col(f"bit{j}") * (1 << (j - 8)) for j in range(8, 16)).alias("band1"),
     )
-    qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("band0").alias("qband0"),
-        F.col("band1").alias("qband1"),
+    # Long form: one row per (vec_id, band_idx, band_val).  Candidate search
+    # is then ONE equi-join on (band_idx, band_val) instead of one join per
+    # band — and the 16-dot-product signature subtree is evaluated twice
+    # (query side + corpus side) rather than once per band per side.
+    bands_long = sigs.select(
+        "vec_id",
+        F.posexplode(F.array("band0", "band1")).alias("band_idx", "band_val"),
+    )
+    qbands = bands_long.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_val"
     )
     cands = (
-        F.broadcast(qsigs)
-        .join(sigs, (F.col("qband0") == F.col("band0")) & (F.col("query_id") != F.col("vec_id")))
+        F.broadcast(qbands)
+        .join(bands_long, ["band_idx", "band_val"])
+        .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .unionByName(
-            F.broadcast(qsigs)
-            .join(sigs, (F.col("qband1") == F.col("band1")) & (F.col("query_id") != F.col("vec_id")))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        )
         .distinct()
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
