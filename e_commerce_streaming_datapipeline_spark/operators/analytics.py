@@ -222,10 +222,13 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partitioning."""
     events = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (unix_micros only accepts TIMESTAMP, so it would reject NTZ parquet).
+    prev_ts = F.lag(F.col("ts")).over(w)
     is_new = F.when(
-        prev_ts.isNull() | ((F.unix_micros(F.col("ts")) - prev_ts) > gap_us), 1
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")),
+        1,
     ).otherwise(0)
     numbered = (
         events.select("user_id", "ts", "event_id", F.coalesce("value", F.lit(0.0)).alias("value"))

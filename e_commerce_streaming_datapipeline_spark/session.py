@@ -81,6 +81,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- fixture compatibility: pandas writes TIMESTAMP(NANOS) --
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamp[us] columns carry isAdjustedToUTC=false; read them
+        # as plain TIMESTAMP (session tz = UTC) rather than TIMESTAMP_NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # -- streaming (reference: spark_config.py:27, stream graceful stop) --
         # Default = Spark's HDFS/heap-backed store: windowed-agg state here is
         # #windows rows, far under heap, and RocksDB costs ~7 s native init +

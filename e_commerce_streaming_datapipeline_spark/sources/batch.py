@@ -47,6 +47,9 @@ def ensure_session_conf(spark: SparkSession) -> None:
     and all window bucketing/oracle comparison assumes UTC.  Both are
     runtime-settable SQL confs; idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # fixtures write timestamp[us] with isAdjustedToUTC=false; read as plain
+    # TIMESTAMP (UTC session) so window()/unix_micros/etc. accept the column
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # right-size shuffles if the session still carries Spark's static default

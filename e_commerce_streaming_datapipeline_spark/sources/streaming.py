@@ -23,9 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType, TimestampType
-
-from e_commerce_streaming_datapipeline_spark.schemas import EVENTS_SCHEMA
+from pyspark.sql.types import StructType
 
 DEFAULT_MAX_OFFSETS_PER_TRIGGER = 10_000  # reference: stream_processor.py:108
 
@@ -63,28 +61,31 @@ def read_kafka_stream(
     )
 
 
-def _streaming_events_schema() -> StructType:
-    """EVENTS_SCHEMA with ts as raw long — matches what the parquet reader
-    yields under nanosAsLong (file streams require an explicit schema)."""
-    return StructType([
-        StructField(f.name, LongType() if isinstance(f.dataType, TimestampType) else f.dataType,
-                    f.nullable)
-        for f in EVENTS_SCHEMA.fields
-    ])
-
-
 def read_file_stream(
     spark: SparkSession, sf_dir: str, filename: str = "events.parquet"
 ) -> DataFrame:
     """Deterministic replay source over the fixture parquet (S1 test twin +
     S6 replay source).  Emits the same columns as the batch loader.
 
+    File streams require an explicit schema; we take it from a batch read of
+    the same file (plus the same timestamp normalization), so the streaming
+    and batch paths can never disagree about fixture physical types.
+
     The file source requires a directory path; ``pathGlobFilter`` narrows it
     to the one fixture file.
     """
+    from e_commerce_streaming_datapipeline_spark.sources.batch import (
+        _normalize_ns_timestamps,
+        ensure_session_conf,
+    )
+
+    ensure_session_conf(spark)
+    physical = (
+        spark.read.option("pathGlobFilter", filename).parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(_streaming_events_schema())
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", filename)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ns_timestamps(raw)
