@@ -75,23 +75,34 @@ def main() -> None:
     registry = all_queries()
 
     # Warm up the heavyweight one-time machinery outside the timed region so
-    # timings measure query execution, not process bring-up: JVM/codegen
-    # (stats_rollup), the Arrow/Python worker pool (multimodal_decode), and
-    # the Structured Streaming engine + state store (gmv_stream_minutely).
-    # Warmups run at the smallest available SF; fall back to SF_DIR.
+    # timings measure query execution at SF_DIR, not process bring-up: JVM
+    # bring-up, whole-stage-codegen compilation (the generated class cache is
+    # keyed on generated source, so the same plan shape at a different scale
+    # factor is a cache hit), the Arrow/Python worker pool, and the
+    # Structured Streaming engine + state store.  Warmups run every headline
+    # query once at the smallest available SF; fall back to SF_DIR.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for warm_query in ("stats_rollup", "multimodal_decode", "gmv_stream_minutely"):
-        registry[warm_query].builder(spark, warm_dir).collect()
+    for warm_query in HEADLINE:
+        registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
+    # Two timed iterations per query, report the min (steady state): AQE
+    # picks size-dependent physical plans, so the first run at SF_DIR still
+    # pays one-off codegen compilation for this scale's plan shape; the
+    # second run measures execution.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        start = time.perf_counter()
-        df = q.builder(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = q.builder(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
