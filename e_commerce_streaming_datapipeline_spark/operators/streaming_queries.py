@@ -107,17 +107,72 @@ def q_unique_buyers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("funnel_stream_hourly")  # rows-only: covered exactly by funnel_hourly's oracle shape
+@query(
+    "funnel_stream_hourly",
+    oracle="""
+WITH agg AS (
+    SELECT
+        date_trunc('hour', ts)                      AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
+        count(*)                                    AS total_events,
+        CAST(count_if(event_type = 'view') AS BIGINT)     AS views,
+        CAST(count_if(event_type = 'click') AS BIGINT)    AS clicks,
+        CAST(count_if(event_type = 'signup') AS BIGINT)   AS signups,
+        CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT
+    window_start, window_end, total_events, views, clicks, signups, purchases,
+    CASE WHEN views > 0
+         THEN round(clicks / views * 100, 2) ELSE 0.0 END AS click_rate
+FROM agg
+""",
+)
 def q_funnel_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 as a streaming query (complete mode, hourly windows)."""
+    """A1 as a streaming query (complete mode, hourly windows).  Every
+    aggregate is deterministic (conditional counts, no approx/distinct), so
+    the streaming result hash-checks against the same batch SQL as the
+    batch funnel — streaming-vs-batch equivalence as a driver-visible gate,
+    not just a pytest."""
     events = read_file_stream(spark, sf_dir)
     return _run_to_table(spark, streaming_funnel(events, "1 hour"), "funnel_stream")
 
 
-@query("session_stream")  # rows-only: session_window is the non-SQL-expressible stateful op
+@query(
+    "session_stream",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, coalesce(value, 0.0) AS value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM ordered
+)
+SELECT
+    user_id,
+    min(ts)              AS session_start,
+    max(ts)              AS session_end,
+    count(*)             AS n_events,
+    round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful session windows (30-min gap) on a stream — the custom
-    stateful operator class the driver records as a rows-only check."""
+    """Stateful session windows (30-min gap) on a stream.
+
+    ``session_window`` is not itself SQL, but its semantics ARE — a session
+    window [t, last + gap) admits the next event iff ts < last + gap, i.e.
+    a gap >= 30 minutes starts a new session; that is exactly the
+    gaps-and-islands oracle above (note >=, where the batch
+    ``user_sessions`` twin uses > per its own window-function definition)."""
     events = read_file_stream(spark, sf_dir)
     return _run_to_table(spark, streaming_sessions(events, "30 minutes"), "session_stream")
 
