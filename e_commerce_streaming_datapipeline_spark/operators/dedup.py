@@ -617,3 +617,68 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("dup_clusters: label propagation did not converge")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dup_cluster_representatives",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_VERIFIED_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+), sym AS (
+    SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), nodes AS (
+    SELECT DISTINCT a AS node FROM sym
+), reach(node, src) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.b, reach.src FROM reach JOIN sym s ON s.a = reach.node
+), clusters AS (
+    SELECT node AS doc_id, min(src) AS cluster_id FROM reach GROUP BY 1
+), ranked AS (
+    SELECT
+        c.cluster_id,
+        d.doc_id,
+        d.n_chars,
+        row_number() OVER (
+            PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+        ) AS rn,
+        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+    FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT
+    cluster_id,
+    doc_id              AS keep_doc_id,
+    n_chars             AS keep_n_chars,
+    CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster: the step that turns pairwise near-dup detection
+    into an actual deduplicated corpus.  Each connected component from
+    ``dup_clusters`` elects one representative — longest document wins
+    (n_chars DESC), smallest doc_id breaks ties — and reports how many
+    members it displaced.
+
+    Scale shape: the cluster labeling is corpus-bounded but the label table
+    itself is tiny (only docs touching a near-dup edge), so it broadcasts
+    into the documents join; the per-cluster argmax is one hash-partitioned
+    window over cluster_id — no corpus-wide shuffle of text, only of
+    (doc_id, n_chars) pairs for clustered docs."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    members = docs.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_members",
+        )
+    )
