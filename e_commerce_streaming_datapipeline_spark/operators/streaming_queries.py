@@ -285,6 +285,89 @@ def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unattributed_purchases_stream",
+    oracle="""
+WITH wm AS (
+    -- Structured Streaming's global watermark: min over both inputs of
+    -- (max event time - delay).  Outer-null rows emit once the watermark
+    -- strictly passes the buffered row's event time.
+    SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+    ) - INTERVAL '10 minutes' AS w
+)
+SELECT
+    p.user_id,
+    p.event_id                         AS purchase_id,
+    p.ts                               AS purchase_ts,
+    round(coalesce(p.value, 0.0), 2)   AS purchase_value
+FROM events p, wm
+WHERE p.event_type = 'purchase'
+  AND p.ts < wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts)
+""",
+)
+def q_unattributed_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join: purchases with NO click in
+    the preceding hour, emitted with null click columns only after the global
+    watermark proves no matching click can still arrive.
+
+    This is the other half of ``attribution_stream_join``'s inner join — the
+    unmatched-emission semantics that make outer stream joins hard: a null
+    row for a buffered purchase may only be emitted once min(click watermark,
+    purchase watermark) strictly passes its event time, which is exactly the
+    ``p.ts < wm`` bound the oracle reproduces.  Rows younger than the final
+    watermark stay unemitted at end-of-input by design (verified: emission is
+    strict less-than, per Spark's state eviction predicate)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    purchases = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            (F.col("buyer_id") == F.col("click_user_id"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        )
+        .where(F.col("click_id").isNull())
+        .select(
+            F.col("buyer_id").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+            fround(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("purchase_value"),
+        )
+    )
+    return _run_to_table(spark, joined, "unattributed_stream", output_mode="append")
+
+
+@query(
     "user_stats_stream",
     oracle="""
 SELECT
