@@ -285,6 +285,48 @@ def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cart_abandonment_stream",
+    oracle="""
+WITH wm AS (
+    -- Spark tracks event time in ms: watermark = floor_ms(max ts) - delay,
+    -- over the filtered (view/purchase) stream the operator reads
+    SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+    FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT
+    v.user_id,
+    v.event_id                      AS view_event_id,
+    v.ts                            AS view_ts,
+    v.ts + INTERVAL '30 minutes'    AS abandoned_at
+FROM events v, wm
+WHERE v.event_type = 'view'
+  AND v.ts + INTERVAL '30 minutes' < wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = v.user_id
+        AND p.ts BETWEEN v.ts AND v.ts + INTERVAL '30 minutes')
+""",
+)
+def q_cart_abandonment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful CEP drop-off detection (``applyInPandasWithState`` +
+    event-time timeout): a view with no purchase by the same user within 30
+    minutes is emitted as an abandonment once the watermark proves no such
+    purchase can still arrive.  Hash-checked against a NOT EXISTS oracle
+    bounded by the exact watermark emission rule — the reference's drop-off
+    processor approximates this with status-count buckets
+    (dropoff_processor.py:30-70)."""
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_cart_abandonment,
+    )
+
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(
+        spark, streaming_cart_abandonment(events), "cart_abandonment", output_mode="append"
+    )
+
+
+@query(
     "unattributed_purchases_stream",
     oracle="""
 WITH wm AS (

@@ -134,6 +134,98 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_cart_abandonment(
+    events: DataFrame, timeout_minutes: int = 30
+) -> DataFrame:
+    """TRUE drop-off detection as stateful CEP — the honest version of the
+    reference's drop-off processor (src/processors/dropoff_processor.py:30-70,
+    which proxies "drop-off" from order_status value counts alone).
+
+    Semantics: a ``view`` is abandoned iff NO ``purchase`` by the same user
+    lands in [view_ts, view_ts + 30 min].  Pending views are per-user state;
+    a purchase cancels every pending view in its trailing 30-minute window;
+    an EVENT-TIME TIMEOUT fires once the watermark passes a pending view's
+    deadline — only then is the abandonment emitted, because a late purchase
+    can no longer arrive (the same guarantee the watermark gives windowed
+    aggregation).  Spark tracks event time in milliseconds, so the emission
+    bound is floor_ms(max event time) - delay — reproduced exactly by the
+    oracle's ``date_trunc('milliseconds', max(ts)) - delay``.
+
+    Scale: state is O(pending views per active user), Arrow-batched per
+    group, evicted by the timeout — bounded at any corpus size; the group-by
+    shuffle is the only data movement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_us = timeout_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, view_event_id long, view_ts timestamp, abandoned_at timestamp"
+    )
+    state_schema = "pend_ids array<long>, pend_ts array<long>"
+
+    def detect(key, pdf_iter, state: GroupState):
+        pend: list[tuple[int, int]] = []  # (event_id, view_ts_us)
+        if state.exists:
+            ids, tss = state.get
+            pend = list(zip(ids, tss))
+        if not state.hasTimedOut:
+            rows = []
+            for pdf in pdf_iter:
+                for eid, ts, et in zip(
+                    pdf["event_id"], pdf["ts"], pdf["event_type"]
+                ):
+                    rows.append((int(ts.value // 1000), et == "purchase", int(eid)))
+            # event-time order; views before purchases on equal timestamps so
+            # a same-instant purchase converts the view (BETWEEN is inclusive)
+            rows.sort(key=lambda r: (r[0], r[1]))
+            for ts_us, is_purchase, eid in rows:
+                if is_purchase:
+                    # converts pending views in the trailing window
+                    # [p.ts - 30 min, p.ts]; keep views older than the window
+                    # AND (cross-batch late purchase) views after the purchase
+                    pend = [
+                        p for p in pend
+                        if p[1] < ts_us - timeout_us or p[1] > ts_us
+                    ]
+                else:
+                    pend.append((eid, ts_us))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        expired = [p for p in pend if p[1] + timeout_us < wm_us]
+        pend = [p for p in pend if p[1] + timeout_us >= wm_us]
+        if pend:
+            state.update(([p[0] for p in pend], [p[1] for p in pend]))
+            next_deadline_ms = min(p[1] + timeout_us for p in pend) // 1000 + 1
+            state.setTimeoutTimestamp(max(next_deadline_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
+        if expired:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(expired),
+                    "view_event_id": [p[0] for p in expired],
+                    "view_ts": [pd.Timestamp(p[1], unit="us") for p in expired],
+                    "abandoned_at": [
+                        pd.Timestamp(p[1] + timeout_us, unit="us") for p in expired
+                    ],
+                }
+            )
+
+    return (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running profile (event count, total spend, last-seen timestamp) — the
