@@ -382,3 +382,45 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "python_datasource_feed",
+    oracle="""
+WITH feed AS (
+    SELECT
+        v AS event_id,
+        ((1103515245 * v + 12345) % 2147483648) % 997 AS user_id,
+        CASE (v % 4) WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                     WHEN 2 THEN 'signup' ELSE 'purchase' END AS event_type,
+        CAST((v * 137) % 100000 AS DOUBLE) AS amount_cents
+    FROM generate_series(0, 9999) t(v)
+)
+SELECT
+    event_type,
+    count(*)                           AS n_events,
+    count(DISTINCT user_id)            AS unique_users,
+    sum(amount_cents) / 100            AS total_amount
+FROM feed
+GROUP BY 1
+""",
+)
+def q_python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4) — the
+    engine-native replacement for the reference's out-of-process producer
+    (event_generator.py:150-218): schema declaration, partition planning and
+    executor-side generation live behind ``spark.read.format(...)`` like any
+    built-in source.  The feed is pure integer arithmetic, so the DuckDB
+    oracle regenerates it with generate_series and the whole connector path
+    is hash-checked.  ``sources/python_datasource.py`` also ships the
+    micro-batch ``streamReader`` twin (offset = rows consumed;
+    checkpoint-restart safe), equivalence-tested in tests/test_streaming.py."""
+    from e_commerce_streaming_datapipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    feed = spark.read.format("ecommerce_replay").option("n", 10_000).load()
+    return feed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("unique_users"),
+        (F.sum("amount_cents") / 100.0).alias("total_amount"),
+    )

@@ -1,0 +1,128 @@
+"""Custom connector via the Python DataSource API (Spark 4).
+
+The reference ships its own producer process that replays events into Kafka
+(``src/producers/event_generator.py:150-218``); the Spark-4-native way to own
+an ingest format end-to-end is a registered Python ``DataSource`` — the same
+plumbing a user would write for a proprietary feed, queue, or API: schema
+declaration, partition planning, executor-side generation/fetch, and (for
+streams) offset bookkeeping.
+
+``ecommerce_replay`` generates a deterministic synthetic event feed from pure
+integer arithmetic (LCG), so the DuckDB oracle reproduces every row with
+``generate_series`` — the connector path is hash-checked end to end, like
+every other operator.
+
+Scale notes: ``partitions()`` is the parallelism contract — each partition
+generates (or would fetch) its id-striped slice independently on executors;
+nothing flows through the driver.  The stream reader partitions each
+micro-batch by the same striping, and offsets are plain row counts, so a
+restart resumes exactly (the checkpoint stores the JSON offset).  Arrow
+conversion applies when the reader yields tuples; generation cost is linear
+per partition with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+N_DEFAULT = 10_000
+N_PARTITIONS = 8
+EVENT_TYPES = ("view", "click", "signup", "purchase")
+
+
+def _user_id(i: int) -> int:
+    return ((1103515245 * i + 12345) % 2147483648) % 997
+
+
+def _amount_cents(i: int) -> int:
+    return (i * 137) % 100_000
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, stride: int):
+        self.start = start
+        self.end = end
+        self.stride = stride
+
+
+def _gen(part: _RangePartition):
+    i = part.start
+    while i < part.end:
+        yield (
+            i,
+            _user_id(i),
+            EVENT_TYPES[i % 4],
+            float(_amount_cents(i)),
+        )
+        i += part.stride
+
+
+class EcommerceReplayReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", N_DEFAULT))
+        self.num_partitions = int(options.get("numPartitions", N_PARTITIONS))
+
+    def partitions(self):
+        return [
+            _RangePartition(p, self.n, self.num_partitions)
+            for p in range(self.num_partitions)
+        ]
+
+    def read(self, partition: _RangePartition):
+        return _gen(partition)
+
+
+class EcommerceReplayStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic feed.  Offsets are row
+    counts ({"row": k} = first k rows consumed) — monotonic and
+    checkpoint-restart safe: a resumed query passes the stored offset as
+    ``start`` and reads only [start, latest)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", N_DEFAULT))
+        self.num_partitions = int(options.get("numPartitions", N_PARTITIONS))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def latestOffset(self):
+        return {"row": self.n}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["row"]), int(end["row"])
+        # stripe the [lo, hi) id range across executors
+        return [
+            _RangePartition(lo + p, hi, self.num_partitions)
+            for p in range(self.num_partitions)
+        ]
+
+    def read(self, partition: _RangePartition):
+        return _gen(partition)
+
+    def commit(self, end):
+        pass
+
+
+class EcommerceReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ecommerce_replay"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, amount_cents double"
+
+    def reader(self, schema):
+        return EcommerceReplayReader(self.options)
+
+    def streamReader(self, schema):
+        return EcommerceReplayStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering overwrites)."""
+    spark.dataSource.register(EcommerceReplayDataSource)

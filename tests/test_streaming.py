@@ -315,3 +315,35 @@ def test_metrics_collector_captures_batch_health(spark, sf_dir):
         assert mdf.where(F.col("query_name") == name).count() == len(mine)
     finally:
         collector.detach(spark)
+
+
+def test_python_datasource_stream_matches_batch(spark, tmp_path):
+    """The Python DataSource's micro-batch streamReader must produce exactly
+    the batch reader's rows (offset bookkeeping loses/duplicates nothing)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    agg = lambda df: df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").alias("cents"),
+    )
+    batch = agg(spark.read.format("ecommerce_replay").option("n", 10_000).load())
+
+    name = f"pds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg(spark.readStream.format("ecommerce_replay").option("n", 10_000).load())
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) == 4
