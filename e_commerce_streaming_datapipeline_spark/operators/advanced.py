@@ -363,3 +363,39 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.approx_percentile(F.col("value"), 0.99, 10000), 4).alias("p99"),
         F.count("value").alias("n_values"),
     )
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+SELECT
+    event_type,
+    count(*)                                              AS n_events,
+    CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS k_sum,
+    CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS k_min,
+    CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS k_max
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through VariantType (Spark 4): ``props`` is
+    parsed ONCE into a Variant (binary, shredded access — no per-field
+    re-parse like repeated get_json_object), then typed paths are extracted
+    with ``variant_get``.  At 100 TB the parse cost is paid at ingest and
+    the Variant column is stored; every downstream query pays only the
+    binary path lookup.  The map-based twin is ``props_key_counts``."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.where(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

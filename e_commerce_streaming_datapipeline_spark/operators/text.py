@@ -568,3 +568,53 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(norm).alias("norm_hash"),
     )
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle=f"""
+SELECT
+    doc_id,
+    CAST((start - 1) / {CHUNK_STRIDE} AS INT)  AS chunk_id,
+    length(substr(text, start, {CHUNK_CHARS})) AS chunk_chars,
+    md5(substr(text, start, {CHUNK_CHARS}))    AS chunk_hash
+FROM (
+    SELECT doc_id, text, unnest(generate_series(1, greatest(n_chars, 1), {CHUNK_STRIDE})) AS start
+    FROM documents
+)
+""",
+)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same overlapping chunker as ``doc_chunks``, expressed as a Python
+    UDTF in a LATERAL join — the user-defined TABLE function extension point
+    (Spark 4) for one-row-to-many logic that outgrows generator expressions
+    (stateful tokenizers, format-aware splitters).  Same oracle as
+    ``doc_chunks``: the two implementations are mutually checking.
+
+    Scale note: a UDTF is row-at-a-time Python — fine as an extension seam,
+    but the generated-explode twin stays the hot path (codegen, no Python
+    workers); this pairing documents exactly that trade."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk_chars int, chunk_hash string")
+    class Chunker:
+        def eval(self, doc_id, text, n_chars):
+            text = text or ""
+            for chunk_id, start in enumerate(range(1, max(int(n_chars), 1) + 1, CHUNK_STRIDE)):
+                piece = text[start - 1 : start - 1 + CHUNK_CHARS]
+                yield (
+                    doc_id,
+                    chunk_id,
+                    len(piece),
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("doc_chunker", Chunker)
+    docs = load_table(spark, "documents", sf_dir)
+    view = "documents_for_udtf"
+    docs.select("doc_id", "text", "n_chars").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.* FROM {view} t, LATERAL doc_chunker(t.doc_id, t.text, t.n_chars) c"
+    )
