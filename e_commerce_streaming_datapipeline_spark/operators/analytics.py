@@ -625,3 +625,62 @@ def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.max("pr"), 4).alias("max_percent_rank"),
         fround(F.max("cd"), 4).alias("max_cume_dist"),
     )
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+WITH ordered AS (
+    SELECT
+        o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        lag(o_orderpriority) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS prev_priority
+    FROM orders
+), changes AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate
+    FROM ordered
+    WHERE prev_priority IS NULL OR o_orderpriority <> prev_priority
+)
+SELECT
+    o_custkey                   AS custkey,
+    o_orderpriority             AS priority,
+    o_orderdate                 AS effective_from,
+    lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+    )                           AS effective_to,
+    lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+    ) IS NULL                   AS is_current
+FROM changes
+""",
+)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse a change stream into effective-dated
+    dimension versions (effective_from / effective_to / is_current) — the
+    standard warehouse versioning pattern, here tracking each customer's
+    order-priority transitions.  Change detection (lag) and interval closing
+    (lead) reuse ONE hash partitioning on custkey — a single shuffle for the
+    whole history build; at 100 TB the change stream is CDC input and the
+    plan is unchanged."""
+    orders = load_table(spark, "orders", sf_dir)
+    by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+            F.lag("o_orderpriority").over(by_cust).alias("prev_priority"),
+        )
+        .where(
+            F.col("prev_priority").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_priority"))
+        )
+    )
+    close = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    effective_to = F.lead("o_orderdate").over(close)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        effective_to.alias("effective_to"),
+        effective_to.isNull().alias("is_current"),
+    )
