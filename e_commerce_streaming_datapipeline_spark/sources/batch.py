@@ -41,11 +41,51 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
     return out
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    An externally-built SparkSession (the driver's) knows nothing about our
+    import path: closures that cloudpickle serializes BY REFERENCE (the
+    mapInPandas multimodal decoders, the Python DataSource class) make the
+    worker ``import e_commerce_streaming_datapipeline_spark`` — which fails
+    unless the package rides along.  ``addPyFile`` is runtime-callable and
+    reaches workers through SparkFiles, so it works however the session was
+    built.  Idempotent per (process, SparkContext)."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_root)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        arc = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_root)
+                        )
+                        zf.write(full, arc)
+    sc.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def ensure_session_conf(spark: SparkSession) -> None:
     """Make an externally-provided SparkSession (e.g. the driver's) safe for
     the fixture tables: ns-timestamp parquet needs the legacy long fallback,
     and all window bucketing/oracle comparison assumes UTC.  Both are
     runtime-settable SQL confs; idempotent."""
+    _ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # fixtures write timestamp[us] with isAdjustedToUTC=false; read as plain
     # TIMESTAMP (UTC session) so window()/unix_micros/etc. accept the column
