@@ -569,3 +569,43 @@ def test_lint_plan_flags_and_allows(spark, sf_dir):
         F.count("*"), F.count_distinct("user_id"), F.count_distinct("event_id")
     )
     assert any(f.rule == "distinct-expand" for f in lint_plan(distinct_mix))
+
+
+def test_external_session_can_run_closure_pickling_queries(tmp_path):
+    """A driver-like process (foreign cwd, vanilla SparkSession, no
+    PYTHONPATH) must be able to run operators whose closures pickle by
+    reference — executor workers get the package via the addPyFile shipping
+    in ensure_session_conf.  Regression: multimodal mapInPandas + the Python
+    DataSource failed exactly this way before the fix."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", "/root/repo/__spark_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[2]").getOrCreate()
+        qs = mod.queries()
+        for name in ("multimodal_decode", "python_datasource_feed"):
+            assert qs[name](spark, "/root/testdata/sf0.001").count() > 0, name
+        print("EXTERNAL_SESSION_OK")
+        """
+    )
+    import os
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the property under test: no import-path help
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "EXTERNAL_SESSION_OK" in proc.stdout, proc.stderr[-2000:]
