@@ -285,6 +285,45 @@ def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gmv_cascade_stream",
+    oracle="""
+WITH wm AS (
+    SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+    FROM events WHERE event_type = 'purchase'
+), hourly AS (
+    SELECT
+        date_trunc('hour', ts)                      AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
+        round(sum(coalesce(value, 0.0)), 2)         AS gmv,
+        count(*)                                    AS n_purchases,
+        count(DISTINCT date_trunc('minute', ts))    AS n_active_minutes
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT window_start, window_end, gmv, n_purchases, n_active_minutes
+FROM hourly, wm
+WHERE window_end < wm.w
+""",
+)
+def q_gmv_cascade_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained minutely→hourly stateful aggregation in ONE streaming query
+    (multi-stateful-operator support, ``window_time`` re-windowing).  Append
+    mode emits an hour only after the watermark passes its end, so the
+    oracle is the batch hourly rollup restricted to
+    ``window_end < floor_ms(max ts) - delay`` — hash-checked, including the
+    n_active_minutes count that only exists because the cascade really
+    aggregates minute windows, not raw rows."""
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_gmv_cascade,
+    )
+
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(
+        spark, streaming_gmv_cascade(events), "gmv_cascade", output_mode="append"
+    )
+
+
+@query(
     "cart_abandonment_stream",
     oracle="""
 WITH wm AS (

@@ -134,6 +134,46 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_gmv_cascade(events: DataFrame) -> DataFrame:
+    """CHAINED stateful aggregation in one streaming query (Spark's
+    multi-stateful-operator support): purchases roll up to minutely GMV,
+    and the minute windows roll up again to hourly via ``window_time`` —
+    the streaming form of the cascaded-rollup pattern (pre-aggregate at
+    fine grain once, re-aggregate coarser grains from the fine one instead
+    of re-reading the source).
+
+    Both stages share one watermark; an hourly row is emitted (append mode)
+    only once the watermark passes its window end, at which point every
+    constituent minute window is final by construction.  At scale the
+    minutely state is the only stream-sized state; hourly state is
+    #hours rows.
+    """
+    minutely = (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 minute").alias("w1"))
+        .agg(
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("m_gmv"),
+            F.count("*").alias("m_n"),
+        )
+    )
+    hourly = (
+        minutely.groupBy(F.window(F.window_time("w1"), "1 hour").alias("w2"))
+        .agg(
+            F.sum("m_gmv").alias("gmv_raw"),
+            F.sum("m_n").alias("n_purchases"),
+            F.count("*").alias("n_active_minutes"),
+        )
+    )
+    return hourly.select(
+        F.col("w2.start").alias("window_start"),
+        F.col("w2.end").alias("window_end"),
+        fround(F.col("gmv_raw"), 2).alias("gmv"),
+        "n_purchases",
+        "n_active_minutes",
+    )
+
+
 def streaming_cart_abandonment(
     events: DataFrame, timeout_minutes: int = 30
 ) -> DataFrame:
