@@ -347,3 +347,45 @@ def test_python_datasource_stream_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) == 4
+
+
+def test_observe_metrics_on_stream(spark, sf_dir):
+    """df.observe on a streaming DataFrame: per-batch data-quality counters
+    (row count, null-value count, gmv sum) surfaced through
+    StreamingQueryProgress.observedMetrics — the engine-native form of the
+    reference's side-channel Prometheus counters, computed inline with the
+    query (no second pass)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    events = read_file_stream(spark, sf_dir).observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+    )
+    name = f"observe_{uuid.uuid4().hex[:8]}"
+    q = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = [
+        p["observedMetrics"]["ingest_quality"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("ingest_quality")
+    ]
+    assert observed, "no observed metrics surfaced"
+    total_rows = sum(m["rows"] for m in observed)
+    batch_events = load_table(spark, "events", sf_dir)
+    assert total_rows == batch_events.count()
+    assert sum(m["null_values"] for m in observed) == batch_events.where(
+        F.col("value").isNull()
+    ).count()
