@@ -399,3 +399,47 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "median_price_udaf",
+    oracle="""
+SELECT
+    o_orderpriority,
+    count(*)                            AS n_orders,
+    quantile_disc(o_totalprice, 0.5)    AS median_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function via an Arrow grouped-agg pandas_udf —
+    the UDAF extension point (SURVEY §2.8: the reference has none).  Exact
+    discrete median per order priority: the lower-middle element, i.e. the
+    value at index (n-1)//2 of the sorted group — deterministic and
+    identical to DuckDB's quantile_disc(0.5), so the custom aggregate is
+    hash-checked like a built-in.
+
+    Scale note: grouped-agg pandas UDFs receive each group as one Arrow
+    batch — fine for bounded groups (priorities, categories); an unbounded
+    group would use the built-in percentile_approx/median instead."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's postponed annotations keep the
+    # hint-based signature inference from seeing pd.Series.  Spark forbids
+    # mixing grouped-agg pandas UDFs with built-in aggregates in one agg,
+    # so the row count is a pandas UDAF too.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def disc_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return float(s.iloc[(len(s) - 1) // 2])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderpriority").agg(
+        n_rows("o_orderkey").alias("n_orders"),
+        disc_median("o_totalprice").alias("median_price"),
+    )
