@@ -376,7 +376,11 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic top-20 — vocabulary accounting for tokenizer training.
 
     Scale shape: explode -> partial map-side count -> one shuffle on term;
-    the final top-k is a single-partition sort over only |vocab| rows."""
+    then ``orderBy().limit(k)`` plans as TakeOrdered — each partition keeps
+    only its local top-20 and the driver merges |partitions| x 20 rows.  A
+    100-TB vocabulary never funnels through a single-partition window sort
+    (the earlier row_number-then-filter shape did exactly that); ranks are
+    assigned AFTER the top-k, over 20 rows."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -385,11 +389,10 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("term", "n_occurrences", "rank")
+    top = counted.orderBy(F.col("n_occurrences").desc(), F.col("term")).limit(20)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))  # 20 rows
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "term", "n_occurrences", "rank"
     )
 
 
