@@ -638,7 +638,10 @@ WITH ordered AS (
         ) AS prev_priority
     FROM orders
 ), changes AS (
-    SELECT o_custkey, o_orderpriority, o_orderdate
+    -- keep o_orderkey: two same-day orders can both be change points, so
+    -- interval closing must use the same (date, orderkey) total order as
+    -- change detection or lead() is nondeterministic across engines
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
     FROM ordered
     WHERE prev_priority IS NULL OR o_orderpriority <> prev_priority
 )
@@ -647,10 +650,10 @@ SELECT
     o_orderpriority             AS priority,
     o_orderdate                 AS effective_from,
     lead(o_orderdate) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     )                           AS effective_to,
     lead(o_orderdate) OVER (
-        PARTITION BY o_custkey ORDER BY o_orderdate
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ) IS NULL                   AS is_current
 FROM changes
 """,
@@ -675,7 +678,9 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_orderpriority") != F.col("prev_priority"))
         )
     )
-    close = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    # same (date, orderkey) total order as change detection — two orders on
+    # the same day can both be change points (caught by the sf0.1 sweep)
+    close = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     effective_to = F.lead("o_orderdate").over(close)
     return changes.select(
         F.col("o_custkey").alias("custkey"),
