@@ -174,3 +174,52 @@ def test_shingle_jaccard_matches_python_model(spark, words_a, words_b):
             assert doc_id not in got  # too short to shingle: filtered, not empty
         else:
             assert got[doc_id] == expect
+
+
+def test_merge_upsert_is_idempotent(spark, sf_dir):
+    """MERGE semantics: applying the same update batch twice must equal
+    applying it once (the exactly-once sink property D5 relies on)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.operators.setops import merge_upsert
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    existing = orders.where(F.col("o_orderkey") % 3 == 0)
+    updates = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    once = merge_upsert(existing, updates, ["o_orderkey"])
+    twice = merge_upsert(once, updates, ["o_orderkey"])
+    assert once.exceptAll(twice).isEmpty() and twice.exceptAll(once).isEmpty()
+
+
+def test_scd2_intervals_are_well_formed(spark, sf_dir):
+    """SCD2 invariants per customer: exactly one open (is_current) version,
+    every closed interval strictly precedes its successor, and version
+    intervals never overlap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+        q_scd2_priority_history,
+    )
+
+    hist = q_scd2_priority_history(spark, sf_dir)
+    open_counts = (
+        hist.groupBy("custkey")
+        .agg(F.sum(F.col("is_current").cast("long")).alias("n_open"))
+        .where(F.col("n_open") != 1)
+    )
+    assert open_counts.isEmpty(), "each customer must have exactly one open version"
+    w = Window.partitionBy("custkey").orderBy("effective_from")
+    overlaps = (
+        hist.withColumn("next_from", F.lead("effective_from").over(w))
+        .where(
+            F.col("next_from").isNotNull()
+            & (F.col("effective_to") != F.col("next_from"))
+        )
+    )
+    assert overlaps.isEmpty(), "each version must close exactly at its successor"
