@@ -285,6 +285,88 @@ def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "journey_stream_join",
+    oracle="""
+SELECT
+    v.user_id,
+    v.event_id AS view_id,
+    c.event_id AS click_id,
+    p.event_id AS purchase_id,
+    v.ts       AS view_ts,
+    c.ts       AS click_ts,
+    p.ts       AS purchase_ts
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id AND c.event_type = 'click'
+ AND c.ts BETWEEN v.ts AND v.ts + INTERVAL '24 hours'
+JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL '24 hours'
+WHERE v.event_type = 'view'
+""",
+)
+def q_journey_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-WAY chained stream-stream join: view → click (within 24 h) →
+    purchase (within 24 h of the click), per user — the multi-stream
+    correlation the reference advertises (README.md:79) and its processors
+    accept but never perform (SURVEY §2.4: FunnelProcessor.process takes
+    three streams and reads one, funnel_processor.py:14-23).
+
+    Chained stream joins require exactly ONE event-time column flowing into
+    each join: after the first join the view timestamp is kept as a value
+    by stripping its watermark tag (timestamp round-trip), leaving the
+    click's event time to drive the second join's state bounds.  All three
+    buffers are watermark-evicted under the range conditions; inner-join
+    matches emit immediately (no watermark withholding), so the oracle is
+    the plain 3-way self-join."""
+    from pyspark.sql import functions as F
+
+    def leg(event_type: str, prefix: str) -> DataFrame:
+        return (
+            read_file_stream(spark, sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    views, clicks, purchases = leg("view", "v"), leg("click", "c"), leg("purchase", "p")
+    vc = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        # strip the event-time tag: only c_ts may carry one into join #2
+        F.expr("timestamp_micros(unix_micros(v_ts))").alias("view_ts"),
+        F.col("c_id").alias("click_id"),
+        "c_ts",
+    )
+    journeys = vc.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.col("p_id").alias("purchase_id"),
+        "view_ts",
+        F.col("c_ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+    )
+    return _run_to_table(spark, journeys, "journey_stream", output_mode="append")
+
+
+@query(
     "gmv_cascade_stream",
     oracle="""
 WITH wm AS (
