@@ -70,7 +70,9 @@ def dropoff_analysis(events: DataFrame, duration: str = "1 hour") -> DataFrame:
             "unique_users_affected",
             fround(F.col("dropped_events") / F.col("window_total") * 100, 2).alias("drop_rate"),
             (F.col("dropped_events") > ALERT_THRESHOLD).alias("alert_triggered"),
-            "sample_event_ids",
+            # comma-joined string, not ArrayType: array columns are not
+            # hashable by pandas-based result canonicalizers downstream
+            F.concat_ws(",", "sample_event_ids").alias("sample_event_ids"),
         )
     )
 
@@ -83,7 +85,7 @@ WITH per_status AS (
         event_type,
         count(*)                                   AS dropped_events,
         count(DISTINCT user_id)                    AS unique_users_affected,
-        list_sort(list(CAST(event_id AS VARCHAR)))[1:3] AS sample_event_ids
+        array_to_string(list_sort(list(CAST(event_id AS VARCHAR)))[1:3], ',') AS sample_event_ids
     FROM events
     GROUP BY 1, 2, 3
 ), with_total AS (

@@ -246,7 +246,7 @@ WITH assets AS (
 SELECT
     asset_id,
     frames,
-    generate_series(0, frames - 1, {FRAME_STEP}) AS sampled_frames,
+    array_to_string(generate_series(0, frames - 1, {FRAME_STEP}), ',') AS sampled_frames,
     CAST(len(generate_series(0, frames - 1, {FRAME_STEP})) AS INT) AS n_sampled
 FROM decoded
 """,
@@ -255,7 +255,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage for video assets: every {FRAME_STEP}th frame
     index, decode fused into the same ``mapInPandas`` pass.  At scale the
     sampled frames would be emitted as one binary row each (explode after
-    this stage); the index math is the oracle-checked part."""
+    this stage); the index math is the oracle-checked part.  Frame indices
+    are emitted comma-joined (scalar output columns stay hashable by
+    pandas-based canonicalizers; ArrayType columns do not)."""
     assets = as_assets(load_table(spark, "documents", sf_dir)).where(
         F.col("modality") == "video"
     )
@@ -270,13 +272,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "frames": pd.Series(frames, dtype="int64"),
-                "sampled_frames": sampled,
+                "sampled_frames": [",".join(map(str, s)) for s in sampled],
                 "n_sampled": pd.Series([len(s) for s in sampled], dtype="int32"),
             })
 
     return assets.mapInPandas(
         decode_sample,
-        "asset_id long, frames long, sampled_frames array<long>, n_sampled int",
+        "asset_id long, frames long, sampled_frames string, n_sampled int",
     )
 
 
@@ -293,10 +295,12 @@ WITH assets AS (
 SELECT
     asset_id,
     modality,
-    [('0x' || substr(md5(payload::VARCHAR), 1, 2))::BIGINT / 255.0,
-     ('0x' || substr(md5(payload::VARCHAR), 3, 2))::BIGINT / 255.0,
-     ('0x' || substr(md5(payload::VARCHAR), 5, 2))::BIGINT / 255.0,
-     ('0x' || substr(md5(payload::VARCHAR), 7, 2))::BIGINT / 255.0] AS features
+    array_to_string(list_transform(
+        [('0x' || substr(md5(payload::VARCHAR), 1, 2))::BIGINT / 255.0,
+         ('0x' || substr(md5(payload::VARCHAR), 3, 2))::BIGINT / 255.0,
+         ('0x' || substr(md5(payload::VARCHAR), 5, 2))::BIGINT / 255.0,
+         ('0x' || substr(md5(payload::VARCHAR), 7, 2))::BIGINT / 255.0],
+        x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS features_q6
 FROM assets
 """,
 )
@@ -305,7 +309,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the CLIP-embedding / mel-spectrogram slot, stubbed as normalized md5
     bytes).  Demonstrates the vector-output-column UDF shape that feeds the
     similarity-search operators; exact doubles, so even the Python stage
-    hash-matches the SQL oracle."""
+    hash-matches the SQL oracle.
+
+    The registered output carries the vector as fixed-point (x10^6) integers
+    comma-joined into one string — the Arrow kernel still produces
+    ``array<double>`` (the shape downstream ANN consumes), and the
+    stringification is a codegen'd Spark-side projection appended only so the
+    result stays hashable by pandas-based canonicalizers (ArrayType output
+    columns are not)."""
     assets = as_assets(load_table(spark, "documents", sf_dir))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,4 +330,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "features": feats,
             })
 
-    return assets.mapInPandas(extract, "asset_id long, modality string, features array<double>")
+    vectors = assets.mapInPandas(
+        extract, "asset_id long, modality string, features array<double>"
+    )
+    return vectors.select(
+        "asset_id",
+        "modality",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("features_q6"),
+    )

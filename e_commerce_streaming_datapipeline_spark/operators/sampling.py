@@ -118,7 +118,9 @@ WITH scaled AS (
 SELECT
     e.vec_id,
     round(s.scale * 10000) / 10000 AS scale_4dp,
-    list_transform(e.embedding, x -> CAST(round(x * s.scale) AS INTEGER)) AS qvec
+    array_to_string(
+        list_transform(e.embedding, x -> CAST(round(x * s.scale) AS INTEGER)), ','
+    ) AS qvec
 FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
 """,
 )
@@ -131,14 +133,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen, no UDF, no shuffle; each row is independent
     so the operator scales embarrassingly.  The scale is reported at 4dp
     (display only); quantized values use the full-precision scale on both
-    engines with identical double arithmetic."""
+    engines with identical double arithmetic.  The int8 vector is emitted as
+    a comma-joined string (exact integer text, bit-identical cross-engine):
+    ArrayType output columns are unhashable by pandas-based result
+    canonicalizers, so every registered query keeps scalar output columns."""
     emb = load_table(spark, "embeddings", sf_dir)
     absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
     scale = 127.0 / F.greatest(absmax.cast("double"), F.lit(1e-12))
     return emb.select(
         "vec_id",
         (F.round(scale * 10000) / 10000).alias("scale_4dp"),
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x * scale).cast("int")
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x * scale).cast("int").cast("string")
+            ),
         ).alias("qvec"),
     )

@@ -365,7 +365,10 @@ WITH ex AS (
     SELECT label, u.pos AS pos, round(avg(u.v), 4) + 0 AS c, count(*) AS n
     FROM ex GROUP BY 1, 2
 )
-SELECT label, CAST(max(n) AS BIGINT) AS n_vectors, list(c ORDER BY pos) AS centroid
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       array_to_string(
+           list(CAST(round(c * 10000) AS BIGINT) ORDER BY pos), ','
+       ) AS centroid_q4
 FROM per_dim GROUP BY 1
 """,
 )
@@ -379,7 +382,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors.  The alternative (collect all vectors per label and average
     driver- or UDF-side) is the non-scalable shape this avoids.  Averages
     are rounded to 4dp before reassembly so cross-engine summation-order
-    ULPs cannot leak into the hash (SURVEY §7 hard-part 2)."""
+    ULPs cannot leak into the hash (SURVEY §7 hard-part 2).
+
+    The centroid is emitted as a comma-joined fixed-point (x10^4) integer
+    string: exact integer text is bit-identical cross-engine, and scalar
+    output columns keep the result hashable by pandas-based canonicalizers
+    (ArrayType output columns are not)."""
     emb = load_table(spark, "embeddings", sf_dir)
     per_dim = (
         emb.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "v"))
@@ -388,14 +396,22 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_dim.groupBy("label").agg(
         F.max("n").alias("n_vectors"),
-        F.transform(
-            F.array_sort(
-                # + 0.0 normalizes IEEE negative zero (round can yield -0.0 on
-                # one engine and +0.0 on the other for tiny negative means)
-                F.collect_list(F.struct(F.col("pos"), (fround(F.col("c"), 4) + F.lit(0.0)).alias("c")))
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    # round to 4dp first (cross-engine determinism), then scale
+                    # to integers — integer text cannot carry -0.0 or ULP noise
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.round(fround(F.col("c"), 4) * 10000).cast("long").alias("cq"),
+                        )
+                    )
+                ),
+                lambda s: s["cq"].cast("string"),
             ),
-            lambda s: s["c"],
-        ).alias("centroid"),
+        ).alias("centroid_q4"),
     )
 
 

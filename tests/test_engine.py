@@ -269,7 +269,8 @@ def test_embedding_quantize_roundtrip_error_bounded(spark, sf_dir):
             continue
         absmax = max(abs(x) for x in vec)
         scale = 127.0 / max(absmax, 1e-12)
-        for x, qx in zip(vec, row.qvec):
+        qvec = [int(s) for s in row.qvec.split(",")]
+        for x, qx in zip(vec, qvec):
             assert abs(qx - x * scale) <= 0.5 + 1e-6
         checked += 1
     assert checked > 0
@@ -609,3 +610,25 @@ def test_external_session_can_run_closure_pickling_queries(tmp_path):
         timeout=300,
     )
     assert "EXTERNAL_SESSION_OK" in proc.stdout, proc.stderr[-2000:]
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """Driver-canonicalizer contract: every registered query's result schema
+    is scalar-only.  Array/map/struct output columns are unhashable by
+    pandas-based result canonicalizers (sort_values -> factorize ->
+    `unhashable type: 'list'`), so vector-ish results are emitted as
+    comma-joined fixed-point strings instead (see embedding_centroids,
+    embedding_quantize, multimodal_features, multimodal_frame_sample,
+    dropoff_hourly).  Schema access analyzes the plan without executing it,
+    so this sweeps all queries cheaply."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+
+    offenders = {}
+    for name, q in sorted(all_queries().items()):
+        fields = q.builder(spark, sf_dir).schema.fields
+        bad = [f.name for f in fields if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed output columns: {offenders}"
