@@ -453,10 +453,12 @@ def q_cart_abandonment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH wm AS (
     -- Structured Streaming's global watermark: min over both inputs of
     -- (max event time - delay).  Outer-null rows emit once the watermark
-    -- strictly passes the buffered row's event time.
+    -- strictly passes the buffered row's event time.  Spark tracks event
+    -- time at MILLISECOND granularity, so truncate each max before
+    -- subtracting the delay (same as the sibling stream oracles).
     SELECT least(
-        (SELECT max(ts) FROM events WHERE event_type = 'click'),
-        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase')
     ) - INTERVAL '10 minutes' AS w
 )
 SELECT

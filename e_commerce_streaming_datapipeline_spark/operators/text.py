@@ -604,8 +604,14 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_id int, chunk_chars int, chunk_hash string")
     class Chunker:
         def eval(self, doc_id, text, n_chars):
-            text = text or ""
             for chunk_id, start in enumerate(range(1, max(int(n_chars), 1) + 1, CHUNK_STRIDE)):
+                if text is None:
+                    # propagate NULL exactly like the codegen twin's
+                    # substring(NULL, ...) -> NULL chunk fields, so both
+                    # implementations and the shared oracle agree on
+                    # NULL-text documents
+                    yield (doc_id, chunk_id, None, None)
+                    continue
                 piece = text[start - 1 : start - 1 + CHUNK_CHARS]
                 yield (
                     doc_id,

@@ -124,5 +124,15 @@ class EcommerceReplayDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-registering overwrites)."""
+    """Idempotent registration (re-registering overwrites).
+
+    Ships the package to executors first: cloudpickle pickles the DataSource
+    and reader classes BY REFERENCE, so executor Python workers must be able
+    to import this module — in an externally-built session from a foreign
+    cwd that only works after ``ensure_session_conf``'s ``addPyFile`` zip
+    shipping.  Registering without it would fail on the first read if this
+    is the session's first closure-pickled query."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import ensure_session_conf
+
+    ensure_session_conf(spark)
     spark.dataSource.register(EcommerceReplayDataSource)

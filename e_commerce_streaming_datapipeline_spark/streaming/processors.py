@@ -191,9 +191,19 @@ def streaming_cart_abandonment(
     bound is floor_ms(max event time) - delay — reproduced exactly by the
     oracle's ``date_trunc('milliseconds', max(ts)) - delay``.
 
-    Scale: state is O(pending views per active user), Arrow-batched per
-    group, evicted by the timeout — bounded at any corpus size; the group-by
-    shuffle is the only data movement.
+    Cross-batch out-of-order correctness: state retains not only pending
+    views but also PURCHASE timestamps still above the watermark, so a late
+    view (arriving in a later micro-batch, within the allowed lateness) is
+    checked against purchases processed in earlier batches and converted
+    instead of being emitted as a spurious abandonment.  The retention bound
+    is exact: a purchase with ``p_ts < watermark`` could only convert views
+    with ``view_ts <= p_ts < watermark``, and those are dropped as too-late
+    by Spark itself — so purchases are evicted the moment the watermark
+    passes them and state stays bounded.
+
+    Scale: state is O(pending views + in-horizon purchases per active user),
+    Arrow-batched per group, evicted by the timeout — bounded at any corpus
+    size; the group-by shuffle is the only data movement.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -202,13 +212,15 @@ def streaming_cart_abandonment(
     out_schema = (
         "user_id long, view_event_id long, view_ts timestamp, abandoned_at timestamp"
     )
-    state_schema = "pend_ids array<long>, pend_ts array<long>"
+    state_schema = "pend_ids array<long>, pend_ts array<long>, purch_ts array<long>"
 
     def detect(key, pdf_iter, state: GroupState):
         pend: list[tuple[int, int]] = []  # (event_id, view_ts_us)
+        purch: list[int] = []  # purchase ts_us, retained while >= watermark
         if state.exists:
-            ids, tss = state.get
+            ids, tss, ptss = state.get
             pend = list(zip(ids, tss))
+            purch = list(ptss)
         if not state.hasTimedOut:
             rows = []
             for pdf in pdf_iter:
@@ -228,14 +240,26 @@ def streaming_cart_abandonment(
                         p for p in pend
                         if p[1] < ts_us - timeout_us or p[1] > ts_us
                     ]
+                    purch.append(ts_us)
+                elif any(ts_us <= p <= ts_us + timeout_us for p in purch):
+                    # late out-of-order view already covered by a purchase
+                    # from an earlier micro-batch (or earlier in this one):
+                    # converted on arrival, never enters pending state
+                    pass
                 else:
                     pend.append((eid, ts_us))
         wm_us = state.getCurrentWatermarkMs() * 1000
         expired = [p for p in pend if p[1] + timeout_us < wm_us]
         pend = [p for p in pend if p[1] + timeout_us >= wm_us]
-        if pend:
-            state.update(([p[0] for p in pend], [p[1] for p in pend]))
-            next_deadline_ms = min(p[1] + timeout_us for p in pend) // 1000 + 1
+        purch = [p for p in purch if p >= wm_us]
+        if pend or purch:
+            state.update((
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                purch,
+            ))
+            deadlines = [p[1] + timeout_us for p in pend] + purch
+            next_deadline_ms = min(deadlines) // 1000 + 1
             state.setTimeoutTimestamp(max(next_deadline_ms, wm_us // 1000 + 1))
         elif state.exists:
             state.remove()

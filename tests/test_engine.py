@@ -592,7 +592,10 @@ def test_external_session_can_run_closure_pickling_queries(tmp_path):
         from pyspark.sql import SparkSession
         spark = SparkSession.builder.master("local[2]").getOrCreate()
         qs = mod.queries()
-        for name in ("multimodal_decode", "python_datasource_feed"):
+        # python_datasource_feed FIRST: it must ship the package itself via
+        # register() -> ensure_session_conf, not ride on a prior query's
+        # addPyFile side effect
+        for name in ("python_datasource_feed", "multimodal_decode"):
             assert qs[name](spark, "/root/testdata/sf0.001").count() > 0, name
         print("EXTERNAL_SESSION_OK")
         """
