@@ -13,8 +13,10 @@ SURVEY §4 inefficiency 3).  Here:
   exactly-once table state.
 * The batch DataFrame is persisted once per batch; every downstream action
   (metrics, write) reuses it.
-* ``jdbc_upsert_sink`` — the JDBC twin (guarded: no Postgres in this
-  container); same keying, staged through a temp table + ON CONFLICT merge.
+* ``jdbc_upsert_sink`` — the JDBC twin: same keying, staged through a
+  per-batch table + ON CONFLICT merge executed over a driver-side JDBC
+  connection.  Connectivity-gated before any write (no Postgres in this
+  container); statement generation is unit-tested either way.
 """
 
 from __future__ import annotations
@@ -60,33 +62,63 @@ def console_sink(num_rows: int = 5) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def build_upsert_statement(
+    table: str, staging: str, columns: list[str], key_columns: list[str]
+) -> str:
+    """The INSERT .. ON CONFLICT DO UPDATE merge the JDBC sink executes after
+    staging a micro-batch — factored out so the statement generation is unit
+    tested even where no database exists (reference target:
+    init_metrics.sql's UNIQUE-keyed metric tables)."""
+    cols = ", ".join(columns)
+    update = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns)
+    return (
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+        f"ON CONFLICT ({', '.join(key_columns)}) DO UPDATE SET {update}"
+    )
+
+
 def jdbc_upsert_sink(
     url: str,
     table: str,
     key_columns: list[str],
     properties: dict[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
-    """K1 twin for JDBC targets: stage the batch into a temp table and MERGE
-    on the window/key columns — replaces the reference's append +
-    tolerate-duplicate-key (metrics_sink.py:30-41).  Requires a JDBC driver
-    on the classpath; import-guarded by simply failing at call time when the
-    driver is absent (no Postgres in the test container)."""
+    """K1 twin for JDBC targets: stage the batch into a per-batch table, then
+    MERGE on the window/key columns via a driver-side JDBC connection —
+    replaces the reference's append + tolerate-duplicate-key
+    (metrics_sink.py:30-41) with an idempotent upsert (at-least-once replay
+    converges, SURVEY §2.5 D5).
+
+    Connectivity-gated UP FRONT: if no JDBC driver on the classpath accepts
+    ``url`` (the case in this container — no Postgres), the sink raises
+    before staging anything, so no write is ever attempted against an
+    unreachable target.  Statement generation (``build_upsert_statement``)
+    is covered by tests/test_streaming.py regardless."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         staging = f"{table}_staging_{batch_id}"
+        merge_sql = build_upsert_statement(table, staging, batch_df.columns, key_columns)
+        jvm = batch_df.sparkSession._jvm
+        try:
+            jvm.java.sql.DriverManager.getDriver(url)
+        except Exception as exc:  # no registered driver accepts this URL
+            raise NotImplementedError(
+                f"no JDBC driver on the classpath accepts {url!r}; refusing to "
+                f"stage batch {batch_id}. Generated merge statement: {merge_sql}"
+            ) from exc
         props = dict(properties or {})
         batch_df.write.jdbc(url, staging, mode="overwrite", properties=props)
-        keys = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
-        cols = ", ".join(batch_df.columns)
-        # executed via a driver-side JDBC connection in real deployments:
-        merge_sql = (
-            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} s "
-            f"ON CONFLICT ({', '.join(key_columns)}) DO UPDATE SET "
-            + ", ".join(f"{c} = EXCLUDED.{c}" for c in batch_df.columns if c not in key_columns)
-        )
-        raise NotImplementedError(
-            "JDBC merge requires a live database; generated statement: " + merge_sql
-        )
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            st = conn.createStatement()
+            st.execute(merge_sql)
+            st.execute(f"DROP TABLE {staging}")
+            st.close()
+        finally:
+            conn.close()
 
     return write
 

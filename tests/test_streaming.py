@@ -389,3 +389,103 @@ def test_observe_metrics_on_stream(spark, sf_dir):
     assert sum(m["null_values"] for m in observed) == batch_events.where(
         F.col("value").isNull()
     ).count()
+
+
+def test_cart_abandonment_late_view_cancelled_by_earlier_batch_purchase(
+    spark, tmp_path
+):
+    """Cross-batch out-of-order correctness for the CEP processor: a view
+    arriving LATE (in a later micro-batch, within the allowed lateness) whose
+    covering purchase was already processed in an earlier batch must be
+    converted — not emitted as a spurious abandonment.  Requires the purchase
+    timestamps retained in state; a pending-views-only state diverges from
+    the NOT EXISTS oracle here."""
+    import datetime
+    import shutil
+    import time as _time
+
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_cart_abandonment,
+    )
+
+    T = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return T + datetime.timedelta(minutes=minutes)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    # batch A: user 1 purchases at T+10 (watermark after A = T+10 - 10min = T)
+    batch_a = [(100, 1, m(10), "purchase")]
+    # batch B: late out-of-order views at T+5/T+6 (>= watermark T, accepted).
+    # user 1's is covered by the batch-A purchase (T+5 <= T+10 <= T+35);
+    # user 2 has no purchase -> genuinely abandoned
+    batch_b = [(101, 1, m(5), "view"), (102, 2, m(6), "view")]
+    # batch C: watermark pusher to T+70, past both 30-min deadlines; its own
+    # view stays pending (deadline T+110 > final watermark)
+    batch_c = [(103, 3, m(80), "view")]
+
+    stream_dir = tmp_path / "ca_stream"
+    stream_dir.mkdir()
+    for i, (name, rows) in enumerate(
+        [("a", batch_a), ("b", batch_b), ("c", batch_c)]
+    ):
+        staging = tmp_path / f"ca_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        dest = stream_dir / f"{name}.parquet"
+        shutil.move(str(part), str(dest))
+        ts = _time.time() - 1000 + i
+        os.utime(dest, (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    got = _run_stream(spark, streaming_cart_abandonment(stream), output_mode="append")
+    emitted = {(r["user_id"], r["view_event_id"]) for r in got.collect()}
+    assert (1, 101) not in emitted, "late view covered by earlier-batch purchase"
+    assert (2, 102) in emitted, "uncovered late view must still abandon"
+    assert (3, 103) not in emitted, "open view must stay unemitted"
+
+
+def test_jdbc_upsert_statement_and_no_write_without_driver(spark, monkeypatch):
+    """The JDBC sink must (a) generate the ON CONFLICT merge statement
+    correctly and (b) refuse to attempt ANY write when no JDBC driver on the
+    classpath accepts the URL — the connectivity gate fires before staging."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from e_commerce_streaming_datapipeline_spark.streaming.sinks import (
+        build_upsert_statement,
+        jdbc_upsert_sink,
+    )
+
+    stmt = build_upsert_statement(
+        "metrics", "metrics_staging_7",
+        ["window_start", "payment_type", "gmv", "n"],
+        ["window_start", "payment_type"],
+    )
+    assert stmt == (
+        "INSERT INTO metrics (window_start, payment_type, gmv, n) "
+        "SELECT window_start, payment_type, gmv, n FROM metrics_staging_7 "
+        "ON CONFLICT (window_start, payment_type) DO UPDATE SET "
+        "gmv = EXCLUDED.gmv, n = EXCLUDED.n"
+    )
+
+    attempts = []
+    monkeypatch.setattr(
+        DataFrameWriter, "jdbc", lambda self, *a, **kw: attempts.append(a)
+    )
+    batch = spark.createDataFrame(
+        [(1, "card", 10.0, 2)], "window_start int, payment_type string, gmv double, n int"
+    )
+    sink = jdbc_upsert_sink(
+        "jdbc:postgresql://localhost:5432/absent", "metrics",
+        ["window_start", "payment_type"],
+    )
+    with pytest.raises(NotImplementedError) as err:
+        sink(batch, 7)
+    assert "ON CONFLICT" in str(err.value)
+    assert attempts == [], "write attempted despite missing JDBC driver"
