@@ -429,6 +429,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "tfidf_top_terms",        # corpus doc count
         "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
         "lsh_recall_audit",       # inherits embedding_topk's query-vector cross join
+        "lsh_multiprobe_recall_audit",  # ditto + 5-row probe-levels cross join
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
@@ -635,3 +636,71 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex-typed output columns: {offenders}"
+
+
+def test_salting_balances_skewed_join_reducers(spark):
+    """Skew-resilience evidence for the salting pattern behind
+    salted_priority_revenue (operators/setops.py): on a deliberately skewed
+    join key (~75% of fact rows on ONE hot key), the unsalted shuffle-hash
+    join lands the hot key's rows on a single reducer, while the 8-way
+    salted twin spreads them across reducers.  Asserted on rows-per-output-
+    partition of the join itself (the shuffle-size evidence, deterministic —
+    no timing), with AQE disabled so nothing rebalances behind the test.
+
+    Two measurement traps this test works around: load_table ->
+    ensure_session_conf re-enables AQE, so the disable must come AFTER the
+    loads; and spark_partition_id() gets project-pushed below the exchange
+    (reporting scan-side partitions), so distribution is read via
+    rdd.mapPartitions — the true physical output partitioning."""
+    from tests.conftest import SF_DIR_T2
+
+    li = load_table(spark, "lineitem", SF_DIR_T2).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    was_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # deterministic skew: 3 of 4 rows collapse onto key 1
+        fact = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        dim = fact.select("k").distinct().withColumn("prio", F.col("k") % 5)
+
+        def partition_counts(df):
+            return df.rdd.mapPartitions(
+                lambda it: iter([sum(1 for _ in it)])
+            ).collect()
+
+        plain = fact.join(dim.hint("shuffle_hash"), "k")
+        # salt must vary within the hot key: (orderkey, linenumber) is
+        # row-unique, whereas linenumber alone has only 7 distinct values.
+        # 32 buckets >> 8 reducers: the hot key's salt groups hash into
+        # partitions with collisions (birthday problem), so the bucket count
+        # must exceed the target parallelism for the spread to smooth out.
+        n_salt = 32
+        salted_f = fact.withColumn(
+            "__salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(n_salt))
+        )
+        salted_d = dim.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        salted = salted_f.join(
+            salted_d.hint("shuffle_hash"),
+            (salted_f.k == salted_d.k) & (salted_f.__salt == salted_d.__salt),
+        )
+
+        total = fact.count()
+        assert salted.count() == plain.count() == total  # same join result size
+
+        plain_max = max(partition_counts(plain))
+        salted_max = max(partition_counts(salted))
+        # unsalted: the hot key's ~75% of rows sit on one reducer
+        assert plain_max >= 0.7 * total, (plain_max, total)
+        # salted: the hot key spreads 8 ways; worst reducer carries a
+        # fraction of the unsalted hot partition
+        assert salted_max <= plain_max / 3, (salted_max, plain_max)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
