@@ -86,14 +86,22 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-way salt, producing bit-identical results to the plain join.
 
     The pattern for a hot join key at 100 TB (one mega-order, one bot user):
-    the probe side gets ``salt = pmod(hash(l_linenumber), 8)`` (any
-    deterministic per-row column works); the build side is exploded 8× via
+    the probe side gets ``salt = pmod(hash(l_orderkey, l_linenumber), 8)``
+    (any deterministic expression works, but it must take many distinct
+    values WITHIN the hot key — ``hash(l_linenumber)`` alone has only 7
+    distinct inputs, which collide into a lumpy 8-bucket split and leave the
+    skew half-fixed); the build side is exploded 8× via
     ``sequence(0,7)``; the join key becomes ``(key, salt)`` so a hot key's
     rows spread over 8 reducers instead of one.  AQE's skew-join split
     (``spark.sql.adaptive.skewJoin``) does this adaptively for sort-merge
     joins; explicit salting is the portable fallback and the only option for
     streaming-state joins.  Build-side replication costs 8× |orders| rows
-    shuffled — acceptable when the build side is the smaller fact.  The
+    shuffled — acceptable when the build side is the smaller fact.  Sizing
+    rule (verified by tests/test_engine.py's reducer-balance test): the hot
+    key spreads over at most ``buckets`` reducers, and because composite
+    keys hash into partitions with birthday collisions, ``buckets`` should
+    comfortably EXCEED the per-key target parallelism — at 1000 reducers
+    salt with hundreds of buckets, not 8.  The
     ``shuffle_hash`` hint pins the shuffle-join path: at test SF the salted
     build side still fits the broadcast threshold, which would silently
     bypass the very distribution the salt exists to fix.
@@ -101,7 +109,8 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     salted_l = lineitem.withColumn(
-        "__salt", F.pmod(F.hash(F.col("l_linenumber")), F.lit(_SALT_BUCKETS))
+        "__salt",
+        F.pmod(F.hash(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(_SALT_BUCKETS)),
     )
     salted_o = orders.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
