@@ -1,0 +1,134 @@
+"""Round-over-round guard: diff the driver's CORRECTNESS_r{N}.json and
+BENCH_r{N}.json against the previous round and append a named, query-level
+delta line to ROUND_DELTAS.jsonl — so a regression is a named fact in the
+repo, not something a later round has to rediscover.
+
+Usage (from the repo root, after the driver drops a new round's files):
+
+    python scripts/round_delta.py
+
+Reported per round pair:
+* correctness transitions per query (pass -> fail/err, err -> pass, new, gone)
+* bench per-query time deltas, flagging >10% regressions on shared queries
+* totals for both rounds
+
+The line is also printed human-readably.  Idempotent: re-running for an
+already-recorded round pair replaces that pair's line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGRESSION_PCT = 10.0
+
+
+def _rounds(pattern: str) -> dict[int, str]:
+    out = {}
+    for path in glob.glob(os.path.join(REPO, pattern)):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            out[int(m.group(1))] = path
+    return out
+
+
+def _correctness_status(entry: dict) -> str:
+    if entry.get("err") == "no_oracle":
+        return "rows_only"  # non-SQL-expressible op, weaker check by design
+    if entry.get("err"):
+        return "err"
+    checks = [entry.get("rows_match"), entry.get("schema_match"), entry.get("hash_match")]
+    if all(c is None for c in checks):
+        return "rows_only"
+    return "pass" if all(c in (True, None) for c in checks) else "fail"
+
+
+def correctness_delta(prev_path: str | None, cur_path: str) -> dict:
+    cur = {k: _correctness_status(v) for k, v in json.load(open(cur_path)).items()}
+    prev = (
+        {k: _correctness_status(v) for k, v in json.load(open(prev_path)).items()}
+        if prev_path
+        else {}
+    )
+    transitions = {
+        q: f"{prev[q]} -> {cur[q]}" for q in sorted(set(prev) & set(cur)) if prev[q] != cur[q]
+    }
+    return {
+        "n_pass": sum(1 for s in cur.values() if s == "pass"),
+        "n_fail": sum(1 for s in cur.values() if s in ("fail", "err")),
+        "failing": sorted(q for q, s in cur.items() if s in ("fail", "err")),
+        "transitions": transitions,
+        "new": sorted(set(cur) - set(prev)) if prev_path else [],
+        "gone": sorted(set(prev) - set(cur)),
+    }
+
+
+def _load_bench(path: str) -> dict:
+    data = json.load(open(path))
+    # the driver wraps the bench JSON line under "parsed"
+    return data["parsed"] if isinstance(data.get("parsed"), dict) else data
+
+
+def bench_delta(prev_path: str | None, cur_path: str) -> dict:
+    cur = _load_bench(cur_path)
+    out: dict = {"total": cur.get("value")}
+    if "core32_total" in cur:
+        out["core32_total"] = cur["core32_total"]
+    if not prev_path:
+        return out
+    prev = _load_bench(prev_path)
+    pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    regressions = {}
+    for q in sorted(set(pq) & set(cq)):
+        if pq[q] > 0 and (cq[q] - pq[q]) / pq[q] * 100 > REGRESSION_PCT:
+            regressions[q] = {"prev_s": pq[q], "cur_s": cq[q],
+                              "pct": round((cq[q] - pq[q]) / pq[q] * 100, 1)}
+    out.update({
+        "prev_total": prev.get("value"),
+        "regressions_gt_10pct": regressions,
+        "new_queries": sorted(set(cq) - set(pq)),
+    })
+    return out
+
+
+def main() -> None:
+    corr, bench = _rounds("CORRECTNESS_r*.json"), _rounds("BENCH_r*.json")
+    if not corr and not bench:
+        print("no driver round files found", file=sys.stderr)
+        raise SystemExit(1)
+    cur_round = max(set(corr) | set(bench))
+    prev_rounds = [r for r in set(corr) | set(bench) if r < cur_round]
+    prev_round = max(prev_rounds) if prev_rounds else None
+
+    line = {"round": cur_round, "vs_round": prev_round}
+    if cur_round in corr:
+        line["correctness"] = correctness_delta(
+            corr.get(prev_round) if prev_round else None, corr[cur_round]
+        )
+    if cur_round in bench:
+        line["bench"] = bench_delta(
+            bench.get(prev_round) if prev_round else None, bench[cur_round]
+        )
+
+    out_path = os.path.join(REPO, "ROUND_DELTAS.jsonl")
+    existing = []
+    if os.path.exists(out_path):
+        existing = [
+            json.loads(ln)
+            for ln in open(out_path)
+            if ln.strip() and json.loads(ln).get("round") != cur_round
+        ]
+    with open(out_path, "w") as f:
+        for e in existing:
+            f.write(json.dumps(e) + "\n")
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line, indent=2))
+
+
+if __name__ == "__main__":
+    main()
