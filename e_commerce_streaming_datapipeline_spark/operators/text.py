@@ -627,3 +627,59 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT c.* FROM {view} t, LATERAL doc_chunker(t.doc_id, t.text, t.n_chars) c"
     )
+
+
+_BPE_TOP_K = 20
+
+_BPE_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+    SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY 1
+), pairs AS (
+    SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+    FROM (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM wc)
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS n
+FROM pairs
+GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP_K}
+"""
+
+
+@query("bpe_pair_counts", oracle=_BPE_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge-learning iteration over the corpus: the
+    most frequent adjacent symbol pairs, weighted by word frequency — the
+    inner loop of tokenizer training (BPE/WordPiece vocab building), which at
+    100 TB is a corpus-scale aggregation job, not a single-machine script.
+
+    Plan shape: words explode row-locally, collapse to (word, freq) with
+    map-side partial counts BEFORE pair expansion — pairs are then generated
+    from the DISTINCT word list (|vocab| rows, orders of magnitude smaller
+    than the corpus token stream), so the second explode+aggregate runs on
+    vocabulary scale.  That two-stage shape (corpus → word counts → pair
+    counts) is exactly how production BPE trainers distribute; a naive
+    per-token pair explode would shuffle |tokens| x avg_word_len rows.
+    Top-k is a global TakeOrdered (no window), ties broken on the pair text
+    so the cut is deterministic cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = wc.select(
+        "f",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(_BPE_TOP_K)
+    )
