@@ -278,7 +278,10 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
-    sigs = _lsh_band_sigs(emb)
+    # repartition before the 16-dot-product projection so single-file inputs
+    # parallelize the HOF math (same rationale as minhash_near_dups; ~10%
+    # local win, a no-op cost at scale where the scan is already parallel)
+    sigs = _lsh_band_sigs(emb.repartition(spark.sparkContext.defaultParallelism))
     # Materialize the signatures once: both the query side and the corpus
     # side consume this relation, and without a cut Spark re-evaluates the
     # 16-hyperplane HOF subtree on each — at 10^9 vectors that doubles the
@@ -428,7 +431,9 @@ def q_embedding_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
-    sigs = _lsh_band_sigs(emb).localCheckpoint()
+    sigs = _lsh_band_sigs(
+        emb.repartition(spark.sparkContext.defaultParallelism)
+    ).localCheckpoint()
     cands = _lsh_multiprobe_cands(sigs).drop("min_lvl")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
@@ -492,7 +497,9 @@ def q_lsh_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
-    sigs = _lsh_band_sigs(emb).localCheckpoint()
+    sigs = _lsh_band_sigs(
+        emb.repartition(spark.sparkContext.defaultParallelism)
+    ).localCheckpoint()
     cands = _lsh_multiprobe_cands(sigs)
     bf = q_embedding_topk(spark, sf_dir).where(F.col("rank") <= LSH_TOP_K).select(
         "query_id", "neighbor_id"
@@ -509,6 +516,44 @@ def q_lsh_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             fround(F.count(hit) / F.count("*"), 4).alias("recall"),
         )
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=_ORACLE_PAIRS.format(
+        n_queries=N_QUERIES, top_k=3, join_cond="q.label <> c.label"
+    ),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (query vector), the
+    top-3 most-similar vectors with a DIFFERENT label — the pairs that teach
+    an embedding model the most (similar representation, different class),
+    mined for every contrastive/triplet training run.
+
+    Shape: identical to ``embedding_topk`` but the pair predicate adds the
+    label mismatch, so the broadcast of the small anchor sample against the
+    distributed corpus is unchanged.  At corpus scale anchors come from the
+    ANN index first (IVF/LSH candidates), then the label filter and exact
+    rerank run on candidates only — the same escalation path as
+    ``embedding_topk`` -> ``embedding_topk_lsh``."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(emb, F.col("q_label") != F.col("label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(pairs, top_k=3)
 
 
 NEAR_DUP_COSINE = 0.4  # fixture has no planted twins; 0.4 captures the tail

@@ -430,6 +430,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
         "lsh_recall_audit",       # inherits embedding_topk's query-vector cross join
         "lsh_multiprobe_recall_audit",  # ditto + 5-row probe-levels cross join
+        "hard_negative_mining",   # anchor-sample broadcast, label-mismatch predicate
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
