@@ -448,6 +448,59 @@ def q_cart_abandonment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_completion_stream",
+    oracle="""
+WITH wm AS (
+    -- watermark over the filtered (view/click/purchase) stream, ms-floored
+    SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), fin AS (
+    -- the fold consumes only watermark-finalized events
+    SELECT e.user_id, e.event_type, e.ts
+    FROM events e, wm
+    WHERE e.event_type IN ('view', 'click', 'purchase') AND e.ts < wm.w
+), w1 AS (
+    SELECT user_id, event_type, ts,
+        min(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS tv
+    FROM fin
+), w2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= tv THEN ts END)
+            OVER (PARTITION BY user_id) AS tc
+    FROM w1
+), w3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= tc THEN ts END)
+            OVER (PARTITION BY user_id) AS tp
+    FROM w2
+), per_user AS (
+    SELECT user_id, max(tv) AS first_view, max(tc) AS first_click,
+           max(tp) AS purchase_ts
+    FROM w3 GROUP BY 1
+)
+SELECT user_id, first_view, first_click, purchase_ts
+FROM per_user WHERE purchase_ts IS NOT NULL
+""",
+)
+def q_funnel_completion_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-funnel CEP on the stream (``applyInPandasWithState``): a
+    completion row per user who performs view -> click -> purchase in order,
+    with the same first-qualifying-event semantics as the batch
+    ``ordered_funnel`` — fold registers advance only over watermark-finalized
+    events, so the detection is exact under out-of-order arrival (see
+    streaming/processors.py::streaming_funnel_completion).  Hash-checked
+    against the batch three-stage window chain restricted to
+    ``ts < final watermark``."""
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_funnel_completion,
+    )
+
+    events = read_file_stream(spark, sf_dir)
+    return _run_to_table(
+        spark, streaming_funnel_completion(events), "funnel_completion", output_mode="append"
+    )
+
+
+@query(
     "unattributed_purchases_stream",
     oracle="""
 WITH wm AS (

@@ -290,6 +290,91 @@ def streaming_cart_abandonment(
     )
 
 
+def streaming_funnel_completion(events: DataFrame) -> DataFrame:
+    """Ordered-sequence CEP: emit (user, first_view, first_qualifying_click,
+    first_qualifying_purchase) once a user completes view -> click ->
+    purchase IN ORDER — the sequential-funnel semantics of the batch
+    ``ordered_funnel``, detected incrementally on the stream.
+
+    Correctness under out-of-order arrival (the part a naive running state
+    machine gets wrong): fold registers only advance over WATERMARK-FINALIZED
+    events.  Events at or above the watermark stay buffered in state; each
+    invocation merges buffer + new rows, sorts by (ts, view<click<purchase),
+    and folds exactly the prefix the watermark has made immutable.  A late
+    view/click (within allowed lateness) therefore still lands in its correct
+    sequence position before the fold consumes it — the emitted triple is
+    bit-identical to the batch chain over ``ts < final watermark``, which is
+    what the oracle replays.  Beyond-lateness stragglers are the standard
+    watermark forfeit.
+
+    State per user = 2 fold registers + the buffer of not-yet-final events —
+    bounded by the watermark horizon, not stream history; completion removes
+    the state entirely (the funnel fires once per user).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _KIND = {"view": 0, "click": 1, "purchase": 2}
+    out_schema = (
+        "user_id long, first_view timestamp, first_click timestamp, "
+        "purchase_ts timestamp"
+    )
+    # tv/tc registers use -1 as "not reached yet"
+    state_schema = "tv long, tc long, pend_ts array<long>, pend_kind array<int>"
+
+    def detect(key, pdf_iter, state: GroupState):
+        tv, tc = -1, -1
+        pend: list[tuple[int, int]] = []  # (ts_us, kind)
+        if state.exists:
+            tv, tc, tss, kinds = state.get
+            pend = list(zip(tss, kinds))
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                    pend.append((int(ts.value // 1000), _KIND[et]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend.sort()
+        fold, pend = [p for p in pend if p[0] < wm_us], [p for p in pend if p[0] >= wm_us]
+        tp = -1
+        for ts_us, kind in fold:
+            if kind == 0 and tv < 0:
+                tv = ts_us
+            elif kind == 1 and tc < 0 and 0 <= tv <= ts_us:
+                tc = ts_us
+            elif kind == 2 and 0 <= tc <= ts_us:
+                tp = ts_us
+                break
+        if tp >= 0:
+            state.remove()  # fires once; buffered later events are moot
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "first_view": [pd.Timestamp(tv, unit="us")],
+                    "first_click": [pd.Timestamp(tc, unit="us")],
+                    "purchase_ts": [pd.Timestamp(tp, unit="us")],
+                }
+            )
+            return
+        state.update((tv, tc, [p[0] for p in pend], [p[1] for p in pend]))
+        if pend:
+            # wake when the watermark can finalize the earliest buffered event
+            state.setTimeoutTimestamp(max(pend[0][0] // 1000 + 1, wm_us // 1000 + 1))
+
+    return (
+        events.where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running profile (event count, total spend, last-seen timestamp) — the

@@ -489,3 +489,57 @@ def test_jdbc_upsert_statement_and_no_write_without_driver(spark, monkeypatch):
         sink(batch, 7)
     assert "ON CONFLICT" in str(err.value)
     assert attempts == [], "write attempted despite missing JDBC driver"
+
+
+def test_funnel_completion_fold_handles_late_view(spark, tmp_path):
+    """Out-of-order robustness of the sequence detector: user 1's click and
+    purchase arrive in batch A, their view arrives LATE in batch B with an
+    EARLIER event time.  A running state machine would have consumed the
+    click/purchase already and missed the funnel; the watermark-finalized
+    fold buffers all three and folds them in event-time order, emitting the
+    completion with the correct triple."""
+    import datetime
+    import shutil
+    import time as _time
+
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_funnel_completion,
+    )
+
+    T = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return T + datetime.timedelta(minutes=minutes)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    batches = [
+        [(100, 1, m(5), "click"), (101, 1, m(6), "purchase")],
+        [(102, 1, m(2), "view"), (103, 2, m(3), "view"), (104, 2, m(4), "click")],
+        [(105, 3, m(60), "view")],  # watermark pusher to T+50
+    ]
+    stream_dir = tmp_path / "fc_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"fc_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        dest = stream_dir / f"{i}.parquet"
+        shutil.move(str(part), str(dest))
+        ts = _time.time() - 1000 + i
+        os.utime(dest, (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    got = _run_stream(
+        spark, streaming_funnel_completion(stream), output_mode="append"
+    )
+    rows = {r["user_id"]: r for r in got.collect()}
+    assert set(rows) == {1}, "only user 1 completes the ordered funnel"
+    assert rows[1]["first_view"] == m(2)
+    assert rows[1]["first_click"] == m(5)
+    assert rows[1]["purchase_ts"] == m(6)
