@@ -543,3 +543,26 @@ def test_funnel_completion_fold_handles_late_view(spark, tmp_path):
     assert rows[1]["first_view"] == m(2)
     assert rows[1]["first_click"] == m(5)
     assert rows[1]["purchase_ts"] == m(6)
+
+
+def test_rocksdb_state_store_produces_identical_results(spark, sf_dir):
+    """The large-state scale path: SPARK_GRAFT_STATESTORE=rocksdb flips the
+    provider (session.py) — state spills to disk instead of executor heap.
+    The provider is read per query start, so this runs one watermarked
+    aggregation under RocksDB and asserts bit-identical output to the batch
+    equivalent (same contract the default provider satisfies)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(spark, streaming_gmv(read_file_stream(spark, sf_dir), "1 minute"))
+        batch_events = load_table(spark, "events", sf_dir).where(
+            F.col("event_type") == "purchase"
+        )
+        expected = gmv_tumbling(batch_events, "1 minute").drop("unique_buyers")
+        assert sorted(_rows(got, "window_start")) == sorted(_rows(expected, "window_start"))
+    finally:
+        spark.conf.set(key, prev)
