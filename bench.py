@@ -69,6 +69,10 @@ EXTENDED = [
     "grouping_sets_revenue",  # GROUPING SETS multi-level rollup
     "journey_stream_join",    # 3-way chained stream-stream join
     "curation_pipeline",      # end-to-end curation (redact+filter+dedup+pack)
+    "heavy_hitters_cms",      # count-min sketch build + estimate join
+    "chunk_dedup_retention",  # chunk-hash cross-doc dedup (paragraph-style)
+    "embedding_topk_sq",      # int8 scalar-quantized ANN + exact rerank
+    "attribution_first_last", # range join + min_by/max_by attribution
 ]
 
 

@@ -682,3 +682,79 @@ def q_dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level (paragraph-style) cross-document dedup
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 8
+
+
+@query(
+    "chunk_dedup_retention",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               t[c * {_CHUNK_WORDS} + 1 : c * {_CHUNK_WORDS} + {_CHUNK_WORDS}], ' '
+           )) AS h
+    FROM toks,
+         LATERAL unnest(generate_series(
+             0, CAST(floor((len(t) - 1) / {_CHUNK_WORDS}.0) AS BIGINT)
+         )) u(c)
+    WHERE len(t) >= 1
+), hc AS (
+    SELECT h, count(*) AS n FROM chunks GROUP BY h
+)
+SELECT
+    c.doc_id,
+    CAST(count(*) AS INT)                                        AS n_chunks,
+    CAST(sum(CASE WHEN hc.n > 1 THEN 1 ELSE 0 END) AS INT)       AS n_shared_chunks,
+    round(1.0 - sum(CASE WHEN hc.n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                                                                 AS retention_frac
+FROM chunks c JOIN hc USING (h)
+GROUP BY c.doc_id
+""",
+)
+def q_chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup (the paragraph/line-dedup stage of
+    web-corpus pipelines, applied to 8-word chunks since the fixture text
+    has no line structure): every chunk whose hash occurs more than once in
+    the corpus is 'shared'; per document we report how much text survives
+    if shared chunks are dropped — the retention metric that decides
+    whether a document is boilerplate.
+
+    Plan: chunking is row-local HOF work (split → sequence → slice → md5,
+    all codegen); global chunk counts are one hash-agg whose shuffle
+    carries distinct chunk hashes with map-side combine; the count join is
+    an equi-join on the hash (AQE handles the popular-chunk skew — at web
+    scale add a salt on hashes above a count ceiling, the counts themselves
+    don't need exactness beyond 'more than one').  Driver holds nothing."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    n = _CHUNK_WORDS
+    chunk_hashes = F.expr(
+        f"transform(sequence(0, CAST(floor((size(t) - 1) / {n}) AS INT)), "
+        f"c -> md5(concat_ws(' ', slice(t, c * {n} + 1, {n}))))"
+    )
+    chunks = toks.where(F.size("t") >= 1).select(
+        "doc_id", F.explode(chunk_hashes).alias("h")
+    )
+    hc = chunks.groupBy("h").agg(F.count("*").alias("hn"))
+    shared = F.sum(F.when(F.col("hn") > 1, 1).otherwise(0))
+    return (
+        chunks.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            shared.cast("int").alias("n_shared_chunks"),
+            fround(1.0 - shared * 1.0 / F.count("*"), 4).alias("retention_frac"),
+        )
+    )

@@ -889,3 +889,200 @@ def q_cogrouped_doc_vec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket int, n_docs int, n_vecs int, n_matched int, cross_sum long",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN with exact rerank
+# --------------------------------------------------------------------------
+
+_SQ_CANDIDATES = 20  # 4x the final k — the quantized recall budget
+
+_SQ_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sc AS (
+    SELECT vec_id, e,
+           127.0 / greatest(list_max(list_transform(e, y -> abs(y))), 1e-12) AS s
+    FROM v
+), q8 AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> CAST(round(x * s) AS BIGINT)) AS i8
+    FROM sc
+), qs AS (
+    SELECT * FROM q8 WHERE vec_id < {N_QUERIES}
+), approx AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        q.e AS qe,
+        c.e AS ce,
+        round(
+            CAST(list_inner_product(q.i8, c.i8) AS DOUBLE)
+            / (sqrt(CAST(list_inner_product(q.i8, q.i8) AS DOUBLE))
+               * sqrt(CAST(list_inner_product(c.i8, c.i8) AS DOUBLE))),
+            6
+        ) AS approx_sim
+    FROM qs q JOIN q8 c ON q.vec_id <> c.vec_id
+), cand AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id
+        ) AS arn
+        FROM approx
+    ) WHERE arn <= {_SQ_CANDIDATES}
+), exact AS (
+    SELECT query_id, neighbor_id,
+        round(
+            list_inner_product(qe, ce)
+            / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))),
+            6
+        ) AS cos_sim
+    FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn
+    FROM exact
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("embedding_topk_sq", oracle=_SQ_ORACLE)
+def q_embedding_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 per-vector absmax quantization (the
+    ``embedding_quantize`` codec) drives candidate generation — integer dot
+    products, exact cross-engine — then the top 4k candidates are reranked
+    with exact double cosine.  The memory-bandwidth scale play: the
+    candidate scan touches 1/4 the bytes of the full-precision corpus, and
+    the exact math runs only on 4k rows per query.
+
+    Plan: quantization is row-local higher-order-function work (codegen, no
+    Python, no shuffle); candidate ranking is a per-query WindowGroupLimit
+    (partial top-k before the shuffle); rerank touches ≤ 4k candidate
+    rows/query.  Composes with the IVF/LSH pruners — quantize the bucketed
+    candidates instead of the corpus."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    scale = 127.0 / F.greatest(
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    q8 = emb.select(
+        "vec_id",
+        "e",
+        F.transform(F.col("e"), lambda x: F.round(x * scale).cast("long")).alias("i8"),
+    )
+    queries = q8.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("i8").alias("qi8"),
+    )
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    approx = (
+        F.broadcast(queries)
+        .join(q8, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qe",
+            F.col("e").alias("ce"),
+            fround(
+                int_dot(F.col("qi8"), F.col("i8")).cast("double")
+                / (
+                    F.sqrt(int_dot(F.col("qi8"), F.col("qi8")).cast("double"))
+                    * F.sqrt(int_dot(F.col("i8"), F.col("i8")).cast("double"))
+                ),
+                6,
+            ).alias("approx_sim"),
+        )
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    cand = approx.withColumn("arn", F.row_number().over(aw)).where(
+        F.col("arn") <= _SQ_CANDIDATES
+    )
+    exact = cand.select(
+        "query_id",
+        "neighbor_id",
+        fround(cosine_similarity_expr(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    return _ranked_topk(exact)
+
+
+# --------------------------------------------------------------------------
+# Arrow-native kernel: mapInArrow
+# --------------------------------------------------------------------------
+
+@query(
+    "embedding_norms_arrow",
+    oracle="""
+SELECT
+    vec_id,
+    round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * 10000) / 10000                                   AS l2_norm,
+    round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding)
+          * 10000) / 10000 + 0.0                             AS mean_component,
+    CAST(len(list_filter(embedding, x -> x > 0)) AS INT)     AS n_positive
+FROM embeddings
+""",
+)
+def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norms through ``mapInArrow`` — the zero-copy Arrow batch
+    API one tier below pandas UDFs (no pandas conversion at all: the kernel
+    reads ``pyarrow.RecordBatch`` columns as numpy views).  The shape for
+    wide-embedding feature extraction where even pandas block consolidation
+    is measurable overhead.
+
+    Row-local (no shuffle); batch size bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.  Sums are float64 over
+    float32 inputs; output rounds at 4dp, far above the summation-order
+    noise floor (~1e-13 relative)."""
+    import pyarrow as pa
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import ensure_session_conf
+
+    ensure_session_conf(spark)
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            # FixedSizeList/List of float32 -> (n, dim) float64 matrix
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(vec_ids), -1)
+            # cumsum, not sum/einsum: numpy's reductions are pairwise, the
+            # DuckDB oracle's list_aggregate is strictly sequential — cumsum's
+            # last column IS the left-to-right sum, bit-identical to DuckDB
+            seq_sum = np.cumsum(mat, axis=1)[:, -1]
+            seq_sq = np.cumsum(mat * mat, axis=1)[:, -1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(np.sqrt(seq_sq)),
+                    pa.array(seq_sum / mat.shape[1]),
+                    pa.array((mat > 0).sum(axis=1).astype(np.int32)),
+                ],
+                names=["vec_id", "l2_raw", "mean_raw", "n_positive"],
+            )
+
+    raw = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, l2_raw double, mean_raw double, n_positive int"
+    )
+    return raw.select(
+        "vec_id",
+        fround(F.col("l2_raw"), 4).alias("l2_norm"),
+        fround(F.col("mean_raw"), 4).alias("mean_component"),
+        "n_positive",
+    )

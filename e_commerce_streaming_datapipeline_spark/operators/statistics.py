@@ -1,0 +1,525 @@
+"""Statistical aggregates and attribution analytics over the event stream.
+
+Round-2 surface widening beyond the reference's four processors: the
+reference's metric relations stop at count/sum/avg (e.g.
+src/processors/gmv_processor.py:36-44); a production analytics engine also
+needs second-moment statistics, regression aggregates, time-weighted
+averages, marketing attribution, and sketch-based heavy-hitter detection.
+All five queries are DuckDB-hash-checked; every formula is chosen so both
+engines execute bit-comparable arithmetic (integer hashing, lpad string
+keys, `fround` decimal mechanics — SURVEY §7 hard-part 2).
+
+Scale notes per query live in the docstrings; the common theme: everything
+here is a single hash-aggregation pass (map-side partial combine) or a
+broadcast join against a bounded sketch/params relation — no shuffle whose
+volume scales with anything but the group-key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+
+# --------------------------------------------------------------------------
+# Second-moment statistics
+# --------------------------------------------------------------------------
+
+@query(
+    "event_value_moments",
+    oracle="""
+SELECT
+    event_type,
+    count(*)                                            AS n,
+    round(avg(value) * 10000) / 10000                   AS mean_value,
+    round(stddev_samp(value) * 10000) / 10000           AS sd_value,
+    round(var_samp(value) * 10000) / 10000              AS var_value,
+    round(corr(value, CAST(user_id % 97 AS DOUBLE)) * 10000) / 10000
+                                                        AS corr_value_userbucket,
+    round(covar_samp(value, CAST(user_id % 97 AS DOUBLE)) * 10000) / 10000
+                                                        AS covar_value_userbucket
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type: sample stddev/variance of
+    the monetary value plus its correlation/covariance with a bounded user
+    bucket (user_id % 97 — small magnitudes keep the single-pass co-moment
+    update numerically comparable across engines).
+
+    One hash aggregation with map-side partial combine: Spark's stddev/corr
+    aggregates keep constant-size state (n, mean, M2, co-moments) per group,
+    so the shuffle carries #event_types rows regardless of corpus size —
+    the canonical scalable-statistics plan at 100 TB."""
+    events = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    bucket = (F.col("user_id") % 97).cast("double")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        fround(F.avg("value"), 4).alias("mean_value"),
+        fround(F.stddev_samp("value"), 4).alias("sd_value"),
+        fround(F.var_samp("value"), 4).alias("var_value"),
+        fround(F.corr(F.col("value"), bucket), 4).alias("corr_value_userbucket"),
+        fround(F.covar_samp(F.col("value"), bucket), 4).alias("covar_value_userbucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regression aggregates: Zipf slope of the corpus term distribution
+# --------------------------------------------------------------------------
+
+@query(
+    "ngram_zipf_slope",
+    oracle="""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+), counts AS (
+    SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w
+), ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM counts
+)
+SELECT
+    count(*)                                               AS n_terms,
+    round(regr_slope(ln(c), ln(r)) * 10000) / 10000        AS zipf_slope,
+    round(regr_intercept(ln(c), ln(r)) * 10000) / 10000    AS zipf_intercept,
+    round(regr_r2(ln(c), ln(r)) * 10000) / 10000           AS zipf_r2
+FROM ranked
+""",
+)
+def q_ngram_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope /
+    intercept / R² of ln(count) against ln(rank) via the linear-regression
+    aggregate family (`regr_slope` &co) — the standard corpus-health
+    diagnostic (natural text ≈ -1; synthetic or boilerplate-heavy corpora
+    deviate).
+
+    Plan: tokenize → hash-agg term counts (shuffle = distinct vocabulary,
+    not corpus size) → single global window to rank (vocabulary is orders
+    of magnitude smaller than the corpus; for web-scale vocabularies swap
+    in a two-phase rank: per-partition offsets + cumulative sum) → one
+    regr_* aggregation with constant state."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = counts.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))).alias("r")
+    )
+    y, x = F.log(F.col("c")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        fround(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        fround(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        fround(F.regr_r2(y, x), 4).alias("zipf_r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (time-series analytics)
+# --------------------------------------------------------------------------
+
+@query(
+    "event_value_twa",
+    oracle="""
+WITH seq AS (
+    SELECT
+        user_id,
+        epoch_us(ts) AS ts_us,
+        coalesce(value, 0.0) AS v,
+        lead(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        ) AS next_us
+    FROM events WHERE event_type = 'purchase'
+), segs AS (
+    SELECT user_id, v, next_us - ts_us AS dt_us
+    FROM seq WHERE next_us IS NOT NULL
+)
+SELECT
+    user_id,
+    count(*)                                        AS n_segments,
+    CAST(sum(dt_us) AS BIGINT)                      AS span_us,
+    round(sum(v * dt_us) / sum(dt_us) * 10000) / 10000 AS twa_value
+FROM segs
+GROUP BY user_id
+HAVING sum(dt_us) > 0
+""",
+)
+def q_event_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user: each purchase's value
+    is weighted by how long it stayed the *latest* purchase (until the
+    user's next one) — the time-series TWA/VWAP shape, built from `lead`
+    over exact integer microseconds (`unix_micros` ≡ DuckDB `epoch_us`,
+    so segment durations are bit-identical cross-engine).
+
+    Plan: one shuffle on user_id feeds BOTH the lead window and the final
+    aggregation (same partitioning reused, no second exchange); window
+    state is one row of lookahead.  Skew = per-user event count, bounded
+    for behavioral streams."""
+    seq = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.coalesce("value", F.lit(0.0)).alias("v"),
+            "event_id",
+        )
+        .withColumn(
+            "next_us",
+            F.lead("ts_us").over(
+                Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            ),
+        )
+    )
+    segs = seq.where(F.col("next_us").isNotNull()).select(
+        "user_id", "v", (F.col("next_us") - F.col("ts_us")).alias("dt_us")
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dt_us").alias("span_us"),
+            fround(F.sum(F.col("v") * F.col("dt_us")) / F.sum("dt_us"), 4).alias(
+                "twa_value"
+            ),
+        )
+        .where(F.col("span_us") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Marketing attribution: first-touch / last-touch
+# --------------------------------------------------------------------------
+
+@query(
+    "attribution_first_last",
+    oracle="""
+WITH pairs AS (
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        c.event_id AS click_id,
+        lpad(CAST(epoch_us(c.ts) AS VARCHAR), 20, '0') || ':' ||
+        lpad(CAST(c.event_id AS VARCHAR), 20, '0') AS ord_key
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.event_type = 'purchase'
+)
+SELECT
+    purchase_id,
+    user_id,
+    arg_min(click_id, ord_key) AS first_touch_click,
+    arg_max(click_id, ord_key) AS last_touch_click,
+    count(*)                   AS n_clicks_1h
+FROM pairs
+GROUP BY purchase_id, user_id
+""",
+)
+def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch click attribution: for every purchase, the
+    earliest and latest click by the same user in the preceding hour
+    (`min_by`/`max_by` over a zero-padded (timestamp, event_id) string key —
+    total order, so ties resolve identically on both engines).
+
+    Plan: the range join shuffles both sides on user_id once; min_by/max_by
+    keep one row of state per (purchase, extreme) so the post-join
+    aggregation collapses map-side.  At 100 TB the same query runs as the
+    watermarked interval stream-stream join (`attribution_stream_join`) —
+    this is its batch/backfill twin."""
+    events = load_table(spark, "events", sf_dir)
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("c_ts").cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("click_id").cast("string"), 20, "0"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "user_id", "click_id", ord_key.alias("ord_key"))
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.min_by("click_id", "ord_key").alias("first_touch_click"),
+        F.max_by("click_id", "ord_key").alias("last_touch_click"),
+        F.count("*").alias("n_clicks_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_PARAMS = [(0, 40503, 7), (1, 67867, 911), (2, 104729, 3571), (3, 122949, 27361)]
+_CMS_P = 2_147_483_647
+_CMS_W = 256
+_CMS_THRESHOLD = 20
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH params AS (
+    SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_PARAMS)})
+    t(j, a, b)
+), cells AS (
+    SELECT p.j,
+           ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS bkt,
+           count(*) AS c
+    FROM events e, params p
+    GROUP BY 1, 2
+), exact AS (
+    SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+), est AS (
+    SELECT x.user_id, min(c.c) AS cms_estimate
+    FROM (
+        SELECT u.user_id, p.j,
+               ((p.a * u.user_id + p.b) % {_CMS_P}) % {_CMS_W} AS bkt
+        FROM exact u, params p
+    ) x
+    JOIN cells c ON c.j = x.j AND c.bkt = x.bkt
+    GROUP BY 1
+)
+SELECT
+    e.user_id,
+    e.exact_n,
+    est.cms_estimate,
+    est.cms_estimate - e.exact_n AS overcount
+FROM exact e JOIN est ON e.user_id = est.user_id
+WHERE e.exact_n >= {_CMS_THRESHOLD}
+""",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: a 4×256 CMS over user activity
+    (pairwise-independent integer hashes — pure arithmetic, so the DuckDB
+    oracle rebuilds the identical sketch) with per-user estimates
+    (min over the 4 rows) reported against exact counts, exposing the
+    sketch's one-sided overcount.
+
+    Scale story: the sketch IS a groupBy — partial combine builds per-task
+    sub-sketches and the shuffle carries ≤ 4×256 cells per task no matter
+    the corpus size; the finished sketch broadcasts to estimate any key set
+    without re-scanning the corpus.  The exact-count branch here exists to
+    verify the estimate and anchor the oracle; in production you keep only
+    the sketch."""
+    events = load_table(spark, "events", sf_dir).select("user_id")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((F.col("user_id") * a + b) % _CMS_P % _CMS_W).alias("bkt"),
+            )
+            for j, a, b in _CMS_PARAMS
+        ]
+    )
+    cells = (
+        events.select(F.explode(buckets).alias("s"))
+        .select("s.j", "s.bkt")
+        .groupBy("j", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = exact.select("user_id", F.explode(buckets).alias("s")).select(
+        "user_id", "s.j", "s.bkt"
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bkt"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.where(F.col("exact_n") >= _CMS_THRESHOLD)
+        .join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics: PageRank over the nation trade graph
+# --------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERATIONS = 3
+
+
+@query(
+    "nation_pagerank",
+    oracle=f"""
+WITH edges AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+), outw AS (
+    SELECT src, sum(w) AS total_w FROM edges GROUP BY src
+), nn AS (
+    SELECT n_nationkey, n_name, (SELECT count(*) FROM nation) AS n_nodes
+    FROM nation
+), r0 AS (
+    SELECT n_nationkey, n_name, n_nodes, 1.0 / n_nodes AS p FROM nn
+), r1 AS (
+    SELECT nn.n_nationkey, nn.n_name, nn.n_nodes,
+           (1 - {_PR_DAMPING}) / nn.n_nodes
+           + {_PR_DAMPING} * coalesce(sum(r.p * e.w / o.total_w), 0.0) AS p
+    FROM nn
+    LEFT JOIN edges e ON e.dst = nn.n_nationkey
+    LEFT JOIN r0 r    ON r.n_nationkey = e.src
+    LEFT JOIN outw o  ON o.src = e.src
+    GROUP BY 1, 2, 3
+), r2 AS (
+    SELECT nn.n_nationkey, nn.n_name, nn.n_nodes,
+           (1 - {_PR_DAMPING}) / nn.n_nodes
+           + {_PR_DAMPING} * coalesce(sum(r.p * e.w / o.total_w), 0.0) AS p
+    FROM nn
+    LEFT JOIN edges e ON e.dst = nn.n_nationkey
+    LEFT JOIN r1 r    ON r.n_nationkey = e.src
+    LEFT JOIN outw o  ON o.src = e.src
+    GROUP BY 1, 2, 3
+), r3 AS (
+    SELECT nn.n_nationkey, nn.n_name,
+           (1 - {_PR_DAMPING}) / nn.n_nodes
+           + {_PR_DAMPING} * coalesce(sum(r.p * e.w / o.total_w), 0.0) AS p
+    FROM nn
+    LEFT JOIN edges e ON e.dst = nn.n_nationkey
+    LEFT JOIN r2 r    ON r.n_nationkey = e.src
+    LEFT JOIN outw o  ON o.src = e.src
+    GROUP BY 1, 2, nn.n_nodes
+)
+SELECT n_nationkey AS nationkey, n_name AS nation,
+       round(p * 1000000) / 1000000 AS pagerank
+FROM r3
+""",
+)
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: PageRank (damping 0.85, 3 fixed
+    iterations) over the customer-nation → supplier-nation trade graph
+    derived from lineitem ⋈ orders ⋈ customer ⋈ supplier.  Dangling-node
+    mass is dropped (not redistributed) — stated so the oracle's LEFT JOIN
+    formulation is the exact same recurrence.
+
+    Scale split: the expensive stage is the EDGE BUILD (two fact-fact joins
+    over the full corpus, broadcast dims) which runs once; the iteration
+    then walks a #nations² bounded edge list — tiny state, loop unrolled
+    into the plan.  For graphs where the edge list itself is huge, the same
+    loop holds with edges/outw cached (`persist`) and ranks re-shuffled per
+    iteration on dst — contributions aggregate map-side first."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
+    n_nodes = nation.count()  # #nations: bounded dimension, plan-time scalar
+    nodes = nation.select("n_nationkey", "n_name")
+
+    ranks = nodes.select("n_nationkey", F.lit(1.0 / n_nodes).alias("p"))
+    contrib_edges = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("total_w")).alias("share")
+    )
+    for _ in range(_PR_ITERATIONS):
+        contribs = (
+            contrib_edges.join(
+                ranks.select(F.col("n_nationkey").alias("src"), "p"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("share")).alias("mass"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.n_nationkey == contribs.dst, "left"
+        ).select(
+            "n_nationkey",
+            (
+                F.lit((1 - _PR_DAMPING) / n_nodes)
+                + _PR_DAMPING * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("p"),
+        )
+    return ranks.join(nodes, "n_nationkey").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        fround(F.col("p"), 6).alias("pagerank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar-aware rolling aggregation (RANGE frame)
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_rolling_7d",
+    oracle="""
+WITH daily AS (
+    SELECT
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        date_diff('day', DATE '1970-01-01', o_orderdate)  AS day_num,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT
+    day,
+    round(rev_c / 100.0, 2) AS daily_revenue,
+    round(sum(rev_c) OVER (
+        ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    ) / 100.0, 2)           AS revenue_7d,
+    CAST(count(*) OVER (
+        ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    ) AS INT)               AS days_present_7d
+FROM daily
+""",
+)
+def q_revenue_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE calendar 7-day rolling revenue via a RANGE frame over day
+    numbers — unlike the ROWS frame in `daily_revenue_ma`, missing calendar
+    days shrink the window instead of silently pulling in older rows; the
+    frame is value-based (day_num between current-6 and current).
+
+    Money sums are scaled-long fixed point (exact, order-independent);
+    the window runs over the PRE-AGGREGATED daily relation (#days rows),
+    so the single unpartitioned sort is bounded by the calendar, not the
+    corpus — at 100 TB the daily rollup shuffles, the frame does not."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("day_num"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        fround(F.col("rev_c") / 100.0, 2).alias("daily_revenue"),
+        fround(F.sum("rev_c").over(w) / 100.0, 2).alias("revenue_7d"),
+        F.count("*").over(w).cast("int").alias("days_present_7d"),
+    )

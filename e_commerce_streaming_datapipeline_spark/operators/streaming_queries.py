@@ -34,8 +34,12 @@ from e_commerce_streaming_datapipeline_spark.streaming.processors import (
 # partition materializes a state-store instance for the life of the query, so
 # the partition count must be sized to state volume, not to batch-CPU count.
 # Windowed-agg state here is #windows/#users rows (tiny); at real scale raise
-# this with expected state size, not with core count.
-_STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+# this with expected state size, not with core count.  Default measured at
+# sf0.1: 4 beats 8 on the chained stream-stream joins (per-partition state
+# store open/commit dominates over parallelism at this state volume —
+# journey_stream_join 6.4s→4.2s) while costing <5% on the Python-worker
+# stateful queries that like parallelism.
+_STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
 
 
 def _run_to_table(

@@ -683,3 +683,57 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(_BPE_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality scoring
+# --------------------------------------------------------------------------
+
+@query(
+    "unigram_logprob_scores",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+), vocab AS (
+    SELECT w, count(*) AS c FROM toks GROUP BY w
+), total AS (
+    SELECT sum(c) AS n FROM vocab
+)
+SELECT
+    t.doc_id,
+    count(*)                                              AS n_tokens,
+    round(-avg(ln(v.c / total.n)) * 10000) / 10000        AS avg_neg_logprob,
+    round(-min(ln(v.c / total.n)) * 10000) / 10000        AS max_surprisal
+FROM toks t
+JOIN vocab v ON t.w = v.w, total
+GROUP BY t.doc_id
+""",
+)
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean negative log
+    probability under the corpus's own unigram LM (plus the rarest-token
+    surprisal) — the cheap LM-score filter used to rank documents before
+    expensive model-based scoring.
+
+    Two passes over the token relation, both scalable: vocabulary counts
+    are a hash agg (shuffle = distinct vocabulary); the score join is an
+    equi-join on the token — popular tokens are heavy but AQE splits skewed
+    partitions, and for web corpora the vocab head (say top 100k terms)
+    broadcasts while only the tail shuffles.  The corpus-total token count
+    joins in as a broadcast scalar, not a driver collect."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    logp = F.log(F.col("c") / F.col("n"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            fround(-F.avg(logp), 4).alias("avg_neg_logprob"),
+            fround(-F.min(logp), 4).alias("max_surprisal"),
+        )
+    )

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes",
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2",
     "e_commerce_streaming_datapipeline_spark.operators.curation",
+    "e_commerce_streaming_datapipeline_spark.operators.statistics",
 ]
 
 
