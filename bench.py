@@ -73,6 +73,8 @@ EXTENDED = [
     "chunk_dedup_retention",  # chunk-hash cross-doc dedup (paragraph-style)
     "embedding_topk_sq",      # int8 scalar-quantized ANN + exact rerank
     "attribution_first_last", # range join + min_by/max_by attribution
+    "kmeans_lloyd_step",      # exact-integer Lloyd assignment (O(N*K*D) map)
+    "session_dynamic_gap_stats",  # dynamic-gap session_window aggregate
 ]
 
 

@@ -689,3 +689,74 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective_to.alias("effective_to"),
         effective_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "session_dynamic_gap_stats",
+    oracle="""
+WITH ordered AS (
+    SELECT
+        user_id, event_id, ts, event_type,
+        epoch_us(ts) AS ts_us,
+        CASE WHEN event_type = 'purchase' THEN 1800000000 ELSE 600000000 END
+            AS gap_us
+    FROM events
+), flagged AS (
+    SELECT *,
+        CASE WHEN max(ts_us + gap_us) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) > ts_us
+             THEN 0 ELSE 1 END AS is_new
+    FROM ordered
+), numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT
+    user_id,
+    min(ts)                                            AS session_start,
+    make_timestamp(max(ts_us + gap_us))                AS session_end,
+    count(*)                                           AS n_events,
+    count(*) FILTER (event_type = 'purchase')          AS n_purchases
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def q_session_dynamic_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization: `session_window` with a per-event gap
+    expression — purchases hold the session open 30 minutes, everything
+    else 10 — so high-intent activity extends sessions the way product
+    analytics wants.  Single hash aggregate, same operator shape as the
+    fixed-gap `session_window_stats`.
+
+    The oracle re-derives Spark's merge rule for heterogeneous gaps from
+    first principles: an event joins the session iff its start lies
+    strictly inside the RUNNING MAX of previous (ts + own_gap) interval
+    ends (a later short-gap event must not close a window a prior
+    long-gap event holds open; equality starts a new session), and
+    session_end = max(ts + gap) over members — checked in exact integer
+    microseconds."""
+    events = load_table(spark, "events", sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(F.col("user_id"), sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )

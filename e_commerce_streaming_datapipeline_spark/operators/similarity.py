@@ -1086,3 +1086,113 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("mean_raw"), 4).alias("mean_component"),
         "n_positive",
     )
+
+
+# --------------------------------------------------------------------------
+# K-means Lloyd assignment step (exact integer arithmetic)
+# --------------------------------------------------------------------------
+
+@query(
+    "kmeans_lloyd_step",
+    oracle="""
+WITH q4 AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 10000) AS BIGINT)) AS v
+    FROM embeddings
+), dims AS (
+    SELECT label, u.i AS dim, sum(v[u.i]) AS s, count(*) AS n
+    FROM q4, LATERAL unnest(generate_series(1, len(v))) u(i)
+    GROUP BY 1, 2
+), cents AS (
+    SELECT label AS c_label, any_value(n) AS n,
+           list(s ORDER BY dim) AS s_arr
+    FROM dims GROUP BY label
+), dists AS (
+    SELECT
+        q4.vec_id,
+        q4.label AS old_label,
+        c.c_label,
+        CAST(list_aggregate(
+            list_transform(
+                list_zip(q4.v, c.s_arr),
+                p -> (c.n * p[1] - p[2]) * (c.n * p[1] - p[2])
+            ), 'sum'
+        ) AS DOUBLE) / (c.n * c.n) AS d
+    FROM q4, cents c
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY d, c_label
+    ) AS rn
+    FROM dists
+)
+SELECT
+    vec_id,
+    old_label,
+    c_label AS assigned_label,
+    old_label <> c_label AS reassigned,
+    round(d / 100000000 * 10000) / 10000 AS dist_sq
+FROM ranked WHERE rn = 1
+""",
+)
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means Lloyd ASSIGNMENT step over the embedding corpus, exact
+    enough to hash-check: vectors quantize to fixed-point x10^4 integers,
+    cluster centroids stay RATIONAL (sum vector S, count n — never a
+    rounded mean), and the squared distance to centroid k is computed as
+    Σ(n·x − S)²/n² — pure integer math until one final IEEE division, so
+    Spark and DuckDB produce bit-identical keys and the argmin is
+    deterministic (ties break on label).  `reassigned` marks vectors that
+    would migrate — the convergence signal a k-means driver loops on.
+
+    Scale shape: centroid stats are one hash-agg (state = K×D longs);
+    assignment is a broadcast of the K-row centroid table into a row-local
+    map over the corpus — the canonical O(N·K·D) Lloyd step with no
+    shuffle of the vectors themselves.  `dist_sq` is reported in original
+    embedding units (÷10^8 for the two q4 scales)."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform(
+            to_double_array("embedding"),
+            lambda x: F.round(x * 10000).cast("long"),
+        ).alias("v"),
+    )
+    dims = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    cents = dims.groupBy(F.col("label").alias("c_label")).agg(
+        F.any_value("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda p: p["s"]
+        ).alias("s_arr"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("s_arr"),
+            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    ).cast("double") / (F.col("n") * F.col("n"))
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("old_label"),
+        "c_label",
+        dist.alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "c_label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "old_label",
+            F.col("c_label").alias("assigned_label"),
+            (F.col("old_label") != F.col("c_label")).alias("reassigned"),
+            fround(F.col("d") / 100000000, 4).alias("dist_sq"),
+        )
+    )

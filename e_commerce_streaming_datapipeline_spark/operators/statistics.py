@@ -523,3 +523,93 @@ def q_revenue_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.sum("rev_c").over(w) / 100.0, 2).alias("revenue_7d"),
         F.count("*").over(w).cast("int").alias("days_present_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# ML feature engineering: per-user behavioral feature vector
+# --------------------------------------------------------------------------
+
+@query(
+    "user_behavior_features",
+    oracle="""
+WITH per_type AS (
+    SELECT user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2
+), with_p AS (
+    SELECT user_id, c,
+           c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
+    FROM per_type
+), per_user AS (
+    SELECT
+        user_id,
+        sum(c)                                        AS n_events,
+        count(*)                                      AS n_types,
+        round(-sum(p * ln(p)) * 10000) / 10000 + 0.0  AS type_entropy
+    FROM with_p
+    GROUP BY user_id
+), spans AS (
+    SELECT user_id,
+           count(*) AS n,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS purchase_cents
+    FROM events GROUP BY 1
+)
+SELECT
+    u.user_id,
+    CAST(u.n_events AS BIGINT)   AS n_events,
+    CAST(u.n_types AS BIGINT)    AS n_types,
+    u.type_entropy,
+    CASE WHEN s.n >= 2
+         THEN CAST(s.span_us // (s.n - 1) AS BIGINT) ELSE CAST(0 AS BIGINT)
+    END                          AS mean_gap_us,
+    round(s.purchase_cents / 100.0, 2) AS purchase_value
+FROM per_user u JOIN spans s USING (user_id)
+""",
+)
+def q_user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector for downstream ML: event count,
+    distinct-type count, Shannon entropy of the event-type mix (the
+    diversity signal), exact mean inter-event gap in integer microseconds
+    (span // (n-1) — floor division, identical cross-engine), and total
+    purchase value in fixed-point cents.
+
+    Plan: two chained hash aggs — (user, type) counts collapse map-side
+    first, then the per-user rollup computes entropy from ≤ |event-type|
+    rows per user; the span/value branch is an independent single agg
+    joined back on user_id.  All shuffles carry group keys only; entropy
+    adds no extra pass."""
+    events = load_table(spark, "events", sf_dir)
+    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    n_u = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c") * 1.0 / n_u
+    per_user = (
+        per_type.withColumn("plogp", p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_types"),
+            (fround(-F.sum("plogp"), 4) + 0.0).alias("type_entropy"),
+        )
+    )
+    spans = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("span_us"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("purchase_cents"),
+    )
+    return per_user.join(spans, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "type_entropy",
+        F.when(F.col("n") >= 2, (F.col("span_us") / (F.col("n") - 1)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_gap_us"),
+        fround(F.col("purchase_cents") / 100.0, 2).alias("purchase_value"),
+    )

@@ -941,3 +941,110 @@ def q_gmv_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, rolled, "gmv_sliding_stream")
+
+
+@query(
+    "click_purchase_full_outer_stream",
+    oracle="""
+WITH wm AS (
+    SELECT least(
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase')
+    ) - INTERVAL '10 minutes' AS w
+), c AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+), matched AS (
+    SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
+           'matched' AS match_type
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.purchase_ts BETWEEN c.click_ts
+                           AND c.click_ts + INTERVAL '30 minutes'
+), click_only AS (
+    SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT) AS purchase_id,
+           c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           'click_only' AS match_type
+    FROM c, wm
+    WHERE c.click_ts + INTERVAL '30 minutes' < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts BETWEEN c.click_ts
+                                  AND c.click_ts + INTERVAL '30 minutes')
+), purchase_only AS (
+    SELECT p.user_id, CAST(-1 AS BIGINT) AS click_id, p.purchase_id,
+           CAST(NULL AS TIMESTAMP) AS click_ts, p.purchase_ts,
+           'purchase_only' AS match_type
+    FROM p, wm
+    WHERE p.purchase_ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND p.purchase_ts BETWEEN c.click_ts
+                                  AND c.click_ts + INTERVAL '30 minutes')
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM click_only
+UNION ALL SELECT * FROM purchase_only
+""",
+)
+def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream join — completing the outer-join
+    family (inner `attribution_stream_join`, left `unattributed_purchases_
+    stream`): clicks and purchases correlated per user within a 30-minute
+    conversion window; matched pairs emit immediately, unmatched rows from
+    EITHER side emit with the other side nulled once the global watermark
+    proves no match can still arrive.
+
+    Emission bounds are asymmetric and the oracle encodes both: a click's
+    null row needs wm > click_ts + 30min (a purchase that late could still
+    match it), a purchase's needs only wm > purchase_ts (matching clicks
+    precede it).  Null ids are surfaced as -1 sentinels so every output
+    column stays scalar-typed and NaN-free for downstream canonicalizers;
+    null timestamps stay NULL (NaT is hashable)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("c_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
+        "click_ts",
+        "purchase_ts",
+        F.when(F.col("c_id").isNull(), "purchase_only")
+        .when(F.col("p_id").isNull(), "click_only")
+        .otherwise("matched")
+        .alias("match_type"),
+    )
+    return _run_to_table(
+        spark, joined, "full_outer_stream", output_mode="append"
+    )

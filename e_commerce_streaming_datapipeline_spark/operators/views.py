@@ -260,3 +260,104 @@ def q_hll_users_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("events").alias("events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation report
+# --------------------------------------------------------------------------
+
+@query(
+    "integrity_report",
+    oracle="""
+SELECT 'orders_fk_customer' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS violations,
+       (SELECT count(*) FROM orders) AS checked
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'event_id_unique',
+       (SELECT count(*) FROM (
+            SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)),
+       (SELECT count(*) FROM events)
+UNION ALL
+SELECT 'events_ts_not_null',
+       (SELECT count(*) FROM events WHERE ts IS NULL),
+       (SELECT count(*) FROM events)
+UNION ALL
+SELECT 'purchase_value_positive',
+       (SELECT count(*) FROM events
+        WHERE event_type = 'purchase' AND coalesce(value, 0.0) <= 0),
+       (SELECT count(*) FROM events WHERE event_type = 'purchase')
+""",
+)
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report — the dbt-test/Great-Expectations
+    gate a pipeline runs before publishing a snapshot: referential
+    integrity (orders→customer, lineitem→orders as LEFT ANTI probes),
+    key uniqueness (event_id), not-null and domain checks, each reported
+    as (check, violations, population).
+
+    Every check is a scalable primitive: anti-joins broadcast the checked
+    side's keys when bounded or shuffle as plain equi-joins when not;
+    uniqueness is a hash-agg HAVING; null/domain checks are scan-local
+    conditional counts.  The UNION ALL of 1-row aggregates keeps one job,
+    and Spark runs the independent branches' stages concurrently."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+
+    def one(name: str, violations, checked) -> DataFrame:
+        return violations.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("checked").cast("long").alias("checked"),
+        )
+
+    orders_fk = one(
+        "orders_fk_customer",
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count("*").alias("violations")),
+        orders.agg(F.count("*").alias("checked")),
+    )
+    lineitem_fk = one(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count("*").alias("violations")),
+        lineitem.agg(F.count("*").alias("checked")),
+    )
+    ev_unique = one(
+        "event_id_unique",
+        events.groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count("*").alias("violations")),
+        events.agg(F.count("*").alias("checked")),
+    )
+    ts_null = one(
+        "events_ts_not_null",
+        events.where(F.col("ts").isNull()).agg(F.count("*").alias("violations")),
+        events.agg(F.count("*").alias("checked")),
+    )
+    purchases = events.where(F.col("event_type") == "purchase")
+    val_pos = one(
+        "purchase_value_positive",
+        purchases.where(F.coalesce("value", F.lit(0.0)) <= 0).agg(
+            F.count("*").alias("violations")
+        ),
+        purchases.agg(F.count("*").alias("checked")),
+    )
+    return (
+        orders_fk.unionAll(lineitem_fk)
+        .unionAll(ev_unique)
+        .unionAll(ts_null)
+        .unionAll(val_pos)
+    )

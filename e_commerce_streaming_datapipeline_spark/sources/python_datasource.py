@@ -136,3 +136,168 @@ def register(spark) -> None:
 
     ensure_session_conf(spark)
     spark.dataSource.register(EcommerceReplayDataSource)
+
+
+# --------------------------------------------------------------------------
+# Writer: transactional JSON-lines sink with a manifest commit protocol
+# --------------------------------------------------------------------------
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+class EcommerceJsonlWriter(DataSourceWriter):
+    """Executor half of the commit protocol: each task writes its partition
+    to ``<path>/_staging/<uuid>.jsonl`` and returns the staged filename as
+    its commit message.  Nothing under ``<path>`` outside ``_staging`` is
+    touched until the DRIVER commits — a failed/speculative task leaves only
+    orphaned staging files, never half-published data (the same
+    staging-then-publish contract Spark's own FileCommitProtocol and
+    object-store manifest commits implement)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ecommerce_jsonl writer requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(staged_path=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        """Driver-side atomic publish: rename every staged file into the
+        target dir, then write the ``_MANIFEST`` naming exactly the
+        committed files + row counts.  Readers trust only the manifest, so
+        a crash between renames publishes nothing (no manifest) and a
+        re-run republishes idempotently."""
+        published = []
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, final)
+            published.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {
+            "files": sorted(published, key=lambda p: p["file"]),
+            "total_rows": sum(p["rows"] for p in published),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged_path)
+            except OSError:
+                pass
+
+
+class EcommerceJsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ecommerce_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return EcommerceJsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return EcommerceJsonlStreamWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the JSON-lines sink (ships the package
+    first for executor-side class imports, same as ``register``)."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import ensure_session_conf
+
+    ensure_session_conf(spark)
+    spark.dataSource.register(EcommerceJsonlSink)
+
+
+def read_manifest_files(path: str) -> tuple[list[str], int]:
+    """The reader half of the protocol: only manifest-listed files exist as
+    far as consumers are concerned."""
+    with open(os.path.join(path, "_MANIFEST"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    return (
+        [os.path.join(path, p["file"]) for p in manifest["files"]],
+        manifest["total_rows"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Stream writer: per-epoch manifest commits (exactly-once streaming sink)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class EcommerceJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink: same staging contract as the batch
+    writer, but the driver commit is PER MICRO-BATCH and idempotent on
+    batchId — the manifest for epoch N is written once at
+    ``_MANIFEST-<N>``; a replayed epoch (restart re-running the last
+    uncommitted batch) overwrites its own staged output and re-publishes
+    the same manifest name, so downstream readers never observe a
+    duplicated epoch.  This is the exactly-once recipe for sinks without
+    transactions: idempotent per-epoch publish keyed on batchId."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ecommerce_jsonl stream writer requires option 'path'")
+
+    def write(self, iterator) -> _StagedFile:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(staged_path=fname, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.path, f"epoch-{batchId}-{os.path.basename(m.staged_path)}"
+            )
+            os.replace(m.staged_path, final)
+            published.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(published, key=lambda p: p["file"]),
+            "total_rows": sum(p["rows"] for p in published),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.staged_path)
+            except OSError:
+                pass

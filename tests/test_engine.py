@@ -431,6 +431,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "lsh_recall_audit",       # inherits embedding_topk's query-vector cross join
         "lsh_multiprobe_recall_audit",  # ditto + 5-row probe-levels cross join
         "hard_negative_mining",   # anchor-sample broadcast, label-mismatch predicate
+        "embedding_topk_sq",      # query-vector broadcast (quantized candidate scan)
+        "kmeans_lloyd_step",      # K-row centroid-table broadcast (Lloyd assignment)
+        "unigram_logprob_scores", # corpus-total token count scalar
+        "integrity_report",       # five 1-row x 1-row check-result cross joins
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",

@@ -590,3 +590,71 @@ def test_transform_with_state_probe():
         "protobuf now importable — port cart_abandonment_stream to "
         "transformWithStateInPandas as a second variant"
     )
+
+
+def test_python_datasource_sink_commit_protocol(spark, tmp_path):
+    """The custom JSON-lines sink publishes atomically: staged part files
+    are invisible until the driver commit renames them and writes the
+    manifest; the manifest's row total equals the written count; staging is
+    empty afterwards (no orphans on the success path)."""
+    import os
+
+    from e_commerce_streaming_datapipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    pds.register_sink(spark)
+    out = str(tmp_path / "sinkout")
+    feed = spark.read.format("ecommerce_replay").option("n", 1000).load()
+    feed.write.format("ecommerce_jsonl").option("path", out).mode("append").save()
+
+    files, total = pds.read_manifest_files(out)
+    assert total == 1000
+    assert files and all(os.path.exists(f) for f in files)
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, amount_cents double"
+    ).json(files)
+    assert back.count() == 1000
+    assert back.select("event_id").distinct().count() == 1000
+
+
+def test_python_datasource_stream_sink_epoch_commits(spark, tmp_path):
+    """The custom sink's STREAMING writer publishes per micro-batch with
+    idempotent epoch manifests: streaming the replay source (availableNow)
+    into it yields one `_MANIFEST-<batchId>` per epoch, epoch row totals
+    sum to the input size, and no rows are lost or duplicated across the
+    published epoch files."""
+    import glob
+    import json as _json
+    import os
+
+    from e_commerce_streaming_datapipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    pds.register_sink(spark)
+    out = str(tmp_path / "streamout")
+    feed = spark.readStream.format("ecommerce_replay").option("n", 2000).load()
+    q = (
+        feed.writeStream.format("ecommerce_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*")))
+    assert manifests, "no epoch manifests published"
+    total = 0
+    files = []
+    for mf in manifests:
+        with open(mf) as f:
+            m = _json.load(f)
+        total += m["total_rows"]
+        files += [os.path.join(out, p["file"]) for p in m["files"]]
+    assert total == 2000
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, amount_cents double"
+    ).json(files)
+    assert back.count() == 2000
+    assert back.select("event_id").distinct().count() == 2000
