@@ -758,3 +758,58 @@ def q_chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(1.0 - shared * 1.0 / F.count("*"), 4).alias("retention_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy key matching (edit distance)
+# --------------------------------------------------------------------------
+
+@query(
+    "source_fuzzy_pairs",
+    oracle="""
+WITH s AS (
+    SELECT DISTINCT source, len(source) AS l FROM documents
+)
+SELECT
+    a.source                      AS source_a,
+    b.source                      AS source_b,
+    CAST(levenshtein(a.source, b.source) AS INT) AS edit_distance
+FROM s a JOIN s b
+  ON a.source < b.source
+ AND abs(a.l - b.l) <= 3
+WHERE levenshtein(a.source, b.source) <= 3
+""",
+)
+def q_source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching: near-identical source names (edit distance ≤ 3)
+    — the entity-resolution step that catches `web-001` vs `web-01` feed
+    aliases before they fragment downstream groupings.
+
+    Scale shape: O(n²) edit distance never runs on raw keys — candidates
+    first block on a LENGTH BAND (|len(a)−len(b)| ≤ 3, a lower bound on
+    edit distance, expressible as an equi-join on banded length buckets);
+    the DISTINCT key relation is orders of magnitude smaller than the
+    corpus, and for key sets that are still large the same blocking
+    composes with prefix/q-gram buckets.  Here the band is a join-side
+    filter on the 20-row key relation."""
+    src = (
+        load_table(spark, "documents", sf_dir)
+        .select("source")
+        .distinct()
+        .select("source", F.length("source").alias("l"))
+    )
+    a = src.select(F.col("source").alias("source_a"), F.col("l").alias("la"))
+    b = src.select(F.col("source").alias("source_b"), F.col("l").alias("lb"))
+    return (
+        a.join(
+            b,
+            (F.col("source_a") < F.col("source_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 3),
+        )
+        .where(F.levenshtein("source_a", "source_b") <= 3)
+        .select(
+            "source_a",
+            "source_b",
+            F.levenshtein("source_a", "source_b").cast("int").alias("edit_distance"),
+        )
+    )

@@ -613,3 +613,207 @@ def q_user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_gap_us"),
         fround(F.col("purchase_cents") / 100.0, 2).alias("purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (product analytics)
+# --------------------------------------------------------------------------
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_day,
+           date_diff('day', f.cohort_day,
+                     CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
+    FROM events e JOIN firsts f USING (user_id)
+), sizes AS (
+    SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT
+    a.cohort_day,
+    CAST(a.day_offset AS INT)            AS day_offset,
+    count(*)                             AS n_active,
+    CAST(s.cohort_size AS BIGINT)        AS cohort_size,
+    round(count(*) * 100.0 / s.cohort_size, 2) AS retention_pct
+FROM activity a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the standard product-analytics rollup
+    the reference's Grafana boards stop short of: users are cohorted by
+    first-seen day, and each later active day counts them at that day
+    offset, yielding (cohort, offset) → retention%.
+
+    Plan: first-seen is a per-user hash agg; the offset relation is a
+    DISTINCT over (user, day) — both shuffles carry user-grain keys with
+    map-side combine; the cohort join re-uses the user_id partitioning
+    (no extra exchange), and the final rollup is (#days)² rows.  The
+    cohort-size join is a broadcast (#days rows)."""
+    events = load_table(spark, "events", sf_dir)
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.col("cohort_day").cast("date"),
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "day_offset", "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            fround(F.col("n_active") * 100.0 / F.col("cohort_size"), 2).alias(
+                "retention_pct"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS to_type
+    FROM events
+), pairs AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT
+    from_type,
+    to_type,
+    n,
+    round(n * 1.0 / sum(n) OVER (PARTITION BY from_type) * 10000) / 10000
+        AS p_transition
+FROM pairs
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the sequence-mining summary behind
+    next-action prediction and funnel-leak diagnosis.
+
+    Plan: one shuffle on user_id for the lead() window (exact-microsecond
+    ordering with event_id tie-break), then a hash agg on the 5×5 type-pair
+    domain — map-side combine collapses everything; the row-normalizing
+    window runs over ≤ |types|² rows."""
+    events = load_table(spark, "events", sf_dir)
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+        )
+        .alias("to_type"),
+    )
+    pairs = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        fround(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("from_type")), 4
+        ).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conversion latency distribution
+# --------------------------------------------------------------------------
+
+@query(
+    "conversion_latency_stats",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS first_view,
+        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+    FROM events
+    GROUP BY user_id
+), latencies AS (
+    SELECT user_id, first_purchase - first_view AS latency_us
+    FROM per_user
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_view
+)
+SELECT
+    count(*)                                             AS n_converted,
+    CAST(min(latency_us) AS BIGINT)                      AS min_latency_us,
+    CAST(max(latency_us) AS BIGINT)                      AS max_latency_us,
+    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)
+                                                         AS p50_latency_us,
+    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us) AS BIGINT)
+                                                         AS p90_latency_us
+FROM latencies
+""",
+)
+def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view → first purchase latency
+    per user, summarized as exact discrete percentiles over integer
+    microseconds (percentile_disc picks an actual latency, so the value
+    is hash-identical cross-engine — no interpolation arithmetic).
+
+    Plan: conditional-min hash agg per user (one shuffle, constant state).
+    The discrete percentile is the rank-ceil(q·n) element (exactly
+    percentile_disc's cume_dist ≥ q rule — Spark's `percentile` would
+    interpolate), picked via one ordered window over the bounded
+    #converted-users relation; for corpus-sized inputs swap in
+    approx_percentile (GK sketch), as `approx_value_percentiles`
+    demonstrates."""
+    events = load_table(spark, "events", sf_dir)
+    us = F.unix_micros("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_purchase"),
+    )
+    lat = per_user.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
+    ranked = lat.withColumn(
+        "rn", F.row_number().over(Window.orderBy("latency_us"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy(F.lit(1))))
+    disc = lambda q: F.min(  # noqa: E731 — rank-ceil(q*n) = percentile_disc
+        F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")), F.col("latency_us"))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_converted"),
+        F.min("latency_us").alias("min_latency_us"),
+        F.max("latency_us").alias("max_latency_us"),
+        disc(0.5).alias("p50_latency_us"),
+        disc(0.9).alias("p90_latency_us"),
+    )

@@ -1048,3 +1048,86 @@ def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> Data
     return _run_to_table(
         spark, joined, "full_outer_stream", output_mode="append"
     )
+
+
+@query(
+    "unattributed_asym_watermark_stream",
+    oracle="""
+WITH wm AS (
+    -- per-input delays: the GLOBAL watermark is the min over inputs of
+    -- (max event time - that input's OWN delay).  Here clicks tolerate
+    -- 5 minutes of lateness and purchases 30 — so whichever bound is
+    -- smaller gates null-row emission for the buffered purchases.
+    SELECT least(
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events
+          WHERE event_type = 'click') - INTERVAL '5 minutes',
+        (SELECT date_trunc('milliseconds', max(ts)) FROM events
+          WHERE event_type = 'purchase') - INTERVAL '30 minutes'
+    ) AS w
+)
+SELECT
+    p.user_id,
+    p.event_id                       AS purchase_id,
+    p.ts                             AS purchase_ts
+FROM events p, wm
+WHERE p.event_type = 'purchase'
+  AND p.ts < wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts)
+""",
+)
+def q_unattributed_asym_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with ASYMMETRIC watermark delays —
+    each input declares its own lateness tolerance (clicks: 5 min,
+    purchases: 30 min) and Structured Streaming takes the global minimum
+    across inputs.  The oracle computes exactly that two-delay minimum, so
+    the hash check pins the per-input-delay semantics (the sibling
+    `unattributed_purchases_stream` uses symmetric delays and cannot
+    distinguish them).
+
+    Why it matters at scale: delays size state — a noisy mobile click
+    stream needs more lateness headroom than a server-side purchase feed,
+    and setting them independently keeps the join buffer for the tight
+    stream small instead of inflating both to the worst case."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "5 minutes")
+    )
+    purchases = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            (F.col("buyer_id") == F.col("click_user_id"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        )
+        .where(F.col("click_user_id").isNull())
+        .select(
+            F.col("buyer_id").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+    return _run_to_table(
+        spark, joined, "unattributed_asym_stream", output_mode="append"
+    )
