@@ -1,0 +1,164 @@
+"""Semantic invariants for the round-2 operator families — properties the
+DuckDB hash check cannot express (it proves Spark ≡ oracle, not that the
+shared definition is *right*).  Each invariant is a mathematical fact of the
+operator's definition, so a failure means the implementation (and its
+oracle twin) drifted together."""
+
+from __future__ import annotations
+
+import math
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+
+
+def _rows(name, spark, sf_dir):
+    return all_queries()[name].builder(spark, sf_dir).collect()
+
+
+def test_cms_estimates_are_one_sided(spark, sf_dir):
+    """Count-min sketch error is strictly one-sided: estimate >= exact for
+    every key (hash collisions only ever add)."""
+    rows = _rows("heavy_hitters_cms", spark, sf_dir)
+    assert rows, "threshold produced no heavy hitters at this SF"
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["overcount"] == r["cms_estimate"] - r["exact_n"]
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Every rank >= the teleport floor (1-d)/N, and total mass <= 1
+    (dangling-node mass is dropped, never created)."""
+    rows = _rows("nation_pagerank", spark, sf_dir)
+    n = len(rows)
+    floor = (1 - 0.85) / n - 1e-9
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] >= floor for r in rows)
+    assert total <= 1.0 + 1e-6, total
+
+
+def test_twa_lies_within_value_range(spark, sf_dir):
+    """A time-weighted average is a convex combination of the observed
+    values — it cannot leave the corpus's purchase-value envelope."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    purchases = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    lo, hi = purchases.agg(
+        F.min(F.coalesce("value", F.lit(0.0))), F.max(F.coalesce("value", F.lit(0.0)))
+    ).first()
+    for r in _rows("event_value_twa", spark, sf_dir):
+        assert lo - 1e-4 <= r["twa_value"] <= hi + 1e-4, r
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """Shannon entropy of the event-type mix is within [0, ln(n_types)]."""
+    for r in _rows("user_behavior_features", spark, sf_dir):
+        assert -1e-9 <= r["type_entropy"] <= math.log(r["n_types"]) + 1e-4, r
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Per from_type, transition probabilities sum to 1 (within the 4dp
+    per-cell rounding budget)."""
+    sums: dict[str, float] = {}
+    for r in _rows("event_transition_matrix", spark, sf_dir):
+        assert 0.0 <= r["p_transition"] <= 1.0
+        sums[r["from_type"]] = sums.get(r["from_type"], 0.0) + r["p_transition"]
+    assert sums
+    for ft, s in sums.items():
+        assert abs(s - 1.0) < 0.01, (ft, s)
+
+
+def test_cohort_day_zero_retention_is_total(spark, sf_dir):
+    """Offset 0 counts every cohort member (each user is active on their
+    own first-seen day) — retention at day 0 is exactly 100%."""
+    rows = [r for r in _rows("cohort_retention", spark, sf_dir) if r["day_offset"] == 0]
+    assert rows
+    for r in rows:
+        assert r["n_active"] == r["cohort_size"], r
+        assert r["retention_pct"] == 100.0, r
+
+
+def test_dynamic_sessions_partition_events(spark, sf_dir):
+    """Dynamic-gap sessions partition the event stream: per-session counts
+    sum to the corpus total and every window is properly ordered."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    total = load_table(spark, "events", sf_dir).count()
+    rows = _rows("session_dynamic_gap_stats", spark, sf_dir)
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert r["session_end"] > r["session_start"], r
+        assert r["n_purchases"] <= r["n_events"], r
+
+
+def test_full_outer_stream_match_typing(spark, sf_dir):
+    """Sentinel/typing discipline of the full-outer join output: ids are -1
+    exactly on the unmatched side, and matched rows respect the 30-minute
+    conversion window."""
+    for r in _rows("click_purchase_full_outer_stream", spark, sf_dir):
+        if r["match_type"] == "matched":
+            assert r["click_id"] != -1 and r["purchase_id"] != -1
+            delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
+            assert 0 <= delta <= 1800, r
+        elif r["match_type"] == "click_only":
+            assert r["click_id"] != -1 and r["purchase_id"] == -1
+            assert r["purchase_ts"] is None
+        else:
+            assert r["match_type"] == "purchase_only"
+            assert r["purchase_id"] != -1 and r["click_id"] == -1
+            assert r["click_ts"] is None
+
+
+def test_kmeans_assignment_is_argmin(spark, sf_dir):
+    """Brute-force re-check of the Lloyd step on a vector sample: the
+    assigned cluster truly minimizes the exact rational-centroid distance
+    (ties to the smaller label)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    q4 = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 10000)
+          for r in emb}
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in emb:
+        sums[r["label"]] = sums.get(r["label"], 0) + q4[r["vec_id"]]
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+    assigned = {r["vec_id"]: r["assigned_label"]
+                for r in _rows("kmeans_lloyd_step", spark, sf_dir)}
+    sample = sorted(q4)[:25]
+    for vid in sample:
+        best = min(
+            sorted(sums),
+            key=lambda k: (
+                float(((counts[k] * q4[vid] - sums[k]) ** 2).sum()) / counts[k] ** 2,
+                k,
+            ),
+        )
+        assert assigned[vid] == best, (vid, assigned[vid], best)
+
+
+def test_chunk_dedup_retention_bounds(spark, sf_dir):
+    """Retention is a fraction of the doc's own chunks; shared counts are
+    bounded by totals."""
+    for r in _rows("chunk_dedup_retention", spark, sf_dir):
+        assert 0 <= r["n_shared_chunks"] <= r["n_chunks"], r
+        assert -1e-9 <= r["retention_frac"] <= 1.0 + 1e-9, r
+
+
+def test_integrity_report_clean_fixture(spark, sf_dir):
+    """The driver fixtures are referentially clean by construction — the
+    expectation gate must report zero violations on every check (and
+    nonzero populations)."""
+    for r in _rows("integrity_report", spark, sf_dir):
+        assert r["violations"] == 0, r
+        assert r["checked"] > 0, r
