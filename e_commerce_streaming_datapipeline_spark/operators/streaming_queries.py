@@ -1006,11 +1006,31 @@ def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> Data
     precede it).  Null ids are surfaced as -1 sentinels so every output
     column stays scalar-typed and NaN-free for downstream canonicalizers;
     null timestamps stay NULL (NaT is hashable)."""
+    joined = build_full_outer_click_purchase(spark, sf_dir)
+    return _run_to_table(
+        spark, joined, "full_outer_stream", output_mode="append"
+    )
+
+
+def build_full_outer_click_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    filename: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The full-outer join's unstarted streaming plan — factored out so the
+    cross-batch equivalence test can replay the same plan over a chunked
+    directory with ``maxFilesPerTrigger=1`` (real multi-micro-batch
+    watermark progression) and compare against the single-batch run."""
     from pyspark.sql import functions as F
 
+    def leg(event_type: str):
+        return read_file_stream(
+            spark, sf_dir, filename, max_files_per_trigger
+        ).where(F.col("event_type") == event_type)
+
     clicks = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
+        leg("click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("c_id"),
@@ -1019,8 +1039,7 @@ def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> Data
         .withWatermark("click_ts", "10 minutes")
     )
     purchases = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
+        leg("purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("p_id"),
@@ -1028,7 +1047,7 @@ def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> Data
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
@@ -1044,9 +1063,6 @@ def q_click_purchase_full_outer_stream(spark: SparkSession, sf_dir: str) -> Data
         .when(F.col("p_id").isNull(), "click_only")
         .otherwise("matched")
         .alias("match_type"),
-    )
-    return _run_to_table(
-        spark, joined, "full_outer_stream", output_mode="append"
     )
 
 

@@ -62,7 +62,10 @@ def read_kafka_stream(
 
 
 def read_file_stream(
-    spark: SparkSession, sf_dir: str, filename: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    filename: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Deterministic replay source over the fixture parquet (S1 test twin +
     S6 replay source).  Emits the same columns as the batch loader.
@@ -72,7 +75,12 @@ def read_file_stream(
     and batch paths can never disagree about fixture physical types.
 
     The file source requires a directory path; ``pathGlobFilter`` narrows it
-    to the one fixture file.
+    to the one fixture file (globs work too — multi-file replay).
+
+    ``max_files_per_trigger`` throttles ingestion to N files per micro-batch
+    (the file-source analogue of Kafka's ``maxOffsetsPerTrigger``), so a
+    chunked directory replays as a REAL multi-batch stream with watermark
+    progression between batches — used by the cross-batch equivalence tests.
     """
     from e_commerce_streaming_datapipeline_spark.sources.batch import (
         _normalize_ns_timestamps,
@@ -83,9 +91,7 @@ def read_file_stream(
     physical = (
         spark.read.option("pathGlobFilter", filename).parquet(sf_dir).schema
     )
-    raw = (
-        spark.readStream.schema(physical)
-        .option("pathGlobFilter", filename)
-        .parquet(sf_dir)
-    )
-    return _normalize_ns_timestamps(raw)
+    reader = spark.readStream.schema(physical).option("pathGlobFilter", filename)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _normalize_ns_timestamps(reader.parquet(sf_dir))

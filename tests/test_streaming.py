@@ -658,3 +658,59 @@ def test_python_datasource_stream_sink_epoch_commits(spark, tmp_path):
     ).json(files)
     assert back.count() == 2000
     assert back.select("event_id").distinct().count() == 2000
+
+
+def test_full_outer_join_multi_batch_equals_single_batch(spark, sf_dir, tmp_path):
+    """REAL multi-micro-batch replay: the events fixture is time-sorted and
+    split into 4 chunk files, streamed with maxFilesPerTrigger=1 so the
+    full-outer join processes 4 micro-batches with the watermark advancing
+    (and state being matched/evicted) BETWEEN batches.  The final emission
+    set must equal the single-batch availableNow run — the cross-batch
+    state-correctness property a 1-batch test cannot exercise."""
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+        build_full_outer_click_purchase,
+    )
+
+    # time-sorted 4-way chunking of the fixture (pyarrow preserves the
+    # TIMESTAMP(NANOS) physical type the source reader expects)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    n = tbl.num_rows
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(chunk_dir / f"events-{i}.parquet"),
+        )
+
+    def run(src_dir, filename, mfpt, name):
+        joined = build_full_outer_click_purchase(
+            spark, str(src_dir), filename, max_files_per_trigger=mfpt
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        rows = sorted(
+            tuple(r) for r in spark.table(name).collect()
+        )
+        return batches, rows
+
+    single_batches, single_rows = run(sf_dir, "events.parquet", None, "fo_single")
+    multi_batches, multi_rows = run(chunk_dir, "events-*.parquet", 1, "fo_multi")
+    assert multi_batches >= 4, f"expected >=4 data micro-batches, got {multi_batches}"
+    assert multi_rows == single_rows, (
+        f"multi-batch emission diverged: {len(multi_rows)} vs {len(single_rows)} rows"
+    )
