@@ -691,9 +691,7 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_dynamic_gap_stats",
-    oracle="""
+_SESSION_DYNAMIC_ORACLE = """
 WITH ordered AS (
     SELECT
         user_id, event_id, ts, event_type,
@@ -723,8 +721,10 @@ SELECT
     count(*) FILTER (event_type = 'purchase')          AS n_purchases
 FROM numbered
 GROUP BY user_id, session_seq
-""",
-)
+"""
+
+
+@query("session_dynamic_gap_stats", oracle=_SESSION_DYNAMIC_ORACLE)
 def q_session_dynamic_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-gap sessionization: `session_window` with a per-event gap
     expression — purchases hold the session open 30 minutes, everything

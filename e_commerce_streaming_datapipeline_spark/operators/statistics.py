@@ -817,3 +817,50 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.5).alias("p50_latency_us"),
         disc(0.9).alias("p90_latency_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native frequent-items sketch (approx_top_k)
+# --------------------------------------------------------------------------
+
+@query(
+    "approx_topk_event_types",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT) AS rank
+FROM events
+GROUP BY event_type
+ORDER BY n DESC, event_type
+""",
+)
+def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native frequent-items sketch: Spark 4's `approx_top_k` (DataSketches
+    frequent-items under the hood) — the mergeable one-pass alternative to
+    groupBy+sort for heavy-hitter dashboards.  On a bounded-cardinality
+    column the sketch holds every counter exactly, so the flattened
+    (item, count) set is deterministic and hash-checks against the exact
+    GROUP BY oracle; ranking is re-derived deterministically after
+    exploding (count desc, item) rather than trusting sketch order.
+
+    Scale story: the sketch aggregates map-side into fixed-size state and
+    merges associatively — one pass, no full shuffle of distinct keys —
+    and the same call emits heavy hitters over any stream/batch split.
+    For unbounded-cardinality keys the counts become (bounded-error)
+    estimates; `heavy_hitters_cms` shows the same idea built from
+    first principles."""
+    events = load_table(spark, "events", sf_dir)
+    sketch = events.agg(
+        F.expr("approx_top_k(event_type, 5, 32)").alias("tk")
+    )
+    flat = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"), F.col("e.count").alias("n")
+    )
+    return flat.select(
+        "event_type",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("event_type")))
+        .cast("int")
+        .alias("rank"),
+    )

@@ -1147,3 +1147,51 @@ def q_unattributed_asym_watermark_stream(spark: SparkSession, sf_dir: str) -> Da
     return _run_to_table(
         spark, joined, "unattributed_asym_stream", output_mode="append"
     )
+
+
+def _session_dynamic_oracle() -> str:
+    from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+        _SESSION_DYNAMIC_ORACLE,
+    )
+
+    return _SESSION_DYNAMIC_ORACLE
+
+
+@query("session_dynamic_stream", oracle=_session_dynamic_oracle())
+def q_session_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows ON THE STREAM — the per-event gap
+    expression (purchase: 30 min, else 10 min) drives a stateful
+    session_window aggregation, hash-checked against the SAME oracle as
+    the batch twin `session_dynamic_gap_stats`: streaming-vs-batch
+    equivalence for heterogeneous-gap session merging.
+
+    State: open sessions per user, merged as extending events arrive —
+    the long-gap purchase events hold state open longer by design; at
+    real scale pair with a watermark + append mode so closed sessions
+    evict (complete-mode memory sink here keeps the driver compare
+    batch-shaped)."""
+    from pyspark.sql import functions as F
+
+    events = read_file_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sessions = (
+        events.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+    return _run_to_table(spark, sessions, "session_dynamic_stream")
