@@ -864,3 +864,128 @@ def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series subsequence similarity search
+# --------------------------------------------------------------------------
+
+_TS_WINDOW = 30  # minutes per pattern window
+_TS_TOP_K = 5
+
+
+@query(
+    "gmv_pattern_topk",
+    oracle=f"""
+WITH minutely AS (
+    SELECT date_trunc('minute', ts) AS minute,
+           CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), ordered AS (
+    SELECT minute, cents,
+           row_number() OVER (ORDER BY minute) AS rn
+    FROM minutely
+), windows AS (
+    SELECT rn, minute AS window_end,
+           list(cents) OVER w AS vec,
+           sum(cents)  OVER w AS s
+    FROM ordered
+    WINDOW w AS (ORDER BY rn ROWS BETWEEN {_TS_WINDOW - 1} PRECEDING
+                                      AND CURRENT ROW)
+), complete_w AS (
+    SELECT * FROM windows WHERE rn >= {_TS_WINDOW}
+), q AS (
+    SELECT vec AS qvec, s AS qs, rn AS qrn
+    FROM complete_w
+    ORDER BY rn DESC LIMIT 1
+), dists AS (
+    SELECT
+        c.window_end,
+        CAST(list_aggregate(
+            list_transform(
+                list_zip(c.vec, q.qvec),
+                p -> (({_TS_WINDOW} * p[1] - c.s) - ({_TS_WINDOW} * p[2] - q.qs))
+                     * (({_TS_WINDOW} * p[1] - c.s) - ({_TS_WINDOW} * p[2] - q.qs))
+            ), 'sum') AS DOUBLE)
+            / ({_TS_WINDOW}.0 * {_TS_WINDOW} * 10000) AS d
+    FROM complete_w c, q
+    WHERE c.rn <= q.qrn - {_TS_WINDOW}
+)
+SELECT window_end,
+       round(d * 10000) / 10000 AS mc_dist_sq,
+       CAST(row_number() OVER (ORDER BY d, window_end) AS INT) AS rank
+FROM dists
+QUALIFY rank <= {_TS_TOP_K}
+""",
+)
+def q_gmv_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-systems
+    shape of EDBT'19 "Time Series Similarity Search for Streaming Data"):
+    which historical 30-minute GMV windows look most like the LATEST one?
+    Distance is MEAN-CENTERED Euclidean computed entirely in scaled-integer
+    arithmetic — Σ((n·xᵢ−Sₓ)−(n·yᵢ−Sy))²/n² with cents and window sums as
+    exact longs (the same rational-centering trick as kmeans_lloyd_step) —
+    so the ranking is bit-deterministic cross-engine; candidate windows
+    must not overlap the query.
+
+    Plan: the minutely rollup is corpus-sized work (hash agg); windows are
+    ONE ordered pass with a 30-row frame (arrays assembled in frame order,
+    no self-join row explosion — the naive lag-join costs 30 shuffles);
+    the query vector broadcasts as a 1-row relation and the distance scan
+    is row-local.  The single global sort is over #minutes rows, not
+    events; partition by coarse time ranges for multi-year series."""
+    events = load_table(spark, "events", sf_dir)
+    minutely = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.sum(
+                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    ordered = minutely.withColumn("rn", F.row_number().over(Window.orderBy("minute")))
+    frame = (
+        Window.orderBy("rn").rowsBetween(-(_TS_WINDOW - 1), 0)
+    )
+    windows = (
+        ordered.select(
+            "rn",
+            F.col("minute").alias("window_end"),
+            F.collect_list("cents").over(frame).alias("vec"),
+            F.sum("cents").over(frame).alias("s"),
+        )
+        .where(F.col("rn") >= _TS_WINDOW)
+    )
+    q = (
+        windows.orderBy(F.col("rn").desc())
+        .limit(1)
+        .select(
+            F.col("vec").alias("qvec"), F.col("s").alias("qs"), F.col("rn").alias("qrn")
+        )
+    )
+    n = _TS_WINDOW
+    diff = lambda x, y, s, qs: (n * x - s) - (n * y - qs)  # noqa: E731
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vec"),
+            F.col("qvec"),
+            lambda x, y: diff(x, y, F.col("s"), F.col("qs"))
+            * diff(x, y, F.col("s"), F.col("qs")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    ).cast("double") / (float(n * n) * 10000)
+    dists = (
+        windows.crossJoin(F.broadcast(q))
+        .where(F.col("rn") <= F.col("qrn") - n)
+        .select("window_end", dist.alias("d"))
+    )
+    w = Window.orderBy("d", "window_end")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TS_TOP_K)
+        .select("window_end", fround(F.col("d"), 4).alias("mc_dist_sq"), "rank")
+    )

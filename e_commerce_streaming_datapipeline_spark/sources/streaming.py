@@ -27,6 +27,9 @@ from pyspark.sql.types import StructType
 
 DEFAULT_MAX_OFFSETS_PER_TRIGGER = 10_000  # reference: stream_processor.py:108
 
+# (sf_dir, glob) -> StructType; see read_file_stream
+_SCHEMA_CACHE: dict[tuple[str, str], StructType] = {}
+
 
 def read_kafka_stream(
     spark: SparkSession,
@@ -88,9 +91,16 @@ def read_file_stream(
     )
 
     ensure_session_conf(spark)
-    physical = (
-        spark.read.option("pathGlobFilter", filename).parquet(sf_dir).schema
-    )
+    # footer-read once per (dir, glob): a multi-leg stream query (e.g. the
+    # 3-way journey join) builds this source repeatedly, and the fixture
+    # schema never changes within a process
+    key = (sf_dir, filename)
+    physical = _SCHEMA_CACHE.get(key)
+    if physical is None:
+        physical = (
+            spark.read.option("pathGlobFilter", filename).parquet(sf_dir).schema
+        )
+        _SCHEMA_CACHE[key] = physical
     reader = spark.readStream.schema(physical).option("pathGlobFilter", filename)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
