@@ -75,6 +75,9 @@ EXTENDED = [
     "attribution_first_last", # range join + min_by/max_by attribution
     "kmeans_lloyd_step",      # exact-integer Lloyd assignment (O(N*K*D) map)
     "session_dynamic_gap_stats",  # dynamic-gap session_window aggregate
+    "cohort_retention",       # first-seen cohort triangle (distinct + rollup)
+    "unigram_logprob_scores", # corpus LM scoring (vocab agg + token join)
+    "gmv_pattern_topk",       # time-series subsequence search (frame pass)
 ]
 
 
