@@ -60,6 +60,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs every executor thread inside the driver JVM, whose
+        # default heap is 1g — far under this host's memory and an OOM at
+        # ~5M-row shuffles.  Applies only when this process launches the JVM
+        # (a pre-existing session keeps its own setting).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # -- optimizer / execution (reference: config/spark_config.py:26-33) --
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,120 @@
+"""Measured scaling probe: replicate the sf0.1 fixtures k× (keys remapped so
+join fan-outs stay constant) into /tmp and time representative queries at
+each factor — the empirical is-it-actually-linear evidence behind SCALE.md's
+plan arguments.
+
+Run:  python scripts/scaling_probe.py            # factors 1, 2, 4
+      SPARK_GRAFT_SCALE_FACTORS=1,2,4,8 python scripts/scaling_probe.py
+
+Prints one JSON line per (factor, query) plus a summary table; results are
+recorded in SCALE.md's "Measured scaling" section.  Writes only under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,2,4").split(",")]
+OUT_ROOT = "/tmp/e_commerce_streaming_datapipeline_scaling"
+
+# (table, key columns to offset per replica so keys stay unique and joins
+# keep constant fan-out)
+TABLES = {
+    "events": ["event_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": [],   # dims are NOT replicated — broadcast sides stay fixed
+    "supplier": [],
+    "nation": [],
+    "region": [],
+    "part": [],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+KEY_OFFSET = 10_000_000_000
+
+QUERIES = [
+    "pricing_summary",      # scan + hash agg over lineitem
+    "gmv_minutely",         # windowed agg over events
+    "user_sessions",        # per-user window sort (sessionization)
+    "dedup_events",         # keyed dedup
+    "order_details",        # fact-fact join orders x lineitem
+    "chunk_dedup_retention",  # text chunk hash + count join
+]
+
+
+def build_factor_dir(factor: int) -> str:
+    out = os.path.join(OUT_ROOT, f"x{factor}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for table, keys in TABLES.items():
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        dst = os.path.join(out, f"{table}.parquet")
+        if factor == 1 or not keys:
+            shutil.copyfile(src, dst)
+            continue
+        base = pq.read_table(src)
+        parts = [base]
+        for i in range(1, factor):
+            t = base
+            for k in keys:
+                t = t.set_column(
+                    t.schema.get_field_index(k),
+                    k,
+                    pc.add(t.column(k), i * KEY_OFFSET),
+                )
+            parts.append(t)
+        pq.write_table(pa.concat_tables(parts), dst)
+    return out
+
+
+def main() -> None:
+    from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+    from e_commerce_streaming_datapipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="e_commerce_streaming_datapipeline-scaling-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for factor in FACTORS:
+        sf_dir = build_factor_dir(factor)
+        for name in QUERIES:
+            q = registry[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][factor] = round(best, 3)
+            print(json.dumps({"query": name, "factor": factor, "sec": results[name][factor]}))
+
+    print("\nquery".ljust(26), *[f"x{f}".rjust(8) for f in FACTORS], "   xN/x1 ratio")
+    for name in QUERIES:
+        row = results[name]
+        ratio = row[FACTORS[-1]] / row[FACTORS[0]] if row[FACTORS[0]] else float("nan")
+        print(name.ljust(26), *[f"{row[f]:8.2f}" for f in FACTORS], f"   {ratio:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
