@@ -989,3 +989,157 @@ def q_gmv_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TS_TOP_K)
         .select("window_end", fround(F.col("d"), 4).alias("mc_dist_sq"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Journey-shape similarity (behavioral clustering)
+# --------------------------------------------------------------------------
+
+@query(
+    "journey_shape_pairs",
+    oracle="""
+WITH journeys AS (
+    SELECT user_id,
+           substr(string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id), 1, 40) AS shape
+    FROM events
+    GROUP BY user_id
+), keyed AS (
+    SELECT user_id, shape, len(shape) AS l, substr(shape, 1, 2) AS pfx
+    FROM journeys WHERE len(shape) >= 2
+)
+SELECT
+    a.user_id AS user_a,
+    b.user_id AS user_b,
+    CAST(levenshtein(a.shape, b.shape) AS INT) AS shape_distance
+FROM keyed a JOIN keyed b
+  ON a.pfx = b.pfx
+ AND a.user_id < b.user_id
+ AND abs(a.l - b.l) <= 3
+WHERE levenshtein(a.shape, b.shape) <= 3
+""",
+)
+def q_journey_shape_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral journey clustering: each user's event sequence collapses
+    to a shape string (ordered event-type initials, capped at 40), and
+    near-identical journeys (edit distance ≤ 3) pair up — the session-path
+    similarity signal behind behavioral cohorting and bot detection.
+
+    Blocking makes the quadratic safe: candidates must share a 2-event
+    PREFIX (an equi-join key — the pair search shuffles on it, never
+    all-pairs) and sit within a ±3 length band (a lower bound on edit
+    distance).  The per-user shape build is one ordered aggregation; the
+    40-char cap bounds both state and levenshtein cost."""
+    events = load_table(spark, "events", sf_dir)
+    ordered = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shapes = (
+        events.select(
+            "user_id",
+            F.substring(
+                F.concat_ws(
+                    "",
+                    F.collect_list(F.substring("event_type", 1, 1)).over(full),
+                ),
+                1,
+                40,
+            ).alias("shape"),
+            F.row_number().over(ordered).alias("__rn"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    keyed = shapes.where(F.length("shape") >= 2).select(
+        "user_id",
+        "shape",
+        F.length("shape").alias("l"),
+        F.substring("shape", 1, 2).alias("pfx"),
+    )
+    a = keyed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("shape").alias("shape_a"),
+        F.col("l").alias("la"),
+        "pfx",
+    )
+    b = keyed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("shape").alias("shape_b"),
+        F.col("l").alias("lb"),
+        "pfx",
+    )
+    return (
+        a.join(
+            b,
+            (a.pfx == b.pfx)
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 3),
+        )
+        .where(F.levenshtein("shape_a", "shape_b") <= 3)
+        .select(
+            "user_a",
+            "user_b",
+            F.levenshtein("shape_a", "shape_b").cast("int").alias("shape_distance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Capped running balance (non-windowable recurrence as a HOF fold)
+# --------------------------------------------------------------------------
+
+@query(
+    "capped_running_value",
+    oracle="""
+WITH deltas AS (
+    SELECT user_id,
+           list(coalesce(value, 0.0) - 5.0
+                ORDER BY epoch_us(ts), event_id) AS ds
+    FROM events
+    GROUP BY user_id
+)
+SELECT
+    user_id,
+    CAST(len(ds) AS BIGINT) AS n_events,
+    round(list_reduce(
+        list_prepend(0.0, ds),
+        (acc, x) -> greatest(acc + x, 0.0)
+    ) * 100) / 100 AS final_balance
+FROM deltas
+""",
+)
+def q_capped_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-capped running balance per user (every event: +value − 5 fee,
+    balance can never go below 0) — the inventory/credit recurrence
+    b_i = max(b_{i-1} + δ_i, 0) that NO window frame can express (the cap
+    makes each step depend on the capped previous step).  Solved as an
+    ordered HOF FOLD: collect the per-user deltas in event order and
+    `aggregate` with greatest(acc+δ, 0) — sequential left-to-right IEEE
+    arithmetic on both engines, so even this chained float recurrence
+    hash-checks exactly.
+
+    Scale: one shuffle groups each user's deltas; fold cost is linear and
+    row-local.  Per-user event counts bound the array (the same cap
+    discipline as the collect_list samples); users with unbounded histories
+    would chunk by epoch with carried-forward balances — the fold's
+    associativity-free structure is exactly why this NEEDS per-key ordered
+    state, not a window."""
+    events = load_table(spark, "events", sf_dir)
+    ordered = events.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("o1"),
+            F.col("event_id").alias("o2"),
+            (F.coalesce("value", F.lit(0.0)) - 5.0).alias("d"),
+        ).alias("s"),
+    )
+    per_user = ordered.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    ds = F.transform(F.col("ss"), lambda s: s["d"])
+    fold = F.aggregate(
+        ds, F.lit(0.0), lambda acc, x: F.greatest(acc + x, F.lit(0.0))
+    )
+    return per_user.select(
+        "user_id",
+        F.size("ss").cast("long").alias("n_events"),
+        fround(fold, 2).alias("final_balance"),
+    )
