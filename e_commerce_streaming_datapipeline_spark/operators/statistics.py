@@ -1143,3 +1143,152 @@ def q_capped_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ss").cast("long").alias("n_events"),
         fround(fold, 2).alias("final_balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Anomaly detection: z-score outlier days
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_anomaly_days",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), stats AS (
+    SELECT avg(cents) AS mu, stddev_pop(cents) AS sigma, count(*) AS n_days
+    FROM daily
+)
+SELECT
+    d.day,
+    round(d.cents / 100.0, 2)                        AS revenue,
+    round((d.cents - s.mu) / s.sigma * 10000) / 10000 AS z_score,
+    CAST(s.n_days AS BIGINT)                          AS n_days
+FROM daily d, stats s
+WHERE s.sigma > 0 AND abs((d.cents - s.mu) / s.sigma) > 2
+""",
+)
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the revenue series: days whose total deviates
+    more than 2 population standard deviations from the mean — the
+    alerting rule behind every revenue-drop dashboard, computed on exact
+    fixed-point cents (the z-score division is the only float op, done
+    identically from identical integers on both engines).
+
+    Plan: daily rollup (corpus-sized hash agg) → 1-row stats broadcast →
+    row-local flag over #days rows.  At scale the mean/std would be a
+    trailing window (seasonality) — same shape with a RANGE frame as in
+    `revenue_rolling_7d`."""
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    stats = daily.agg(
+        F.avg("cents").alias("mu"),
+        F.stddev_pop("cents").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    z = (F.col("cents") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select(
+            "day",
+            fround(F.col("cents") / 100.0, 2).alias("revenue"),
+            fround(z, 4).alias("z_score"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics: winsorized means
+# --------------------------------------------------------------------------
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+WITH vals AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+), ranked AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           count(*)    OVER (PARTITION BY event_type) AS n
+    FROM vals
+), bounds AS (
+    SELECT event_type,
+           min(CASE WHEN rn >= ceil(0.05 * n) THEN cents END) AS lo,
+           min(CASE WHEN rn >= ceil(0.95 * n) THEN cents END) AS hi
+    FROM ranked GROUP BY event_type
+)
+SELECT
+    v.event_type,
+    count(*)                                   AS n,
+    round(v2.lo / 100.0, 2)                    AS p05,
+    round(v2.hi / 100.0, 2)                    AS p95,
+    round(avg(least(greatest(v.cents, v2.lo), v2.hi)) / 100 * 10000) / 10000
+                                               AS winsorized_mean,
+    round(avg(v.cents) / 100 * 10000) / 10000  AS raw_mean
+FROM vals v JOIN bounds v2 USING (event_type)
+GROUP BY v.event_type, v2.lo, v2.hi
+""",
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics for curation: per event type, the 5%/95% discrete
+    percentile bounds (rank-ceil rule, exact integers) and the WINSORIZED
+    mean — outliers clipped to the bounds instead of dropped — next to the
+    raw mean, quantifying how much tail values distort it.  The standard
+    robust-aggregation step before thresholding any heavy-tailed metric.
+
+    Plan: one ranked window pass per type (at corpus scale: swap in
+    approx_percentile bounds, keeping the clip-and-average exact), then a
+    broadcast of the #types bounds relation into the clipping aggregation
+    — integer cents end to end, float only in the final two averages."""
+    events = load_table(spark, "events", sf_dir)
+    vals = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("cents"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        vals.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.avg(clipped) / 100, 4).alias("winsorized_mean"),
+            fround(F.avg("cents") / 100, 4).alias("raw_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            fround(F.col("lo") / 100.0, 2).alias("p05"),
+            fround(F.col("hi") / 100.0, 2).alias("p95"),
+            "winsorized_mean",
+            "raw_mean",
+        )
+    )

@@ -437,6 +437,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "integrity_report",       # five 1-row x 1-row check-result cross joins
         "source_fuzzy_pairs",     # 20-row distinct-key self-join, length-banded
         "gmv_pattern_topk",       # 1-row query-window broadcast (subsequence search)
+        "revenue_anomaly_days",   # 1-row mean/std stats broadcast
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
