@@ -760,3 +760,90 @@ def q_session_dynamic_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases",
         )
     )
+
+
+_SCD2_PIT_ORACLE = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_priority
+    FROM orders
+), versions AS (
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS effective_to
+    FROM ordered
+    WHERE prev_priority IS NULL OR o_orderpriority <> prev_priority
+), looked_up AS (
+    SELECT o.o_orderpriority AS priority_now,
+           coalesce(v.priority, 'NO_HISTORY') AS priority_90d_ago
+    FROM orders o
+    LEFT JOIN versions v
+      ON v.custkey = o.o_custkey
+     AND o.o_orderdate - INTERVAL 90 DAY >= v.effective_from
+     AND (v.effective_to IS NULL
+          OR o.o_orderdate - INTERVAL 90 DAY < v.effective_to)
+)
+SELECT priority_now, priority_90d_ago, count(*) AS n_orders
+FROM looked_up
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("scd2_pit_lookup", oracle=_SCD2_PIT_ORACLE)
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against the SCD2 history
+    ``scd2_priority_history`` builds: every order asks "what was this
+    customer's priority 90 days before this order?" and the answer is the
+    ONE version whose [effective_from, effective_to) interval contains the
+    lookup date (orders predating the first version surface as
+    'NO_HISTORY').  Output: transition matrix (priority_now x
+    priority_90d_ago) with order counts — the standard feature-store /
+    training-data temporal-correctness join, where joining the *current*
+    dimension row instead leaks future information into features.
+
+    Plan shape: the interval predicate rides as a residual filter on a plain
+    custkey equi-join — NOT a range join — so it shuffles both sides once on
+    the key and scales like any fact-dim join.  Version intervals per key
+    are non-overlapping by construction, so the join multiplicity is <= 1
+    and no post-join dedup is needed.  (The union+running-last as-of rewrite
+    `asof_last_purchase` uses is the alternative when the dimension has no
+    closed intervals.)"""
+    orders = load_table(spark, "orders", sf_dir)
+    by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = (
+        orders.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+            F.lag("o_orderpriority").over(by_cust).alias("prev_priority"),
+        )
+        .where(
+            F.col("prev_priority").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_priority"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("effective_from"),
+            F.lead("o_orderdate").over(by_cust).alias("effective_to"),
+        )
+    )
+    lookup_date = F.col("o_orderdate") - F.expr("INTERVAL 90 DAY")
+    looked_up = orders.join(
+        versions,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (lookup_date >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (lookup_date < F.col("effective_to"))),
+        "left",
+    ).select(
+        F.col("o_orderpriority").alias("priority_now"),
+        F.coalesce(F.col("priority"), F.lit("NO_HISTORY")).alias("priority_90d_ago"),
+    )
+    return (
+        looked_up.groupBy("priority_now", "priority_90d_ago")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("priority_now", "priority_90d_ago")
+    )

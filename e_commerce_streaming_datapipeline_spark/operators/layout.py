@@ -1,0 +1,371 @@
+"""Data-layout & scan-pruning operators — the 100 TB cost levers the
+reference never needed at 333 events/s but a warehouse-scale deployment
+lives or dies by.
+
+Reference analog: the reference writes raw JSON to Kafka and appends to
+Postgres (src/sinks/metrics_sink.py:30-41) with no layout control at all.
+At 100 TB on object storage the dominant query cost is *bytes scanned*, and
+the two standard levers are:
+
+* **Clustering (Z-order)** — interleave the bits of two filter columns so
+  one physical sort gives BOTH columns tight per-file min/max ranges;
+  parquet footer stats then let the scan skip files for predicates on
+  either column.  ``zorder_layout_stats`` quantifies that effect on the
+  events table: it simulates a 64-file layout under natural (time) order
+  vs Z-order and reports the per-file min/max span of each dimension plus
+  how many files a point predicate would have to open.
+* **Runtime filters (Bloom)** — before shuffling a 100 TB fact table into
+  a join, broadcast a compact bitmap of the (small) build side's join keys
+  and drop fact rows whose key cannot possibly match.  Spark's AQE injects
+  these automatically for some shapes; ``bloom_filter_prejoin`` builds one
+  explicitly from first principles (two universal-hash probes into an
+  m-bit table expressed as an equi-join against the set positions) and
+  reports the measured false-positive rate against the exact semi-join.
+
+Plus ``equi_depth_histogram``: the optimizer-statistics building block
+(equal-count buckets <=> quantile boundaries) as a query.
+
+Scale notes per operator in the docstrings below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.plans.registry import query
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Z-order clustering quality
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value
+_ZFILES = 64
+_PROBE_USER_BUCKET = 42
+
+
+def _interleave_sql(u: str, t: str, *, dialect: str) -> str:
+    """Bit-interleave two 8-bit ints into a 16-bit Morton (Z) code.
+
+    Generated as a flat sum of shift/mask terms so the SAME arithmetic runs
+    on both engines: Spark gets ``shiftleft/shiftright`` calls, DuckDB gets
+    ``<< >>`` operators — identical integer semantics, identical z-values.
+    Pure map-side expression work: at 100 TB this is free relative to the
+    scan, and whole-stage codegen fuses all 16 terms into one pass.
+    """
+    terms = []
+    for i in range(_ZBITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({u}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({t}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({u} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({t} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(events: DataFrame) -> DataFrame:
+    """Compare per-file column-statistics tightness of a natural (event-time)
+    layout vs a Z-order layout over (user bucket, minute bucket).
+
+    For each of the two layouts the table is split into ``_ZFILES``
+    equal-size files in layout order, and each file's min/max of both
+    dimensions is taken — exactly the stats a parquet writer would put in
+    the footer.  Output (one row per layout): the mean min/max *span* per
+    dimension and how many files a ``user_bucket = 42`` point predicate
+    must open (a file is opened iff min <= 42 <= max).  A good multi-column
+    layout shows materially smaller user-span at modest time-span cost.
+
+    Scale note: this diagnostic ranks rows with a global ``row_number`` (one
+    sort per layout) to make file membership exact and oracle-checkable.
+    The *production* path needs no global window: layout is applied with
+    ``df.repartitionByRange(n, "z").sortWithinPartitions("z").write...`` —
+    range partitioning samples boundaries instead of ranking, and the
+    min/max stats come from parquet footers, not a query.  The aggregation
+    shape here (groupBy(file) -> tiny groupBy(layout)) is scale-safe.
+    """
+    base = events.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.pmod(F.col("user_id"), F.lit(1 << _ZBITS)).cast("long").alias("u8"),
+        F.pmod(F.floor(F.unix_timestamp("ts") / 60), F.lit(1 << _ZBITS))
+        .cast("long")
+        .alias("t8"),
+    ).withColumn("z", F.expr(_interleave_sql("u8", "t8", dialect="spark")))
+
+    n = F.count("*").over(Window.partitionBy(F.lit(1)))
+
+    def layout(df: DataFrame, name: str, *order) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(*order))
+        return (
+            df.withColumn("__rn", rn)
+            .withColumn("__n", n)
+            .select(
+                F.lit(name).alias("layout"),
+                F.expr(f"(( __rn - 1) * {_ZFILES}) div __n").alias("file_id"),
+                "u8",
+                "t8",
+            )
+        )
+
+    per_file = (
+        layout(base, "natural", F.col("ts").asc(), F.col("event_id").asc())
+        .unionByName(layout(base, "zorder", F.col("z").asc(), F.col("event_id").asc()))
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("u8").alias("min_u"),
+            F.max("u8").alias("max_u"),
+            F.min("t8").alias("min_t"),
+            F.max("t8").alias("max_t"),
+        )
+    )
+    probe = _PROBE_USER_BUCKET
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            fround(F.avg(F.col("max_u") - F.col("min_u") + 1), 4).alias("avg_user_span"),
+            fround(F.avg(F.col("max_t") - F.col("min_t") + 1), 4).alias("avg_minute_span"),
+            F.sum(
+                ((F.col("min_u") <= probe) & (F.col("max_u") >= probe)).cast("long")
+            ).alias("probe_user_files_hit"),
+        )
+        .orderBy("layout")
+    )
+
+
+_ZORDER_ORACLE = f"""
+WITH base AS (
+    SELECT
+        event_id, ts,
+        user_id % {1 << _ZBITS} AS u8,
+        CAST(floor(epoch(ts) / 60) AS BIGINT) % {1 << _ZBITS} AS t8
+    FROM events
+), z AS (
+    SELECT *, {_interleave_sql("u8", "t8", dialect="duckdb")} AS zv FROM base
+), ranked AS (
+    SELECT
+        'natural' AS layout,
+        ((row_number() OVER (ORDER BY ts, event_id) - 1) * {_ZFILES})
+            // count(*) OVER () AS file_id,
+        u8, t8
+    FROM z
+    UNION ALL
+    SELECT
+        'zorder' AS layout,
+        ((row_number() OVER (ORDER BY zv, event_id) - 1) * {_ZFILES})
+            // count(*) OVER () AS file_id,
+        u8, t8
+    FROM z
+), per_file AS (
+    SELECT layout, file_id,
+           min(u8) AS min_u, max(u8) AS max_u,
+           min(t8) AS min_t, max(t8) AS max_t
+    FROM ranked GROUP BY 1, 2
+)
+SELECT
+    layout,
+    count(*) AS n_files,
+    round(avg(max_u - min_u + 1) * 10000) / 10000 AS avg_user_span,
+    round(avg(max_t - min_t + 1) * 10000) / 10000 AS avg_minute_span,
+    sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET} AND max_u >= {_PROBE_USER_BUCKET}
+             THEN 1 ELSE 0 END) AS probe_user_files_hit
+FROM per_file
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("zorder_layout_stats", oracle=_ZORDER_ORACLE)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs natural layout: per-file min/max tightness and files hit
+    by a point predicate (data-skipping quality, simulated 64-file split)."""
+    return zorder_layout_stats(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-join filter
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bits
+# two independent universal hashes h(k) = (a*k + b) mod M; constants are
+# plain odd 32-bit multipliers — products stay far below 2^63 for any
+# realistic key domain, so BIGINT arithmetic is exact on both engines.
+_BLOOM_H = [(2654435761, 97), (40503, 2654435769)]
+
+
+def _bloom_pos(col: F.Column, h: int) -> F.Column:
+    a, b = _BLOOM_H[h]
+    return F.pmod(col * F.lit(a) + F.lit(b), F.lit(_BLOOM_M))
+
+
+def bloom_filter_prejoin(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Runtime Bloom-filter join pruning, measured against the exact semi-join.
+
+    Build side: customers in nations 0-4 (the selective dimension subset).
+    The "bitmap" is the distinct set of hash positions the build keys set —
+    represented relationally as a tiny (<= m rows) position table that gets
+    BROADCAST, so membership tests are map-side hash-lookups with zero
+    shuffle of the fact table.  A fact row survives iff BOTH of its probe
+    positions are set (the standard k-hash AND).
+
+    Output: one row with the fact count, candidates passing the filter, true
+    matches, false positives, and the measured false-positive rate over true
+    negatives.  At 100 TB this is the filter you push below a shuffle join
+    when the build side is too big to broadcast whole but its key *bitmap*
+    is not: m bits of filter replaces shuffling the ~(1-sel) fraction of
+    fact bytes that can never match.  Spark's AQE injects the same shape
+    (InjectRuntimeFilter) for supported plans; building it explicitly keeps
+    the technique available for shapes AQE misses (e.g. pre-aggregations
+    feeding a join).
+    """
+    keys = (
+        customer.where(F.col("c_nationkey") < 5)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        keys.select(_bloom_pos(F.col("k"), 0).alias("pos"))
+        .unionByName(keys.select(_bloom_pos(F.col("k"), 1).alias("pos")))
+        .distinct()
+    )
+    fact = orders.select(
+        "o_custkey",
+        _bloom_pos(F.col("o_custkey"), 0).alias("p0"),
+        _bloom_pos(F.col("o_custkey"), 1).alias("p1"),
+    )
+    b0 = bits.select(F.col("pos").alias("pos0"), F.lit(1).alias("hit0"))
+    b1 = bits.select(F.col("pos").alias("pos1"), F.lit(1).alias("hit1"))
+    truth = keys.select(F.col("k").alias("tk"), F.lit(1).alias("is_true"))
+    flagged = (
+        fact.join(F.broadcast(b0), fact.p0 == b0.pos0, "left")
+        .join(F.broadcast(b1), fact.p1 == b1.pos1, "left")
+        .join(F.broadcast(truth), fact.o_custkey == truth.tk, "left")
+        .select(
+            (F.coalesce(F.col("hit0"), F.lit(0)) * F.coalesce(F.col("hit1"), F.lit(0)))
+            .alias("passed"),
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("matched"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_facts"),
+        F.sum("passed").alias("n_candidates"),
+        F.sum("matched").alias("n_true"),
+        (F.sum("passed") - F.sum("matched")).alias("n_false_pos"),
+        fround(
+            (F.sum("passed") - F.sum("matched"))
+            / (F.count("*") - F.sum("matched")),
+            6,
+        ).alias("false_pos_rate"),
+    )
+
+
+def _bloom_oracle() -> str:
+    def pos(expr: str, h: int) -> str:
+        a, b = _BLOOM_H[h]
+        return f"(({expr} * {a} + {b}) % {_BLOOM_M})"
+
+    return f"""
+WITH keys AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey < 5
+), bits AS (
+    SELECT DISTINCT pos FROM (
+        SELECT {pos("k", 0)} AS pos FROM keys
+        UNION ALL
+        SELECT {pos("k", 1)} AS pos FROM keys
+    )
+), flagged AS (
+    SELECT
+        CASE WHEN {pos("o.o_custkey", 0)} IN (SELECT pos FROM bits)
+              AND {pos("o.o_custkey", 1)} IN (SELECT pos FROM bits)
+             THEN 1 ELSE 0 END AS passed,
+        CASE WHEN o.o_custkey IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS matched
+    FROM orders o
+)
+SELECT
+    count(*) AS n_facts,
+    sum(passed) AS n_candidates,
+    sum(matched) AS n_true,
+    sum(passed) - sum(matched) AS n_false_pos,
+    round(CAST(sum(passed) - sum(matched) AS DOUBLE)
+          / (count(*) - sum(matched)) * 1000000) / 1000000 AS false_pos_rate
+FROM flagged
+"""
+
+
+@query("bloom_filter_prejoin", oracle=_bloom_oracle())
+def q_bloom_filter_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom runtime filter ahead of a fact-dim join, with measured
+    false-positive rate vs the exact semi-join (m=16384, k=2)."""
+    return bloom_filter_prejoin(
+        load_table(spark, "orders", sf_dir), load_table(spark, "customer", sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (optimizer statistics building block)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+
+def equi_depth_histogram(orders: DataFrame) -> DataFrame:
+    """Equal-count (equi-depth) histogram of order totals — the statistic a
+    cost-based optimizer keeps per column, as a first-class query.
+
+    ``ntile`` over a fully-specified ordering (value, key tiebreak) makes
+    bucket membership deterministic and oracle-checkable; sums use the
+    fixed-point-cents pattern (see ``analytics.q_pricing_summary``) so the
+    totals hash identically across engines.
+
+    Scale note: exact equi-depth requires a global ordering — fine for the
+    bounded relations this runs on (an optimizer samples anyway).  The
+    100 TB path is the approximate twin ``approx_value_percentiles``
+    (GK sketch: mergeable partials, no global sort); this exact version is
+    the ground truth it is audited against.
+    """
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    cents = F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+    return (
+        orders.withColumn("bucket", F.ntile(_HIST_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fround(F.min("o_totalprice"), 2).alias("lo"),
+            fround(F.max("o_totalprice"), 2).alias("hi"),
+            fround(cents / 100.0 / F.count("*"), 2).alias("avg_price"),
+            (cents.cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HIST_ORACLE = f"""
+WITH bucketed AS (
+    SELECT
+        o_totalprice,
+        ntile({_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT
+    bucket,
+    count(*) AS n_orders,
+    round(min(o_totalprice) * 100) / 100 AS lo,
+    round(max(o_totalprice) * 100) / 100 AS hi,
+    round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 100.0 / count(*) * 100) / 100 AS avg_price,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("equi_depth_histogram", oracle=_HIST_ORACLE)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket equal-count histogram of o_totalprice with exact fixed-point
+    bucket totals (deterministic ntile tiebreak on o_orderkey)."""
+    return equi_depth_histogram(load_table(spark, "orders", sf_dir))

@@ -43,6 +43,8 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.tpch_shapes2",
     "e_commerce_streaming_datapipeline_spark.operators.curation",
     "e_commerce_streaming_datapipeline_spark.operators.statistics",
+    "e_commerce_streaming_datapipeline_spark.operators.layout",
+    "e_commerce_streaming_datapipeline_spark.operators.graph",
 ]
 
 

@@ -162,3 +162,48 @@ def test_integrity_report_clean_fixture(spark, sf_dir):
     for r in _rows("integrity_report", spark, sf_dir):
         assert r["violations"] == 0, r
         assert r["checked"] > 0, r
+
+
+def test_zorder_tightens_user_spans(spark, sf_dir):
+    """Z-order's whole point: sorting by the interleaved code must give
+    materially tighter per-file user-bucket ranges than time order (events
+    arrive in time order, so user ids are uniformly spread per file), and a
+    user point-predicate must open no MORE files than under natural order."""
+    rows = {r["layout"]: r for r in _rows("zorder_layout_stats", spark, sf_dir)}
+    assert set(rows) == {"natural", "zorder"}
+    assert rows["zorder"]["avg_user_span"] < rows["natural"]["avg_user_span"]
+    assert (
+        rows["zorder"]["probe_user_files_hit"]
+        <= rows["natural"]["probe_user_files_hit"]
+    )
+    assert rows["natural"]["n_files"] == rows["zorder"]["n_files"] == 64
+
+
+def test_bloom_filter_is_sound_and_useful(spark, sf_dir):
+    """A Bloom filter has no false negatives (every true match passes) and
+    its measured false-positive rate should sit under the theoretical bound
+    by a wide margin for this load factor: with n keys, k=2 hashes, m=16384
+    bits, fp <= (1 - e^(-2n/m))^2 plus slack."""
+    (r,) = _rows("bloom_filter_prejoin", spark, sf_dir)
+    assert r["n_candidates"] >= r["n_true"]  # no false negatives
+    assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
+    n_keys_bound = r["n_true"]  # #distinct build keys <= #true fact matches
+    theoretical = (1 - math.exp(-2 * n_keys_bound / 16384.0)) ** 2
+    assert r["false_pos_rate"] <= max(theoretical * 3, 0.05), (
+        r["false_pos_rate"],
+        theoretical,
+    )
+
+
+def test_equi_depth_buckets_are_equal_and_ordered(spark, sf_dir):
+    """Equi-depth invariants: bucket sizes differ by at most 1 (ntile
+    contract), bucket value ranges are non-overlapping and ascending, and
+    the per-bucket mean lies inside [lo, hi]."""
+    rows = sorted(_rows("equi_depth_histogram", spark, sf_dir), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(1, 17))
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"] + 0.011  # rounded boundary ties allowed
+    for r in rows:
+        assert r["lo"] - 0.011 <= r["avg_price"] <= r["hi"] + 0.011
