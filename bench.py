@@ -78,6 +78,14 @@ EXTENDED = [
     "cohort_retention",       # first-seen cohort triangle (distinct + rollup)
     "unigram_logprob_scores", # corpus LM scoring (vocab agg + token join)
     "gmv_pattern_topk",       # time-series subsequence search (frame pass)
+    "zorder_layout_stats",    # Z-order clustering quality (layout diagnostics)
+    "bloom_filter_prejoin",   # explicit Bloom runtime filter + fp-rate audit
+    "equi_depth_histogram",   # ntile equal-count optimizer statistics
+    "supplier_triangles",     # degree-oriented triangle census (graph joins)
+    "scd2_pit_lookup",        # point-in-time dimension lookup (temporal join)
+    "k_anonymity_audit",      # privacy QI-group audit (distinct-count agg)
+    "join_size_cms_estimate", # sketch inner-product join-cardinality estimate
+    "attribution_time_decay", # multi-touch credit (pair join + window norm)
 ]
 
 

@@ -604,3 +604,61 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(
         f"stack({len(stages)}, {', '.join(rows)}) AS (stage_idx, stage, n_surviving, n_dropped)"
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy gate before a training-data release)
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH groups AS (
+    SELECT
+        event_type AS qi_event_type,
+        CAST(extract(hour FROM ts) AS INTEGER) AS qi_hour,
+        CAST(floor(coalesce(value, 0) / 100) AS BIGINT) AS qi_value_bucket,
+        count(DISTINCT user_id) AS n_users,
+        count(*) AS n_rows
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT qi_event_type, qi_hour, qi_value_bucket, n_users, n_rows
+FROM groups
+WHERE n_users < {_KANON_K}
+ORDER BY qi_event_type, qi_hour, qi_value_bucket
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate for a data release: k-anonymity audit over the
+    quasi-identifier tuple (event_type, hour-of-day, value bucket).  A
+    release is k-anonymous iff every QI combination covers at least k
+    distinct individuals; this lists every violating group (its user and
+    row counts) so the release pipeline can suppress or generalize exactly
+    those cells — the standard pre-release check next to `pii_redaction`
+    and `user_erasure` in a training-data curation flow.
+
+    Scale: one hash aggregation over the QI key (count + count_distinct
+    partial-aggregate map-side); the violation filter runs on the GROUP
+    relation (#QI cells, bounded by the generalization grid — here
+    |types|x24x|buckets|), never on raw rows.  Output size is capped by the
+    grid, so no top-k guard is needed."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            F.col("event_type").alias("qi_event_type"),
+            F.hour("ts").alias("qi_hour"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100).alias(
+                "qi_value_bucket"
+            ),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_rows"),
+        )
+        .where(F.col("n_users") < _KANON_K)
+        .orderBy("qi_event_type", "qi_hour", "qi_value_bucket")
+    )

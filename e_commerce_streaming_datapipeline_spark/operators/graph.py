@@ -44,9 +44,17 @@ def supplier_triangles(lineitem: DataFrame) -> DataFrame:
     on promiscuous parts (the same guard `minhash_near_dups` applies to
     oversized LSH buckets).
     """
-    ps = lineitem.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    # edge definition is selective on purpose: an edge needs a shared
+    # *high-volume* part (l_quantity >= 49).  Without the predicate the
+    # synthetic fixture's uniform part→supplier incidence makes the co-part
+    # graph near-complete (every supplier pair shares SOME part), and a
+    # triangle census of a near-complete graph is Θ(n³) answers — noise,
+    # not structure.  The threshold keeps avg degree ~30 at sf0.1.
+    ps = (
+        lineitem.where(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
     a, b = ps.alias("a"), ps.alias("b")
     edges = (
         a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
@@ -110,7 +118,8 @@ def supplier_triangles(lineitem: DataFrame) -> DataFrame:
 
 _TRIANGLE_ORACLE = """
 WITH ps AS (
-    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem WHERE l_quantity >= 49
 ), edges AS (
     SELECT DISTINCT a.sk AS u, b.sk AS v
     FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk

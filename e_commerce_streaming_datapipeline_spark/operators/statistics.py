@@ -1292,3 +1292,206 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch algebra: join-size estimation from CMS inner products
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_size_cms_estimate",
+    oracle=f"""
+WITH params AS (
+    SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_PARAMS)})
+    t(j, a, b)
+), cells_o AS (
+    SELECT p.j, ((p.a * o.o_orderkey + p.b) % {_CMS_P}) % {_CMS_W} AS bkt,
+           count(*) AS c
+    FROM orders o, params p GROUP BY 1, 2
+), cells_l AS (
+    SELECT p.j, ((p.a * l.l_orderkey + p.b) % {_CMS_P}) % {_CMS_W} AS bkt,
+           count(*) AS c
+    FROM lineitem l, params p GROUP BY 1, 2
+), est AS (
+    SELECT min(dot) AS cms_estimate FROM (
+        SELECT co.j, sum(co.c * cl.c) AS dot
+        FROM cells_o co JOIN cells_l cl ON co.j = cl.j AND co.bkt = cl.bkt
+        GROUP BY co.j
+    )
+), exact AS (
+    SELECT count(*) AS exact_join_rows
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT
+    exact_join_rows,
+    cms_estimate,
+    cms_estimate - exact_join_rows AS overestimate,
+    round(CAST(cms_estimate - exact_join_rows AS DOUBLE)
+          / exact_join_rows * 1000000) / 1000000 AS rel_error
+FROM exact, est
+""",
+)
+def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join: |A ⋈ B| =
+    Σ_k f_A(k)·f_B(k) is the inner product of the two key-frequency
+    vectors, and the count-min inner product Σ_bkt cmsA[j,bkt]·cmsB[j,bkt]
+    (min over rows j) is its classic one-sided overestimate (Cormode &
+    Muthukrishnan '05).  Output: exact join size, sketch estimate, and
+    relative error — the cost-based-optimizer primitive that prices a join
+    before paying for it.
+
+    Scale story: each side is ONE hash aggregation into 4x256 cells (same
+    mergeable-partial shape as `heavy_hitters_cms`); the inner product
+    joins two 1024-cell relations — constant-size work independent of
+    corpus size, vs actually shuffling both tables to learn the
+    cardinality.  The exact branch exists to measure the estimate and
+    anchor the oracle."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("key")
+    )
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("key")
+    )
+
+    def cms_cells(df: DataFrame) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    ((F.col("key") * a + b) % _CMS_P % _CMS_W).alias("bkt"),
+                )
+                for j, a, b in _CMS_PARAMS
+            ]
+        )
+        return (
+            df.select(F.explode(buckets).alias("s"))
+            .select("s.j", "s.bkt")
+            .groupBy("j", "bkt")
+            .agg(F.count("*").alias("c"))
+        )
+
+    co = cms_cells(orders).select("j", "bkt", F.col("c").alias("co"))
+    cl = cms_cells(lineitem).select("j", "bkt", F.col("c").alias("cl"))
+    est = (
+        co.join(cl, ["j", "bkt"])
+        .groupBy("j")
+        .agg(F.sum(F.col("co") * F.col("cl")).alias("dot"))
+        .agg(F.min("dot").alias("cms_estimate"))
+    )
+    exact = (
+        orders.join(lineitem, "key")
+        .agg(F.count("*").alias("exact_join_rows"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_rows",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_join_rows")).alias("overestimate"),
+        fround(
+            (F.col("cms_estimate") - F.col("exact_join_rows"))
+            / F.col("exact_join_rows"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch time-decay attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+WITH pairs AS (
+    SELECT
+        c.ts AS click_ts,
+        p.value AS purchase_value,
+        p.user_id, p.event_id AS purchase_id,
+        3600 - (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS w
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) < 3600000000
+    WHERE p.event_type = 'purchase'
+), credited AS (
+    SELECT
+        click_ts,
+        CAST(round(coalesce(purchase_value, 0)
+                   * w / sum(w) OVER (PARTITION BY purchase_id)
+                   * 1000000) AS BIGINT) AS credit_micro
+    FROM pairs
+)
+SELECT
+    date_trunc('hour', click_ts) AS click_hour,
+    count(*) AS n_credited_clicks,
+    CAST(sum(credit_micro) AS DOUBLE) / 1000000 AS credited_revenue
+FROM credited
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution (completing the family next to
+    first/last-touch `attribution_first_last`): every click in the hour
+    before a purchase earns credit linearly decaying with age —
+    weight = 3600 − Δseconds, an exact INTEGER, so the per-purchase
+    normalizer Σw is exact and the only float op (value·w/Σw) is a single
+    identical-on-both-engines expression.  Credits are fixed-point
+    micro-units before the final sum (order-independent long addition —
+    the `pricing_summary` determinism pattern).  Output: credited revenue
+    per click hour.
+
+    Scale: the pair join is an equi-join on user_id with the 1-hour window
+    as a residual predicate; multiplicity is bounded by events-per-user-
+    per-hour, the same envelope every sessionization query here relies on.
+    The per-purchase normalizer is a window over the PAIRS relation
+    partitioned by purchase — no global window, no second shuffle (same
+    hash key modulo purchase_id refinement)."""
+    events = load_table(spark, "events", sf_dir)
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    )
+    delta_us = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("click_ts"))
+    pairs = p.join(c, "user_id").where(
+        (F.col("click_ts") <= F.col("p_ts")) & (delta_us < 3_600_000_000)
+    ).select(
+        "click_ts",
+        "purchase_id",
+        "purchase_value",
+        (F.lit(3600) - F.expr(
+            "(unix_micros(p_ts) - unix_micros(click_ts)) div 1000000"
+        )).alias("w"),
+    )
+    norm = Window.partitionBy("purchase_id")
+    credited = pairs.select(
+        "click_ts",
+        F.round(
+            F.col("purchase_value") * F.col("w") / F.sum("w").over(norm) * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("credit_micro"),
+    )
+    return (
+        credited.groupBy(F.date_trunc("hour", "click_ts").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_credited_clicks"),
+            (F.sum("credit_micro").cast("double") / 1_000_000).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("click_hour")
+    )
