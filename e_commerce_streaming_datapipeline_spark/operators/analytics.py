@@ -847,3 +847,183 @@ def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("priority_now", "priority_90d_ago")
     )
+
+
+@query(
+    "cdc_apply_latest",
+    oracle="""
+WITH log AS (
+    SELECT
+        user_id,
+        CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+             ELSE 'U' END AS op,
+        ts, event_id,
+        round(coalesce(value, 0), 2) AS val
+    FROM events
+), ranked AS (
+    SELECT *,
+        row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM log
+)
+SELECT user_id, op AS last_op, ts AS last_ts, val AS last_value, n_changes
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+""",
+)
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: apply an insert/update/delete change stream to
+    produce the current snapshot — keep each key's LATEST change by the
+    (ts, event_id) total order, and drop the key entirely when that latest
+    change is a delete (the tombstone rule).  The change log is derived
+    from events (signup→I, error→D, else U); this is the batch-compaction
+    half of the CDC story whose incremental half is `metrics_merge_upsert`
+    (idempotent MERGE per micro-batch).
+
+    Scale: ONE hash partitioning on the key drives both the latest-row
+    election (row_number) and the change count; Spark plans the rn<=1
+    filter as WindowGroupLimit, so each map task forwards only its
+    top-1-per-key candidates into the shuffle — compaction cost scales
+    with keys, not log length (same bounded-top-k discipline as
+    `dropoff_hourly`'s samples)."""
+    events = load_table(spark, "events", sf_dir)
+    log = events.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+        fround(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("val"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("val").alias("last_value"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "locf_value_15min",
+    oracle="""
+WITH bounds AS (
+    SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) AS t0,
+           time_bucket(INTERVAL 15 MINUTE, max(ts)) AS t1
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(t0, t1, INTERVAL 15 MINUTE)) AS bucket_start
+    FROM bounds
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), obs AS (
+    SELECT event_type,
+           time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_start,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), grid AS (
+    SELECT t.event_type, s.bucket_start,
+           round(o.cents / 100.0 / o.cnt * 10000) / 10000 AS avg_val,
+           o.bucket_start AS obs_bucket
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN obs o ON o.event_type = t.event_type
+                   AND o.bucket_start = s.bucket_start
+), filled AS (
+    SELECT event_type, bucket_start,
+           obs_bucket IS NOT NULL AS is_observed,
+           last_value(avg_val IGNORE NULLS) OVER w AS value_locf,
+           last_value(obs_bucket IGNORE NULLS) OVER w AS last_obs
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_start, is_observed, value_locf,
+       CAST(date_diff('minute', last_obs, bucket_start) AS BIGINT)
+           AS staleness_min
+FROM filled
+ORDER BY event_type, bucket_start
+""",
+)
+def q_locf_value_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap-fill: the dense 15-minute
+    grid per event type where empty buckets inherit the most recent
+    observed average value plus a staleness age — the time-series repair
+    `gapfilled_minutely_gmv`'s zero-fill is wrong for (a sensor reading, a
+    price, a rate: absence means "unchanged", not "zero").
+
+    Scale: identical spine discipline to the zero-fill twin — aggregate
+    FIRST, so the LOCF window runs over the spine-sized grid (#buckets x
+    #types), never over raw events; the carry is `last(ignorenulls)` with
+    a per-type partition, so no global window exists anywhere."""
+    events = load_table(spark, "events", sf_dir)
+    # epoch-aligned 15-min bucket via integer arithmetic: identical to
+    # DuckDB's time_bucket (whose origin 2000-01-01 is 900-divisible in
+    # epoch seconds), and — unlike F.window — usable twice in one select
+    bucket15 = lambda c: F.timestamp_seconds(  # noqa: E731
+        F.expr(f"unix_timestamp({c}) div 900") * 900
+    )
+    bounds = events.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(bucket15("mn").alias("t0"), bucket15("mx").alias("t1"))
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 15 MINUTE"))).alias(
+            "bucket_start"
+        )
+    )
+    types = events.select("event_type").distinct()
+    obs = events.groupBy(
+        "event_type", bucket15("ts").alias("bucket_start")
+    ).agg(
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+        ).alias("cents"),
+        F.count("*").alias("cnt"),
+    )
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(obs, ["event_type", "bucket_start"], "left")
+        .select(
+            "event_type",
+            "bucket_start",
+            fround(F.col("cents") / 100.0 / F.col("cnt"), 4).alias("avg_val"),
+            F.when(F.col("cnt").isNotNull(), F.col("bucket_start")).alias(
+                "obs_bucket"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "bucket_start",
+        F.col("obs_bucket").isNotNull().alias("is_observed"),
+        F.last("avg_val", ignorenulls=True).over(w).alias("value_locf"),
+        (
+            (
+                F.unix_timestamp("bucket_start")
+                - F.unix_timestamp(F.last("obs_bucket", ignorenulls=True).over(w))
+            )
+            / 60
+        )
+        .cast("long")
+        .alias("staleness_min"),
+    ).orderBy("event_type", "bucket_start")

@@ -160,3 +160,81 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle count + global clustering coefficient of the
     supplier co-part graph (O(m^1.5) oriented wedge join, hub-skew safe)."""
     return supplier_triangles(load_table(spark, "lineitem", sf_dir))
+
+
+_COPURCHASE_TOPK = 20
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (
+    SELECT count(DISTINCT ok) AS n_orders FROM op
+), part_cnt AS (
+    SELECT pk, count(*) AS cnt FROM op GROUP BY pk
+), pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, support,
+       ca.cnt AS count_a, cb.cnt AS count_b,
+       round(CAST(support AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt)
+             * 10000) / 10000 AS lift
+FROM pairs, n
+JOIN part_cnt ca ON ca.pk = part_a
+JOIN part_cnt cb ON cb.pk = part_b
+ORDER BY support DESC, part_a, part_b
+LIMIT {_COPURCHASE_TOPK}
+""",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-20 part pairs by
+    co-occurrence support across orders, with lift
+    (support·N / (count_a·count_b)) — the association signal a
+    recommendation pipeline derives from the order fact table.
+
+    Plan shape: distinct (order, part) incidence first (fact-row counts
+    never inflate supports), pair expansion via self-equi-join on the order
+    key — bounded by items-per-order (TPC-H ≤ 7, so ≤ 21 pairs/order;
+    a real deployment guards promiscuous baskets with HAVING count <= k
+    like the LSH buckets) — then a hash-agg on the pair and two broadcast
+    joins against the tiny per-part count relation.  Top-k is a
+    TakeOrdered over the pair relation, never a global sort."""
+    op = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = op.select(F.count_distinct("ok").alias("n_orders"))
+    part_cnt = op.groupBy("pk").agg(F.count("*").alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+    )
+    ca = part_cnt.select(F.col("pk").alias("part_a"), F.col("cnt").alias("count_a"))
+    cb = part_cnt.select(F.col("pk").alias("part_b"), F.col("cnt").alias("count_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "count_a",
+            "count_b",
+            fround(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("count_a") * F.col("count_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(_COPURCHASE_TOPK)
+    )

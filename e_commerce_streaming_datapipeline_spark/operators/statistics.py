@@ -1495,3 +1495,102 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Median imputation (training-data repair)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "value_imputation",
+    oracle="""
+WITH cents AS (
+    -- synthetic deterministic dropout: the fixture has no NULLs, so ~1/13
+    -- of rows (by event_id hash) are treated as missing to exercise the
+    -- imputation arm with real value flow
+    SELECT event_type,
+           CASE WHEN value IS NULL OR event_id % 13 = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) END AS c
+    FROM events
+), med AS (
+    SELECT event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+               AS median_cents
+    FROM cents WHERE c IS NOT NULL GROUP BY 1
+)
+SELECT
+    x.event_type,
+    count(*)                                   AS n_rows,
+    count(*) - count(x.c)                      AS n_imputed,
+    CAST(m.median_cents AS DOUBLE) / 100       AS imputed_value,
+    round(CAST(sum(coalesce(x.c, m.median_cents)) AS DOUBLE)
+          / count(*) / 100 * 10000) / 10000    AS post_impute_mean
+FROM cents x JOIN med m USING (event_type)
+GROUP BY x.event_type, m.median_cents
+ORDER BY x.event_type
+""",
+)
+def q_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation — the standard training-data repair for missing
+    numerics: per event type, rows whose value is missing (the fixture
+    has none, so a deterministic ~1/13 event_id-hash dropout simulates
+    sensor loss) are filled with the group's exact discrete median (percentile_disc rank-ceil rule over integer cents, so
+    the fill value is an actually-observed value and hash-identical across
+    engines) and the post-imputation mean is reported as the audit.
+
+    Scale: the median uses the rank-ceil-of-count trick on the
+    per-(type, cents) COUNT relation — a window over distinct values, not
+    rows (`conversion_latency_stats` discipline); the imputation itself is
+    then one broadcast of the tiny per-type median table into a map-side
+    coalesce.  No global sort, no second scan of raw data."""
+    events = load_table(spark, "events", sf_dir)
+    cents = events.select(
+        "event_type",
+        F.when(
+            F.col("value").isNotNull() & (F.pmod(F.col("event_id"), F.lit(13)) != 0),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).alias("c"),
+    )
+    # discrete median over the distinct-value count relation
+    vc = (
+        cents.where(F.col("c").isNotNull())
+        .groupBy("event_type", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    med = (
+        vc.select(
+            "event_type",
+            "c",
+            F.sum("k").over(wcum).alias("cum"),
+            F.sum("k").over(wtot).alias("n"),
+        )
+        .where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("median_cents"))
+    )
+    joined = cents.join(F.broadcast(med), "event_type")
+    return (
+        joined.groupBy("event_type", "median_cents")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("c")).alias("n_imputed"),
+            F.sum(F.coalesce(F.col("c"), F.col("median_cents"))).alias("s"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_imputed",
+            (F.col("median_cents").cast("double") / 100).alias("imputed_value"),
+            fround(F.col("s").cast("double") / F.col("n_rows") / 100, 4).alias(
+                "post_impute_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )

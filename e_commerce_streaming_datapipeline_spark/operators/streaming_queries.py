@@ -1195,3 +1195,68 @@ def q_session_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(spark, sessions, "session_dynamic_stream")
+
+
+@query(
+    "attributed_clicks_semi_stream",
+    oracle="""
+SELECT
+    c.user_id,
+    c.event_id AS click_id,
+    c.ts       AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase'
+        AND p.user_id = c.user_id
+        AND p.ts BETWEEN c.ts AND c.ts + INTERVAL '1 hour')
+""",
+)
+def q_attributed_clicks_semi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT SEMI stream-stream join — the remaining member of
+    the stream-join family (inner `attribution_stream_join`, left outer
+    `unattributed_purchases_stream`, full outer
+    `click_purchase_full_outer_stream`): clicks that ARE followed by a
+    purchase within 1 hour, emitted once, without ever materializing the
+    purchase columns.
+
+    Why semi beats inner+distinct on a stream: the inner join emits one row
+    per (click, purchase) pair and deduplicating afterwards needs a second
+    stateful operator; the semi join emits the click exactly once on its
+    first match and drops its state — less state, no dedup stage.  Both
+    sides keep watermarks and the join predicate carries the event-time
+    range, so buffered clicks are evicted once the purchase watermark
+    passes click_ts + 1h.  Matched rows emit on match (not on watermark),
+    so the availableNow replay emits every click with EXISTS semantics —
+    the oracle is the plain EXISTS, no watermark bound (same emission rule
+    as the inner join's oracle)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("user_id", "click_id", "click_ts")
+    return _run_to_table(spark, joined, "attributed_semi_stream", output_mode="append")

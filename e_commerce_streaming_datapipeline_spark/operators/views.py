@@ -361,3 +361,73 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ts_null)
         .unionAll(val_pos)
     )
+
+
+@query(
+    "bitmap_users_daily_to_monthly",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT user_id) AS day_users,
+           count(*) AS events
+    FROM events GROUP BY 1
+), monthly AS (
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           count(DISTINCT user_id) AS exact_monthly_users
+    FROM events GROUP BY 1
+)
+SELECT m.month,
+       m.exact_monthly_users,
+       sum(d.day_users) AS sum_daily_users,
+       sum(d.events)    AS events
+FROM monthly m
+JOIN daily d ON CAST(date_trunc('month', d.day) AS TIMESTAMP) = m.month
+GROUP BY 1, 2
+ORDER BY 1
+""",
+)
+def q_bitmap_users_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregation — the
+    lossless sibling of `hll_users_daily_to_monthly`: per-(day, bucket)
+    bitmaps of user ids (`bitmap_bucket_number` splits the id domain so no
+    single bitmap exceeds 4 MB; `bitmap_construct_agg` sets the in-bucket
+    bit), OR-merged up to the month and counted — distinct users per month
+    with NO approximation and NO re-scan of raw events, so it IS
+    oracle-checkable against count(DISTINCT), unlike the HLL twin.
+
+    The sum of daily distincts rides along as the (overcounting) naive
+    re-aggregation a correct rollup must NOT equal — the v_metrics trap in
+    the reference's re-aggregated views (SURVEY §2.6 V3): distinct counts
+    don't add; bitmaps (or sketches) do.
+
+    Scale: state per (grain, bucket) is a fixed-size bitmap; partial
+    aggregation ORs map-side, the shuffle carries bitmaps not ids, and any
+    coarser grain (month -> quarter -> year) reuses the same stored
+    bitmaps.  The id domain only adds buckets linearly."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count("*").alias("events"),
+        F.bitmap_count(
+            F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+        ).alias("day_bucket_users"),
+    )
+    monthly_buckets = daily.groupBy(
+        F.date_trunc("month", "day").alias("month"), F.col("bucket")
+    ).agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("bucket_users"),
+        F.sum("events").alias("events"),
+        F.sum("day_bucket_users").alias("sum_daily_users"),
+    )
+    return (
+        monthly_buckets.groupBy("month")
+        .agg(
+            F.sum("bucket_users").alias("exact_monthly_users"),
+            F.sum("sum_daily_users").alias("sum_daily_users"),
+            F.sum("events").alias("events"),
+        )
+        .orderBy("month")
+    )

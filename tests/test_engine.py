@@ -440,6 +440,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "revenue_anomaly_days",   # 1-row mean/std stats broadcast
         "supplier_triangles",     # 1-row count relations (edges/deg/tri) cross-joined
         "join_size_cms_estimate", # 1-row exact-count x 1-row sketch-estimate
+        "copurchase_pairs",       # 1-row corpus order-count broadcast
+        "locf_value_15min",       # spine x |event types| tiny-relation grid
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
