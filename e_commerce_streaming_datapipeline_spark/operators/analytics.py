@@ -900,14 +900,18 @@ def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         fround(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("val"),
     )
+    # n_changes as a separate aggregate joined back (not count(*) OVER the
+    # same partition): a full-partition count in the ranked select would
+    # legally block the WindowGroupLimit pushdown — the rn filter must
+    # stand alone for map tasks to pre-prune to top-1-per-key
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    ranked = log.select(
-        "*",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("user_id")).alias("n_changes"),
+    latest = (
+        log.select("*", F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
     )
+    counts = log.groupBy("user_id").agg(F.count("*").alias("n_changes"))
     return (
-        ranked.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        latest.join(counts, "user_id")
         .select(
             "user_id",
             F.col("op").alias("last_op"),

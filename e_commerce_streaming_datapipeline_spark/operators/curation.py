@@ -662,3 +662,76 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_users") < _KANON_K)
         .orderBy("qi_event_type", "qi_hour", "qi_value_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Training shard assignment (the "global shuffle" a trainer consumes)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+WITH assigned AS (
+    SELECT
+        (doc_id * 2654435761) % 4294967296 % {_N_SHARDS} AS shard,
+        n_chars,
+        length(text) - length(replace(text, ' ', '')) + 1 AS tokens
+    FROM documents
+), per_shard AS (
+    SELECT shard, count(*) AS n_docs, sum(tokens) AS n_tokens
+    FROM assigned GROUP BY shard
+)
+SELECT
+    count(*) AS n_shards,
+    sum(n_docs) AS total_docs,
+    min(n_docs) AS min_docs,
+    max(n_docs) AS max_docs,
+    round(CAST(max(n_docs) AS DOUBLE) * count(*) / sum(n_docs) * 10000)
+        / 10000 AS doc_skew,
+    min(n_tokens) AS min_tokens,
+    max(n_tokens) AS max_tokens,
+    round(CAST(max(n_tokens) AS DOUBLE) * count(*) / sum(n_tokens) * 10000)
+        / 10000 AS token_skew
+FROM per_shard
+""",
+)
+def q_training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every document lands in one
+    of 64 shards by multiplicative hash (reproducible on any engine, stable
+    under corpus append — the property a resumable training run needs from
+    its data order), with the balance audit a trainer cares about: per-shard
+    doc and token spread, and skew = max/mean (1.0 = perfectly balanced;
+    stragglers in a training epoch are exactly the shards with skew >> 1).
+
+    Scale: assignment is a row-local expression (no shuffle at all to
+    COMPUTE shards — the physical re-layout is `repartition(64, shard)` at
+    write time); the audit is one hash-agg on shard then a single-row
+    summary.  Token counts reuse the whitespace estimator from
+    `token_count_estimates`."""
+    docs = load_table(spark, "documents", sf_dir)
+    assigned = docs.select(
+        hash_bucket(F.col("doc_id"), _N_SHARDS).alias("shard"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("tokens"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("tokens").alias("n_tokens")
+    )
+    return per_shard.agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n_docs").alias("total_docs"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        fround(
+            F.max("n_docs").cast("double") * F.count("*") / F.sum("n_docs"), 4
+        ).alias("doc_skew"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        fround(
+            F.max("n_tokens").cast("double") * F.count("*") / F.sum("n_tokens"), 4
+        ).alias("token_skew"),
+    )

@@ -1260,3 +1260,68 @@ def q_attributed_clicks_semi_stream(spark: SparkSession, sf_dir: str) -> DataFra
         "left_semi",
     ).select("user_id", "click_id", "click_ts")
     return _run_to_table(spark, joined, "attributed_semi_stream", output_mode="append")
+
+
+@query(
+    "unique_buyers_bitmap_stream",
+    oracle="""
+SELECT
+    date_trunc('minute', ts)                        AS window_start,
+    date_trunc('minute', ts) + INTERVAL '1 minute'  AS window_end,
+    count(DISTINCT user_id)                         AS unique_buyers
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def q_unique_buyers_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct via BITMAP state — the single-operator
+    alternative to `unique_buyers_stream`'s dropDuplicates-then-count
+    two-stage plan: one streaming aggregation whose state per
+    (window, id-bucket) is a fixed-size bitmap (`bitmap_construct_agg`),
+    micro-batches OR-merging into it, and a stateless second grouping
+    summing `bitmap_count` per window.
+
+    Trade vs the two-stage plan: ONE stateful operator instead of two
+    (dedup store + count store), state size #buckets x 4 KB instead of one
+    state row per distinct id, and the partial aggregation ORs map-side so
+    the shuffle carries bitmaps, not ids — the same mergeability that makes
+    the batch twin `bitmap_users_daily_to_monthly` re-aggregable.  The cost:
+    per-bucket bitmaps only pay off when ids are dense (they are: user_id
+    is a compact dictionary key; for sparse id domains the HLL sketch path
+    `hll_users_daily_to_monthly` is the fallback)."""
+    from pyspark.sql import functions as F
+
+    events = read_file_stream(spark, sf_dir)
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+    )
+    # ONE stateful operator: the per-(window, bucket) bitmap agg.  The
+    # cross-bucket sum happens on the SINK table (a batch relation) — the
+    # consumer-side merge every mergeable-partial design ends with, and it
+    # sidesteps chaining two stateful aggs in one streaming plan (Spark's
+    # multi-stateful correctness check rejects that for complete mode).
+    per_bucket = (
+        purchases.groupBy(
+            F.window("ts", "1 minute").alias("w"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+        )
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+            ).alias("bucket_users")
+        )
+    )
+    sink = _run_to_table(
+        spark, per_bucket, "unique_buyers_bitmap_stream", output_mode="complete"
+    )
+    return (
+        sink.groupBy("w")
+        .agg(F.sum("bucket_users").alias("unique_buyers"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "unique_buyers",
+        )
+    )

@@ -52,6 +52,9 @@ QUERIES = [
     "dedup_events",         # keyed dedup
     "order_details",        # fact-fact join orders x lineitem
     "chunk_dedup_retention",  # text chunk hash + count join
+    "cdc_apply_latest",       # WindowGroupLimit-bounded latest-per-key
+    "bloom_filter_prejoin",   # broadcast runtime-filter membership joins
+    "copurchase_pairs",       # basket self-join pair mining + top-k
 ]
 
 

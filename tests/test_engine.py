@@ -716,3 +716,45 @@ def test_salting_balances_skewed_join_reducers(spark):
         assert salted_max <= plain_max / 3, (salted_max, plain_max)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
+
+
+def test_aqe_replans_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE evidence: a join whose build side only becomes broadcast-small
+    AFTER a selective filter (stats unknown at plan time on the filtered
+    relation because the 1-file scan estimate is pessimistic) must be
+    re-planned to BroadcastHashJoin from runtime shuffle statistics — the
+    local[32] stand-in for the 1000-executor case where static planning
+    cannot see post-filter sizes."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    # force the static planner away from broadcast, then let AQE reverse it
+    # from runtime shuffle stats.  The adaptive threshold must be set
+    # explicitly: it FALLS BACK to the static one, and -1 there would
+    # disable AQE's conversion too.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try:
+        small = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = lineitem.join(small, lineitem.l_orderkey == small.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final.split("== Initial Plan ==")[0], (
+            "AQE did not convert the shuffle join to broadcast at runtime"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)

@@ -207,3 +207,56 @@ def test_equi_depth_buckets_are_equal_and_ordered(spark, sf_dir):
         assert prev["hi"] <= cur["lo"] + 0.011  # rounded boundary ties allowed
     for r in rows:
         assert r["lo"] - 0.011 <= r["avg_price"] <= r["hi"] + 0.011
+
+
+def _plan(spark, sf_dir, name):
+    from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+
+    return (
+        all_queries()[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_cdc_compaction_bounds_shuffle_with_window_group_limit(spark, sf_dir):
+    """The latest-row election must plan a partial WindowGroupLimit so each
+    map task forwards only top-1-per-key candidates into the shuffle —
+    compaction cost scales with keys, not change-log length."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "cdc_apply_latest")
+
+
+def test_bloom_prejoin_never_shuffles_the_fact_table(spark, sf_dir):
+    """The whole point of a runtime filter: membership tests are broadcast
+    hash joins on the fact scan; a SortMergeJoin would mean the fact table
+    shuffled to learn what it could have filtered map-side."""
+    plan = _plan(spark, sf_dir, "bloom_filter_prejoin")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # bits x2 + truth
+
+
+def test_copurchase_topk_is_take_ordered(spark, sf_dir):
+    """Top-20 pairs must plan TakeOrderedAndProject (per-partition top-k +
+    merge), never a global Sort of the pair relation."""
+    plan = _plan(spark, sf_dir, "copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_lookup_interval_stays_on_equi_join(spark, sf_dir):
+    """The SCD2 interval predicate must ride as a residual on the custkey
+    equi-join — a BroadcastNestedLoopJoin here means the non-equi bounds
+    demoted the join and the plan is O(n*m) at scale."""
+    plan = _plan(spark, sf_dir, "scd2_pit_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_assignment_is_balanced_and_exhaustive(spark, sf_dir):
+    """Multiplicative-hash sharding must touch every shard, cover every doc,
+    and keep doc skew near 1 (uniform key domain)."""
+    (r,) = _rows("training_shard_assignment", spark, sf_dir)
+    assert r["n_shards"] == 64
+    assert r["min_docs"] >= 1
+    assert 1.0 <= r["doc_skew"] < 2.0, r["doc_skew"]
