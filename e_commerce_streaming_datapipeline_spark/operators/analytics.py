@@ -1031,3 +1031,47 @@ def q_locf_value_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("staleness_min"),
     ).orderBy("event_type", "bucket_start")
+
+
+# One SQL text, two engines: runs UNMODIFIED on Spark SQL and DuckDB.
+# Restricted to the shared ANSI dialect (explicit CASTs, single-arg round,
+# fixed-point cents) so the bytes of the query ARE the portability proof.
+_SHARED_ANSI_SQL = """
+WITH rev AS (
+    SELECT
+        n.n_name AS nation,
+        CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+            AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT
+    nation,
+    CAST(sum(cents) AS DOUBLE) / 100 AS revenue,
+    count(*) AS n_items
+FROM rev
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@query("ansi_shared_sql_revenue", oracle=_SHARED_ANSI_SQL)
+def q_ansi_shared_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity, taken literally: the SAME SQL text is submitted
+    to Spark (`spark.sql` over temp views) and to DuckDB as the oracle —
+    zero translation, byte-identical query string (see `_SHARED_ANSI_SQL`
+    being passed as BOTH the builder's statement and the oracle).  This is
+    the migration story for a user arriving with ANSI SQL reports: the
+    engine's SQL entry point runs them unchanged, and Catalyst still gets
+    full optimization freedom (broadcast dims, partial aggs) because the
+    text declares only the logical plan.
+
+    Determinism in shared dialect: money sums as fixed-point cents
+    (`pricing_summary` pattern) expressed with nothing but CAST/round —
+    both parsers accept it, both engines bit-match it."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_ANSI_SQL)

@@ -480,3 +480,43 @@ def q_python_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         F.count_distinct("event_type").alias("n_types"),
         (F.sum("amount_cents") / 100.0).alias("total_amount"),
     )
+
+
+@query(
+    "orc_source_stats",
+    oracle="""
+SELECT
+    event_type,
+    count(*)                                    AS n_events,
+    round(sum(coalesce(value, 0.0)) * 100) / 100 AS total_value,
+    min(ts)                                     AS first_ts,
+    max(ts)                                     AS last_ts
+FROM events
+GROUP BY 1
+""",
+)
+def q_orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC batch source, proven lossless (the columnar-format sibling of
+    `csv_source_stats`): write the events fixture as ORC and read it back
+    through ``spark.read.orc``, then aggregate — a hash match against the
+    parquet-side oracle proves row counts, doubles, and microsecond
+    timestamps survive the ORC writer/reader pair.  ORC carries the same
+    footer min/max stats and predicate pushdown as parquet, so every scan
+    argument in SCALE.md transfers; this query keeps the format door open
+    for deployments standardized on ORC (Hive-lineage warehouses)."""
+    events = load_table(spark, "events", sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_orc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    events.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))) * 100, 0) / 100).alias(
+            "total_value"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -444,7 +444,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "locf_value_15min",       # spine x |event types| tiny-relation grid
     }
     # builders with side effects or streaming runs — not pure explain targets:
-    skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source",
+    skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source", "orc_source",
                    "multimodal", "merge_upsert")
     from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
 
