@@ -1196,3 +1196,60 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("d") / 100000000, 4).alias("dist_sq"),
         )
     )
+
+
+@query(
+    "embedding_centroids_arrow",
+    oracle="""
+WITH ex AS (
+    SELECT label,
+           unnest(list_transform(embedding, (x, i) -> {'pos': i, 'v': CAST(x AS DOUBLE)})) AS u
+    FROM embeddings
+), per_dim AS (
+    SELECT label, u.pos AS pos, round(avg(u.v), 4) + 0 AS c, count(*) AS n
+    FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       array_to_string(
+           list(CAST(round(c * 10000) AS BIGINT) ORDER BY pos), ','
+       ) AS centroid_q4
+FROM per_dim GROUP BY 1
+""",
+)
+def q_embedding_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`applyInArrow` twin of `embedding_centroids` — the grouped Arrow
+    extension API (Spark 4): each label's vectors arrive as ONE Arrow table
+    in the Python worker, the centroid is a float64 numpy mean, and the
+    same 4dp-round-then-quantize emission as the built-in twin makes the
+    two implementations and the shared DuckDB oracle mutually checking.
+
+    When to use which: the built-in posexplode+avg twin is the 100 TB hot
+    path (codegen, map-side partials, shuffles |labels|x|dims| partial
+    rows); `applyInArrow` materializes each group in ONE worker — right
+    when the per-group computation genuinely needs the whole matrix (SVD,
+    whitening, pairwise stats) and |group| fits an executor, which is the
+    documented trade, not a limitation."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, "embeddings", sf_dir).select("label", "embedding")
+
+    def centroid(table: pa.Table) -> pa.Table:
+        label = table.column("label")[0].as_py()
+        mat = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+        # half-AWAY-from-zero, matching Spark's HALF_UP round and DuckDB's
+        # std::round — np.round is half-to-even and would diverge on exact
+        # .5 quantization boundaries
+        y = mat.mean(axis=0) * 10000
+        c = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array([label], pa.int32()),
+                "n_vectors": pa.array([mat.shape[0]], pa.int64()),
+                "centroid_q4": pa.array([",".join(str(int(x)) for x in c)]),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        centroid, schema="label int, n_vectors long, centroid_q4 string"
+    )

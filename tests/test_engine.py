@@ -758,3 +758,22 @@ def test_aqe_replans_smj_to_broadcast_at_runtime(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
+def test_observation_metrics_ride_the_query(spark, sf_dir):
+    """`df.observe` evidence: accumulator-style metrics collected DURING a
+    query (no second scan) — the production monitoring hook the streaming
+    side gets from StreamingQueryListener, on the batch path."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("discounted"),
+    )
+    n = observed.where(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["rows_seen"] == li.count() == n
+    assert 0 < got["discounted"] < got["rows_seen"]
