@@ -1071,7 +1071,13 @@ def q_ansi_shared_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism in shared dialect: money sums as fixed-point cents
     (`pricing_summary` pattern) expressed with nothing but CAST/round —
-    both parsers accept it, both engines bit-match it."""
-    for t in ("lineitem", "orders", "customer", "nation"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    both parsers accept it, both engines bit-match it.
+
+    Note the temp views are session-global and fixture-named; the builder
+    re-registers them for ITS sf_dir every call (via the shared
+    ``register_views`` helper), so a session mixing scale factors must not
+    rely on these names between builds."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
     return spark.sql(_SHARED_ANSI_SQL)

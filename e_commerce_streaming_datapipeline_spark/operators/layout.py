@@ -100,7 +100,11 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
     def layout(df: DataFrame, name: str, *order) -> DataFrame:
         rn = F.row_number().over(Window.orderBy(*order))
         return (
-            df.withColumn("__rn", rn)
+            # rn is IntegerType: widen BEFORE the *64 or the product wraps
+            # at ~33.5M rows (2^31/64) and file ids go negative — the oracle's
+            # BIGINT row_number would not, so parity would break exactly at
+            # the scale this diagnostic targets
+            df.withColumn("__rn", rn.cast("long"))
             .withColumn("__n", n)
             .select(
                 F.lit(name).alias("layout"),
@@ -249,16 +253,20 @@ def bloom_filter_prejoin(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.coalesce(F.col("is_true"), F.lit(0)).alias("matched"),
         )
     )
-    return flagged.agg(
-        F.count("*").alias("n_facts"),
-        F.sum("passed").alias("n_candidates"),
-        F.sum("matched").alias("n_true"),
-        (F.sum("passed") - F.sum("matched")).alias("n_false_pos"),
-        fround(
-            (F.sum("passed") - F.sum("matched"))
-            / (F.count("*") - F.sum("matched")),
-            6,
-        ).alias("false_pos_rate"),
+    n_keys = keys.agg(F.count("*").alias("n_build_keys"))
+    return (
+        flagged.agg(
+            F.count("*").alias("n_facts"),
+            F.sum("passed").alias("n_candidates"),
+            F.sum("matched").alias("n_true"),
+            (F.sum("passed") - F.sum("matched")).alias("n_false_pos"),
+            fround(
+                (F.sum("passed") - F.sum("matched"))
+                / (F.count("*") - F.sum("matched")),
+                6,
+            ).alias("false_pos_rate"),
+        )
+        .crossJoin(F.broadcast(n_keys))
     )
 
 
@@ -290,7 +298,8 @@ SELECT
     sum(matched) AS n_true,
     sum(passed) - sum(matched) AS n_false_pos,
     round(CAST(sum(passed) - sum(matched) AS DOUBLE)
-          / (count(*) - sum(matched)) * 1000000) / 1000000 AS false_pos_rate
+          / (count(*) - sum(matched)) * 1000000) / 1000000 AS false_pos_rate,
+    (SELECT count(*) FROM keys) AS n_build_keys
 FROM flagged
 """
 

@@ -1236,7 +1236,12 @@ def q_embedding_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def centroid(table: pa.Table) -> pa.Table:
         label = table.column("label")[0].as_py()
-        mat = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
+        # read the list column's flat value buffer directly (no per-element
+        # Python boxing — the point of the Arrow path); embeddings are
+        # fixed-width, so the flat buffer reshapes to (n, dim)
+        arr = table.column("embedding").combine_chunks()
+        flat = np.asarray(arr.values, dtype=np.float64)
+        mat = flat.reshape(len(arr), -1)
         # half-AWAY-from-zero, matching Spark's HALF_UP round and DuckDB's
         # std::round — np.round is half-to-even and would diverge on exact
         # .5 quantization boundaries

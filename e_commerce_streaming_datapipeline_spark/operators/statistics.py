@@ -273,6 +273,31 @@ _CMS_W = 256
 _CMS_THRESHOLD = 20
 
 
+def _cms_bucket_structs(key_col: str) -> F.Column:
+    """The (row j, bucket) pairs a key hashes to — shared by every CMS-based
+    operator so the hash family/cell layout can only change in one place."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                ((F.col(key_col) * a + b) % _CMS_P % _CMS_W).alias("bkt"),
+            )
+            for j, a, b in _CMS_PARAMS
+        ]
+    )
+
+
+def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the 4 x 256 count-min sketch of ``df[key_col]`` as a
+    (j, bkt, c) relation — one hash aggregation, mergeable partials."""
+    return (
+        df.select(F.explode(_cms_bucket_structs(key_col)).alias("s"))
+        .select("s.j", "s.bkt")
+        .groupBy("j", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 @query(
     "heavy_hitters_cms",
     oracle=f"""
@@ -320,25 +345,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the estimate and anchor the oracle; in production you keep only
     the sketch."""
     events = load_table(spark, "events", sf_dir).select("user_id")
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                ((F.col("user_id") * a + b) % _CMS_P % _CMS_W).alias("bkt"),
-            )
-            for j, a, b in _CMS_PARAMS
-        ]
-    )
-    cells = (
-        events.select(F.explode(buckets).alias("s"))
-        .select("s.j", "s.bkt")
-        .groupBy("j", "bkt")
-        .agg(F.count("*").alias("c"))
-    )
+    cells = cms_cells(events, "user_id")
     exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
-    probes = exact.select("user_id", F.explode(buckets).alias("s")).select(
-        "user_id", "s.j", "s.bkt"
-    )
+    probes = exact.select(
+        "user_id", F.explode(_cms_bucket_structs("user_id")).alias("s")
+    ).select("user_id", "s.j", "s.bkt")
     est = (
         probes.join(F.broadcast(cells), ["j", "bkt"])
         .groupBy("user_id")
@@ -1353,26 +1364,8 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_orderkey").alias("key")
     )
-
-    def cms_cells(df: DataFrame) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    ((F.col("key") * a + b) % _CMS_P % _CMS_W).alias("bkt"),
-                )
-                for j, a, b in _CMS_PARAMS
-            ]
-        )
-        return (
-            df.select(F.explode(buckets).alias("s"))
-            .select("s.j", "s.bkt")
-            .groupBy("j", "bkt")
-            .agg(F.count("*").alias("c"))
-        )
-
-    co = cms_cells(orders).select("j", "bkt", F.col("c").alias("co"))
-    cl = cms_cells(lineitem).select("j", "bkt", F.col("c").alias("cl"))
+    co = cms_cells(orders, "key").select("j", "bkt", F.col("c").alias("co"))
+    cl = cms_cells(lineitem, "key").select("j", "bkt", F.col("c").alias("cl"))
     est = (
         co.join(cl, ["j", "bkt"])
         .groupBy("j")

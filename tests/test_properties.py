@@ -223,3 +223,55 @@ def test_scd2_intervals_are_well_formed(spark, sf_dir):
         )
     )
     assert overlaps.isEmpty(), "each version must close exactly at its successor"
+
+
+@given(
+    u=st.integers(min_value=0, max_value=255),
+    t=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_matches_python_model(u, t):
+    """The generated shift/mask SQL (DuckDB dialect — the Spark dialect is
+    the same arithmetic by construction) must equal the reference Python
+    bit-interleave, and be a bijection on (u8, t8)."""
+    import duckdb
+
+    from e_commerce_streaming_datapipeline_spark.operators.layout import _interleave_sql
+
+    expr = _interleave_sql(str(u), str(t), dialect="duckdb")
+    got = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+    want = 0
+    for i in range(8):
+        want |= ((u >> i) & 1) << (2 * i + 1)
+        want |= ((t >> i) & 1) << (2 * i)
+    assert got == want
+    # bijectivity: decode back
+    du = dt = 0
+    for i in range(8):
+        du |= ((got >> (2 * i + 1)) & 1) << i
+        dt |= ((got >> (2 * i)) & 1) << i
+    assert (du, dt) == (u, t)
+
+
+@given(key=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_bloom_positions_in_range_and_engine_identical(key):
+    """Both Bloom probe hashes must land in [0, m) and the DuckDB-dialect
+    arithmetic must equal the Python model for any 31-bit key (no overflow
+    ambiguity in BIGINT)."""
+    import duckdb
+
+    from e_commerce_streaming_datapipeline_spark.operators.layout import (
+        _BLOOM_H,
+        _BLOOM_M,
+    )
+
+    for a, b in _BLOOM_H:
+        want = (key * a + b) % _BLOOM_M
+        # CAST the key literal: table columns are BIGINT (promoting the
+        # product), but a bare INT32 literal times INT32 overflows in DuckDB
+        got = duckdb.sql(
+            f"SELECT (CAST({key} AS BIGINT) * {a} + {b}) % {_BLOOM_M}"
+        ).fetchone()[0]
+        assert got == want
+        assert 0 <= want < _BLOOM_M

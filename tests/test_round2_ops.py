@@ -187,8 +187,7 @@ def test_bloom_filter_is_sound_and_useful(spark, sf_dir):
     (r,) = _rows("bloom_filter_prejoin", spark, sf_dir)
     assert r["n_candidates"] >= r["n_true"]  # no false negatives
     assert r["n_false_pos"] == r["n_candidates"] - r["n_true"]
-    n_keys_bound = r["n_true"]  # #distinct build keys <= #true fact matches
-    theoretical = (1 - math.exp(-2 * n_keys_bound / 16384.0)) ** 2
+    theoretical = (1 - math.exp(-2 * r["n_build_keys"] / 16384.0)) ** 2
     assert r["false_pos_rate"] <= max(theoretical * 3, 0.05), (
         r["false_pos_rate"],
         theoretical,
