@@ -735,3 +735,269 @@ def q_training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("double") * F.count("*") / F.sum("n_tokens"), 4
         ).alias("token_skew"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-model training exports
+# --------------------------------------------------------------------------
+
+_SEQ_CAP = 50
+
+
+@query(
+    "user_sequence_export",
+    oracle=f"""
+WITH ranked AS (
+    SELECT user_id, ts, event_id,
+           substr(event_type, 1, 1) AS letter,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_total
+    FROM events
+)
+SELECT
+    user_id,
+    string_agg(letter, '' ORDER BY ts, event_id) AS sequence,
+    CAST(count(*) AS INT)                        AS seq_len,
+    max(n_total) > {_SEQ_CAP}                    AS truncated
+FROM ranked
+WHERE rn <= {_SEQ_CAP}
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_user_sequence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence construction for sequence-model training: each
+    user's first 50 events as an ordered event-type-initial string (the
+    `journey_shape_pairs` alphabet), with a truncation flag — the bounded
+    per-entity sequence assembly every recommender/behavior-LM pipeline
+    runs, where the cap is what keeps a power-law user from emitting an
+    unbounded training row.
+
+    Scale: the rn <= cap filter plans as WindowGroupLimit (map tasks
+    forward at most cap rows per user into the shuffle — the
+    `cdc_apply_latest` discipline), so assembly cost is O(users x cap),
+    not O(events); the string is built from a sorted bounded array, no
+    per-row UDF."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    total = events.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    capped = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("letter"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SEQ_CAP)
+    )
+    return (
+        capped.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "letter"))
+                    ),
+                    lambda s: s["letter"],
+                ),
+            ).alias("sequence"),
+            F.count("*").cast("int").alias("seq_len"),
+        )
+        .join(total, "user_id")
+        .select(
+            "user_id",
+            "sequence",
+            "seq_len",
+            (F.col("n_total") > _SEQ_CAP).alias("truncated"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (recommendation training pairs)
+# --------------------------------------------------------------------------
+
+_NEG_PER_POS = 3
+
+
+@query(
+    "negative_samples",
+    oracle=f"""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), n_parts AS (
+    SELECT count(*) AS np FROM part
+), cand AS (
+    SELECT p.custkey,
+           ((p.custkey * 2654435761 + p.partkey * 40503 + i * 104729)
+            % 4294967296) % (SELECT np FROM n_parts) AS cand_part
+    FROM pos p, (SELECT unnest(generate_series(0, {_NEG_PER_POS - 1})) AS i)
+), valid AS (
+    SELECT c.custkey, c.cand_part
+    FROM cand c JOIN part pt ON pt.p_partkey = c.cand_part
+), neg AS (
+    SELECT v.custkey, v.cand_part
+    FROM valid v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE p.custkey = v.custkey AND p.partkey = v.cand_part)
+)
+SELECT
+    (SELECT count(*) FROM pos)  AS n_positives,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM neg)  AS n_negatives,
+    round((SELECT count(*) FROM neg) * 10000.0
+          / (SELECT count(*) FROM pos)) / 10000 AS neg_per_pos
+""",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommendation training: for each
+    observed (customer, part) positive, 3 pseudo-random candidate parts from
+    a multiplicative hash of (customer, part, i) — reproducible on any
+    engine and stable across runs, unlike rand() — validated against the
+    part dimension and anti-joined against the user's ACTUAL positives so
+    no negative is secretly a positive (the correctness bug naive samplers
+    ship with).  Output: one audit row with positive/candidate/negative
+    counts and the effective negatives-per-positive rate after collisions.
+
+    Scale: candidate generation is a row-local explode (x3); the positive
+    anti-join shuffles on (custkey, part) exactly once; the part-existence
+    check broadcasts the dimension.  No RNG state, no driver loop."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pos = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey")
+        )
+        .distinct()
+    )
+    np_ = part.agg(F.count("*").alias("np"))
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "custkey",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_NEG_PER_POS)])
+            ).alias("i"),
+            "partkey",
+            "np",
+        )
+        .select(
+            "custkey",
+            (
+                (
+                    F.col("custkey") * 2654435761
+                    + F.col("partkey") * 40503
+                    + F.col("i") * 104729
+                )
+                % 4294967296
+                % F.col("np")
+            ).alias("cand_part"),
+        )
+    )
+    valid = cand.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("cand_part"))), "cand_part"
+    )
+    neg = valid.join(
+        pos.select("custkey", F.col("partkey").alias("cand_part")),
+        ["custkey", "cand_part"],
+        "left_anti",
+    )
+    return (
+        pos.agg(F.count("*").alias("n_positives"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(neg.agg(F.count("*").alias("n_negatives")))
+        .select(
+            "n_positives",
+            "n_candidates",
+            "n_negatives",
+            fround(F.col("n_negatives") * 1.0 / F.col("n_positives"), 4).alias(
+                "neg_per_pos"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe label construction (feature/label time split)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "leakage_safe_labels",
+    oracle="""
+WITH cutoff AS (
+    SELECT max(ts) - INTERVAL 7 DAY AS t FROM events
+), feat AS (
+    SELECT user_id,
+           count(*) AS n_events_before,
+           CAST(count_if(event_type = 'click') AS BIGINT) AS n_clicks_before,
+           CAST(count_if(event_type = 'purchase') AS BIGINT)
+               AS n_purchases_before
+    FROM events, cutoff
+    WHERE ts < cutoff.t
+    GROUP BY user_id
+), labels AS (
+    SELECT DISTINCT user_id, TRUE AS label
+    FROM events, cutoff
+    WHERE event_type = 'purchase' AND ts >= cutoff.t
+)
+SELECT f.user_id, f.n_events_before, f.n_clicks_before, f.n_purchases_before,
+       coalesce(l.label, FALSE) AS label
+FROM feat f LEFT JOIN labels l USING (user_id)
+ORDER BY f.user_id
+""",
+)
+def q_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature/label time split for supervised training: features are
+    aggregated STRICTLY BEFORE the cutoff (last 7 days held out) and the
+    label is "purchased in the held-out window" — the temporal-correctness
+    discipline (`scd2_pit_lookup`'s sibling) whose violation (features
+    touching post-cutoff events) is the classic leakage bug that makes
+    offline metrics lie.  Users with no pre-cutoff activity are excluded
+    (no feature row to train on).
+
+    Scale: cutoff is a 1-row broadcast; features and labels are independent
+    aggregations of disjoint scan ranges sharing the user_id shuffle key;
+    at 100 TB the two scans prune to disjoint date partitions."""
+    events = load_table(spark, "events", sf_dir)
+    cutoff = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("t"))
+    with_cut = events.crossJoin(F.broadcast(cutoff))
+    feat = (
+        with_cut.where(F.col("ts") < F.col("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_before"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "n_clicks_before"
+            ),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases_before"
+            ),
+        )
+    )
+    labels = (
+        with_cut.where(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(True))
+    )
+    return (
+        feat.join(labels, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_before",
+            "n_clicks_before",
+            "n_purchases_before",
+            F.coalesce(F.col("label"), F.lit(False)).alias("label"),
+        )
+        .orderBy("user_id")
+    )

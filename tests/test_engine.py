@@ -442,6 +442,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "join_size_cms_estimate", # 1-row exact-count x 1-row sketch-estimate
         "copurchase_pairs",       # 1-row corpus order-count broadcast
         "bloom_filter_prejoin",   # 1-row build-key-count broadcast
+        "negative_samples",       # 1-row n-parts + audit-count broadcasts
+        "leakage_safe_labels",    # 1-row time-cutoff broadcast
         "locf_value_15min",       # spine x |event types| tiny-relation grid
     }
     # builders with side effects or streaming runs — not pure explain targets:

@@ -259,3 +259,60 @@ def test_shard_assignment_is_balanced_and_exhaustive(spark, sf_dir):
     assert r["n_shards"] == 64
     assert r["min_docs"] >= 1
     assert 1.0 <= r["doc_skew"] < 2.0, r["doc_skew"]
+
+
+def test_negative_samples_never_collide_with_positives(spark, sf_dir):
+    """The anti-join guarantee: negatives-per-positive must be below the
+    generation rate (collisions and duplicates removed), and every count
+    consistent."""
+    (r,) = _rows("negative_samples", spark, sf_dir)
+    assert r["n_candidates"] == r["n_positives"] * 3
+    assert 0 < r["n_negatives"] <= r["n_candidates"]
+    assert r["neg_per_pos"] <= 3.0
+
+
+def test_leakage_safe_labels_use_disjoint_windows(spark, sf_dir):
+    """No feature may be computed from the label window: every user's
+    pre-cutoff counts must equal a direct recount over ts < cutoff, and
+    label-positive users must actually have a held-out purchase."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    cut = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = cut - datetime.timedelta(days=7)
+    rows = _rows("leakage_safe_labels", spark, sf_dir)
+    before = {
+        r["user_id"]: r["n"]
+        for r in events.where(F.col("ts") < F.lit(cutoff))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    held_out_buyers = {
+        r["user_id"]
+        for r in events.where(
+            (F.col("ts") >= F.lit(cutoff)) & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["n_events_before"] == before[r["user_id"]]
+        assert r["label"] == (r["user_id"] in held_out_buyers)
+
+
+def test_sequence_export_is_capped_and_ordered(spark, sf_dir):
+    """Sequences are at most 50 chars, truncation flags agree with length,
+    and the alphabet is the event-type initials."""
+    rows = _rows("user_sequence_export", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert 1 <= r["seq_len"] == len(r["sequence"]) <= 50
+        if r["seq_len"] < 50:
+            assert not r["truncated"]
+        assert set(r["sequence"]) <= {"c", "e", "p", "s", "v"}
