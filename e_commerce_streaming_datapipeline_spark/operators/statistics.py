@@ -1587,3 +1587,173 @@ def q_value_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Rate inference: Wilson intervals and an A/B two-proportion z-test
+# --------------------------------------------------------------------------
+
+_Z95 = 1.959963985  # two-sided 95% normal quantile, fixed constant
+
+
+@query(
+    "conversion_rate_ci",
+    oracle=f"""
+WITH per_unit AS (
+    -- unit of analysis: the user-DAY, so rates stay mid-range at every
+    -- scale factor (per-user "ever purchased" saturates to 1.0 on any
+    -- month-long fixture and a pooled-variance denominator of 0 divides
+    -- by zero)
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(count_if(event_type = 'view') > 0 AS INT)     AS viewed,
+           CAST(count_if(event_type = 'purchase') > 0 AS INT) AS purchased
+    FROM events GROUP BY 1, 2
+), agg AS (
+    SELECT CAST(sum(viewed) AS BIGINT)                        AS n,
+           CAST(sum(viewed * purchased) AS BIGINT)            AS k
+    FROM per_unit
+), wilson AS (
+    SELECT n, k,
+           CAST(k AS DOUBLE) / n AS p,
+           {_Z95} * {_Z95} AS z2
+    FROM agg
+)
+SELECT
+    n AS n_viewer_days,
+    k AS n_converted_days,
+    round(p * 1000000) / 1000000 AS rate,
+    round((p + z2 / (2 * n) - {_Z95} * sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)))
+          / (1 + z2 / n) * 1000000) / 1000000 AS ci_lo,
+    round((p + z2 / (2 * n) + {_Z95} * sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)))
+          / (1 + z2 / n) * 1000000) / 1000000 AS ci_hi
+FROM wilson
+""",
+)
+def q_conversion_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion rate per USER-DAY with a Wilson-score 95%
+    interval — the
+    dashboard number the reference's funnel rates (`safe_rate`) report
+    without any uncertainty.  Wilson beats the naive normal interval at
+    small n and rates near 0/1, which is exactly where product decisions
+    get made.
+
+    Cross-engine determinism: the interval is nothing but + * / sqrt on
+    doubles — every one an IEEE correctly-rounded operation, so both
+    engines produce bit-identical values before the 6dp display round (no
+    libm-variance functions like ln/exp involved)."""
+    events = load_table(spark, "events", sf_dir)
+    per_unit = events.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        (F.sum((F.col("event_type") == "view").cast("int")) > 0)
+        .cast("int")
+        .alias("viewed"),
+        (F.sum((F.col("event_type") == "purchase").cast("int")) > 0)
+        .cast("int")
+        .alias("purchased"),
+    )
+    agg = per_unit.agg(
+        F.sum("viewed").alias("n"),
+        F.sum(F.col("viewed") * F.col("purchased")).alias("k"),
+    )
+    z2 = _Z95 * _Z95
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = F.lit(_Z95) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4.0 * n * n))
+    center = p + F.lit(z2) / (2 * n)
+    denom = 1 + F.lit(z2) / n
+    return agg.select(
+        F.col("n").alias("n_viewer_days"),
+        F.col("k").alias("n_converted_days"),
+        fround(p, 6).alias("rate"),
+        fround((center - half) / denom, 6).alias("ci_lo"),
+        fround((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "ab_test_zscore",
+    oracle=f"""
+WITH assigned AS (
+    -- unit = user-day (see conversion_rate_ci), arm fixed per USER so the
+    -- randomization unit matches how experiments actually assign
+    SELECT user_id, date_trunc('day', ts) AS day,
+           (user_id * 2654435761) % 4294967296 % 2 AS arm,
+           CAST(count_if(event_type = 'purchase') > 0 AS INT) AS converted
+    FROM events GROUP BY 1, 2, 3
+), arms AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS k
+    FROM assigned GROUP BY arm
+), wide AS (
+    SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        max(CASE WHEN arm = 0 THEN k END) AS k_a,
+        max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        max(CASE WHEN arm = 1 THEN k END) AS k_b
+    FROM arms
+), stats AS (
+    SELECT *,
+        CAST(k_a AS DOUBLE) / n_a AS p_a,
+        CAST(k_b AS DOUBLE) / n_b AS p_b,
+        CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS p_pool
+    FROM wide
+)
+SELECT
+    n_a, k_a, n_b, k_b,
+    round(p_a * 1000000) / 1000000 AS rate_a,
+    round(p_b * 1000000) / 1000000 AS rate_b,
+    round((p_b - p_a) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))
+          * 10000) / 10000 AS z_score,
+    abs((p_b - p_a) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)))
+        > {_Z95} AS significant_95
+FROM stats
+""",
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into two
+    arms (the `train_test_split` assignment discipline — reproducible,
+    stable under re-runs, no RNG) and the purchase-conversion difference
+    tested with the pooled two-proportion z-statistic plus a 95%
+    significance flag.  On the uniform fixture the arms are exchangeable,
+    so |z| should hover near 0 — the null behaving as a null is itself the
+    sanity check (asserted in tests).
+
+    Same determinism story as `conversion_rate_ci`: + * / sqrt/abs only,
+    all IEEE correctly-rounded, bit-identical across engines."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+
+    events = load_table(spark, "events", sf_dir)
+    assigned = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (F.sum((F.col("event_type") == "purchase").cast("int")) > 0)
+        .cast("int")
+        .alias("converted"),
+    ).select(
+        hash_bucket(F.col("user_id"), 2).alias("arm"),
+        "converted",
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_b"),
+    )
+    p_a = F.col("k_a").cast("double") / F.col("n_a")
+    p_b = F.col("k_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = (p_b - p_a) / se
+    return wide.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        fround(p_a, 6).alias("rate_a"),
+        fround(p_b, 6).alias("rate_b"),
+        fround(z, 4).alias("z_score"),
+        (F.abs(z) > _Z95).alias("significant_95"),
+    )

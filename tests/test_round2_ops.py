@@ -316,3 +316,22 @@ def test_sequence_export_is_capped_and_ordered(spark, sf_dir):
         if r["seq_len"] < 50:
             assert not r["truncated"]
         assert set(r["sequence"]) <= {"c", "e", "p", "s", "v"}
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    """Wilson interval must contain the point rate, sit inside [0,1], and
+    shrink below the naive +-z/2sqrt(n) bound's width at this n."""
+    (r,) = _rows("conversion_rate_ci", spark, sf_dir)
+    assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+    width = r["ci_hi"] - r["ci_lo"]
+    assert width < 2 * 1.96 * 0.5 / math.sqrt(r["n_viewer_days"]) + 1e-9
+
+
+def test_ab_null_experiment_is_not_significant(spark, sf_dir):
+    """The arms are a hash split of exchangeable users on a uniform fixture
+    — the null should look null: |z| modest, and the significance flag must
+    agree with the |z| > 1.96 rule."""
+    (r,) = _rows("ab_test_zscore", spark, sf_dir)
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["significant_95"] == (abs(r["z_score"]) > 1.959963985)
+    assert abs(r["z_score"]) < 4.0  # exchangeable arms: no real effect
