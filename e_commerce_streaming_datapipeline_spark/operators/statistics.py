@@ -1757,3 +1757,166 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(z, 4).alias("z_score"),
         (F.abs(z) > _Z95).alias("significant_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope over the daily revenue series
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_theilsen_trend",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), slopes AS (
+    SELECT (b.cents - a.cents) * 1.0 / ((b.day_num - a.day_num) * 100.0)
+               AS slope
+    FROM daily a JOIN daily b ON b.day_num > a.day_num
+), ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope) AS rn,
+           count(*) OVER () AS n
+    FROM slopes
+)
+SELECT
+    CAST(max(n) AS BIGINT) AS n_pairs,
+    round(min(CASE WHEN rn >= CAST(ceil(n / 2.0) AS BIGINT) THEN slope END)
+          * 10000) / 10000 AS theilsen_slope_per_day,
+    min(CASE WHEN rn >= CAST(ceil(n / 2.0) AS BIGINT) THEN slope END) > 0
+        AS trending_up
+FROM ranked
+""",
+)
+def q_revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all pairwise
+    slopes — up to ~29% of days can be corrupted (holiday spikes, outages,
+    backfill glitches) without moving it, where the OLS slope
+    (`ngram_zipf_slope`'s regr_slope machinery) chases every outlier.
+    Completes the robust-statistics family next to `winsorized_value_stats`
+    and `revenue_anomaly_days`.
+
+    Determinism: slopes are exact-cents differences over integer day gaps
+    (one double division each, identical both engines) and the median is
+    the discrete rank-ceil element — no float averaging of two middles.
+
+    Scale: the pair expansion is over the DAILY aggregate (n days, n²/2
+    pairs — 66k pairs for a year), not raw events; at much longer horizons
+    the standard remedy is repeated median regression on a day sample,
+    same plan shape."""
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
+        )
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    a = daily.select(F.col("day_num").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day_num").alias("db"), F.col("cents").alias("cb"))
+    slopes = a.join(b, F.col("db") > F.col("da")).select(
+        (
+            (F.col("cb") - F.col("ca"))
+            * 1.0
+            / ((F.col("db") - F.col("da")) * 100.0)
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    med = F.min(
+        F.when(F.col("rn") >= F.ceil(F.col("n") / 2.0).cast("long"), F.col("slope"))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_pairs"),
+        fround(med, 4).alias("theilsen_slope_per_day"),
+        (med > 0).alias("trending_up"),
+    )
+
+
+@query(
+    "weekday_seasonality",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), tagged AS (
+    -- epoch day 0 (1970-01-01) was a Thursday: weekday = (day_num + 4) % 7
+    -- with 0 = Sunday, engine-independent integer arithmetic (no locale-
+    -- sensitive dayofweek())
+    SELECT (day_num + 4) % 7 AS weekday, cents FROM daily
+), per_wd AS (
+    SELECT weekday,
+           count(*) AS n_days,
+           sum(cents) AS cents
+    FROM tagged GROUP BY 1
+), tot AS (
+    SELECT sum(cents) * 1.0 / sum(n_days) AS grand_daily_cents FROM per_wd
+)
+SELECT
+    weekday,
+    n_days,
+    CAST(cents AS DOUBLE) / 100 AS revenue,
+    round(cents * 1.0 / n_days / grand_daily_cents * 10000) / 10000
+        AS seasonal_index
+FROM per_wd, tot
+ORDER BY weekday
+""",
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of purchase revenue: each weekday's mean
+    daily revenue over the grand daily mean (1.0 = no seasonality) — the
+    decomposition input every forecast/anomaly consumer normalizes by
+    before comparing a Monday to a Sunday (`revenue_anomaly_days` without
+    this index flags every weekend).
+
+    The weekday comes from integer epoch-day arithmetic ((d+4) mod 7, 0 =
+    Sunday) rather than dayofweek()/strftime — locale- and engine-
+    independent by construction."""
+    events = load_table(spark, "events", sf_dir)
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
+        )
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    per_wd = (
+        daily.select(
+            F.pmod(F.col("day_num") + 4, F.lit(7)).alias("weekday"), "cents"
+        )
+        .groupBy("weekday")
+        .agg(F.count("*").alias("n_days"), F.sum("cents").alias("cents"))
+    )
+    tot = per_wd.agg(
+        (F.sum("cents") * 1.0 / F.sum("n_days")).alias("grand_daily_cents")
+    )
+    return (
+        per_wd.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_days",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            fround(
+                F.col("cents") * 1.0 / F.col("n_days") / F.col("grand_daily_cents"),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )

@@ -444,6 +444,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "bloom_filter_prejoin",   # 1-row build-key-count broadcast
         "negative_samples",       # 1-row n-parts + audit-count broadcasts
         "leakage_safe_labels",    # 1-row time-cutoff broadcast
+        "revenue_theilsen_trend", # daily-aggregate pair expansion (n_days^2/2)
+        "weekday_seasonality",    # 1-row grand-mean broadcast
         "locf_value_15min",       # spine x |event types| tiny-relation grid
     }
     # builders with side effects or streaming runs — not pure explain targets:

@@ -335,3 +335,32 @@ def test_ab_null_experiment_is_not_significant(spark, sf_dir):
     assert r["n_a"] > 0 and r["n_b"] > 0
     assert r["significant_95"] == (abs(r["z_score"]) > 1.959963985)
     assert abs(r["z_score"]) < 4.0  # exchangeable arms: no real effect
+
+
+def test_seasonality_indices_average_to_one(spark, sf_dir):
+    """Seasonal indices are day-count-weighted deviations from the grand
+    mean — their weighted average must be 1 and all seven weekdays present."""
+    rows = _rows("weekday_seasonality", spark, sf_dir)
+    assert sorted(r["weekday"] for r in rows) == list(range(7))
+    n = sum(r["n_days"] for r in rows)
+    wavg = sum(r["seasonal_index"] * r["n_days"] for r in rows) / n
+    assert abs(wavg - 1.0) < 0.01, wavg
+
+
+def test_theilsen_pairs_count_is_choose_two(spark, sf_dir):
+    """n_pairs must be exactly C(n_days, 2) and the slope must lie within
+    the min/max pairwise slope envelope (it IS one of the slopes)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    n_days = (
+        events.where(F.col("event_type") == "purchase")
+        .select((F.unix_timestamp("ts") / 86400).cast("long"))
+        .distinct()
+        .count()
+    )
+    (r,) = _rows("revenue_theilsen_trend", spark, sf_dir)
+    assert r["n_pairs"] == n_days * (n_days - 1) // 2
+    assert r["trending_up"] == (r["theilsen_slope_per_day"] > 0)
