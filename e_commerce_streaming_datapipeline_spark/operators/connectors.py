@@ -92,7 +92,8 @@ _CSV_SCHEMA = (
 SELECT
     event_type,
     count(*)                                    AS n_events,
-    round(sum(coalesce(value, 0.0)) * 100) / 100 AS total_value,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                                                AS total_value,
     count(props)                                AS n_props
 FROM events
 GROUP BY 1
@@ -124,11 +125,16 @@ def q_csv_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .csv(out_dir)
     )
+    # scaled-long cents sum (order-independent), not raw-double summation —
+    # ULP drift from summation order could flip the 2dp rounding at scale
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))) * 100, 0) / 100).alias(
-            "total_value"
-        ),
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total_value"),
         F.count("props").alias("n_props"),
     )
 
@@ -488,7 +494,8 @@ def q_python_datasource_sink_roundtrip(spark: SparkSession, sf_dir: str) -> Data
 SELECT
     event_type,
     count(*)                                    AS n_events,
-    round(sum(coalesce(value, 0.0)) * 100) / 100 AS total_value,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                                                AS total_value,
     min(ts)                                     AS first_ts,
     max(ts)                                     AS last_ts
 FROM events
@@ -512,11 +519,16 @@ def q_orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir)
+    # scaled-long cents sum, matching the pricing_summary fixed-point
+    # discipline (see csv twin) — immune to summation-order ULP drift
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))) * 100, 0) / 100).alias(
-            "total_value"
-        ),
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )

@@ -95,9 +95,12 @@ def supplier_triangles(lineitem: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("y"),
         F.lit(1).alias("closed"),
     )
-    tri = (
-        wedges_o.join(closure, ["x", "y"], "left")
-        .agg(F.sum(F.coalesce(F.col("closed"), F.lit(0))).alias("n_triangles"))
+    # outer coalesce: SUM over an empty wedge relation is NULL while the
+    # oracle's COUNT(*) is 0 — pin the empty-graph case to 0 on both engines
+    tri = wedges_o.join(closure, ["x", "y"], "left").agg(
+        F.coalesce(
+            F.sum(F.coalesce(F.col("closed"), F.lit(0))), F.lit(0)
+        ).alias("n_triangles")
     )
     counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
         deg.agg(

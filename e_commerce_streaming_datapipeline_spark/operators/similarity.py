@@ -1238,9 +1238,11 @@ def q_embedding_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         label = table.column("label")[0].as_py()
         # read the list column's flat value buffer directly (no per-element
         # Python boxing — the point of the Arrow path); embeddings are
-        # fixed-width, so the flat buffer reshapes to (n, dim)
+        # fixed-width, so the flat buffer reshapes to (n, dim).  flatten()
+        # rather than .values: ListArray.values ignores a non-zero array
+        # offset, so a zero-copy sliced batch would silently read wrong rows
         arr = table.column("embedding").combine_chunks()
-        flat = np.asarray(arr.values, dtype=np.float64)
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
         mat = flat.reshape(len(arr), -1)
         # half-AWAY-from-zero, matching Spark's HALF_UP round and DuckDB's
         # std::round — np.round is half-to-even and would diverge on exact
