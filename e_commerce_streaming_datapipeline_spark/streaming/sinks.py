@@ -63,18 +63,44 @@ def console_sink(num_rows: int = 5) -> Callable[[DataFrame, int], None]:
 
 
 def build_upsert_statement(
-    table: str, staging: str, columns: list[str], key_columns: list[str]
+    table: str,
+    staging: str,
+    columns: list[str],
+    key_columns: list[str],
+    dialect: str = "postgres",
 ) -> str:
-    """The INSERT .. ON CONFLICT DO UPDATE merge the JDBC sink executes after
-    staging a micro-batch — factored out so the statement generation is unit
-    tested even where no database exists (reference target:
-    init_metrics.sql's UNIQUE-keyed metric tables)."""
+    """The merge statement the JDBC sink executes after staging a
+    micro-batch — factored out so statement generation is unit tested even
+    where no database exists (reference target: init_metrics.sql's
+    UNIQUE-keyed metric tables).
+
+    Dialects: ``postgres`` emits INSERT .. ON CONFLICT DO UPDATE (the
+    reference's target database); ``ansi`` emits standard MERGE INTO, which
+    Derby/Oracle/SQL Server/DB2 (and Postgres 15+) all accept — and which
+    the in-container integration test executes live against embedded Derby
+    (tests/test_streaming.py)."""
     cols = ", ".join(columns)
-    update = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns)
-    return (
-        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
-        f"ON CONFLICT ({', '.join(key_columns)}) DO UPDATE SET {update}"
-    )
+    non_keys = [c for c in columns if c not in key_columns]
+    if dialect == "postgres":
+        update = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({', '.join(key_columns)}) DO UPDATE SET {update}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
+        update = ", ".join(f"{c} = s.{c}" for c in non_keys)
+        insert_vals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+            f"WHEN MATCHED THEN UPDATE SET {update} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({insert_vals})"
+        )
+    raise ValueError(f"unknown merge dialect {dialect!r}")
+
+
+def _dialect_for_url(url: str) -> str:
+    return "postgres" if url.startswith("jdbc:postgresql") else "ansi"
 
 
 def jdbc_upsert_sink(
@@ -90,14 +116,24 @@ def jdbc_upsert_sink(
     converges, SURVEY §2.5 D5).
 
     Connectivity-gated UP FRONT: if no JDBC driver on the classpath accepts
-    ``url`` (the case in this container — no Postgres), the sink raises
+    ``url`` (the case for Postgres in this container), the sink raises
     before staging anything, so no write is ever attempted against an
-    unreachable target.  Statement generation (``build_upsert_statement``)
-    is covered by tests/test_streaming.py regardless."""
+    unreachable target.  The merge dialect follows the URL (Postgres →
+    ON CONFLICT; anything else → ANSI MERGE INTO).  Executed LIVE against
+    embedded Derby — stage, merge, same-batch replay, idempotence assert —
+    in tests/test_streaming.py."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        dialect = _dialect_for_url(url)
+        # Spark's JDBC writer quotes the staging name verbatim while the
+        # merge references it unquoted (engine case-folded): Postgres folds
+        # unquoted identifiers DOWN, ANSI engines (Derby et al.) fold UP —
+        # normalize the created name to the fold target so they meet.
         staging = f"{table}_staging_{batch_id}"
-        merge_sql = build_upsert_statement(table, staging, batch_df.columns, key_columns)
+        staging = staging.upper() if dialect == "ansi" else staging.lower()
+        merge_sql = build_upsert_statement(
+            table, staging, batch_df.columns, key_columns, dialect
+        )
         jvm = batch_df.sparkSession._jvm
         try:
             jvm.java.sql.DriverManager.getDriver(url)
@@ -107,7 +143,30 @@ def jdbc_upsert_sink(
                 f"stage batch {batch_id}. Generated merge statement: {merge_sql}"
             ) from exc
         props = dict(properties or {})
-        batch_df.write.jdbc(url, staging, mode="overwrite", properties=props)
+        # Spark's JDBC writer quotes COLUMN names verbatim too; fold staging
+        # columns up for ANSI engines so the merge's unquoted s.<col>
+        # references (case-folded up) resolve against them
+        staged_df = (
+            batch_df.toDF(*[c.upper() for c in batch_df.columns])
+            if dialect == "ansi"
+            else batch_df
+        )
+        writer = staged_df.write
+        if dialect == "ansi":
+            # Derby's Spark dialect maps StringType -> CLOB, which cannot be
+            # equi-compared with the target table's VARCHAR keys; pin string
+            # staging columns to VARCHAR
+            str_cols = [
+                f.name
+                for f in staged_df.schema.fields
+                if f.dataType.simpleString() == "string"
+            ]
+            if str_cols:
+                writer = writer.option(
+                    "createTableColumnTypes",
+                    ", ".join(f"{c} VARCHAR(1024)" for c in str_cols),
+                )
+        writer.jdbc(url, staging, mode="overwrite", properties=props)
         jprops = jvm.java.util.Properties()
         for k, v in props.items():
             jprops.setProperty(k, v)

@@ -37,10 +37,10 @@ class TestProofPrefix:
         "S_sources": {
             "kafka_payload_roundtrip",
             "csv_source_stats",
-            "orc_source_stats",
             "corrupt_record_drop",
             "python_datasource_feed",
         },
+        "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
         "UDF_surface": {"median_price_udaf", "variant_props_stats", "doc_chunks_udtf"},
         "llm_dedup": {"dedup_docs_exact", "minhash_near_dups", "simhash_dup_groups"},
         "llm_ann": {"embedding_topk", "embedding_topk_lsh", "kmeans_lloyd_step"},
