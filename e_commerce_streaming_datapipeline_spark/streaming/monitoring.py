@@ -54,7 +54,11 @@ class MetricsCollector(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
-        state = p.stateOperators[0] if p.stateOperators else None
+        # sum across ALL stateful operators: a multi-stateful query (dedup →
+        # window agg, or a chained stream-stream join) reports one entry per
+        # operator, and total state is the number that must plateau under
+        # watermark eviction
+        ops = p.stateOperators or []
         m = BatchMetric(
             query_name=p.name or "",
             batch_id=p.batchId,
@@ -62,8 +66,8 @@ class MetricsCollector(StreamingQueryListener):
             processed_rows_per_sec=float(p.processedRowsPerSecond or 0.0),
             batch_duration_ms=int(p.batchDuration),
             watermark=(p.eventTime or {}).get("watermark", ""),
-            state_rows=int(state.numRowsTotal) if state else 0,
-            state_memory_bytes=int(state.memoryUsedBytes) if state else 0,
+            state_rows=sum(int(s.numRowsTotal) for s in ops),
+            state_memory_bytes=sum(int(s.memoryUsedBytes) for s in ops),
         )
         with self._lock:
             self.records.append(m)

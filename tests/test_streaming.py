@@ -787,3 +787,163 @@ def test_jdbc_upsert_live_derby_idempotent(spark, tmp_path):
     assert len(after) == 3
     assert after[(1, "card")] == (12.5, 4)
     assert after[(1, "pix")] == (5.0, 1)
+
+
+def _chunked_event_stream_dir(tmp_path, n_minutes=80, per_minute=60, n_chunks=8):
+    """Time-ordered synthetic event chunks: uniform arrival rate so bounded
+    state under watermark eviction shows up as a PLATEAU in state rows."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    types = ["view", "click", "purchase"]
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": []}
+    i = 0
+    for minute in range(n_minutes):
+        for j in range(per_minute):
+            rows["event_id"].append(i)
+            rows["ts"].append(t0 + datetime.timedelta(minutes=minute, seconds=j))
+            rows["user_id"].append(i % 50)
+            rows["event_type"].append(types[i % 3])
+            rows["value"].append(float(10 + (i % 90)))
+            i += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "value": pa.array(rows["value"], pa.float64()),
+        }
+    )
+    chunk_dir = tmp_path / "state_chunks"
+    chunk_dir.mkdir()
+    n = tbl.num_rows
+    per = n // n_chunks
+    for c in range(n_chunks):
+        lo = c * per
+        hi = n if c == n_chunks - 1 else (c + 1) * per
+        pq.write_table(tbl.slice(lo, hi - lo), str(chunk_dir / f"events-{c}.parquet"))
+    return chunk_dir
+
+
+def _run_with_collector(spark, tmp_path, stream_df, name, output_mode):
+    from e_commerce_streaming_datapipeline_spark.streaming.monitoring import (
+        MetricsCollector,
+    )
+
+    collector = MetricsCollector().attach(spark)
+    try:
+        q = (
+            stream_df.writeStream.format("noop")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously on the bus thread
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            with collector._lock:
+                metrics = [m for m in collector.records if m.query_name == name]
+            if len(metrics) >= sum(1 for p in q.recentProgress if p["numInputRows"] > 0):
+                break
+            _time.sleep(0.25)
+    finally:
+        collector.detach(spark)
+    return [m for m in metrics if m.num_input_rows > 0]
+
+
+def _assert_state_plateau(metrics, label):
+    """State at batch N ≈ state at batch 2N: watermark eviction keeps total
+    state bounded by the horizon, not the cumulative input."""
+    assert len(metrics) >= 6, f"{label}: expected >=6 data micro-batches"
+    state = [m.state_rows for m in metrics]
+    cumulative = sum(m.num_input_rows for m in metrics)
+    mid, last = state[len(state) // 2], state[-1]
+    assert last > 0, f"{label}: no state recorded"
+    assert last <= mid * 1.5, (
+        f"{label}: state still growing at the tail — mid={mid} last={last} "
+        f"(series {state})"
+    )
+    assert last < cumulative * 0.5, (
+        f"{label}: tail state {last} is a large fraction of cumulative input "
+        f"{cumulative} — eviction is not happening (series {state})"
+    )
+
+
+def test_dedup_stream_state_plateaus_under_eviction(spark, tmp_path):
+    """VERDICT r2 task 7, part 1: watermarked dedup + windowed count over an
+    8-micro-batch uniform-rate replay.  SCALE.md argues watermark-bounded
+    state; this measures it via the StreamingQueryListener — state rows at
+    batch N ≈ batch 2N, nowhere near cumulative input."""
+    from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        with_event_time_discipline,
+    )
+
+    chunk_dir = _chunked_event_stream_dir(tmp_path)
+    stream = read_file_stream(
+        spark, str(chunk_dir), "events-*.parquet", max_files_per_trigger=1
+    )
+    counted = (
+        with_event_time_discipline(stream)
+        .groupBy(F.window(F.col("ts"), "1 minute"))
+        .count()
+    )
+    metrics = _run_with_collector(spark, tmp_path, counted, "dedup_plateau", "update")
+    _assert_state_plateau(metrics, "dedup+window")
+
+
+def test_journey_join_state_plateaus_under_eviction(spark, tmp_path):
+    """VERDICT r2 task 7, part 2: the 3-way chained stream-stream join's
+    buffers (3 legs x join state) must also plateau — range-bounded join
+    conditions + per-leg watermarks evict matched/expired rows between
+    micro-batches."""
+    from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+
+    chunk_dir = _chunked_event_stream_dir(tmp_path)
+
+    def leg(event_type, prefix):
+        return (
+            read_file_stream(
+                spark, str(chunk_dir), "events-*.parquet", max_files_per_trigger=1
+            )
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "5 minutes")
+        )
+
+    views, clicks, purchases = leg("view", "v"), leg("click", "c"), leg("purchase", "p")
+    vc = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.expr("timestamp_micros(unix_micros(v_ts))").alias("view_ts"),
+        F.col("c_id").alias("click_id"),
+        "c_ts",
+    )
+    journeys = vc.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    metrics = _run_with_collector(spark, tmp_path, journeys, "journey_plateau", "append")
+    _assert_state_plateau(metrics, "journey-join")
