@@ -443,3 +443,74 @@ def q_median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("o_orderkey").alias("n_orders"),
         disc_median("o_totalprice").alias("median_price"),
     )
+
+
+@query(
+    "observed_quality_metrics",
+    oracle="""
+SELECT
+    CAST(count(*) AS BIGINT)                                   AS n_rows,
+    CAST(count(*) FILTER (value IS NULL) AS BIGINT)            AS null_values,
+    CAST(count(*) FILTER (props IS NULL) AS BIGINT)            AS null_props,
+    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)  AS n_purchases,
+    CAST(count(*) FILTER (value < 0) AS BIGINT)                AS negative_values,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                                                               AS total_value
+FROM events
+""",
+)
+def q_observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters via ``DataFrame.observe`` — Spark's
+    zero-extra-pass instrumentation API.  The metrics (row count, null
+    rates, domain violations, checksum) accumulate as the main job's scan
+    executes; no second aggregation job runs over the input.
+
+    Why this matters at 100 TB: the naive quality check is a separate
+    ``SELECT count(*) FILTER ...`` — a full second scan of the corpus.
+    ``observe`` attaches a CollectMetrics node to the existing plan, so the
+    counters ride along with whatever pass the pipeline already makes (here
+    a noop write standing in for the real sink).  Constraint worth knowing:
+    DISTINCT aggregates are disallowed inside observed metrics (Spark
+    INVALID_OBSERVED_METRICS), so cardinality checks ride as
+    approx_count_distinct or conditional counts.  This is the engine-native
+    analogue of the reference's Prometheus gauges
+    (infrastructure/spark/metrics.properties:1-8) for DATA health rather
+    than process health — and the driver hash-checks the counters against
+    the oracle's direct aggregation, proving the piggy-backed numbers equal
+    the ground truth."""
+    from pyspark.sql import Observation
+
+    events = load_table(spark, "events", sf_dir)
+    obs = Observation()
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_values"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_values"],
+                m["null_props"],
+                m["n_purchases"],
+                m["negative_values"],
+                float(m["total_value"]),
+            )
+        ],
+        "n_rows long, null_values long, null_props long, n_purchases long, "
+        "negative_values long, total_value double",
+    )

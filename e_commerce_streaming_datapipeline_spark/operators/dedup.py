@@ -813,3 +813,84 @@ def q_source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("source_a", "source_b").cast("int").alias("edit_distance"),
         )
     )
+
+
+SEMANTIC_DEDUP_COSINE = 0.4  # fixture has no planted twins; 0.4 = real tail
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+            list_inner_product(a.e, b.e)
+            / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+            6
+        ) >= {SEMANTIC_DEDUP_COSINE}
+)
+SELECT
+    v.label,
+    count(*)                                          AS n_vectors,
+    count(*) FILTER (d.vec_id IS NULL)                AS n_kept,
+    count(*) FILTER (d.vec_id IS NOT NULL)            AS n_dropped,
+    CAST(coalesce(min(CASE WHEN d.vec_id IS NULL THEN v.vec_id END), -1) AS BIGINT)
+                                                      AS first_kept_id
+FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+GROUP BY 1
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 — public):
+    within each coarse cluster, a vector is dropped when it lies within
+    cosine τ of any LOWER-id vector in the same cluster; survivors are the
+    greedy id-order representatives.  Output: per-cluster keep/drop census.
+
+    The greedy prefix rule is the standard one-pass approximation of
+    connected-component dedup: it needs no iteration (unlike union-find),
+    is deterministic under any execution order, and never drops an entire
+    near-dup group (the lowest id always survives).
+
+    Scale shape: IDENTICAL to `embedding_near_dups` — pair expansion is
+    blocked by the cluster key (equi-join, quadratic only in cluster size;
+    at 10^9 vectors the key is a k-means centroid id), then a distinct on
+    the dropped side and one broadcast-able anti-join back.  No Python, no
+    driver state, no iteration."""
+    from e_commerce_streaming_datapipeline_spark.functions.vector import (
+        cosine_similarity_expr,
+        to_double_array,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+    )
+    dropped = (
+        emb.join(
+            right,
+            (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .where(
+            fround(cosine_similarity_expr(F.col("e"), F.col("e_b")), 6)
+            >= SEMANTIC_DEDUP_COSINE
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    flagged = emb.join(dropped, "vec_id", "left")
+    return flagged.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.count(F.when(F.col("is_dropped").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_dropped").isNotNull(), 1)).alias("n_dropped"),
+        F.coalesce(
+            F.min(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))), F.lit(-1)
+        ).alias("first_kept_id"),
+    )

@@ -150,3 +150,56 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qvec"),
     )
+
+
+_WEIGHTED_K = 50
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+        round(
+            ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)
+            / n_chars, 9
+        ) AS wkey
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, wkey, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS rn FROM keyed
+)
+WHERE rn <= {_WEIGHTED_K}
+""",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    exponential-key trick (one pass, top-k): each doc draws a deterministic
+    uniform u from the Knuth hash of its id and ranks by ln(u)/weight —
+    equivalent to ranking by u^(1/w), so inclusion probability is
+    proportional to weight (here n_chars: longer docs sampled more, the
+    length-weighted corpus carve-out).
+
+    Why this shape at 100 TB: weighted reservoir sampling is sequential
+    driver state, but the ES key decomposes it into a pure row-local
+    projection + a global top-k, which Spark plans as per-partition
+    TakeOrdered + a k-row merge — no shuffle of the corpus, no RNG state,
+    reproducible across engines (the uniform is integer hashing, not an
+    engine RNG).  ln(u)/w is the log-domain form of u^(1/w): same order,
+    no pow() underflow for huge weights."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) + F.lit(0.5)
+    ) / F.lit(float(_MOD))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("wkey"),
+    )
+    w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _WEIGHTED_K)
+    )

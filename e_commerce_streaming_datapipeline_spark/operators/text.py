@@ -8,7 +8,7 @@ speed with the projection pushed down to (doc_id, text, lang).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
@@ -736,4 +736,120 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(-F.avg(logp), 4).alias("avg_neg_logprob"),
             fround(-F.min(logp), 4).alias("max_surprisal"),
         )
+    )
+
+
+# Content-defined chunking: boundary when the 2-token rolling hash lands in
+# a 1/16 residue class — avg chunk ~16 tokens, and (unlike fixed-size
+# chunks) boundaries re-synchronize after an insertion/deletion, so edited
+# documents still share most chunk hashes with their originals.
+_CDC_MOD = 16
+
+# cross-engine token hash: first/last char codes + length, plain integer
+# arithmetic both engines evaluate bit-identically (ascii/length/substr)
+_CDC_TOKEN_HASH_SQL = (
+    "(ascii(substr({t}, 1, 1)) * 131"
+    " + ascii(substr({t}, length({t}), 1)) * 31"
+    " + length({t}) * 7)"
+)
+
+
+@query(
+    "cdc_chunks",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, u.pos, u.token FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                      (t, i) -> {{'pos': i - 1, 'token': t}})) AS u
+        FROM documents WHERE text IS NOT NULL
+    )
+), hashed AS (
+    SELECT doc_id, pos, token,
+        {_CDC_TOKEN_HASH_SQL.format(t="token")} AS h,
+        lag({_CDC_TOKEN_HASH_SQL.format(t="token")})
+            OVER (PARTITION BY doc_id ORDER BY pos) AS ph
+    FROM toks
+), flagged AS (
+    SELECT doc_id, pos, token,
+        CASE WHEN ph IS NOT NULL AND (ph * 97 + h) % {_CDC_MOD} = 0
+             THEN 1 ELSE 0 END AS boundary
+    FROM hashed
+), assigned AS (
+    SELECT doc_id, pos, token,
+        sum(boundary) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING
+        ) AS chunk_idx
+    FROM flagged
+), chunks AS (
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+    FROM assigned GROUP BY 1, 2
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+    CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS dup_count
+FROM chunks
+""",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries) + cross-corpus
+    chunk dedup counts — the chunk-granularity dedup primitive (FastCDC /
+    rsync lineage) at token level.
+
+    A boundary opens where the 2-token rolling hash ≡ 0 (mod 16), so chunk
+    edges depend only on LOCAL content: inserting a sentence into a 100 TB
+    corpus re-chunks one neighborhood instead of shifting every downstream
+    fixed-size chunk, which is what makes chunk-hash dedup survive edits
+    (`chunk_dedup_retention` is the fixed-boundary sibling).  The token
+    hash is first/last-char + length integer arithmetic so the DuckDB
+    oracle reproduces boundaries bit-identically.
+
+    Scale shape: posexplode → two window functions over (doc_id, pos) — one
+    shuffle by doc_id, partition-local sort, no driver state — then a hash
+    agg per (doc, chunk) and a window count by chunk_hash (the dedup join).
+    All codegen; no Python."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    h = (
+        F.ascii(F.substring(F.col("token"), 1, 1)) * 131
+        + F.ascii(F.expr("substring(token, length(token), 1)")) * 31
+        + F.length(F.col("token")) * 7
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = toks.withColumn("h", h).withColumn("ph", F.lag("h").over(by_pos))
+    flagged = hashed.withColumn(
+        "boundary",
+        F.when(
+            F.col("ph").isNotNull()
+            & (F.pmod(F.col("ph") * 97 + F.col("h"), F.lit(_CDC_MOD)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    assigned = flagged.withColumn(
+        "chunk_idx",
+        F.sum("boundary").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    chunks = (
+        assigned.groupBy("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s.token,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    return chunks.withColumn(
+        "dup_count", F.count("*").over(Window.partitionBy("chunk_hash"))
     )

@@ -34,6 +34,7 @@ class BatchMetric:
     watermark: str
     state_rows: int
     state_memory_bytes: int
+    rows_dropped_by_watermark: int = 0
 
 
 @dataclass
@@ -68,6 +69,9 @@ class MetricsCollector(StreamingQueryListener):
             watermark=(p.eventTime or {}).get("watermark", ""),
             state_rows=sum(int(s.numRowsTotal) for s in ops),
             state_memory_bytes=sum(int(s.memoryUsedBytes) for s in ops),
+            rows_dropped_by_watermark=sum(
+                int(s.numRowsDroppedByWatermark) for s in ops
+            ),
         )
         with self._lock:
             self.records.append(m)
@@ -100,6 +104,7 @@ class MetricsCollector(StreamingQueryListener):
                     m.watermark,
                     m.state_rows,
                     m.state_memory_bytes,
+                    m.rows_dropped_by_watermark,
                 )
                 for m in self.records
             ]
@@ -107,5 +112,6 @@ class MetricsCollector(StreamingQueryListener):
             rows,
             "query_name string, batch_id long, num_input_rows long, "
             "processed_rows_per_sec double, batch_duration_ms long, "
-            "watermark string, state_rows long, state_memory_bytes long",
+            "watermark string, state_rows long, state_memory_bytes long, "
+            "rows_dropped_by_watermark long",
         )

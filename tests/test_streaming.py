@@ -822,10 +822,15 @@ def _chunked_event_stream_dir(tmp_path, n_minutes=80, per_minute=60, n_chunks=8)
     chunk_dir.mkdir()
     n = tbl.num_rows
     per = n // n_chunks
+    base_mtime = 1_700_000_000
     for c in range(n_chunks):
         lo = c * per
         hi = n if c == n_chunks - 1 else (c + 1) * per
-        pq.write_table(tbl.slice(lo, hi - lo), str(chunk_dir / f"events-{c}.parquet"))
+        path = str(chunk_dir / f"events-{c}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), path)
+        # strictly increasing mtimes: the file source orders by modification
+        # time, and same-second writes would replay chunks out of order
+        os.utime(path, (base_mtime + c, base_mtime + c))
     return chunk_dir
 
 
@@ -947,3 +952,107 @@ def test_journey_join_state_plateaus_under_eviction(spark, tmp_path):
     )
     metrics = _run_with_collector(spark, tmp_path, journeys, "journey_plateau", "append")
     _assert_state_plateau(metrics, "journey-join")
+
+
+def test_late_rows_are_expired_not_aggregated(spark, tmp_path):
+    """Late-data handling: a chunk whose event times lie far behind the
+    COMMITTED watermark must contribute NOTHING to the aggregation (its
+    windows are already finalized/evicted), and the listener must report
+    the drop via numRowsDroppedByWatermark.  The spacer chunk matters:
+    Spark's watermark is a lower-bound contract that commits with one batch
+    of lag under availableNow, so data arriving in the very next batch
+    after the advancing chunk may still be absorbed — a correctly-loose
+    behavior this test intentionally leaves room for."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    chunk_dir = tmp_path / "late_chunks"
+    chunk_dir.mkdir()
+
+    def write_chunk(idx, minutes):
+        n = len(minutes)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(idx * 1000, idx * 1000 + n), pa.int64()),
+                "ts": pa.array(
+                    [t0 + datetime.timedelta(minutes=m) for m in minutes],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["purchase"] * n, pa.string()),
+                "value": pa.array([10.0] * n, pa.float64()),
+            }
+        )
+        path = str(chunk_dir / f"events-{idx}.parquet")
+        pq.write_table(tbl, path)
+        # file source replays in mtime order; pin it explicitly
+        os.utime(path, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+    write_chunk(0, [0, 1, 2, 3, 4] * 10)       # watermark -> ~4min - delay
+    write_chunk(1, [30, 31, 32, 33] * 10)       # watermark -> ~33min - 5min
+    write_chunk(2, [60, 61, 62] * 10)           # spacer: lets wm=00:28 commit
+    write_chunk(3, [0, 1, 2] * 10)              # LATE: far behind watermark
+
+    stream = read_file_stream(
+        spark, str(chunk_dir), "events-*.parquet", max_files_per_trigger=1
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window(F.col("ts"), "1 minute").alias("w"))
+        .count()
+        .select(F.col("w.start").alias("window_start"), "count")
+    )
+
+    from e_commerce_streaming_datapipeline_spark.streaming.monitoring import (
+        MetricsCollector,
+    )
+
+    collector = MetricsCollector().attach(spark)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_drop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            with collector._lock:
+                metrics = [
+                    m
+                    for m in collector.records
+                    if m.query_name == "late_drop" and m.num_input_rows > 0
+                ]
+            if len(metrics) >= 4:
+                break
+            _time.sleep(0.25)
+    finally:
+        collector.detach(spark)
+
+    # update mode: the memory sink logs every per-batch update.  The early
+    # windows must have been emitted exactly ONCE (by chunk 0) with count
+    # 10 — the late chunk's 30 rows triggered no re-emission.  (Complete
+    # mode would disable watermark eviction entirely and absorb them.)
+    early = [
+        (r["window_start"].minute, r["count"])
+        for r in spark.table("late_drop").collect()
+        if r["window_start"].hour == 0 and r["window_start"].minute < 5
+    ]
+    assert sorted(early) == [(0, 10), (1, 10), (2, 10), (3, 10), (4, 10)], early
+    # the late batch's rows reached the state operator behind the watermark
+    # and were dropped — AND counted by the listener
+    assert len(metrics) >= 4
+    assert metrics[-1].num_input_rows == 30  # the late chunk really arrived
+    assert metrics[-1].rows_dropped_by_watermark > 0, (
+        f"drop series {[m.rows_dropped_by_watermark for m in metrics]}"
+    )
