@@ -1,0 +1,40 @@
+"""Scalar-relation attachment as a broadcast HASH join.
+
+``df.crossJoin(broadcast(one_row))`` plans as BroadcastNestedLoopJoin, which
+forces the plan lint (plans/lint.py) to whitelist every such query — and a
+whitelist entry is a place where a REAL accidental nested loop could hide.
+``scalar_join`` attaches the 1-row relation via an equi-join on a literal
+key instead: same semantics, same single-row broadcast, but the plan is a
+plain BroadcastHashJoin, so the lint stays strict (round-2 verdict task 8).
+
+Use for genuine 1-row scalar relations (thresholds, corpus totals, time
+cutoffs).  Keep ``crossJoin`` for deliberate small-grid expansions (probe
+levels, centroid tables, query-vector fan-outs) where the nested loop IS
+the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KEY = "__scalar_join_k"
+
+
+def _const_key(df: DataFrame) -> Column:
+    """A key that is always 1 but NOT constant-foldable: ``lit(1) = lit(1)``
+    would fold to ``true`` and Catalyst would demote the join right back to
+    a nested loop.  ``pmod(xxhash64(col), 1) + 1`` is data-dependent in form
+    (so it survives ConstantFolding), deterministic, never null (xxhash64
+    hashes NULL to the seed), and costs one hash per row."""
+    return (F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(1)) + F.lit(1)).cast("int")
+
+
+def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach a 1-row relation's columns to every row of ``df`` via a
+    broadcast hash join on a constant-valued key."""
+    return (
+        df.withColumn(_KEY, _const_key(df))
+        .join(F.broadcast(scalar_df.withColumn(_KEY, _const_key(scalar_df))), _KEY)
+        .drop(_KEY)
+    )

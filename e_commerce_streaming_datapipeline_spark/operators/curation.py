@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -879,7 +880,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     np_ = part.agg(F.count("*").alias("np"))
     cand = (
-        pos.crossJoin(F.broadcast(np_))
+        scalar_join(pos, np_)
         .select(
             "custkey",
             F.explode(
@@ -910,9 +911,13 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        pos.agg(F.count("*").alias("n_positives"))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(neg.agg(F.count("*").alias("n_negatives")))
+        scalar_join(
+            scalar_join(
+                pos.agg(F.count("*").alias("n_positives")),
+                cand.agg(F.count("*").alias("n_candidates")),
+            ),
+            neg.agg(F.count("*").alias("n_negatives")),
+        )
         .select(
             "n_positives",
             "n_candidates",
@@ -968,7 +973,7 @@ def q_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the two scans prune to disjoint date partitions."""
     events = load_table(spark, "events", sf_dir)
     cutoff = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("t"))
-    with_cut = events.crossJoin(F.broadcast(cutoff))
+    with_cut = scalar_join(events, cutoff)
     feat = (
         with_cut.where(F.col("ts") < F.col("t"))
         .groupBy("user_id")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -102,13 +103,14 @@ def supplier_triangles(lineitem: DataFrame) -> DataFrame:
             F.sum(F.coalesce(F.col("closed"), F.lit(0))), F.lit(0)
         ).alias("n_triangles")
     )
-    counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+    counts = scalar_join(
+        edges.agg(F.count("*").alias("n_edges")),
         deg.agg(
             F.count("*").alias("n_nodes"),
             F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
-        )
+        ),
     )
-    return counts.crossJoin(tri).select(
+    return scalar_join(counts, tri).select(
         "n_nodes",
         "n_edges",
         "n_wedges",
@@ -224,7 +226,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
-        .crossJoin(F.broadcast(n_orders))
+        .transform(lambda d: scalar_join(d, n_orders))
         .select(
             "part_a",
             "part_b",

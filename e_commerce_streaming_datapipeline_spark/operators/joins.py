@@ -31,6 +31,7 @@ from pyspark.sql.functions import broadcast
 from e_commerce_streaming_datapipeline_spark.operators.dropoff import dropoff_analysis
 from e_commerce_streaming_datapipeline_spark.operators.funnel import funnel_metrics
 from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -329,7 +330,8 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     spark_avg = orders.select(F.avg("o_totalprice").alias("a"))
     return (
-        orders.join(broadcast(spark_avg), F.col("o_totalprice") > F.col("a"))
+        scalar_join(orders, spark_avg)
+        .where(F.col("o_totalprice") > F.col("a"))
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -266,7 +267,7 @@ def bloom_filter_prejoin(orders: DataFrame, customer: DataFrame) -> DataFrame:
                 6,
             ).alias("false_pos_rate"),
         )
-        .crossJoin(F.broadcast(n_keys))
+        .transform(lambda d: scalar_join(d, n_keys))
     )
 
 

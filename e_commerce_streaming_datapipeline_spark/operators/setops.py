@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.windows import tumbling_window
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -177,7 +178,7 @@ def q_metrics_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = events.agg(
         F.date_trunc("day", F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("__cut")
     ).hint("broadcast")
-    ev = events.crossJoin(cutoff)
+    ev = scalar_join(events, cutoff)
 
     def hourly(df: DataFrame) -> DataFrame:
         return (

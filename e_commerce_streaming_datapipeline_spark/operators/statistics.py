@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -990,7 +991,7 @@ def q_gmv_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: acc + t,
     ).cast("double") / (float(n * n) * 10000)
     dists = (
-        windows.crossJoin(F.broadcast(q))
+        scalar_join(windows, q)
         .where(F.col("rn") <= F.col("qrn") - n)
         .select("window_end", dist.alias("d"))
     )
@@ -1210,7 +1211,7 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("cents") - F.col("mu")) / F.col("sigma")
     return (
-        daily.crossJoin(F.broadcast(stats))
+        scalar_join(daily, stats)
         .where((F.col("sigma") > 0) & (F.abs(z) > 2))
         .select(
             "day",
@@ -1376,7 +1377,7 @@ def q_join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(lineitem, "key")
         .agg(F.count("*").alias("exact_join_rows"))
     )
-    return exact.crossJoin(est).select(
+    return scalar_join(exact, est).select(
         "exact_join_rows",
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_join_rows")).alias("overestimate"),
@@ -1908,7 +1909,7 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents") * 1.0 / F.sum("n_days")).alias("grand_daily_cents")
     )
     return (
-        per_wd.crossJoin(F.broadcast(tot))
+        scalar_join(per_wd, tot)
         .select(
             "weekday",
             "n_days",

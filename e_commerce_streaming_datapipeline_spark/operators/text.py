@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -236,8 +237,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(total))
+        scalar_join(tf.join(df, "term"), total)
         .select(
             "doc_id",
             "term",
@@ -728,8 +728,7 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").alias("n"))
     logp = F.log(F.col("c") / F.col("n"))
     return (
-        toks.join(vocab, "w")
-        .crossJoin(F.broadcast(total))
+        scalar_join(toks.join(vocab, "w"), total)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

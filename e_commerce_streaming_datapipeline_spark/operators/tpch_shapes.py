@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -425,7 +426,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        customer.crossJoin(broadcast(avg_bal))
+        scalar_join(customer, avg_bal)
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("nationkey"))

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -357,7 +358,7 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = vals.agg(F.sum("val_cents").alias("total_cents"))
     return (
-        vals.crossJoin(broadcast(total))
+        scalar_join(vals, total)
         .where(F.col("val_cents") * 1000 > F.col("total_cents"))
         .select(
             "partkey", (F.col("val_cents").cast("double") / 100).alias("total_value")

@@ -20,6 +20,7 @@ from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.operators.dropoff import dropoff_analysis
 from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
 from e_commerce_streaming_datapipeline_spark.operators.payment import payment_metrics
+from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -134,7 +135,7 @@ def q_active_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.3 * (F.sum("dropped_events").cast("double") / F.count("*"))).alias("thr")
     )
     return (
-        per.crossJoin(F.broadcast(thresh))
+        scalar_join(per, thresh)
         .where(F.col("dropped_events") > F.col("thr"))
         .drop("thr")
     )
@@ -227,8 +228,10 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-side complement — events within the 7-day retention horizon.  At
     scale this is a partition-drop on an ingest-date layout, not a row scan."""
     events = load_table(spark, "events", sf_dir)
-    horizon = events.agg(F.max("ts").alias("m")).hint("broadcast")
-    kept = events.join(horizon, F.col("ts") >= F.col("m") - F.expr("INTERVAL 7 DAYS"))
+    horizon = events.agg(F.max("ts").alias("m"))
+    kept = scalar_join(events, horizon).where(
+        F.col("ts") >= F.col("m") - F.expr("INTERVAL 7 DAYS")
+    )
     return kept.agg(
         F.count("*").alias("retained_events"),
         F.min("ts").alias("oldest_retained"),
@@ -314,7 +317,7 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
 
     def one(name: str, violations, checked) -> DataFrame:
-        return violations.crossJoin(checked).select(
+        return scalar_join(violations, checked).select(
             F.lit(name).alias("check_name"),
             F.col("violations").cast("long").alias("violations"),
             F.col("checked").cast("long").alias("checked"),

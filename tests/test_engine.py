@@ -418,34 +418,20 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     scale."""
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
 
-    # 1-row scalar broadcast cross joins, intentional by construction:
+    # Deliberate nested-loop joins that remain after the round-3 whitelist
+    # trim (1-row THRESHOLD attachments now go through
+    # functions/scalars.scalar_join, a broadcast HASH join, and need no
+    # allowance).  What's left is genuinely non-equi or small-grid fan-out:
     scalar_cross = {
-        "above_avg_orders",       # global avg threshold
-        "active_alerts",          # mean-drop-count threshold
-        "idle_rich_customers",    # avg balance threshold
-        "retention_filter",       # max-ts horizon
-        "embedding_topk",         # query vector
-        "ngram_jaccard_topk",     # query document
-        "tfidf_top_terms",        # corpus doc count
-        "important_part_values",  # 0.1%-of-total threshold (Q11 shape)
+        "embedding_topk",         # query-vector x corpus fan-out (Q x N scan)
+        "ngram_jaccard_topk",     # query document x corpus fan-out
         "lsh_recall_audit",       # inherits embedding_topk's query-vector cross join
         "lsh_multiprobe_recall_audit",  # ditto + 5-row probe-levels cross join
         "hard_negative_mining",   # anchor-sample broadcast, label-mismatch predicate
         "embedding_topk_sq",      # query-vector broadcast (quantized candidate scan)
         "kmeans_lloyd_step",      # K-row centroid-table broadcast (Lloyd assignment)
-        "unigram_logprob_scores", # corpus-total token count scalar
-        "integrity_report",       # five 1-row x 1-row check-result cross joins
         "source_fuzzy_pairs",     # 20-row distinct-key self-join, length-banded
-        "gmv_pattern_topk",       # 1-row query-window broadcast (subsequence search)
-        "revenue_anomaly_days",   # 1-row mean/std stats broadcast
-        "supplier_triangles",     # 1-row count relations (edges/deg/tri) cross-joined
-        "join_size_cms_estimate", # 1-row exact-count x 1-row sketch-estimate
-        "copurchase_pairs",       # 1-row corpus order-count broadcast
-        "bloom_filter_prejoin",   # 1-row build-key-count broadcast
-        "negative_samples",       # 1-row n-parts + audit-count broadcasts
-        "leakage_safe_labels",    # 1-row time-cutoff broadcast
         "revenue_theilsen_trend", # daily-aggregate pair expansion (n_days^2/2)
-        "weekday_seasonality",    # 1-row grand-mean broadcast
         "locf_value_15min",       # spine x |event types| tiny-relation grid
     }
     # builders with side effects or streaming runs — not pure explain targets:
