@@ -1325,3 +1325,82 @@ def q_unique_buyers_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             "unique_buyers",
         )
     )
+
+
+@query(
+    "lambda_unified_gmv",
+    oracle="""
+SELECT
+    date_trunc('hour', ts)   AS window_start,
+    round(sum(value), 2)     AS gmv,
+    count(*)                 AS purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture unification with a REAL streaming tail: hourly
+    GMV = batch layer (events strictly before a day-aligned cutoff, plain
+    batch aggregation) UNION speed layer (events on/after the cutoff,
+    computed by an actual Structured Streaming query with watermark +
+    update mode).  The hash match against the single-shot batch oracle
+    proves the two layers meet exactly at the seam — no double-counted and
+    no dropped window.
+
+    This is the architecture the reference implies but never closes
+    (Postgres keeps history, Spark streams the tail; nothing verifies the
+    splice).  Design points: the cutoff is day-aligned so no 1-hour window
+    straddles the seam; the speed layer filters ts >= cutoff via a
+    stream-static join (no driver collect feeding the stream); at scale
+    the batch layer reads date partitions < cutoff and the speed layer's
+    state holds only the tail's windows (watermark-evicted).
+
+    metrics_merge_upsert is the batch+batch sibling (MERGE semantics at the
+    seam); this one exercises the actual micro-batch engine on the tail."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+    from e_commerce_streaming_datapipeline_spark.functions.windows import tumbling_window
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    cutoff = events.agg(
+        F.date_trunc("day", F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("__cut")
+    )
+
+    batch_layer = (
+        tumbling_window(
+            scalar_join(events, cutoff).where(F.col("ts") < F.col("__cut")), "ts", "1 hour"
+        )
+        .groupBy("window_start")
+        .agg(
+            fround(F.sum("value"), 2).alias("gmv"),
+            F.count("*").alias("purchases"),
+        )
+    )
+
+    stream = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        # stream-static join: the batch-derived cutoff filters the stream
+        # without any driver-side collect
+        .join(F.broadcast(cutoff), F.col("ts") >= F.col("__cut"))
+        .withWatermark("ts", "10 minutes")
+    )
+    w = F.window(F.col("ts"), "1 hour").alias("w")
+    speed_layer_raw = _run_to_table(
+        spark,
+        stream.groupBy(w).agg(
+            fround(F.sum("value"), 2).alias("gmv"),
+            F.count("*").alias("purchases"),
+        ),
+        "lambda_speed",
+        output_mode="update",
+    )
+    speed_layer = speed_layer_raw.select(
+        F.col("w.start").alias("window_start"), "gmv", "purchases"
+    )
+    return batch_layer.unionByName(speed_layer)

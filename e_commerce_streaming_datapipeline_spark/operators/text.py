@@ -852,3 +852,156 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.withColumn(
         "dup_count", F.count("*").over(Window.partitionBy("chunk_hash"))
     )
+
+
+_BIGRAM_K = 0.5  # add-k smoothing
+
+
+@query(
+    "bigram_perplexity",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, u.pos, u.w FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                      (t, i) -> {{'pos': i - 1, 'w': t}})) AS u
+        FROM documents WHERE text IS NOT NULL
+    )
+), bi AS (
+    SELECT doc_id, pos, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+), bigrams AS (
+    SELECT * FROM bi WHERE w2 IS NOT NULL
+), c2 AS (
+    SELECT w1, w2, count(*) AS n2 FROM bigrams GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, count(*) AS n1 FROM bigrams GROUP BY 1
+), vocab AS (
+    SELECT count(*) AS v FROM (SELECT DISTINCT w FROM toks)
+), scored AS (
+    SELECT b.doc_id,
+           ln((c2.n2 + {_BIGRAM_K}) / (c1.n1 + {_BIGRAM_K} * vocab.v)) AS lp
+    FROM bigrams b
+    JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)      AS n_bigrams,
+       round(-avg(lp), 4)            AS avg_neg_logprob,
+       round(exp(-avg(lp)), 2)       AS perplexity
+FROM scored GROUP BY 1
+""",
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: per-document
+    average negative log-probability and perplexity under the corpus's own
+    bigram statistics — the classic KenLM-style quality/outlier filter one
+    level above `unigram_logprob_scores` (which can't see word order).
+
+    Scale shape: one shuffle by doc_id for the lead() window (same
+    partitioning the chunkers use), then hash aggs whose cardinality is the
+    bigram vocabulary — for web corpora the conditional-count relation
+    c(w1) is vocab-sized and broadcast-able, while c(w1,w2) joins on the
+    bigram key with AQE handling the Zipf head's skew.  The vocab size
+    rides along as a 1-row hash-joined scalar.  Everything codegen."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(by_pos))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = toks.select("w").distinct().agg(F.count("*").alias("v"))
+    lp = F.log(
+        (F.col("n2") + F.lit(_BIGRAM_K)) / (F.col("n1") + F.lit(_BIGRAM_K) * F.col("v"))
+    )
+    scored = scalar_join(
+        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1"), vocab
+    ).select("doc_id", lp.alias("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        fround(-F.avg("lp"), 4).alias("avg_neg_logprob"),
+        fround(F.exp(-F.avg("lp")), 2).alias("perplexity"),
+    )
+
+
+_DUP_NGRAM_N = 8
+
+
+@query(
+    "dup_ngram_coverage",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_DUP_NGRAM_N - 1}),
+               i -> md5(array_to_string(
+                        list_slice(string_split(text, ' '), i, i + {_DUP_NGRAM_N - 1}),
+                        ' '))
+           )) AS g
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {_DUP_NGRAM_N}
+), gram_docs AS (
+    SELECT g, count(*) AS n_docs FROM (SELECT DISTINCT g, doc_id FROM grams) GROUP BY 1
+)
+SELECT
+    grams.doc_id,
+    CAST(count(*) AS BIGINT)                               AS n_grams,
+    CAST(count(*) FILTER (gd.n_docs >= 2) AS BIGINT)       AS n_dup_grams,
+    round(count(*) FILTER (gd.n_docs >= 2) * 1.0 / count(*), 4) AS dup_fraction
+FROM grams JOIN gram_docs gd ON gd.g = grams.g
+GROUP BY 1
+""",
+)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public): per document,
+    the fraction of its 8-gram windows that also occur in ANOTHER document.
+    High-coverage docs are boilerplate/mirrors; the per-doc fraction is the
+    ranking signal an exact-substring dedup pass cuts on (the suffix-array
+    approach's distributable approximation — n-gram windows instead of
+    maximal repeated substrings, expressible as joins).
+
+    Scale shape: gram expansion is a map-side HOF (slice+md5, no Python);
+    the distinct (gram, doc) projection then a gram-keyed count is the
+    dedup-then-count discipline (no Expand); the gram-keyed equi-join back
+    is skew-safe under AQE since md5 keys are uniform.  ~n_tokens rows per
+    doc — same order as the shingle relations MinHash already builds."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.where(F.size(toks) >= _DUP_NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(split(text, ' ')) - {_DUP_NGRAM_N}), "
+                    f"i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, {_DUP_NGRAM_N}))))"
+                )
+            ).alias("g"),
+        )
+    )
+    gram_docs = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    joined = grams.join(gram_docs, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        fround(
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)) * 1.0 / F.count("*"),
+            4,
+        ).alias("dup_fraction"),
+    )
