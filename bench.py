@@ -88,6 +88,19 @@ EXTENDED = [
     "attribution_time_decay", # multi-touch credit (pair join + window norm)
 ]
 
+# Third section (round 3+): frozen like the others so every round reports
+# core32, extended21, and r3 totals separately (round-over-round comparable).
+EXTENDED_R3 = [
+    "cdc_chunks",             # content-defined chunking + chunk-hash dup counts
+    "semantic_dedup",         # SemDeDup greedy prefix dedup (cluster-blocked)
+    "bigram_perplexity",      # add-k bigram LM scoring (vocab-keyed joins)
+    "dup_ngram_coverage",     # 8-gram exact-substring duplication signal
+    "weighted_doc_sample",    # Efraimidis-Spirakis weighted top-k sample
+    "observed_quality_metrics",  # observe() counters riding the main pass
+    "jdbc_upsert_roundtrip",  # live Derby MERGE stage+merge+replay+readback
+    "lambda_unified_gmv",     # batch layer UNION real streaming speed layer
+]
+
 
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
@@ -111,7 +124,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for warm_query in HEADLINE + EXTENDED:
+    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3:
         registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -121,7 +134,7 @@ def main() -> None:
     # pays one-off codegen compilation for this scale's plan shape; the
     # second run measures execution.
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + EXTENDED + EXTENDED_R3:
         q = registry[name]
         best = float("inf")
         for _ in range(2):
@@ -143,6 +156,7 @@ def main() -> None:
         "queries": timings,
         "core32_total": round(sum(timings[n] for n in HEADLINE), 3),
         "extended_total": round(sum(timings[n] for n in EXTENDED), 3),
+        "r3_total": round(sum(timings[n] for n in EXTENDED_R3), 3),
         "sf": sf_val,
     }
     print(json.dumps(result))
