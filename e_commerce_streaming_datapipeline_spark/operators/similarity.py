@@ -587,20 +587,31 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     full cross join — the same IVF blocking as ``embedding_topk_ivf``, here
     used for corpus-vs-corpus dedup.  At 10^9 vectors the blocking key is a
     k-means centroid (or LSH hyperplane signature) computed upstream; the
-    per-block pair expansion is quadratic only in block size."""
+    per-block pair expansion is quadratic only in block size.
+
+    Norms are precomputed per vector (map-side) so each candidate pair
+    costs one dot-product HOF, not three; dot/(na*nb) is the oracle's
+    exact float arithmetic, so 6dp parity holds."""
+    from e_commerce_streaming_datapipeline_spark.functions.vector import dot_expr, norm_expr
+
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
+    emb = emb.withColumn("nrm", norm_expr(F.col("e")))
     right = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("e").alias("e_b")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
     )
+    cos = dot_expr(F.col("e"), F.col("e_b")) / (F.col("nrm") * F.col("nrm_b"))
     pairs = emb.join(
         right,
         (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")),
     ).select(
         F.col("vec_id").alias("vec_a"),
         "vec_b",
-        fround(cosine_similarity_expr(F.col("e"), F.col("e_b")), 6).alias("cos_sim"),
+        fround(cos, 6).alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= NEAR_DUP_COSINE)
 
