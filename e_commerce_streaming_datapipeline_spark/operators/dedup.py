@@ -517,13 +517,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table on fp, making each nightly ingest a shuffle-free anti join; here it
     is a plain hash anti join that AQE will broadcast when the index side is
     small."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(F.col("text"), " ")
+    # token array projected once per row (inline split inside the lambda
+    # would re-evaluate per shingle position — O(n_tokens^2) per doc)
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
     min_shingle = F.array_min(
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-            "split(text, ' ')[i+2])))"
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
         )
     )
     fp = (

@@ -174,17 +174,19 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content fingerprint plus a
     winnowing-style min-shingle-hash fingerprint (stable under suffix/prefix
     edits away from the minimizing shingle)."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(F.col("text"), " ")
+    # token array projected ONCE per row: split(text) inline inside the
+    # lambda re-evaluates per shingle position (O(n_tokens^2) per doc)
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
     min_shingle = F.array_min(
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-            "split(text, ' ')[i+2])))"
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
         )
     )
     return (
-        docs.where(F.size(toks) >= 3)
+        docs.where(F.size(F.col("toks")) >= 3)
         .select(
             "doc_id",
             F.substring(F.md5(F.col("text")), 1, 16).alias("content_fp"),
@@ -295,13 +297,16 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join if fingerprint groups get hot."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(F.col("text"), " ")
+    # token array projected once per row (inline split inside the lambda
+    # would re-evaluate per shingle position — O(n_tokens^2) per doc)
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
     min_shingle = F.array_min(
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-            "split(text, ' ')[i+2])))"
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
         )
     )
     stats = (
@@ -977,15 +982,18 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is skew-safe under AQE since md5 keys are uniform.  ~n_tokens rows per
     doc — same order as the shingle relations MinHash already builds."""
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
-    toks = F.split(F.col("text"), " ")
+    # project the token array ONCE per row before the HOF: split(text)
+    # written inline inside the lambda is re-evaluated per gram position,
+    # turning the expansion O(n_tokens^2) per document
+    toked = docs.withColumn("toks", F.split(F.col("text"), " "))
     grams = (
-        docs.where(F.size(toks) >= _DUP_NGRAM_N)
+        toked.where(F.size(F.col("toks")) >= _DUP_NGRAM_N)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size(split(text, ' ')) - {_DUP_NGRAM_N}), "
-                    f"i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, {_DUP_NGRAM_N}))))"
+                    f"transform(sequence(0, size(toks) - {_DUP_NGRAM_N}), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i + 1, {_DUP_NGRAM_N}))))"
                 )
             ).alias("g"),
         )
