@@ -107,3 +107,54 @@ class TestEmptyGraphTriangles:
         row = supplier_triangles(empty_wedge_lineitem).collect()[0]
         assert row["n_triangles"] == 0
         assert row["n_triangles"] is not None
+
+
+class TestAQESkewJoinSplits:
+    """AQE skew handling is config the engine relies on at 100 TB
+    (session.py enables spark.sql.adaptive.skewJoin); this pins that it
+    actually FIRES: a join with one dominant key, run with test-scoped
+    thresholds, must show skew=true partition splitting in the final
+    adaptive plan.  (salted_priority_revenue is the manual-salting sibling
+    for when keys are known-hot ahead of time.)"""
+
+    def test_skew_join_marked_and_split(self, spark):
+        import pyspark.sql.functions as F
+
+        from tests.conftest import SF_DIR_T2
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        # repartition first: AQE splits a skewed reduce partition at MAPPER
+        # granularity, so a single-mapper shuffle (one small parquet file)
+        # has nothing to split regardless of thresholds
+        events = load_table(spark, "events", SF_DIR_T2).repartition(16)
+        # 1 hot key (~75% of rows) + uniform tail
+        skewed = events.select(
+            F.when(F.pmod(F.col("event_id"), 4) != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("event_id"), 1000))
+            .alias("k"),
+            "value",
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        confs = {
+            # force a shuffle join and make the hot partition count as skewed
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            joined = skewed.join(dim, "k").agg(F.sum(F.col("value") * F.col("w")))
+            joined.collect()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
