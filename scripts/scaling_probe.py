@@ -55,6 +55,15 @@ QUERIES = [
     "cdc_apply_latest",       # WindowGroupLimit-bounded latest-per-key
     "bloom_filter_prejoin",   # broadcast runtime-filter membership joins
     "copurchase_pairs",       # basket self-join pair mining + top-k
+    # round-3 additions
+    "cdc_chunks",             # per-doc window chunking + chunk-hash counts
+    "dup_ngram_coverage",     # gram expansion + gram-keyed join back
+    "bigram_perplexity",      # vocab-keyed LM joins (Zipf-skewed keys)
+    "semantic_dedup",         # cluster-blocked pair expansion (note: per-
+                              # cluster QUADRATIC by design — replicating the
+                              # corpus without adding clusters grows block
+                              # size, so expect ~k^2 here, the documented
+                              # IVF-blocking trade; K scales with N in prod)
 ]
 
 
