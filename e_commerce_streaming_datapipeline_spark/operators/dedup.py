@@ -903,3 +903,124 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))), F.lit(-1)
         ).alias("first_kept_id"),
     )
+
+
+_AUTOBLOCK_TARGET = 200  # target vectors per block; n_bits grows with N
+
+
+@query(
+    "semantic_dedup_autoblock",
+    oracle=f"""
+WITH planes AS (
+    SELECT j, i,
+        ((((CAST(1103515245 AS BIGINT) * (j * 64 + i) + 12345)
+            % 2147483648) % 2001) - 1000) / 1000.0 AS h
+    FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bits AS (
+    SELECT v.vec_id, p.j, round(sum(v.e[p.i + 1] * p.h), 4) >= 0 AS bit
+    FROM v, planes p
+    GROUP BY 1, 2
+), sigs AS (
+    SELECT vec_id,
+        CAST(sum(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS sig16
+    FROM bits GROUP BY 1
+), nb AS (
+    SELECT greatest(0, CAST(ceil(log2(count(*) / {_AUTOBLOCK_TARGET}.0)) AS INT))
+        AS n_bits
+    FROM v
+), keyed AS (
+    SELECT s.vec_id, s.sig16 % CAST(power(2, nb.n_bits) AS BIGINT) AS bucket
+    FROM sigs s, nb
+), vn AS (
+    SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v
+), dropped AS (
+    SELECT DISTINCT kb.vec_id
+    FROM keyed ka
+    JOIN keyed kb ON ka.bucket = kb.bucket AND ka.vec_id < kb.vec_id
+    JOIN vn a ON a.vec_id = ka.vec_id
+    JOIN vn b ON b.vec_id = kb.vec_id
+    WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+          >= {SEMANTIC_DEDUP_COSINE}
+), buckets AS (
+    SELECT bucket, count(*) AS sz FROM keyed GROUP BY 1
+)
+SELECT
+    (SELECT count(*) FROM keyed)                        AS n_vectors,
+    (SELECT count(*) FROM buckets)                      AS n_buckets,
+    (SELECT max(sz) FROM buckets)                       AS max_bucket,
+    (SELECT count(*) FROM keyed) - (SELECT count(*) FROM dropped) AS n_kept,
+    (SELECT count(*) FROM dropped)                      AS n_dropped
+""",
+)
+def q_semantic_dedup_autoblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup` with a blocking key whose cardinality SCALES WITH
+    the corpus — the production shape that keeps per-block pair cost
+    constant as N grows (the fixed-K sibling's measured x8 probe row is
+    ~49x precisely because replication grows block size; here n_bits =
+    ceil(log2(N/200)) adds one signature bit per corpus doubling, holding
+    blocks near the 200-vector target).
+
+    The key is the first n_bits of the 16-bit LCG-hyperplane LSH signature
+    (`embedding_topk_lsh`'s planes), so the DuckDB oracle regenerates
+    blocking bit-identically — no engine-private hashing.  Same greedy
+    prefix drop rule within a block; blocking-induced recall loss (near-dup
+    pairs split across buckets) is the documented SemDeDup trade, tunable
+    with multi-probe exactly like the ANN path.
+
+    Output is the operational census: vectors, blocks, max block size (the
+    quadratic bound), kept/dropped."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+    from e_commerce_streaming_datapipeline_spark.functions.vector import (
+        dot_expr,
+        norm_expr,
+        to_double_array,
+    )
+    from e_commerce_streaming_datapipeline_spark.operators.similarity import _lsh_band_sigs
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    emb = emb.withColumn("nrm", norm_expr(F.col("e")))
+    sigs = _lsh_band_sigs(emb.select("vec_id", "e")).select(
+        "vec_id", (F.col("band0") + F.col("band1") * 256).alias("sig16")
+    )
+    nb = emb.agg(
+        F.greatest(
+            F.lit(0),
+            F.ceil(F.log2(F.count("*") / float(_AUTOBLOCK_TARGET))).cast("int"),
+        ).alias("n_bits")
+    )
+    keyed = scalar_join(sigs, nb).select(
+        "vec_id",
+        F.pmod(
+            F.col("sig16"), F.expr("CAST(power(2, n_bits) AS BIGINT)")
+        ).alias("bucket"),
+    )
+    ka = keyed.select(F.col("vec_id").alias("vec_a"), "bucket")
+    kb = keyed.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bucket_b"))
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"), F.col("nrm").alias("nrm_a"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"), F.col("nrm").alias("nrm_b"))
+    cos = dot_expr(F.col("e_a"), F.col("e_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    dropped = (
+        ka.join(kb, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .where(fround(cos, 6) >= SEMANTIC_DEDUP_COSINE)
+        .select("vec_b")
+        .distinct()
+    )
+    buckets = keyed.groupBy("bucket").agg(F.count("*").alias("sz"))
+    totals = keyed.agg(F.count("*").alias("n_vectors"))
+    bstats = buckets.agg(
+        F.count("*").alias("n_buckets"), F.max("sz").alias("max_bucket")
+    )
+    dstats = dropped.agg(F.count("*").alias("n_dropped"))
+    return scalar_join(scalar_join(totals, bstats), dstats).select(
+        "n_vectors",
+        "n_buckets",
+        "max_bucket",
+        (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        "n_dropped",
+    )
