@@ -1056,3 +1056,69 @@ def test_late_rows_are_expired_not_aggregated(spark, tmp_path):
     assert metrics[-1].rows_dropped_by_watermark > 0, (
         f"drop series {[m.rows_dropped_by_watermark for m in metrics]}"
     )
+
+
+def test_fan_out_stream_to_parquet_and_derby_converges(spark, sf_dir, tmp_path):
+    """K1 end-to-end with BOTH production sinks on one persisted batch:
+    a streaming hourly-GMV query writes through fan_out_sink into (a) the
+    dynamic-partition-overwrite parquet sink and (b) the live Derby JDBC
+    upsert — then the ENTIRE stream is replayed under a fresh checkpoint
+    (at-least-once, every window re-emitted) and both sinks must converge
+    to the same state, equal to the batch recomputation."""
+    from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
+    from e_commerce_streaming_datapipeline_spark.streaming.sinks import (
+        fan_out_sink,
+        idempotent_parquet_sink,
+        jdbc_upsert_sink,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/fanoutdb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE gmv_metrics (window_start TIMESTAMP NOT NULL PRIMARY KEY, "
+        "window_end TIMESTAMP, gmv DOUBLE, item_count BIGINT, "
+        "avg_item_price DOUBLE, max_item_price DOUBLE, min_item_price DOUBLE)"
+    )
+    st.close()
+    conn.close()
+
+    out_parquet = str(tmp_path / "metrics_parquet")
+    sink = fan_out_sink(
+        idempotent_parquet_sink(out_parquet),
+        jdbc_upsert_sink(url, "gmv_metrics", ["window_start"]),
+    )
+
+    def run(ckpt):
+        stream = streaming_gmv(read_file_stream(spark, sf_dir), "1 hour")
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ckpt_a")
+    run("ckpt_b")  # fresh checkpoint: full replay, every window re-emitted
+
+    batch = streaming_gmv(
+        load_table(spark, "events", sf_dir).where(F.col("event_type") == "purchase"),
+        "1 hour",
+    )
+    expect = {tuple(r) for r in batch.collect()}
+    cols = [
+        "window_start", "window_end", "gmv", "item_count",
+        "avg_item_price", "max_item_price", "min_item_price",
+    ]
+    got_parquet = {
+        tuple(r)
+        for r in spark.read.parquet(out_parquet).select(*cols).collect()
+    }
+    derby = spark.read.jdbc(url, "gmv_metrics")
+    derby = derby.toDF(*[c.lower() for c in derby.columns])
+    got_derby = {tuple(r) for r in derby.select(*cols).collect()}
+    assert got_parquet == expect, "parquet sink diverged after full replay"
+    assert got_derby == expect, "Derby sink diverged after full replay"
