@@ -1024,3 +1024,104 @@ def q_semantic_dedup_autoblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
         "n_dropped",
     )
+
+
+@query(
+    "minhash_audit",
+    oracle=f"""
+WITH {_MINHASH_VERIFIED_CTES}, truth_cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), truth AS (
+    SELECT t.doc_a, t.doc_b
+    FROM truth_cands t
+    JOIN shingled sa ON sa.doc_id = t.doc_a
+    JOIN shingled sb ON sb.doc_id = t.doc_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+          >= {JACCARD_THRESHOLD}
+), hits AS (
+    SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT
+    (SELECT count(*) FROM truth)      AS n_truth_pairs,
+    (SELECT count(*) FROM candidates) AS n_candidates,
+    (SELECT count(*) FROM hits)       AS n_hits,
+    round((SELECT count(*) FROM hits) * 1.0
+          / (SELECT count(*) FROM candidates), 4) AS precision,
+    round((SELECT count(*) FROM hits) * 1.0
+          / (SELECT count(*) FROM truth), 4)      AS recall
+""",
+)
+def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of the MinHash+LSH pipeline against exact
+    ground truth — the dedup-side sibling of `lsh_recall_audit` (which
+    audits the ANN path).  Ground truth is every pair with exact Jaccard ≥
+    τ, found via the shingle inverted index (a pair with positive Jaccard
+    shares a shingle, so the index is EXHAUSTIVE — no sampling, and never
+    an n² scan).  Precision = verified hits / band candidates (how much
+    rerank work the bands waste); recall = hits / truth (what the S-curve
+    misses at this band/row configuration).
+
+    Scale: the inverted-index ground truth costs one equi-join on the
+    shingle key — the same relation the LSH signatures are built from —
+    with hot shingles (stopword trigrams) the only skew source; a real
+    deployment df-filters the shingle index's head exactly like the
+    decontam corpus does.  This audit runs on a SAMPLE at 100 TB; here the
+    fixture is small enough to audit whole."""
+    docs = load_table(spark, "documents", sf_dir)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sets = shingled_docs(docs)
+    exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    ta = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    truth_cands = (
+        ta.join(tb, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jaccard = inter / (F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter)
+    truth = (
+        truth_cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    hits = q_minhash_near_dups.__wrapped__(spark, sf_dir) if hasattr(
+        q_minhash_near_dups, "__wrapped__"
+    ) else q_minhash_near_dups(spark, sf_dir)
+    bands = minhash_bands(docs)
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+    t = truth.agg(F.count("*").alias("n_truth_pairs"))
+    c = candidates.agg(F.count("*").alias("n_candidates"))
+    h = hits.agg(F.count("*").alias("n_hits"))
+    return scalar_join(scalar_join(t, c), h).select(
+        "n_truth_pairs",
+        "n_candidates",
+        "n_hits",
+        fround(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
+        fround(F.col("n_hits") * 1.0 / F.col("n_truth_pairs"), 4).alias("recall"),
+    )

@@ -1013,3 +1013,61 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_fraction"),
     )
+
+
+_VOCAB_K = 64
+
+
+@query(
+    "vocab_oov_rates",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+), vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM toks GROUP BY w
+    ) WHERE rn <= {_VOCAB_K}
+)
+SELECT
+    t.doc_id,
+    CAST(count(*) AS BIGINT)                       AS n_tokens,
+    CAST(count(*) FILTER (v.w IS NULL) AS BIGINT)  AS n_oov,
+    round(count(*) FILTER (v.w IS NULL) * 1.0 / count(*), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY 1
+""",
+)
+def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    against the corpus's own top-64 token vocabulary — the coverage check
+    run before committing to a tokenizer (high-OOV docs are either noise
+    or a domain the vocab under-serves; both are routing signals).
+
+    Scale shape: the vocabulary is top-k of a vocab-sized aggregate
+    (TakeOrdered — never a full sort) and BROADCASTS into the token
+    stream's left join, so the corpus-sized relation never shuffles for
+    membership; per-doc rates are one doc-keyed hash agg.  With a real
+    32k+ vocab the broadcast is still single-digit MB."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "w", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        fround(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)) * 1.0
+            / F.count("*"),
+            4,
+        ).alias("oov_rate"),
+    )
