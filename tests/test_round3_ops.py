@@ -158,3 +158,29 @@ class TestAQESkewJoinSplits:
                 else:
                     spark.conf.set(k, v)
         assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+
+
+class TestScalarJoin:
+    """functions/scalars.scalar_join now carries ~20 queries' threshold
+    attachments; pin its contract: row count preserved (even when the key
+    expression's input column is entirely NULL — xxhash64 hashes NULL to
+    the seed, never to NULL), scalar columns attached, and the plan is a
+    broadcast HASH join, not a nested loop."""
+
+    def test_preserves_rows_attaches_columns_null_safe(self, spark):
+        import pyspark.sql.functions as F
+
+        from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+        df = spark.createDataFrame(
+            [(None, 1.0), (None, 2.0), (None, 3.0)], "a string, v double"
+        )
+        scalar = df.agg(F.sum("v").alias("total"))
+        out = scalar_join(df, scalar)
+        rows = out.collect()
+        assert len(rows) == 3
+        assert all(r["total"] == 6.0 for r in rows)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
