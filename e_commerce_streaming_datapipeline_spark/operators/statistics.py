@@ -1927,64 +1927,19 @@ _HIST_BIN_W = 10
 _HIST_BINS = 50  # [0, 500) in widths of 10; last bin clamps the tail
 
 
-@query(
-    "histogram_quantile_rollup",
-    oracle=f"""
-WITH vals AS (
-    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
-           CAST(least(floor(value / {_HIST_BIN_W}), {_HIST_BINS - 1}) AS INT) AS bin
-    FROM events WHERE value IS NOT NULL
-), bins AS (
-    SELECT month, bin, count(*) AS c FROM vals GROUP BY 1, 2
-), ranked AS (
-    SELECT month, bin, c,
-           sum(c) OVER (PARTITION BY month ORDER BY bin) AS cum,
-           sum(c) OVER (PARTITION BY month) AS total
-    FROM bins
-), hits AS (
-    SELECT month, q.q100, bin, c, cum, total
-    FROM ranked, (VALUES (50), (90), (99)) q(q100)
-    WHERE cum * 100 >= q.q100 * total
-), est AS (
-    SELECT month, q100, min(bin) AS est_bin
-    FROM hits GROUP BY 1, 2
-)
-SELECT
-    e.month,
-    e.q100,
-    CAST((e.est_bin + 0.5) * {_HIST_BIN_W} AS DOUBLE)  AS estimate,
-    CAST(r.total AS BIGINT)                    AS n_values,
-    round((r.cum - r.c) * 1.0 / r.total, 4)    AS frac_below_bin
-FROM est e JOIN ranked r ON r.month = e.month AND r.bin = e.est_bin
-""",
-)
-def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE quantiles: per-day equi-width histograms rolled up to
-    monthly p50/p90/p99 estimates — the pattern that makes percentiles
-    tractable at 100 TB.  ``percentile_approx``'s GK sketch is final (not
-    mergeable), so re-grained percentiles normally mean re-touching raw
-    events; fixed-bin histograms merge by vector ADDITION, so any coarser
-    grain (month, quarter, all-time) derives from the tiny per-day bin
-    relation.  Alongside each estimate the exact sub-bin rank
-    (frac_below_bin) quantifies the bin-resolution error — the audit that
-    tells an operator when to narrow the bins.
 
-    Scale shape: day-grain histogram = one hash agg with partial combine
-    (state = days x 50 bins); month rollup aggregates the BIN RELATION,
-    never the events; quantile extraction is a window cumsum over <= 50
-    rows per month.  Integer arithmetic throughout (cum*100 >= q*total —
-    no float-boundary flakiness), deterministic on both engines."""
-    events = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
-    day_bins = (
-        events.select(
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            F.least(
-                F.floor(F.col("value") / _HIST_BIN_W), F.lit(_HIST_BINS - 1)
-            ).cast("int").alias("bin"),
-        )
-        .groupBy("day", "bin")
-        .agg(F.count("*").alias("c"))
-    )
+
+def hist_bin(value):
+    """Equi-width histogram bin id over [0, _HIST_BINS*_HIST_BIN_W), tail
+    clamped — shared by the batch and streaming histogram builders."""
+    return F.least(F.floor(value / _HIST_BIN_W), F.lit(_HIST_BINS - 1)).cast("int")
+
+
+def monthly_quantiles_from_day_bins(day_bins: DataFrame) -> DataFrame:
+    """Month-grain p50/p90/p99 extracted from a (day, bin, c) histogram
+    relation — the merge+extract half of `histogram_quantile_rollup`,
+    shared with the streaming twin (whose day bins come from a watermarked
+    streaming aggregation instead of a batch scan)."""
     # month rollup merges DAY histograms (vector add), not raw events
     month_bins = (
         day_bins.groupBy(
@@ -2017,3 +1972,62 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+HISTOGRAM_ROLLUP_ORACLE = f"""
+WITH vals AS (
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           CAST(least(floor(value / {_HIST_BIN_W}), {_HIST_BINS - 1}) AS INT) AS bin
+    FROM events WHERE value IS NOT NULL
+), bins AS (
+    SELECT month, bin, count(*) AS c FROM vals GROUP BY 1, 2
+), ranked AS (
+    SELECT month, bin, c,
+           sum(c) OVER (PARTITION BY month ORDER BY bin) AS cum,
+           sum(c) OVER (PARTITION BY month) AS total
+    FROM bins
+), hits AS (
+    SELECT month, q.q100, bin, c, cum, total
+    FROM ranked, (VALUES (50), (90), (99)) q(q100)
+    WHERE cum * 100 >= q.q100 * total
+), est AS (
+    SELECT month, q100, min(bin) AS est_bin
+    FROM hits GROUP BY 1, 2
+)
+SELECT
+    e.month,
+    e.q100,
+    CAST((e.est_bin + 0.5) * {_HIST_BIN_W} AS DOUBLE)  AS estimate,
+    CAST(r.total AS BIGINT)                    AS n_values,
+    round((r.cum - r.c) * 1.0 / r.total, 4)    AS frac_below_bin
+FROM est e JOIN ranked r ON r.month = e.month AND r.bin = e.est_bin
+"""
+
+
+@query("histogram_quantile_rollup", oracle=HISTOGRAM_ROLLUP_ORACLE)
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles: per-day equi-width histograms rolled up to
+    monthly p50/p90/p99 estimates — the pattern that makes percentiles
+    tractable at 100 TB.  ``percentile_approx``'s GK sketch is final (not
+    mergeable), so re-grained percentiles normally mean re-touching raw
+    events; fixed-bin histograms merge by vector ADDITION, so any coarser
+    grain (month, quarter, all-time) derives from the tiny per-day bin
+    relation.  Alongside each estimate the exact sub-bin rank
+    (frac_below_bin) quantifies the bin-resolution error — the audit that
+    tells an operator when to narrow the bins.
+
+    Scale shape: day-grain histogram = one hash agg with partial combine
+    (state = days x 50 bins); month rollup aggregates the BIN RELATION,
+    never the events; quantile extraction is a window cumsum over <= 50
+    rows per month.  Integer arithmetic throughout (cum*100 >= q*total —
+    no float-boundary flakiness), deterministic on both engines."""
+    events = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    day_bins = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            hist_bin(F.col("value")).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    return monthly_quantiles_from_day_bins(day_bins)

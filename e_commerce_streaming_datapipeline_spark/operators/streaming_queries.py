@@ -1404,3 +1404,47 @@ def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("window_start"), "gmv", "purchases"
     )
     return batch_layer.unionByName(speed_layer)
+
+
+from e_commerce_streaming_datapipeline_spark.operators.statistics import (  # noqa: E402
+    HISTOGRAM_ROLLUP_ORACLE as _HIST_ORACLE,
+)
+
+
+# shares the batch rollup's oracle: the streaming twin must hash-match it
+@query("histogram_stream_quantiles", oracle=_HIST_ORACLE)
+def q_histogram_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-histogram pattern on the STREAMING path: a watermarked
+    streaming aggregation maintains per-(day, bin) counts — 50 longs per
+    day of state, evicted by the watermark — and month-grain p50/p90/p99
+    are extracted from the collected bin relation afterwards, reusing the
+    batch extractor.  Output is hash-identical to the batch
+    `histogram_quantile_rollup` (same oracle), proving the streaming
+    histogram lost nothing.
+
+    Why this matters at 100 TB/day: quantile monitoring over a stream
+    normally needs a mergeable sketch because the raw events are gone when
+    the question is asked; fixed-bin histograms ARE that sketch, and the
+    state is so small (days x 50 longs) that any re-grain — month,
+    quarter, rolling 7d — is a post-hoc aggregation of the bin table."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.operators.statistics import (
+        hist_bin,
+        monthly_quantiles_from_day_bins,
+    )
+
+    stream = (
+        read_file_stream(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+    )
+    binned = stream.groupBy(
+        F.window(F.col("ts"), "1 day").alias("w"), hist_bin(F.col("value")).alias("bin")
+    ).count()
+    collected = _run_to_table(spark, binned, "hist_stream", output_mode="update")
+    day_bins = collected.select(
+        F.col("w.start").alias("day"), "bin", F.col("count").alias("c")
+    )
+    return monthly_quantiles_from_day_bins(day_bins)
+
