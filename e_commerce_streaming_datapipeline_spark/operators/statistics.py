@@ -299,9 +299,7 @@ def cms_cells(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-@query(
-    "heavy_hitters_cms",
-    oracle=f"""
+HEAVY_HITTERS_ORACLE = f"""
 WITH params AS (
     SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_PARAMS)})
     t(j, a, b)
@@ -330,8 +328,10 @@ SELECT
     est.cms_estimate - e.exact_n AS overcount
 FROM exact e JOIN est ON e.user_id = est.user_id
 WHERE e.exact_n >= {_CMS_THRESHOLD}
-""",
-)
+"""
+
+
+@query("heavy_hitters_cms", oracle=HEAVY_HITTERS_ORACLE)
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters: a 4×256 CMS over user activity
     (pairwise-independent integer hashes — pure arithmetic, so the DuckDB

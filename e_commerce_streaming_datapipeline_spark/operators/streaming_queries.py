@@ -1448,3 +1448,60 @@ def q_histogram_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return monthly_quantiles_from_day_bins(day_bins)
 
+
+
+from e_commerce_streaming_datapipeline_spark.operators.statistics import (  # noqa: E402
+    _CMS_THRESHOLD,
+    _cms_bucket_structs,
+    HEAVY_HITTERS_ORACLE as _CMS_ORACLE,
+)
+
+
+# shares the batch twin's oracle: the streaming sketch must hash-match it
+@query("heavy_hitters_cms_stream", oracle=_CMS_ORACLE)
+def q_heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY a streaming aggregation: each
+    event explodes into its 4 (row, bucket) cells and a stateful groupBy
+    keeps the running cell counts — state is the sketch itself (<= 4x256
+    longs, no watermark needed: the key space is bounded by construction,
+    the degenerate-best-case of streaming state).  Heavy-hitter estimates
+    extracted afterwards must hash-match the batch `heavy_hitters_cms`
+    (shared oracle) — the sketch lost nothing crossing micro-batches.
+
+    This closes the mergeable-sketch trio on the streaming path: bitmap
+    exact-distinct (`unique_buyers_bitmap_stream`), fixed-bin histogram
+    quantiles (`histogram_stream_quantiles`), and frequency CMS (here)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    stream = read_file_stream(spark, sf_dir).select(
+        F.explode(_cms_bucket_structs("user_id")).alias("s")
+    ).select("s.j", "s.bkt")
+    cells_stream = stream.groupBy("j", "bkt").count()
+    collected = _run_to_table(spark, cells_stream, "cms_stream", output_mode="update")
+    # update-mode memory sink logs every per-batch update; counts only grow,
+    # so the final cell value is the max observed per (j, bkt)
+    cells = collected.groupBy("j", "bkt").agg(F.max("count").alias("c"))
+
+    events = load_table(spark, "events", sf_dir).select("user_id")
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = exact.select(
+        "user_id", F.explode(_cms_bucket_structs("user_id")).alias("s")
+    ).select("user_id", "s.j", "s.bkt")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bkt"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.where(F.col("exact_n") >= _CMS_THRESHOLD)
+        .join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
