@@ -184,3 +184,55 @@ class TestScalarJoin:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestLintCatchesBadPlans:
+    """Negative self-test of plans/lint.py: the registry-wide lint is only
+    worth its green checkmark if it actually FIRES on the anti-patterns it
+    claims to catch."""
+
+    def test_flags_cartesian_product(self, spark):
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 100)
+        b = spark.range(0, 100).withColumnRenamed("id", "id2")
+        # force a true cartesian (no condition, both sides too big to B-NLJ
+        # under a disabled broadcast threshold)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            findings = lint_plan(a.crossJoin(b))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert any(f.rule == "cartesian" for f in findings), findings
+
+    def test_flags_nested_loop_unless_allowed(self, spark):
+        import pyspark.sql.functions as F
+
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        a = spark.range(0, 1000)
+        b = spark.range(0, 100).withColumnRenamed("id", "id2")
+        nl = a.join(F.broadcast(b), F.col("id") > F.col("id2"))  # non-equi
+        findings = lint_plan(nl)
+        assert any(f.rule == "nested-loop" for f in findings), findings
+        assert not lint_plan(nl, allow_nested_loop=True)
+
+    def test_flags_distinct_expand(self, spark):
+        import pyspark.sql.functions as F
+
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 10).alias("k"),
+            (F.col("id") % 7).alias("v"),
+            (F.col("id") % 3).alias("w"),
+        )
+        # a SINGLE distinct rewrites to two-phase aggregation without Expand;
+        # it takes multiple distincts over different columns to force it
+        agg = df.groupBy("k").agg(
+            F.count_distinct("v").alias("d1"), F.count_distinct("w").alias("d2")
+        )
+        findings = lint_plan(agg)
+        assert any(f.rule == "distinct-expand" for f in findings), findings
+        assert not lint_plan(agg, allow_expand=True)
