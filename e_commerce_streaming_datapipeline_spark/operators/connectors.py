@@ -609,3 +609,72 @@ def q_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(agg, 1)  # at-least-once replay: must converge, not duplicate
     back = spark.read.jdbc(url, "payment_rollup_jdbc")
     return back.toDF(*[c.lower() for c in back.columns])
+
+
+@query(
+    "warehouse_partitioned_roundtrip",
+    oracle="""
+SELECT
+    CAST(date_trunc('day', ts) AS DATE) AS event_date,
+    count(*)                            AS n_events,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                                        AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_warehouse_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL/DML surface: CREATE TABLE ... USING parquet PARTITIONED
+    BY + INSERT OVERWRITE with DYNAMIC partition overwrite, read back
+    through the catalog (``spark.table``) — every other IO path in the
+    engine is path-based; this is the managed-warehouse lifecycle
+    (CREATE/INSERT OVERWRITE/SELECT) a platform team actually operates.
+
+    The second INSERT OVERWRITE rewrites only the partitions it touches
+    (dynamic mode) with identical data, so the hash match ALSO proves
+    partition-level overwrite idempotence — the batch-layer backfill
+    primitive (recompute one day in place without disturbing the rest).
+
+    At 100 TB the same statements run against a real metastore/catalog;
+    partition pruning, retention-by-partition-drop, and the lambda batch
+    layer all hang off this layout."""
+    events = load_table(spark, "events", sf_dir)
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "e_commerce_streaming_datapipeline_warehouse",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    events.createOrReplaceTempView("events_src_wh")
+    spark.sql("DROP TABLE IF EXISTS events_wh")
+    spark.sql(
+        "CREATE TABLE events_wh (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING, event_date DATE) "
+        f"USING parquet PARTITIONED BY (event_date) LOCATION '{loc}'"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        insert = (
+            "INSERT OVERWRITE TABLE events_wh PARTITION (event_date) "
+            "SELECT event_id, ts, user_id, event_type, value, props, "
+            "to_date(ts) AS event_date FROM events_src_wh"
+        )
+        spark.sql(insert)
+        spark.sql(insert)  # partition-level overwrite idempotence
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.table("events_wh")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+    )
