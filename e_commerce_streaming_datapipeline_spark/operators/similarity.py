@@ -1271,3 +1271,127 @@ def q_embedding_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInArrow(
         centroid, schema="label int, n_vectors long, centroid_q4 string"
     )
+
+
+_PC_Q = 10_000  # fixed-point scale for vectors and iterates
+_PC_ITERATIONS = 3
+
+
+def _pc_half_away(x: float) -> int:
+    """Half-away-from-zero rounding (DuckDB/Spark round semantics — Python's
+    built-in round is banker's and would diverge on exact .5)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+@query(
+    "embedding_top_pc",
+    oracle=f"""
+WITH xq AS (
+    SELECT vec_id, u.i, u.x FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding::DOUBLE[],
+                      (e, i) -> {{'i': i - 1, 'x': CAST(round(e * {_PC_Q}) AS BIGINT)}})) AS u
+        FROM embeddings
+    )
+), mu AS (
+    SELECT i, CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+    FROM xq GROUP BY 1
+), xc AS (
+    SELECT xq.vec_id, xq.i, xq.x - mu.m AS x
+    FROM xq JOIN mu ON mu.i = xq.i
+), s AS (
+    SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+    FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+),
+v0 AS (SELECT i, CAST({_PC_Q} AS BIGINT) AS v FROM mu),
+y1 AS (SELECT s.i, sum(s.s * v0.v) AS y FROM s JOIN v0 ON v0.i = s.j GROUP BY 1),
+n1 AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS nrm FROM y1),
+v1 AS (SELECT y1.i, CAST(round(CAST(y1.y AS DOUBLE) / n1.nrm * {_PC_Q}) AS BIGINT) AS v
+       FROM y1, n1),
+y2 AS (SELECT s.i, sum(s.s * v1.v) AS y FROM s JOIN v1 ON v1.i = s.j GROUP BY 1),
+n2 AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS nrm FROM y2),
+v2 AS (SELECT y2.i, CAST(round(CAST(y2.y AS DOUBLE) / n2.nrm * {_PC_Q}) AS BIGINT) AS v
+       FROM y2, n2),
+y3 AS (SELECT s.i, sum(s.s * v2.v) AS y FROM s JOIN v2 ON v2.i = s.j GROUP BY 1),
+n3 AS (SELECT sqrt(CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)) AS nrm FROM y3),
+v3 AS (SELECT y3.i, CAST(round(CAST(y3.y AS DOUBLE) / n3.nrm * {_PC_Q}) AS BIGINT) AS v
+       FROM y3, n3),
+ray AS (
+    SELECT
+        CAST(sum(CAST(v3.v AS HUGEINT) * y3.y) AS DOUBLE)
+        / CAST((SELECT sum(v * v) FROM v3) AS DOUBLE) AS lam_scaled
+    FROM v3 JOIN y3 ON y3.i = v3.i
+)
+SELECT
+    CAST(v3.i AS INT)                           AS dim,
+    v3.v                                        AS loading_q4,
+    round(ray.lam_scaled / {_PC_Q * _PC_Q} * 100) / 100 AS eigenvalue
+FROM v3, ray
+""",
+)
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION
+    over the centered second-moment matrix — dimensionality
+    reduction/whitening's first step, expressed the way it scales: the
+    corpus-sized work is ONE aggregation building the dims x dims moment
+    relation (4,096 keys — map-side partial outer products, tiny shuffle),
+    and the eigensolve runs on that sketch-sized relation, never on rows.
+
+    Exactness discipline (same as kmeans_lloyd_step): vectors quantize to
+    x10^4 integers, centering subtracts the QUANTIZED mean, the moment
+    matrix and every matrix-vector product are exact integer arithmetic
+    (|y| <= 6.4e16 fits int64; norms accumulate in int128/HUGEINT), and
+    each iterate renormalizes through one deterministic double sqrt/divide
+    — so Spark, Python driver math, and the DuckDB oracle agree bitwise.
+    Sign/rotation ambiguity is fixed by the deterministic all-ones start.
+
+    The 4,096-row moment relation is collected to the driver for the
+    64-dim eigensolve (bounded by dims^2, independent of corpus size —
+    exactly how production PCA hands the Gram matrix to LAPACK)."""
+    import math
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    xq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                to_double_array("embedding"),
+                lambda e: F.round(e * _PC_Q, 0).cast("long"),
+            )
+        ).alias("i", "x"),
+    )
+    mu = xq.groupBy("i").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"), 0).cast("long").alias("m")
+    )
+    xc = xq.join(mu, "i").select("vec_id", "i", (F.col("x") - F.col("m")).alias("x"))
+    right = xc.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xj"))
+    s_rel = (
+        xc.join(right, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("xj")).alias("s"))
+    )
+    # dims^2-bounded collect (4,096 rows regardless of corpus size)
+    s_map: dict[tuple[int, int], int] = {
+        (r["i"], r["j"]): r["s"] for r in s_rel.collect()
+    }
+    dims = max(i for i, _ in s_map) + 1
+    v = [_PC_Q] * dims
+    y = v
+    for _ in range(_PC_ITERATIONS):
+        y = [
+            sum(s_map.get((i, j), 0) * v[j] for j in range(dims))
+            for i in range(dims)
+        ]
+        nrm = math.sqrt(float(sum(yi * yi for yi in y)))  # exact int -> double
+        v = [_pc_half_away(float(yi) / nrm * _PC_Q) for yi in y]
+    lam_scaled = float(sum(vi * yi for vi, yi in zip(v, y))) / float(
+        sum(vi * vi for vi in v)
+    )
+    eigenvalue = _pc_half_away(lam_scaled / (_PC_Q * _PC_Q) * 100) / 100
+    return spark.createDataFrame(
+        [(i, v[i], float(eigenvalue)) for i in range(dims)],
+        "dim int, loading_q4 long, eigenvalue double",
+    )
