@@ -395,3 +395,53 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("features_q6"),
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+WITH assets AS (
+    SELECT
+        doc_id AS asset_id,
+        ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
+        encode(text) AS payload
+    FROM documents
+), hashed AS (
+    -- DuckDB md5 takes VARCHAR only: hash the hex encoding of the bytes
+    -- (Spark side mirrors md5(hex(payload)); hex casing matches)
+    SELECT asset_id, modality, md5(hex(payload)) AS payload_hash FROM assets
+)
+SELECT
+    modality,
+    payload_hash,
+    CAST(min(asset_id) AS BIGINT) AS keep_asset_id,
+    count(*)                      AS n_copies
+FROM hashed
+GROUP BY 1, 2
+HAVING count(*) > 1
+""",
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup across modalities: md5 over the raw BYTES
+    (not a text cast — byte-identical duplicates only), grouped within
+    modality, min-id winner — the asset-store dedup that runs before any
+    decode (dedup on 16-byte hashes, never on blobs).
+
+    Scale shape: the hash is computed in the scan stage (payload column read
+    once, immediately reduced to 16 bytes), so only (modality, hash, id)
+    triples shuffle — at 100 TB of media the shuffle is ~40 bytes per asset
+    regardless of asset size.  Near-dup (perceptual) hashing slots into the
+    same plan by swapping the kernel: pHash over the decode stage's output,
+    then this exact groupBy on the perceptual hash."""
+    assets = as_assets(load_table(spark, "documents", sf_dir))
+    hashed = assets.select(
+        "asset_id", "modality", F.md5(F.hex(F.col("payload"))).alias("payload_hash")
+    )
+    return (
+        hashed.groupBy("modality", "payload_hash")
+        .agg(
+            F.min("asset_id").alias("keep_asset_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
