@@ -19,3 +19,15 @@ from pyspark.sql import functions as F
 def fround(col: Column, n: int = 2) -> Column:
     factor = float(10**n)
     return F.round(col * factor, 0) / factor
+
+
+def cents_sum_double(col: Column) -> Column:
+    """Exact order-independent money sum as a double: scaled-long cents
+    accumulated exactly, divided once at the end.  The null-defaulting
+    fixed-point discipline every source-stats/roundtrip query shares
+    (oracle twin: ``CAST(sum(round(coalesce(x,0.0)*100)::BIGINT) AS
+    DOUBLE)/100``)."""
+    return (
+        F.sum(F.round(F.coalesce(col, F.lit(0.0)) * 100, 0).cast("long")).cast("double")
+        / 100
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum_double, fround
 from e_commerce_streaming_datapipeline_spark.operators.payment import with_payment_type
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.schemas import PAYMENT_TYPES
@@ -491,12 +491,7 @@ def q_observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchases"
         ),
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
-            ).cast("double")
-            / 100
-        ).alias("total_value"),
+        cents_sum_double(F.col("value")).alias("total_value"),
     )
     observed.write.format("noop").mode("overwrite").save()  # the "real" pass
     m = obs.get

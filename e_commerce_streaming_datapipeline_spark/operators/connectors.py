@@ -12,6 +12,7 @@ break).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum_double
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -129,12 +131,7 @@ def q_csv_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ULP drift from summation order could flip the 2dp rounding at scale
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
-            ).cast("double")
-            / 100
-        ).alias("total_value"),
+        cents_sum_double(F.col("value")).alias("total_value"),
         F.count("props").alias("n_props"),
     )
 
@@ -523,12 +520,7 @@ def q_orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline (see csv twin) — immune to summation-order ULP drift
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
-            ).cast("double")
-            / 100
-        ).alias("total_value"),
+        cents_sum_double(F.col("value")).alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -573,14 +565,7 @@ def q_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("payment_type")
         .agg(
             F.count("*").alias("n_events"),
-            (
-                F.sum(
-                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / 100
-            ).alias("total_value"),
+            cents_sum_double(F.col("value")).alias("total_value"),
         )
     )
     db_dir = os.path.join(
@@ -646,6 +631,10 @@ def q_warehouse_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     )
     events.createOrReplaceTempView("events_src_wh")
     spark.sql("DROP TABLE IF EXISTS events_wh")
+    # DROP on an external (LOCATION'd) table leaves the files; purge the
+    # location too, or a re-CREATE would recover stale partitions from a
+    # previous fixture revision (round-3 review finding)
+    shutil.rmtree(loc, ignore_errors=True)
     spark.sql(
         "CREATE TABLE events_wh (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING, event_date DATE) "
@@ -668,13 +657,6 @@ def q_warehouse_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("event_date")
         .agg(
             F.count("*").alias("n_events"),
-            (
-                F.sum(
-                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / 100
-            ).alias("total_value"),
+            cents_sum_double(F.col("value")).alias("total_value"),
         )
     )

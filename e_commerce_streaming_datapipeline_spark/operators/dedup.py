@@ -1095,9 +1095,10 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jaccard >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    hits = q_minhash_near_dups.__wrapped__(spark, sf_dir) if hasattr(
-        q_minhash_near_dups, "__wrapped__"
-    ) else q_minhash_near_dups(spark, sf_dir)
+    # ONE band pipeline feeds both counters: candidates come from the bucket
+    # expansion, hits verify THOSE candidates by exact Jaccard (round-3
+    # review: calling q_minhash_near_dups here re-ran the signature stage —
+    # the dominant cost — a second time for identical output)
     bands = minhash_bands(docs)
     buckets = (
         bands.groupBy("band", "band_sig")
@@ -1112,6 +1113,12 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
+    )
+    hits = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(fround(jaccard, 4) >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
     )
     from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 

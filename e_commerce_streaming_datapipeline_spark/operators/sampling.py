@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -196,7 +197,9 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.round(F.log(u) / F.col("n_chars"), 9).alias("wkey"),
+        # fround, not F.round: oracle-checked rounded column (cross-engine
+        # HALF_UP vs std::round divergence — functions/rounding.py contract)
+        fround(F.log(u) / F.col("n_chars"), 9).alias("wkey"),
     )
     w = Window.orderBy(F.col("wkey").desc(), F.col("doc_id"))
     return (

@@ -1400,8 +1400,19 @@ def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lambda_speed",
         output_mode="update",
     )
-    speed_layer = speed_layer_raw.select(
-        F.col("w.start").alias("window_start"), "gmv", "purchases"
+    # FINALIZE per window: the update-mode memory sink logs every per-batch
+    # update, so a window touched in several micro-batches appears several
+    # times (partial then final).  purchases is monotone within a window
+    # (counts only grow), so the max-(purchases, gmv) struct is the final
+    # emission — without this, any multi-batch replay double-counts.
+    speed_layer = (
+        speed_layer_raw.select(
+            F.col("w.start").alias("window_start"),
+            F.struct("purchases", "gmv").alias("pg"),
+        )
+        .groupBy("window_start")
+        .agg(F.max("pg").alias("pg"))
+        .select("window_start", F.col("pg.gmv").alias("gmv"), F.col("pg.purchases").alias("purchases"))
     )
     return batch_layer.unionByName(speed_layer)
 
@@ -1443,8 +1454,14 @@ def q_histogram_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window(F.col("ts"), "1 day").alias("w"), hist_bin(F.col("value")).alias("bin")
     ).count()
     collected = _run_to_table(spark, binned, "hist_stream", output_mode="update")
-    day_bins = collected.select(
-        F.col("w.start").alias("day"), "bin", F.col("count").alias("c")
+    # finalize per (day, bin): update mode logs every per-batch revision of
+    # a cell; counts only grow, so max = the final value (same finalization
+    # the CMS twin applies) — without it a multi-batch replay sums a cell's
+    # partial and final counts
+    day_bins = (
+        collected.select(F.col("w.start").alias("day"), "bin", F.col("count").alias("c"))
+        .groupBy("day", "bin")
+        .agg(F.max("c").alias("c"))
     )
     return monthly_quantiles_from_day_bins(day_bins)
 

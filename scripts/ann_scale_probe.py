@@ -260,27 +260,55 @@ def main() -> None:
     print(line)
 
     if args.update_scale_md:
+        # MERGE rows by N into the existing multi-scale table — a plain
+        # rewrite would clobber the other scales' committed measurements
         scale_md = REPO / "SCALE.md"
         text = scale_md.read_text()
         begin, end = "<!-- ANN_SCALE:BEGIN -->", "<!-- ANN_SCALE:END -->"
-        lsh, ivf, brute = report["lsh"], report["ivf"], report["brute"]
-        block = f"""{begin}
-Measured (scripts/ann_scale_probe.py, {args.n:,} dim-64 vectors derived from
-sf0.1 by jittered replication, {args.queries} queries, k={TOP_K}, local[32]):
-
-| Variant | Candidate ratio | Recall@10 | Wall (s) |
-|---|---|---|---|
-| LSH (2x8-bit bands, equi-join) | {lsh["candidate_ratio"]:.4%} | {lsh["recall_at_10"]:.1%} | {lsh["wall_sec"]} |
-| IVF (label clusters, equi-join) | {ivf["candidate_ratio"]:.4%} | {ivf["recall_at_10"]:.1%} | {ivf["wall_sec"]} |
-| Brute force (baseline, excluded from bench at this N) | 100% | 100% | {brute["wall_sec_per_query"]} /query |
-{end}"""
         pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
-        if pattern.search(text):
+        m = pattern.search(text)
+        n_label = f"{args.n // 1000}k" if args.n < 1_000_000 else f"{args.n // 1_000_000}M"
+        lsh, ivf, brute = report["lsh"], report["ivf"], report["brute"]
+        new_rows = {
+            n_label: [
+                f"| {n_label} | LSH (2x8-bit bands, equi-join) | "
+                f"{lsh['candidate_ratio']:.2%} | {lsh['recall_at_10']:.1%} | {lsh['wall_sec']} |",
+                f"| {n_label} | IVF (label clusters, equi-join) | "
+                f"{ivf['candidate_ratio']:.2%} | {ivf['recall_at_10']:.1%} | {ivf['wall_sec']} |",
+                f"| {n_label} | Brute force (baseline, excluded from bench at this N) | "
+                f"100% | 100% | {brute['wall_sec_per_query']} /query |",
+            ]
+        }
+        kept: dict[str, list[str]] = {}
+        trailer: list[str] = []
+        if m:
+            for line in m.group(0).splitlines():
+                row = re.match(r"\|\s*(\d+[kM])\s*\|", line)
+                if row and row.group(1) not in new_rows:
+                    kept.setdefault(row.group(1), []).append(line)
+                elif line.startswith("Reading:") or (trailer and not line.startswith(("|", begin, end))):
+                    trailer.append(line)
+        all_rows = {**kept, **new_rows}
+        body = [
+            begin,
+            "Measured (scripts/ann_scale_probe.py: dim-64 vectors derived from sf0.1 by",
+            f"jittered replication, {args.queries} queries, k={TOP_K}, local[32]):",
+            "",
+            "| N | Variant | Candidate ratio | Recall@10 | Wall (s) |",
+            "|---|---|---|---|---|",
+        ]
+        for label in sorted(all_rows, key=lambda s: (s.endswith("M"), s)):
+            body += all_rows[label]
+        if trailer:
+            body += [""] + trailer
+        body.append(end)
+        block = "\n".join(body)
+        if m:
             text = pattern.sub(lambda _: block, text)
         else:
             text += "\n\n## ANN at scale — measured\n\n" + block + "\n"
         scale_md.write_text(text)
-        print("SCALE.md updated", file=sys.stderr)
+        print("SCALE.md updated (merged by N)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -436,7 +436,13 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source", "orc_source",
-                   "multimodal", "merge_upsert")
+                   "multimodal", "merge_upsert",
+                   # round-3 side-effecting builders (streaming runs, Derby
+                   # DDL/MERGE, catalog DDL + INSERT OVERWRITE, observe()'s
+                   # noop pass, the dims^2 driver collect) — not pure
+                   # explain targets either
+                   "lambda_unified", "jdbc_upsert", "warehouse_", "observed_",
+                   "embedding_top_pc")
     from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
 
     checked = 0

@@ -1122,3 +1122,84 @@ def test_fan_out_stream_to_parquet_and_derby_converges(spark, sf_dir, tmp_path):
     got_derby = {tuple(r) for r in derby.select(*cols).collect()}
     assert got_parquet == expect, "parquet sink diverged after full replay"
     assert got_derby == expect, "Derby sink diverged after full replay"
+
+
+def test_update_mode_finalization_under_multi_batch_replay(spark, tmp_path):
+    """Round-3 review finding: update-mode memory-sink output logs every
+    per-batch revision of a key, so consumers must FINALIZE (max of the
+    monotone count) before aggregating further.  Drive the histogram and
+    gmv speed-layer shapes through a REAL 8-micro-batch replay and assert
+    the finalized results equal the batch recomputation — without the
+    max-finalization both would double-count windows straddling batches."""
+    from e_commerce_streaming_datapipeline_spark.operators.statistics import (
+        hist_bin,
+        monthly_quantiles_from_day_bins,
+    )
+    from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+
+    chunk_dir = _chunked_event_stream_dir(tmp_path, n_minutes=80, per_minute=60)
+
+    def run_update(stream_df, name):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        assert batches >= 8, f"expected a real multi-batch replay, got {batches}"
+        return spark.table(name)
+
+    batch_df = spark.read.parquet(str(chunk_dir))
+
+    # histogram shape: hourly-bin cells revised across batches
+    stream = read_file_stream(
+        spark, str(chunk_dir), "events-*.parquet", max_files_per_trigger=1
+    ).withWatermark("ts", "5 minutes")
+    binned = stream.groupBy(
+        F.window(F.col("ts"), "1 day").alias("w"), hist_bin(F.col("value")).alias("bin")
+    ).count()
+    collected = run_update(binned, "hist_multi")
+    day_bins = (
+        collected.select(F.col("w.start").alias("day"), "bin", F.col("count").alias("c"))
+        .groupBy("day", "bin")
+        .agg(F.max("c").alias("c"))
+    )
+    got = {tuple(r) for r in monthly_quantiles_from_day_bins(day_bins).collect()}
+    batch_bins = (
+        batch_df.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            hist_bin(F.col("value")).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    expect = {tuple(r) for r in monthly_quantiles_from_day_bins(batch_bins).collect()}
+    assert got == expect
+
+    # gmv speed-layer shape: hourly windows revised across batches
+    stream2 = read_file_stream(
+        spark, str(chunk_dir), "events-*.parquet", max_files_per_trigger=1
+    ).where(F.col("event_type") == "purchase").withWatermark("ts", "5 minutes")
+    agg = stream2.groupBy(F.window(F.col("ts"), "1 hour").alias("w")).agg(
+        F.round(F.sum("value"), 2).alias("gmv"), F.count("*").alias("purchases")
+    )
+    raw = run_update(agg, "gmv_multi")
+    final = (
+        raw.select(F.col("w.start").alias("ws"), F.struct("purchases", "gmv").alias("pg"))
+        .groupBy("ws")
+        .agg(F.max("pg").alias("pg"))
+        .select("ws", "pg.gmv", "pg.purchases")
+    )
+    got2 = {tuple(r) for r in final.collect()}
+    expect2 = {
+        tuple(r)
+        for r in batch_df.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("ws"))
+        .agg(F.round(F.sum("value"), 2).alias("gmv"), F.count("*").alias("purchases"))
+        .collect()
+    }
+    assert got2 == expect2
