@@ -32,16 +32,30 @@ from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 # avg is computed as exact-decimal sum / count so both engines divide the
 # identical double — a plain double avg can land a knife-edge half-cent whose
 # rounding depends on engine-specific summation order
-def _gmv_aggs():
-    return [
-    fround(F.sum("value"), 2).alias("gmv"),
-    F.count("*").alias("item_count"),
-    F.count_distinct(F.col("user_id")).alias("unique_buyers"),
-    fround(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 2)
-    .alias("avg_item_price"),
-    fround(F.max("value"), 2).alias("max_item_price"),
-    fround(F.min("value"), 2).alias("min_item_price"),
+#
+# Shared with streaming/processors.py::streaming_gmv and the sliding-window
+# streaming twin: the batch/stream equivalence gate hash-checks both sides
+# against one oracle, so the aggregate expressions must stay bit-identical —
+# one definition, parameterized on the single aggregate streaming forbids
+# (count_distinct inside a streaming aggregation).
+def gmv_aggs(include_distinct: bool = True):
+    aggs = [
+        fround(F.sum("value"), 2).alias("gmv"),
+        F.count("*").alias("item_count"),
     ]
+    if include_distinct:
+        aggs.append(F.count_distinct(F.col("user_id")).alias("unique_buyers"))
+    aggs += [
+        fround(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 2)
+        .alias("avg_item_price"),
+        fround(F.max("value"), 2).alias("max_item_price"),
+        fround(F.min("value"), 2).alias("min_item_price"),
+    ]
+    return aggs
+
+
+def _gmv_aggs():
+    return gmv_aggs(include_distinct=True)
 
 _GMV_ORACLE_AGGS = """
     round(sum(value), 2)               AS gmv,

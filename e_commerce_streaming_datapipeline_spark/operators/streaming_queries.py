@@ -910,7 +910,7 @@ def q_gmv_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge exactly."""
     from pyspark.sql import functions as F
 
-    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+    from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_aggs
 
     events = read_file_stream(spark, sf_dir)
     purchases = events.withWatermark("ts", "10 minutes").where(
@@ -919,17 +919,9 @@ def q_gmv_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window(F.col("ts"), "1 minute", "30 seconds").alias("w")
     rolled = (
         purchases.groupBy(w)
-        .agg(
-            fround(F.sum("value"), 2).alias("gmv"),
-            F.count("*").alias("item_count"),
-            fround(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count("value"),
-                2,
-            ).alias("avg_item_price"),
-            fround(F.max("value"), 2).alias("max_item_price"),
-            fround(F.min("value"), 2).alias("min_item_price"),
-        )
+        # shared with the batch twin (operators/gmv.py) so the hash-checked
+        # equivalence cannot drift from a one-sided edit
+        .agg(*gmv_aggs(include_distinct=False))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -32,6 +32,21 @@ from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 WATERMARK_DELAY = "10 minutes"  # honoring the reference's orphaned config
 
 
+def _ensure_watermark(df: DataFrame, delay: str = WATERMARK_DELAY) -> DataFrame:
+    """Watermark ``ts`` unless the caller already did.  Spark 4 makes
+    redefining a watermark a runtime error, so the windowed processors can't
+    blindly re-apply one when composed after ``with_event_time_discipline``
+    (or any caller-side ``withWatermark``); and silently skipping it would
+    recreate the reference's unbounded-state D3 bug for direct callers.
+    Batch twins pass through untouched — ``withWatermark`` is eliminated in
+    batch plans anyway."""
+    if not df.isStreaming:
+        return df
+    if "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString():
+        return df
+    return df.withWatermark("ts", delay)
+
+
 def with_event_time_discipline(events: DataFrame) -> DataFrame:
     """Watermark + watermarked dedup — the ingest-stage state hygiene the
     reference skipped.  Windows downstream are on true event time, not the
@@ -44,25 +59,23 @@ def with_event_time_discipline(events: DataFrame) -> DataFrame:
 
 
 def streaming_gmv(events: DataFrame, duration: str = "1 minute") -> DataFrame:
-    """A2 on a stream: tumbling-window GMV (same aggregate set as the batch
-    twin in operators/gmv.py, so streaming-vs-batch equivalence is testable)."""
-    # exact distinct counts are not supported inside a streaming aggregation;
-    # the streaming path pre-deduplicates (window-bucket, user) pairs in a
-    # first stateful stage, so the second stage's plain count IS the exact
-    # distinct-user count — the Spark-native way to keep the batch-twin
-    # semantics without approx_count_distinct
-    purchases = events.where(F.col("event_type") == "purchase")
+    """A2 on a stream: tumbling-window GMV — the aggregate expressions are
+    SHARED with the batch twin (operators/gmv.py::gmv_aggs) minus the
+    streaming-unsupported count_distinct, so the hash-checked batch/stream
+    equivalence cannot drift from a one-sided edit.
+
+    Watermarked so window state is evicted once the watermark passes a
+    window's end — without it every window ever seen stays in the state
+    store forever in update/append deployments (the reference's exact D3
+    omission).  availableNow single-batch runs are unaffected: the watermark
+    only advances between micro-batches."""
+    from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_aggs
+
+    purchases = _ensure_watermark(events).where(F.col("event_type") == "purchase")
     w = F.window(F.col("ts"), duration).alias("w")
     return (
         purchases.groupBy(w)
-        .agg(
-            fround(F.sum("value"), 2).alias("gmv"),
-            F.count("*").alias("item_count"),
-            fround(F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                   / F.count("value"), 2).alias("avg_item_price"),
-            fround(F.max("value"), 2).alias("max_item_price"),
-            fround(F.min("value"), 2).alias("min_item_price"),
-        )
+        .agg(*gmv_aggs(include_distinct=False))
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
                 "gmv", "item_count",
                 "avg_item_price", "max_item_price", "min_item_price")
@@ -72,8 +85,13 @@ def streaming_gmv(events: DataFrame, duration: str = "1 minute") -> DataFrame:
 def streaming_unique_buyers(events: DataFrame, duration: str = "1 minute") -> DataFrame:
     """Exact distinct users per window on a stream: dropDuplicates on the
     (window, user) pair, then a plain count — two stateful stages instead of
-    the unsupported streaming count_distinct."""
-    purchases = events.where(F.col("event_type") == "purchase")
+    the unsupported streaming count_distinct.
+
+    Watermarked: the dedup key contains the event-time window, so both the
+    dedup state and the downstream window state are evicted once the
+    watermark passes the window — without the watermark the (window, user)
+    dedup state grows one row per pair forever."""
+    purchases = _ensure_watermark(events).where(F.col("event_type") == "purchase")
     w = F.window(F.col("ts"), duration).alias("w")
     return (
         purchases.select(w, "user_id")
@@ -86,13 +104,15 @@ def streaming_unique_buyers(events: DataFrame, duration: str = "1 minute") -> Da
 
 
 def streaming_funnel(events: DataFrame, duration: str = "1 hour") -> DataFrame:
-    """A1 on a stream: stage counts + rates per window."""
+    """A1 on a stream: stage counts + rates per window.  Watermarked so
+    per-window state is evicted in update/append deployments."""
 
     def stage(t: str):
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
 
     agg = (
-        events.groupBy(F.window(F.col("ts"), duration).alias("w"))
+        _ensure_watermark(events)
+        .groupBy(F.window(F.col("ts"), duration).alias("w"))
         .agg(
             F.count("*").alias("total_events"),
             stage("view").alias("views"),
@@ -117,9 +137,14 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     ``session_window``'s end bound is last-event-time + gap; subtract the gap
     so ``session_end`` means "last event in the session", matching the batch
     gaps-and-islands definition (operators/analytics.py::q_user_sessions).
+
+    Watermarked: a session closes (and its state is dropped) once the
+    watermark passes its gap-extended end — the eviction session windows
+    need to be usable outside complete mode at all.
     """
     return (
-        events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        _ensure_watermark(events)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
             fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("session_value"),
@@ -149,8 +174,7 @@ def streaming_gmv_cascade(events: DataFrame) -> DataFrame:
     #hours rows.
     """
     minutely = (
-        events.where(F.col("event_type") == "purchase")
-        .withWatermark("ts", WATERMARK_DELAY)
+        _ensure_watermark(events.where(F.col("event_type") == "purchase"))
         .groupBy(F.window("ts", "1 minute").alias("w1"))
         .agg(
             F.sum(F.coalesce("value", F.lit(0.0))).alias("m_gmv"),
@@ -276,9 +300,10 @@ def streaming_cart_abandonment(
             )
 
     return (
-        events.where(F.col("event_type").isin("view", "purchase"))
-        .select("user_id", "event_id", "ts", "event_type")
-        .withWatermark("ts", WATERMARK_DELAY)
+        _ensure_watermark(
+            events.where(F.col("event_type").isin("view", "purchase"))
+            .select("user_id", "event_id", "ts", "event_type")
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             detect,
@@ -308,13 +333,20 @@ def streaming_funnel_completion(events: DataFrame) -> DataFrame:
     watermark forfeit.
 
     State per user = 2 fold registers + the buffer of not-yet-final events —
-    bounded by the watermark horizon, not stream history; completion removes
-    the state entirely (the funnel fires once per user).
+    bounded by the watermark horizon, not stream history.  Completion does
+    NOT remove the state: it flips a DONE marker (tv = -2), because removing
+    it would let a user who completes a SECOND view->click->purchase sequence
+    rebuild state from scratch and fire a duplicate append-mode row.  The
+    marker is one tuple per completed user, evicted by an event-time TTL
+    (24 h past the firing watermark); a user who re-completes after the TTL
+    is the standard bounded-state forfeit, same class as watermark lateness.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     _KIND = {"view": 0, "click": 1, "purchase": 2}
+    _DONE = -2  # tv register sentinel: funnel already fired for this user
+    _DONE_TTL_MS = 24 * 3600 * 1000
     out_schema = (
         "user_id long, first_view timestamp, first_click timestamp, "
         "purchase_ts timestamp"
@@ -328,11 +360,20 @@ def streaming_funnel_completion(events: DataFrame) -> DataFrame:
         if state.exists:
             tv, tc, tss, kinds = state.get
             pend = list(zip(tss, kinds))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if tv == _DONE:
+            if state.hasTimedOut:
+                state.remove()  # done-marker TTL expired
+                return
+            for _ in pdf_iter:  # drain: the funnel fires once per user
+                pass
+            state.update((_DONE, _DONE, [], []))
+            state.setTimeoutTimestamp(wm_us // 1000 + _DONE_TTL_MS)
+            return
         if not state.hasTimedOut:
             for pdf in pdf_iter:
                 for ts, et in zip(pdf["ts"], pdf["event_type"]):
                     pend.append((int(ts.value // 1000), _KIND[et]))
-        wm_us = state.getCurrentWatermarkMs() * 1000
         pend.sort()
         fold, pend = [p for p in pend if p[0] < wm_us], [p for p in pend if p[0] >= wm_us]
         tp = -1
@@ -345,7 +386,10 @@ def streaming_funnel_completion(events: DataFrame) -> DataFrame:
                 tp = ts_us
                 break
         if tp >= 0:
-            state.remove()  # fires once; buffered later events are moot
+            # fires once; keep a DONE marker so a later second sequence
+            # cannot rebuild state and emit a duplicate row
+            state.update((_DONE, _DONE, [], []))
+            state.setTimeoutTimestamp(wm_us // 1000 + _DONE_TTL_MS)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -361,9 +405,10 @@ def streaming_funnel_completion(events: DataFrame) -> DataFrame:
             state.setTimeoutTimestamp(max(pend[0][0] // 1000 + 1, wm_us // 1000 + 1))
 
     return (
-        events.where(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", "ts", "event_type")
-        .withWatermark("ts", WATERMARK_DELAY)
+        _ensure_watermark(
+            events.where(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "ts", "event_type")
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             detect,
@@ -407,7 +452,10 @@ def streaming_user_stats(events: DataFrame) -> DataFrame:
             total += float(pdf["value"].fillna(0.0).sum())
             purchases += int((pdf["event_type"] == "purchase").sum())
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
-        state.update((n, round(total, 2), purchases, last_us))
+        # state keeps the RAW running total; rounding happens only at
+        # emission — persisting the rounded value would compound up to half
+        # a cent of drift per micro-batch over a long-running stream
+        state.update((n, total, purchases, last_us))
         # evict users idle past the watermark + 1h
         state.setTimeoutTimestamp(last_us // 1000 + 3600 * 1000)
         yield pd.DataFrame(
@@ -421,7 +469,7 @@ def streaming_user_stats(events: DataFrame) -> DataFrame:
         )
 
     return (
-        events.withWatermark("ts", WATERMARK_DELAY)
+        _ensure_watermark(events)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

@@ -7,10 +7,12 @@ executes the batch plan up to four times (isEmpty/count/show/write —
 SURVEY §4 inefficiency 3).  Here:
 
 * ``idempotent_parquet_sink`` — foreachBatch writer that MERGE-semantically
-  replaces window partitions (dynamic partition overwrite keyed on
-  window_start date), so re-emitted windows after a failure/restart converge
-  instead of duplicating: at-least-once delivery + idempotent write =
-  exactly-once table state.
+  replaces window partitions (dynamic partition overwrite keyed on the EXACT
+  window start, one partition per window), so re-emitted windows after a
+  failure/restart converge instead of duplicating: at-least-once delivery +
+  idempotent write = exactly-once table state.  The partition key must equal
+  the idempotence key — a coarser key (e.g. per day) would delete same-day
+  windows a later micro-batch did not re-emit.
 * The batch DataFrame is persisted once per batch; every downstream action
   (metrics, write) reuses it.
 * ``jdbc_upsert_sink`` — the JDBC twin: same keying, staged through a
@@ -27,28 +29,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _acquire_cache(df: DataFrame) -> bool:
+    """Persist ``df`` unless a caller already did; return whether WE own the
+    cache (and must therefore be the one to unpersist).  A composed inner
+    sink must never unpersist a DataFrame it did not cache — that would evict
+    the batch out from under ``fan_out_sink``'s remaining writers and force a
+    full plan recomputation per sink."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return False
+    df.persist()
+    return True
+
+
 def idempotent_parquet_sink(output_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: dynamic-partition-overwrite parquet writer.
 
-    Partitioning by window date means a re-processed micro-batch overwrites
-    exactly the partitions it touches — the MERGE-on-(window, key) semantics
-    SURVEY §2.5 D5 calls for, without a transactional store.
+    Partitioned by the EXACT window start (one directory per window), so a
+    re-processed micro-batch overwrites precisely the windows it re-emits and
+    nothing else — the MERGE-on-(window, key) semantics SURVEY §2.5 D5 calls
+    for, without a transactional store.  Update-mode micro-batches emit only
+    the windows they touched; a coarser partition key (per day) would wipe
+    every other same-day window on each write.  Partition count equals the
+    number of distinct windows ever emitted (24/day hourly, 1440/day
+    minutely) — for sub-minute windows compact downstream rather than
+    coarsening this key, because the key IS the idempotence unit.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.persist()
+        owns = _acquire_cache(batch_df)
         try:
-            if batch.isEmpty():
+            if batch_df.isEmpty():
                 return
             (
-                batch.withColumn("window_date", F.to_date(F.col("window_start")))
+                batch_df.withColumn(
+                    "window_part",
+                    F.date_format(F.col("window_start"), "yyyyMMddHHmmss"),
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("window_date")
+                .partitionBy("window_part")
                 .parquet(output_dir)
             )
         finally:
-            batch.unpersist()
+            if owns:
+                batch_df.unpersist()
 
     return write
 
@@ -82,18 +107,31 @@ def build_upsert_statement(
     cols = ", ".join(columns)
     non_keys = [c for c in columns if c not in key_columns]
     if dialect == "postgres":
-        update = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+        # all-key tables (presence/dimension rows) have nothing to update —
+        # "DO UPDATE SET" with an empty list is a parse error
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+            if non_keys
+            else "DO NOTHING"
+        )
         return (
             f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
-            f"ON CONFLICT ({', '.join(key_columns)}) DO UPDATE SET {update}"
+            f"ON CONFLICT ({', '.join(key_columns)}) {action}"
         )
     if dialect == "ansi":
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
-        update = ", ".join(f"{c} = s.{c}" for c in non_keys)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{c} = s.{c}" for c in non_keys)
+            + " "
+            if non_keys
+            else ""
+        )
         insert_vals = ", ".join(f"s.{c}" for c in columns)
         return (
             f"MERGE INTO {table} t USING {staging} s ON ({on}) "
-            f"WHEN MATCHED THEN UPDATE SET {update} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({insert_vals})"
         )
     raise ValueError(f"unknown merge dialect {dialect!r}")
@@ -173,9 +211,16 @@ def jdbc_upsert_sink(
         conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             st = conn.createStatement()
-            st.execute(merge_sql)
-            st.execute(f"DROP TABLE {staging}")
-            st.close()
+            try:
+                st.execute(merge_sql)
+            finally:
+                # drop the staging table even when the merge fails — a
+                # retrying streaming query must not accumulate one orphaned
+                # staging table per failed batch id in the target database
+                try:
+                    st.execute(f"DROP TABLE {staging}")
+                finally:
+                    st.close()
         finally:
             conn.close()
 
@@ -187,11 +232,12 @@ def fan_out_sink(*sinks: Callable[[DataFrame, int], None]) -> Callable[[DataFram
     reference's replay-the-plan-per-action sink (SURVEY §4 inefficiency 3)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.persist()
+        owns = _acquire_cache(batch_df)
         try:
             for sink in sinks:
-                sink(batch, batch_id)
+                sink(batch_df, batch_id)
         finally:
-            batch.unpersist()
+            if owns:
+                batch_df.unpersist()
 
     return write

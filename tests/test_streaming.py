@@ -135,9 +135,9 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
 
-    # split the fixture by day so hourly windows never straddle the files:
-    # run 2's updated windows then live in date partitions run 1 never wrote,
-    # matching the sink's per-day overwrite granularity
+    # split the fixture by day (the sink partitions per exact window, so any
+    # split converges now; a day split additionally pins that run 2 never
+    # rewrites run 1's windows — numInputRows stays assertable per run)
     table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     cutoff = pa.scalar(
         datetime.datetime(2024, 1, 15), type=table.schema.field("ts").type
@@ -172,7 +172,7 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     got = {
         tuple(r)
         for r in spark.read.parquet(out)
-        .drop("window_date")
+        .drop("window_part")
         .select("window_start", "window_end", "gmv", "item_count",
                 "avg_item_price", "max_item_price", "min_item_price")
         .collect()
@@ -180,7 +180,7 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     assert got == expect
 
     assert run_once() == 0  # third restart: checkpoint says nothing new
-    got_again = {tuple(r) for r in spark.read.parquet(out).drop("window_date")
+    got_again = {tuple(r) for r in spark.read.parquet(out).drop("window_part")
                  .select("window_start", "window_end", "gmv", "item_count",
                          "avg_item_price", "max_item_price", "min_item_price").collect()}
     assert got_again == expect
@@ -1203,3 +1203,134 @@ def test_update_mode_finalization_under_multi_batch_replay(spark, tmp_path):
         .collect()
     }
     assert got2 == expect2
+
+
+def test_idempotent_sink_same_day_update_batches_do_not_clobber(spark, tmp_path):
+    """Round-3 review finding: the sink used to partition per DAY while
+    update-mode micro-batches emit only the windows they touched, so a later
+    batch wiped every same-day window it did not re-emit.  Now the partition
+    key is the exact window start: two batches touching the same calendar day
+    must both survive, and a replayed window must converge, not duplicate."""
+    import datetime
+
+    out = str(tmp_path / "metrics")
+    schema = (
+        "window_start timestamp, window_end timestamp, gmv double, item_count bigint"
+    )
+    day = datetime.datetime(2024, 1, 15)
+
+    def w(hour, gmv, n):
+        start = day + datetime.timedelta(hours=hour)
+        return (start, start + datetime.timedelta(hours=1), gmv, n)
+
+    sink = idempotent_parquet_sink(out)
+    sink(spark.createDataFrame([w(0, 10.0, 1)], schema), 0)
+    sink(spark.createDataFrame([w(5, 20.0, 2)], schema), 1)  # same day, new window
+    sink(spark.createDataFrame([w(0, 15.0, 3)], schema), 2)  # replay/update of window 0
+
+    got = {
+        (r["window_start"], r["gmv"], r["item_count"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (day, 15.0, 3),
+        (day + datetime.timedelta(hours=5), 20.0, 2),
+    }, "per-window overwrite must keep sibling same-day windows and converge replays"
+
+
+def test_upsert_statement_all_key_columns_is_valid_sql():
+    """All-key tables (presence rows) have nothing to update: the generated
+    statement must degrade to DO NOTHING / insert-only MERGE, not emit an
+    empty assignment list (a parse error on every engine)."""
+    from e_commerce_streaming_datapipeline_spark.streaming.sinks import build_upsert_statement
+
+    pg = build_upsert_statement("seen", "seen_s", ["ws", "k"], ["ws", "k"], "postgres")
+    assert pg.endswith("ON CONFLICT (ws, k) DO NOTHING")
+    ansi = build_upsert_statement("seen", "seen_s", ["ws", "k"], ["ws", "k"], "ansi")
+    assert "WHEN MATCHED" not in ansi
+    assert "WHEN NOT MATCHED THEN INSERT (ws, k) VALUES (s.ws, s.k)" in ansi
+    assert "SET " not in ansi
+
+
+def test_fan_out_inner_sink_does_not_evict_shared_cache(spark, tmp_path):
+    """Round-3 review finding: composing idempotent_parquet_sink inside
+    fan_out_sink used to let the inner sink's unpersist() evict the batch the
+    outer sink cached, forcing every later sink to recompute the full plan.
+    Cache ownership is now tracked: while fan_out holds the cache, sinks that
+    run after the parquet sink must still see a cached DataFrame."""
+    import datetime
+
+    from e_commerce_streaming_datapipeline_spark.streaming.sinks import fan_out_sink
+
+    levels = []
+
+    def probe(batch_df, batch_id):
+        lvl = batch_df.storageLevel
+        levels.append(lvl.useMemory or lvl.useDisk)
+
+    batch = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 15), datetime.datetime(2024, 1, 15, 1), 10.0)],
+        "window_start timestamp, window_end timestamp, gmv double",
+    )
+    fan_out_sink(idempotent_parquet_sink(str(tmp_path / "pq")), probe)(batch, 0)
+    assert levels == [True], "inner parquet sink evicted the fan-out's shared cache"
+    lvl = batch.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "fan_out must release its own cache"
+
+
+def test_funnel_completion_fires_once_despite_second_sequence(spark, tmp_path):
+    """Round-3 review finding: completion used to state.remove(), so a user
+    completing a SECOND view->click->purchase sequence in later micro-batches
+    rebuilt state from scratch and emitted a duplicate append-mode row.  The
+    DONE marker must swallow the second sequence: exactly one row per user,
+    carrying the FIRST triple."""
+    import datetime
+    import shutil
+    import time as _time
+
+    from e_commerce_streaming_datapipeline_spark.streaming.processors import (
+        streaming_funnel_completion,
+    )
+
+    T = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return T + datetime.timedelta(minutes=minutes)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    batches = [
+        # sequence 1 for user 1
+        [(1, 1, m(0), "view"), (2, 1, m(1), "click"), (3, 1, m(2), "purchase")],
+        # watermark pusher: finalizes sequence 1 -> row emitted, DONE marker set
+        [(4, 9, m(30), "view")],
+        # sequence 2 for user 1, entirely after sequence 1
+        [(5, 1, m(40), "view"), (6, 1, m(41), "click"), (7, 1, m(42), "purchase")],
+        # watermark pusher: would finalize sequence 2 if state had been removed
+        [(8, 9, m(120), "view")],
+    ]
+    stream_dir = tmp_path / "ff_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"ff_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        dest = stream_dir / f"{i}.parquet"
+        shutil.move(str(part), str(dest))
+        ts = _time.time() - 1000 + i
+        os.utime(dest, (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    got = _run_stream(
+        spark, streaming_funnel_completion(stream), output_mode="append"
+    ).where(F.col("user_id") == 1)
+    rows = got.collect()
+    assert len(rows) == 1, f"funnel fired {len(rows)} times for user 1, want exactly 1"
+    assert rows[0]["first_view"] == m(0)
+    assert rows[0]["first_click"] == m(1)
+    assert rows[0]["purchase_ts"] == m(2)
