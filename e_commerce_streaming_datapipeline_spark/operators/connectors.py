@@ -568,10 +568,13 @@ def q_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum_double(F.col("value")).alias("total_value"),
         )
     )
+    # per-process database path: embedded Derby allows exactly one JVM per
+    # database, so a shared per-SF path makes concurrent harness runs (or a
+    # stale db.lck after a kill) fail with "Failed to start database"
     db_dir = os.path.join(
         tempfile.gettempdir(),
         "e_commerce_streaming_datapipeline_derby",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     url = f"jdbc:derby:{db_dir};create=true"
     jvm = spark._jvm

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
-from e_commerce_streaming_datapipeline_spark.functions.vector import cosine_similarity_expr, to_double_array
+from e_commerce_streaming_datapipeline_spark.functions.vector import cosine_similarity_expr, norm_expr, to_double_array
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -137,8 +137,16 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k computed through the Arrow/Pandas-UDF path: queries are
     broadcast into a numpy matrix per executor; each ``mapInPandas`` batch
-    does one (batch x dim) @ (dim x q) GEMM.  The shape to use when vectors
-    are wide (>1k dims) or when a real model does the scoring."""
+    scores (batch x dim) against all queries vectorized in C.  The shape to
+    use when vectors are wide (>1k dims) or when a real model does the
+    scoring.
+
+    Determinism (module contract): the sums use ``np.cumsum`` — SEQUENTIAL
+    left-to-right IEEE addition, the same association as the oracle's
+    ``list_inner_product`` and the HOF twin's ``aggregate`` fold — not BLAS
+    GEMM, whose pairwise summation can land a 6dp knife-edge differently;
+    and rounding is half-away-from-zero (``floor(|x|+0.5)``) to match
+    ``fround``/DuckDB, where ``np.round`` is half-to-even."""
     import numpy as np
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -149,18 +157,22 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r["vec_id"] for r in qrows])
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
 
     def score(batches):
         for pdf in batches:
             cand = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
-            norms = np.sqrt((cand * cand).sum(axis=1))
-            sims = (cand @ q_mat.T) / np.outer(norms, q_norm)
+            norms = np.sqrt(np.cumsum(cand * cand, axis=1)[:, -1])
+            dots = np.stack(
+                [np.cumsum(cand * q, axis=1)[:, -1] for q in q_mat], axis=1
+            )
+            sims = dots / np.outer(norms, q_norm)
+            scaled = sims.T.reshape(-1) * 1e6
             out = pd.DataFrame({
                 "query_id": np.repeat(q_ids, len(ids)),
                 "neighbor_id": np.tile(ids, len(q_ids)),
-                "cos_sim": np.round(sims.T.reshape(-1), 6),
+                "cos_sim": np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / 1e6,
             })
             yield out[out.query_id != out.neighbor_id]
 
@@ -759,21 +771,9 @@ def q_training_record_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        to_double_array("embedding"),
-                        to_double_array("embedding"),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            * 10000,
-            0,
-        )
+        # norm_expr folds acc + x*x left-to-right — bit-identical to the
+        # oracle's list_inner_product(e, e) sequential sum
+        F.round(norm_expr(to_double_array("embedding")) * 10000, 0)
         .cast("long")
         .alias("norm_e4"),
     )
@@ -819,14 +819,19 @@ WITH v AS (
     FROM d JOIN v ON d.doc_id = v.vec_id
     GROUP BY d.bucket
 )
+-- FULL join with coalesced zero counts: Spark's cogroup hands the pandas
+-- function every key present in EITHER relation (a bucket with docs but no
+-- vectors still emits a row with n_vecs = 0), so an inner dd-vv join would
+-- undercount on any fixture where the two id sets don't cover the same
+-- residues
 SELECT
-    dd.bucket,
-    CAST(dd.n_docs AS INT)            AS n_docs,
-    CAST(vv.n_vecs AS INT)            AS n_vecs,
-    coalesce(m.n_matched, 0)          AS n_matched,
-    coalesce(m.cross_sum, 0)          AS cross_sum
+    bucket,
+    CAST(coalesce(dd.n_docs, 0) AS INT) AS n_docs,
+    CAST(coalesce(vv.n_vecs, 0) AS INT) AS n_vecs,
+    coalesce(m.n_matched, 0)            AS n_matched,
+    coalesce(m.cross_sum, 0)            AS cross_sum
 FROM (SELECT bucket, count(*) AS n_docs FROM d GROUP BY 1) dd
-JOIN (SELECT bucket, count(*) AS n_vecs FROM v GROUP BY 1) vv USING (bucket)
+FULL JOIN (SELECT bucket, count(*) AS n_vecs FROM v GROUP BY 1) vv USING (bucket)
 LEFT JOIN m USING (bucket)
 """,
 )
@@ -856,21 +861,9 @@ def q_cogrouped_doc_vec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        to_double_array("embedding"),
-                        to_double_array("embedding"),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            * 10000,
-            0,
-        )
+        # norm_expr folds acc + x*x left-to-right — bit-identical to the
+        # oracle's list_inner_product(e, e) sequential sum
+        F.round(norm_expr(to_double_array("embedding")) * 10000, 0)
         .cast("long")
         .alias("norm_e4"),
         (F.col("vec_id") % _COGROUP_BUCKETS).alias("bucket"),
@@ -983,13 +976,10 @@ def q_embedding_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q8 = emb.select(
         "vec_id",
-        "e",
         F.transform(F.col("e"), lambda x: F.round(x * scale).cast("long")).alias("i8"),
     )
     queries = q8.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("i8").alias("qi8"),
+        F.col("vec_id").alias("query_id"), F.col("i8").alias("qi8")
     )
 
     def int_dot(a, b):
@@ -998,14 +988,18 @@ def q_embedding_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # the approx relation carries ONLY (query_id, neighbor_id, approx_sim) —
+    # the full-precision vectors are re-joined onto the <= 20 survivors per
+    # query AFTER candidate selection, so the rank-window shuffle moves
+    # narrow rows, not two 64-dim double arrays per candidate (which at the
+    # claimed 10^9-vector scale would re-shuffle the full-precision corpus
+    # and forfeit the quantized-scan bandwidth win)
     approx = (
         F.broadcast(queries)
         .join(q8, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            "qe",
-            F.col("e").alias("ce"),
             fround(
                 int_dot(F.col("qi8"), F.col("i8")).cast("double")
                 / (
@@ -1022,10 +1016,17 @@ def q_embedding_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = approx.withColumn("arn", F.row_number().over(aw)).where(
         F.col("arn") <= _SQ_CANDIDATES
     )
-    exact = cand.select(
-        "query_id",
-        "neighbor_id",
-        fround(cosine_similarity_expr(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+    qvecs = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    exact = (
+        cand.join(F.broadcast(qvecs), F.col("query_id") == F.col("q_id"))
+        .join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
     )
     return _ranked_topk(exact)
 

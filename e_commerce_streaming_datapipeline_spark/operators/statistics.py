@@ -30,6 +30,24 @@ from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 # Second-moment statistics
 # --------------------------------------------------------------------------
 
+def _purchase_cents_rollup(events: DataFrame, key, key_name: str) -> DataFrame:
+    """Exact fixed-point purchase-revenue rollup per time key: cents
+    accumulate as longs (order-independent sum), divided back to currency
+    only at the edge.  The shared first stage of the Theil-Sen trend,
+    weekday seasonality, anomaly-day and motif queries — one definition so
+    the fixed-point discipline (null default, half-away scale-0 round,
+    long cast) cannot drift between their oracles."""
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(key.alias(key_name))
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+
+
 @query(
     "event_value_moments",
     oracle="""
@@ -620,7 +638,11 @@ def q_user_behavior_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_types",
         "type_entropy",
-        F.when(F.col("n") >= 2, (F.col("span_us") / (F.col("n") - 1)).cast("long"))
+        # exact integer floor division (`div`), not double-divide-then-cast:
+        # fl(a/b) truncated can cross an integer the exact quotient sits
+        # below once products approach 2^52 — `div` matches the oracle's //
+        # bit-exactly at any magnitude
+        F.when(F.col("n") >= 2, F.expr("span_us div (n - 1)"))
         .otherwise(F.lit(0).cast("long"))
         .alias("mean_gap_us"),
         fround(F.col("purchase_cents") / 100.0, 2).alias("purchase_value"),
@@ -949,14 +971,8 @@ def q_gmv_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is row-local.  The single global sort is over #minutes rows, not
     events; partition by coarse time ranges for multi-year series."""
     events = load_table(spark, "events", sf_dir)
-    minutely = (
-        events.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
-        .agg(
-            F.sum(
-                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
-            ).alias("cents")
-        )
+    minutely = _purchase_cents_rollup(
+        events, F.date_trunc("minute", F.col("ts")), "minute"
     )
     ordered = minutely.withColumn("rn", F.row_number().over(Window.orderBy("minute")))
     frame = (
@@ -1039,26 +1055,32 @@ def q_journey_shape_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking makes the quadratic safe: candidates must share a 2-event
     PREFIX (an equi-join key — the pair search shuffles on it, never
     all-pairs) and sit within a ±3 length band (a lower bound on edit
-    distance).  The per-user shape build is one ordered aggregation; the
-    40-char cap bounds both state and levenshtein cost."""
+    distance).  The per-user shape build is ONE hash aggregation
+    (sort_array over collected (ts, id, initial) structs — the same shape
+    as capped_running_value), not a full-partition window per event row;
+    the 40-char cap bounds both state and levenshtein cost."""
     events = load_table(spark, "events", sf_dir)
-    ordered = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
-    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     shapes = (
-        events.select(
+        events.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("event_id").alias("event_id"),
+                        F.substring("event_type", 1, 1).alias("ini"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
             "user_id",
             F.substring(
-                F.concat_ws(
-                    "",
-                    F.collect_list(F.substring("event_type", 1, 1)).over(full),
-                ),
+                F.concat_ws("", F.transform(F.col("evs"), lambda e: e["ini"])),
                 1,
                 40,
             ).alias("shape"),
-            F.row_number().over(ordered).alias("__rn"),
         )
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
     )
     keyed = shapes.where(F.length("shape") >= 2).select(
         "user_id",
@@ -1195,15 +1217,7 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing window (seasonality) — same shape with a RANGE frame as in
     `revenue_rolling_7d`."""
     events = load_table(spark, "events", sf_dir)
-    daily = (
-        events.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(
-            F.sum(
-                F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
-            ).alias("cents")
-        )
-    )
+    daily = _purchase_cents_rollup(events, F.date_trunc("day", F.col("ts")), "day")
     stats = daily.agg(
         F.avg("cents").alias("mu"),
         F.stddev_pop("cents").alias("sigma"),
@@ -1809,16 +1823,8 @@ def q_revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard remedy is repeated median regression on a day sample,
     same plan shape."""
     events = load_table(spark, "events", sf_dir)
-    daily = (
-        events.where(F.col("event_type") == "purchase")
-        .groupBy(
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
-        )
-        .agg(
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
-            ).alias("cents")
-        )
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
     )
     a = daily.select(F.col("day_num").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("day_num").alias("db"), F.col("cents").alias("cb"))
@@ -1887,16 +1893,8 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sunday) rather than dayofweek()/strftime — locale- and engine-
     independent by construction."""
     events = load_table(spark, "events", sf_dir)
-    daily = (
-        events.where(F.col("event_type") == "purchase")
-        .groupBy(
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
-        )
-        .agg(
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
-            ).alias("cents")
-        )
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
     )
     per_wd = (
         daily.select(
