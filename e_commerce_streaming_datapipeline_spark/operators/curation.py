@@ -98,6 +98,28 @@ _NGRAM = 5
 _BENCH_MOD = 97     # doc_id % 97 == 0 plays the held-out benchmark set
 
 
+def _ngram_hash_explode(toks, *extra_cols):
+    """Row-local word n-gram hash generation (sequence + transform + explode
+    over the pre-split token array ``t`` — no self-join; docs shorter than
+    the n filtered first, since Spark's ``sequence`` flips to a descending
+    range on negative spans).  Shared by ``benchmark_decontam`` and the
+    five-stage curation pipeline so the n-gram scheme cannot drift between
+    the standalone query and the pipeline's decontam stage."""
+    return (
+        toks.where(F.size("t") >= _NGRAM)
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _NGRAM), " ")),
+                )
+            ).alias("g"),
+        )
+    )
+
+
 @query(
     "benchmark_decontam",
     oracle=f"""
@@ -137,19 +159,7 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("t")
     )
-    grams = (
-        toks.where(F.size("t") >= _NGRAM)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
-                    lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _NGRAM), " ")),
-                )
-            ).alias("g"),
-        )
-    )
+    grams = _ngram_hash_explode(toks, "lang")
     bench = (
         grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
     )
@@ -442,15 +452,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     #statuses rows.  The oracle derives the same classification from the
     carving predicates directly — the join must reproduce it exactly."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "n_chars")
+    # hash NULL-coalesced content: a NULL-text document is still a PRESENT
+    # document, and md5(NULL) = NULL would make the null-ness test below
+    # misread it as added/removed (and make the v2 rewrite's concat collapse
+    # to NULL, hiding a 'changed' doc).  After coalescing, hash null-ness
+    # means exactly "no row on that side".
+    content = F.coalesce(F.col("text"), F.lit(""))
     v1 = docs.where(F.col("doc_id") % 13 != 5).select(
-        "doc_id", F.md5("text").alias("h1"), F.col("n_chars").alias("c1")
+        "doc_id", F.md5(content).alias("h1"), F.col("n_chars").alias("c1")
     )
     v2 = docs.where(F.col("doc_id") % 11 != 3).select(
         "doc_id",
         F.md5(
             F.when(
-                F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [v2]"))
-            ).otherwise(F.col("text"))
+                F.col("doc_id") % 7 == 2, F.concat(content, F.lit(" [v2]"))
+            ).otherwise(content)
         ).alias("h2"),
         F.col("n_chars").alias("c2"),
     )
@@ -548,15 +564,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
-    grams = toks.where(F.size("t") >= _NGRAM).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (_NGRAM - 1)),
-                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, _NGRAM), " ")),
-            )
-        ).alias("g"),
-    )
+    grams = _ngram_hash_explode(toks)
     bench = grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
     contam = (
         grams.where(F.col("doc_id") % _BENCH_MOD != 0)
@@ -783,6 +791,12 @@ def q_user_sequence_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row UDF."""
     events = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the total is a SEPARATE partial-aggregated count joined back on
+    # user_id, not a count(*) window alongside row_number: an unbounded
+    # count window would need every event row at the reducer and thus
+    # disable the WindowGroupLimit map-side cap this query's cost model
+    # rests on, while the groupBy count shuffles one partial row per
+    # (mapper, user)
     total = events.groupBy("user_id").agg(F.count("*").alias("n_total"))
     capped = (
         events.select(

@@ -151,6 +151,21 @@ def q_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_shingle_fp():
+    """Winnowing-style min-shingle fingerprint over the pre-projected token
+    array column ``toks``: min of md5 over all word 3-shingles.  The token
+    array must be projected ONCE per row — an inline split(text) inside the
+    lambda re-evaluates per shingle position (O(n_tokens^2) per doc).
+    Shared by ``doc_fingerprints`` and ``corpus_quality_filter`` so the
+    dedup-key definition cannot drift between the two."""
+    return F.array_min(
+        F.expr(
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+        )
+    )
+
+
 @query(
     "doc_fingerprints",
     oracle="""
@@ -174,17 +189,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content fingerprint plus a
     winnowing-style min-shingle-hash fingerprint (stable under suffix/prefix
     edits away from the minimizing shingle)."""
-    # token array projected ONCE per row: split(text) inline inside the
-    # lambda re-evaluates per shingle position (O(n_tokens^2) per doc)
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
-    min_shingle = F.array_min(
-        F.expr(
-            "transform(sequence(0, size(toks) - 3), "
-            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-        )
-    )
+    min_shingle = _min_shingle_fp()
     return (
         docs.where(F.size(F.col("toks")) >= 3)
         .select(
@@ -228,8 +236,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term); the corpus size joins in as a broadcast single-row aggregate.  The
     rank ordering uses the ROUNDED score so cross-engine float ULPs cannot
     flip the top-3 (SURVEY §7 hard-part 2)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, "documents", sf_dir)
     total = docs.agg(F.count("*").alias("n_docs"))
     tf = (
@@ -295,20 +301,11 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the fingerprint-keyed dedup, whose key space is |corpus|
     hashes.  At 100 TB the dedup winner is a groupBy(fp).min(doc_id) +
     semi-join if fingerprint groups get hot."""
-    from pyspark.sql import Window
-
-    # token array projected once per row (inline split inside the lambda
-    # would re-evaluate per shingle position — O(n_tokens^2) per doc)
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
-    min_shingle = F.array_min(
-        F.expr(
-            "transform(sequence(0, size(toks) - 3), "
-            "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
-        )
-    )
+    min_shingle = _min_shingle_fp()
     stats = (
         docs.where(F.size(toks) >= 3)
         .select(
@@ -386,8 +383,6 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB vocabulary never funnels through a single-partition window sort
     (the earlier row_number-then-filter shape did exactly that); ranks are
     assigned AFTER the top-k, over 20 rows."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, "documents", sf_dir)
     counted = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
@@ -534,20 +529,32 @@ _STOPWORDS = ("the", "a")
 @query(
     "text_normalize",
     oracle=f"""
+-- edge discipline: DuckDB's array_to_string(empty_list) is NULL while
+-- Spark's array_join(empty) is '' — an all-stopword document must emit
+-- ('', 0, n_tokens, md5('')) on both engines, so the empty join is
+-- coalesced (NULL text stays NULL end to end); and the dropped count uses
+-- len(kept) directly rather than re-splitting norm_text, whose
+-- string_split('') -> [''] would be off by one on the empty string
 WITH norm AS (
     SELECT doc_id,
-        array_to_string(
-            list_filter(
+        CASE WHEN text IS NULL THEN NULL
+             ELSE coalesce(array_to_string(
+                list_filter(
+                    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                    t -> t NOT IN {_STOPWORDS!r}
+                ), ' '), '') END AS norm_text,
+        CASE WHEN text IS NULL THEN NULL
+             ELSE len(list_filter(
                 string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
                 t -> t NOT IN {_STOPWORDS!r}
-            ), ' ') AS norm_text,
+             )) END AS n_kept,
         len(string_split(text, ' ')) AS n_tokens
     FROM documents
 )
 SELECT doc_id,
-    CAST(length(norm_text) AS INT)                        AS norm_chars,
-    CAST(n_tokens - len(string_split(norm_text, ' ')) AS INT) AS n_stopwords_dropped,
-    md5(norm_text)                                        AS norm_hash
+    CAST(length(norm_text) AS INT)    AS norm_chars,
+    CAST(n_tokens - n_kept AS INT)    AS n_stopwords_dropped,
+    md5(norm_text)                    AS norm_hash
 FROM norm
 """,
 )
@@ -609,7 +616,9 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_id int, chunk_chars int, chunk_hash string")
     class Chunker:
         def eval(self, doc_id, text, n_chars):
-            for chunk_id, start in enumerate(range(1, max(int(n_chars), 1) + 1, CHUNK_STRIDE)):
+            # n_chars is nullable: int(None) would kill the executor, while
+            # the codegen twin's greatest(n_chars, 1) treats NULL as 1
+            for chunk_id, start in enumerate(range(1, max(int(n_chars or 0), 1) + 1, CHUNK_STRIDE)):
                 if text is None:
                     # propagate NULL exactly like the codegen twin's
                     # substring(NULL, ...) -> NULL chunk fields, so both
@@ -911,8 +920,6 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(w1) is vocab-sized and broadcast-able, while c(w1,w2) joins on the
     bigram key with AQE handling the Zipf head's skew.  The vocab size
     rides along as a 1-row hash-joined scalar.  Everything codegen."""
-    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
-
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -1053,12 +1060,14 @@ def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     32k+ vocab the broadcast is still single-digit MB."""
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    # top-k via orderBy+limit = TakeOrdered (per-partition heaps, no global
+    # sort) — an unpartitioned row_number window here would funnel the whole
+    # vocabulary through one task, the exact anti-pattern q_top_terms pins
     vocab = (
         toks.groupBy("w")
         .agg(F.count("*").alias("c"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .where(F.col("rn") <= _VOCAB_K)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(_VOCAB_K)
         .select("w", F.lit(1).alias("in_vocab"))
     )
     joined = toks.join(F.broadcast(vocab), "w", "left")

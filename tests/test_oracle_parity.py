@@ -34,3 +34,50 @@ def test_entry_contract(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+_EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chunks",
+                 "text_stats", "pii_redaction", "dedup_docs_exact"]
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(sf_dir, tmp_path_factory):
+    """The shipped fixture with adversarial document rows appended: NULL
+    text, NULL n_chars, an all-stopword doc, and an empty-string doc —
+    the real-corpus degenerate rows the synthetic fixture happens to lack.
+    Round-3 review found three queries that diverged from their oracles
+    (or crashed) exactly here: md5(NULL) misclassified present docs as
+    'added' in snapshot_diff, DuckDB's array_to_string(empty) IS NULL broke
+    text_normalize on all-stopword docs, and the UDTF chunker died on
+    int(None).  This fixture keeps those paths pinned."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("edge_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.slice(0, 4).to_pylist()
+    edits = [
+        {"doc_id": 100000, "text": None},
+        {"doc_id": 100001, "text": "hello world text here", "n_chars": None},
+        {"doc_id": 100002, "text": "the a the"},
+        {"doc_id": 100003, "text": ""},
+    ]
+    rows = []
+    for b, e in zip(base, edits):
+        r = dict(b)
+        r.update(e)
+        rows.append(r)
+    extra = pa.Table.from_pylist(rows, schema=docs.schema)
+    (tmp / "documents.parquet").unlink()
+    pq.write_table(pa.concat_tables([docs, extra]), tmp / "documents.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", _EDGE_QUERIES)
+def test_null_and_degenerate_docs_keep_oracle_parity(spark, edge_sf_dir, name):
+    res = compare_query(spark, name, edge_sf_dir)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
