@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum_double
+from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum_double, fround
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -72,20 +72,36 @@ def q_kafka_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ts",
                 "user_id",
                 "event_type",
-                (F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) / 100).alias("value"),
+                fround(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value"),
             ),
             ts_fmt,
         ).alias("value"),
     )
     # consumer side: S3 decode + S4 flatten (sources/streaming.py, batch twin)
     parsed = wire.withColumn("parsed", F.from_json(F.col("value"), payload_schema, ts_fmt))
-    return parsed.filter(F.col("parsed").isNotNull()).select("parsed.*")
+    # PERMISSIVE from_json yields an all-null STRUCT for corrupt input, never
+    # a null struct — the drop test must probe a required FIELD (see
+    # q_corrupt_record_drop), or corrupt records would pass as all-null rows
+    return parsed.filter(F.col("parsed.event_id").isNotNull()).select("parsed.*")
 
 
 _CSV_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """Per-process scratch path for write-then-read-back artifacts: keyed by
+    sf basename AND pid, because two concurrent harness runs sharing one
+    path would overwrite files the other is mid-scan (the same failure class
+    the per-process embedded-Derby path below guards against)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"e_commerce_streaming_datapipeline_{kind}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+
 
 
 @query(
@@ -110,11 +126,7 @@ def q_csv_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload.  At scale the same reader handles the reference's Olist CSVs
     (event_generator.py:51-69) as a parallel multi-file scan."""
     events = load_table(spark, "events", sf_dir)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "e_commerce_streaming_datapipeline_csv",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = _scratch_dir("csv", sf_dir)
     (
         events.write.mode("overwrite")
         .option("header", "true")
@@ -142,22 +154,36 @@ def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
     This is the storage design SCALE.md prescribes: date partitioning turns
     retention (V7) into partition drops and gives every time-bounded query
-    partition pruning instead of a full scan."""
+    partition pruning instead of a full scan.
+
+    Cache keyed by the source file's (mtime, size), not just the sf name —
+    a regenerated fixture must not serve the previous snapshot (the same
+    staleness class q_warehouse_partitioned_roundtrip purges for).  The
+    build lands in a per-pid staging dir and is renamed into place, so a
+    concurrent harness run either wins the rename or reads the winner's
+    complete output — never a half-written directory."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "e_commerce_streaming_datapipeline_part",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}",
     )
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
+        build_dir = f"{out_dir}_build_{os.getpid()}"
         events = load_table(spark, "events", sf_dir)
         (
             events.withColumn("event_date", F.to_date("ts"))
             .repartition("event_date")  # one writer task per partition => one file
             .write.mode("overwrite")
             .partitionBy("event_date")
-            .parquet(out_dir)
+            .parquet(build_dir)
         )
+        try:
+            os.rename(build_dir, out_dir)
+        except OSError:
+            # lost the publish race — the winner's complete dir is in place
+            shutil.rmtree(build_dir, ignore_errors=True)
     return out_dir
 
 
@@ -189,11 +215,22 @@ def q_partitioned_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(part_dir)
     # collect() of a 1-row aggregate: the scalar must be a plan-time literal
     # for static partition pruning; this is a deliberate driver round-trip.
-    max_ts = load_table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+    # The DATE is computed engine-side (session tz = UTC, same semantics as
+    # the event_date partition column and the oracle's date_trunc) — a
+    # driver-side .date() on the collected timestamp would apply the SYSTEM
+    # timezone and shift the cutoff by a day on non-UTC machines.
+    row = (
+        load_table(spark, "events", sf_dir)
+        .agg(
+            F.max("ts").alias("m"),
+            F.to_date(F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut_date"),
+        )
+        .collect()[0]
+    )
     import datetime
 
-    cut_ts = max_ts - datetime.timedelta(days=7)
-    cut_date = cut_ts.date()
+    cut_ts = row["m"] - datetime.timedelta(days=7)
+    cut_date = row["cut_date"]
     return (
         events.where((F.col("event_date") >= F.lit(cut_date)) & (F.col("ts") >= F.lit(cut_ts)))
         .groupBy("event_date")
@@ -217,9 +254,7 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, source: str, key: str, n: 
     safe_sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"bucketed_{source}_{safe_sf}"
     if not spark.catalog.tableExists(name):
-        path = os.path.join(
-            tempfile.gettempdir(), "e_commerce_streaming_datapipeline_buckets", safe_sf, source
-        )
+        path = os.path.join(_scratch_dir("buckets", sf_dir), source)
         (
             load_table(spark, source, sf_dir)
             .write.mode("overwrite")
@@ -364,11 +399,7 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "value"
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "e_commerce_streaming_datapipeline_schema_evo",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = _scratch_dir("schema_evo", sf_dir)
     gen1 = events.where(F.col("event_id") % 2 == 0)
     gen2 = events.where(F.col("event_id") % 2 == 1).withColumn(
         "channel",
@@ -509,11 +540,7 @@ def q_orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument in SCALE.md transfers; this query keeps the format door open
     for deployments standardized on ORC (Hive-lineage warehouses)."""
     events = load_table(spark, "events", sf_dir)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "e_commerce_streaming_datapipeline_orc",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    out_dir = _scratch_dir("orc", sf_dir)
     events.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir)
     # scaled-long cents sum, matching the pricing_summary fixed-point
@@ -627,11 +654,7 @@ def q_warehouse_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     partition pruning, retention-by-partition-drop, and the lambda batch
     layer all hang off this layout."""
     events = load_table(spark, "events", sf_dir)
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        "e_commerce_streaming_datapipeline_warehouse",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    loc = _scratch_dir("warehouse", sf_dir)
     events.createOrReplaceTempView("events_src_wh")
     spark.sql("DROP TABLE IF EXISTS events_wh")
     # DROP on an external (LOCATION'd) table leaves the files; purge the

@@ -43,7 +43,7 @@ JACCARD_THRESHOLD = 0.2
 SELECT event_id, ts, user_id, event_type, value
 FROM events
 QUALIFY row_number() OVER (
-    PARTITION BY event_id ORDER BY ts, user_id, event_type
+    PARTITION BY event_id ORDER BY ts, user_id, event_type, value
 ) = 1
 """,
 )
@@ -51,9 +51,11 @@ def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 batch twin: keep one row per event_id with a deterministic
     min-(ts, user_id, event_type) winner — unlike the reference's
     arrival-order ``dropDuplicates`` (stream_processor.py:138-139), this is
-    stable under any partitioning."""
+    stable under any partitioning.  ``value`` completes the sort key: a
+    duplicate pair tying on (ts, user_id, event_type) but differing in value
+    would otherwise let each engine pick its own winner."""
     events = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
     return (
         events.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -151,16 +153,22 @@ _CHUNKS_PER_MD5 = N_HASHES // N_MD5_GROUPS
 _CHUNK_HEX = 32 // _CHUNKS_PER_MD5
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame, shingled: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_sig): md5-minhash signatures grouped into LSH bands.
 
     Scale shape: ZERO shuffles.  Minhashing is per-document math, so it runs
     as array expressions (``transform`` + ``array_min``) inside the scan's
     codegen stage — no explode, no groupBy, nothing crosses the wire until
     the band-bucket join downstream.
+
+    Callers that ALSO consume the shingle sets (verification, ground truth)
+    should pass a materialized ``shingled`` relation — the tokenize+shingle
+    projection is the dominant cost of the whole pipeline and Spark has no
+    common-subexpression elimination across separate DataFrame subtrees.
     """
     rows_per_band = N_HASHES // N_BANDS
-    shingled = shingled_docs(docs)
+    if shingled is None:
+        shingled = shingled_docs(docs)
     # stage 1: one md5 array per group (computed once each — own projection,
     # so the chunk-min expressions below don't re-hash the shingles)
     with_md5 = shingled.select(
@@ -249,6 +257,29 @@ _MINHASH_VERIFIED_CTES = f"""shingled AS (
 )"""
 
 
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Candidate pairs via bucket grouping, not a self-join: one pass over
+    the band signatures, pair expansion per bucket (a hot band bucket is a
+    local loop, not a shuffled quadratic join; cap the slice here if a
+    corpus has degenerate mega-clusters).  Shared by ``minhash_near_dups``
+    and ``minhash_audit`` so the audit measures exactly the candidate set
+    the pipeline uses."""
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "minhash_near_dups",
     oracle=f"""
@@ -277,26 +308,13 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    bands = minhash_bands(docs)
-    # candidate pairs via bucket grouping, not a self-join: one pass over the
-    # signatures, and pair expansion is per-bucket (so a hot band bucket is a
-    # local loop, not a shuffled quadratic join; cap the slice here if a
-    # corpus has degenerate mega-clusters)
-    buckets = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
-    sets = shingled_docs(docs)
+    # ONE materialized shingle relation feeds signatures AND verification —
+    # without the cut, the md5-heavy tokenize+shingle subtree re-evaluates
+    # for bands, sh_a and sh_b (3x the dominant cost; cf. the signature
+    # localCheckpoint in similarity.py's LSH path)
+    sets = shingled_docs(docs).localCheckpoint()
+    bands = minhash_bands(docs, shingled=sets)
+    candidates = _band_candidates(bands)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -308,9 +326,12 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_a = sa.join(F.broadcast(candidates), "doc_a")
     return (
         sb.join(F.broadcast(with_a), "doc_b")
-        .withColumn("jaccard", fround(jaccard, 4))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        # threshold on the RAW jaccard (like the oracle), round only for
+        # display: filtering on the 4dp-rounded value would admit pairs in
+        # [threshold - 5e-5, threshold) that the oracle rejects
+        .withColumn("__raw_j", jaccard)
+        .where(F.col("__raw_j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", fround(F.col("__raw_j"), 4).alias("jaccard"))
     )
 
 
@@ -1075,7 +1096,9 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    sets = shingled_docs(docs)
+    # one materialized shingle relation feeds ground truth (exploded, sa,
+    # sb) AND the band signatures — 4 consumers, one evaluation
+    sets = shingled_docs(docs).localCheckpoint()
     exploded = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     ta = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
     tb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1099,25 +1122,15 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion, hits verify THOSE candidates by exact Jaccard (round-3
     # review: calling q_minhash_near_dups here re-ran the signature stage —
     # the dominant cost — a second time for identical output)
-    bands = minhash_bands(docs)
-    buckets = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    candidates = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    bands = minhash_bands(docs, shingled=sets)
+    candidates = _band_candidates(bands)
     hits = (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .where(fround(jaccard, 4) >= JACCARD_THRESHOLD)
+        # RAW threshold, same comparison as the truth set and the oracle —
+        # a rounded-value filter would count boundary pairs as hits that
+        # truth rejects, letting recall exceed 1.0
+        .where(jaccard >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
     from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
