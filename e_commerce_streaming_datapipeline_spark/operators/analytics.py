@@ -288,18 +288,24 @@ SELECT
     o_orderstatus,
     o_orderpriority,
     count(*)                      AS n_orders,
-    round(sum(o_totalprice), 2)   AS revenue
+    CAST(sum(round(o_totalprice * 100)::BIGINT) AS DOUBLE) / 100 AS revenue
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
 )
 def q_status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS / ROLLUP: status x priority hierarchy with subtotals and
-    a grand total — one pass, Catalyst expands the grouping sets."""
+    a grand total — one pass, Catalyst expands the grouping sets.
+
+    The grand-total group sums the WHOLE orders table: money rides as
+    scaled-long cents (exact, order-independent), not a raw double sum
+    whose engine-specific summation order could flip the 2dp rounding on a
+    half-cent knife edge (the pricing_summary fixed-point rationale)."""
     orders = load_table(spark, "orders", sf_dir)
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double") / 100)
+        .alias("revenue"),
     )
 
 
@@ -381,7 +387,8 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantity_price_unpivot",
     oracle="""
-SELECT l_returnflag, metric, round(sum(val) * 100) / 100 AS total
+SELECT l_returnflag, metric,
+    CAST(sum(round(val * 100)::BIGINT) AS DOUBLE) / 100 AS total
 FROM (
     UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem)
     ON l_quantity AS 'quantity', l_extendedprice AS 'price'
@@ -405,8 +412,11 @@ def q_quantity_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.when(F.col("metric") == "l_quantity", "quantity").otherwise("price"),
     )
+    # table-sized money groups: scaled-long cents, never an order-dependent
+    # raw double sum (see pricing_summary)
     return long.groupBy("l_returnflag", "metric").agg(
-        fround(F.sum("val"), 2).alias("total")
+        (F.sum(F.round(F.col("val") * 100, 0).cast("long")).cast("double") / 100)
+        .alias("total")
     )
 
 

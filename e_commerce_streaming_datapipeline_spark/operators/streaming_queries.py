@@ -13,11 +13,14 @@ would withhold windows the final watermark hasn't passed).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
@@ -42,14 +45,65 @@ from e_commerce_streaming_datapipeline_spark.streaming.processors import (
 _STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
 
 
-def _run_to_table(
-    spark: SparkSession, stream_df: DataFrame, name_prefix: str, output_mode: str = "complete"
+def _stream_leg(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str,
+    ts_alias: str,
+    delay: str = "10 minutes",
+    user_alias: str | None = None,
+    id_alias: str | None = None,
+    keep_value: bool = False,
+    filename: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
+    """One watermarked leg of a stream-stream join: filter to ``event_type``,
+    alias the kept (user, id, ts[, value]) columns, watermark the aliased
+    event time.  Every stream-join query builds its legs here, so a
+    one-sided edit to a delay or alias cannot silently desynchronize the
+    oracle's watermark arithmetic (the aggregate-side analogue of the
+    shared gmv_aggs)."""
+    cols = []
+    if user_alias:
+        cols.append(F.col("user_id").alias(user_alias))
+    if id_alias:
+        cols.append(F.col("event_id").alias(id_alias))
+    cols.append(F.col("ts").alias(ts_alias))
+    if keep_value:
+        cols.append(F.col("value"))
+    return (
+        read_file_stream(spark, sf_dir, filename, max_files_per_trigger)
+        .where(F.col("event_type") == event_type)
+        .select(*cols)
+        .withWatermark(ts_alias, delay)
+    )
+
+
+
+@contextlib.contextmanager
+def _stream_run(spark: SparkSession, name_prefix: str):
+    """One streaming run's scaffolding: a fresh uuid-suffixed query name, a
+    checkpoint path, and the pinned stream shuffle partitions — the conf is
+    restored and the checkpoint directory REMOVED when the run ends (each
+    run gets a fresh checkpoint anyway, so keeping it only leaks /tmp state
+    per invocation).  Shared by _run_to_table and the custom-sink/trigger
+    queries (rate source, multi-metric fan-out) so the save/set/restore
+    guard exists once."""
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
     try:
+        yield name, checkpoint
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def _run_to_table(
+    spark: SparkSession, stream_df: DataFrame, name_prefix: str, output_mode: str = "complete"
+) -> DataFrame:
+    with _stream_run(spark, name_prefix) as (name, checkpoint):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -59,8 +113,6 @@ def _run_to_table(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 
@@ -250,26 +302,13 @@ def q_attribution_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
-    purchases = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buyer_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
+    purchases = _stream_leg(
+        spark, sf_dir, "purchase", "purchase_ts",
+        user_alias="buyer_id", id_alias="purchase_id", keep_value=True,
     )
-    clicks = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
+    clicks = _stream_leg(
+        spark, sf_dir, "click", "click_ts",
+        user_alias="click_user_id", id_alias="click_id",
     )
     joined = purchases.join(
         clicks,
@@ -326,15 +365,9 @@ def q_journey_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def leg(event_type: str, prefix: str) -> DataFrame:
-        return (
-            read_file_stream(spark, sf_dir)
-            .where(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").alias(f"{prefix}_ts"),
-            )
-            .withWatermark(f"{prefix}_ts", "10 minutes")
+        return _stream_leg(
+            spark, sf_dir, event_type, f"{prefix}_ts",
+            user_alias=f"{prefix}_user", id_alias=f"{prefix}_id",
         )
 
     views, clicks, purchases = leg("view", "v"), leg("click", "c"), leg("purchase", "p")
@@ -380,7 +413,7 @@ WITH wm AS (
     SELECT
         date_trunc('hour', ts)                      AS window_start,
         date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
-        round(sum(coalesce(value, 0.0)), 2)         AS gmv,
+        CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100 AS gmv,
         count(*)                                    AS n_purchases,
         count(DISTINCT date_trunc('minute', ts))    AS n_active_minutes
     FROM events WHERE event_type = 'purchase'
@@ -549,26 +582,13 @@ def q_unattributed_purchases_stream(spark: SparkSession, sf_dir: str) -> DataFra
 
     from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
-    purchases = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buyer_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
+    purchases = _stream_leg(
+        spark, sf_dir, "purchase", "purchase_ts",
+        user_alias="buyer_id", id_alias="purchase_id", keep_value=True,
     )
-    clicks = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
+    clicks = _stream_leg(
+        spark, sf_dir, "click", "click_ts",
+        user_alias="click_user_id", id_alias="click_id",
     )
     joined = (
         purchases.join(
@@ -605,8 +625,17 @@ GROUP BY 1
 def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming op (``applyInPandasWithState``): per-user
     running profiles, hash-checked against the batch GROUP BY oracle.  The
-    memory sink collects every update; the final update per user (max
-    n_events) is the complete profile."""
+    memory sink collects every update; the LATEST update per user (max
+    last_seen, n_events as tiebreak) is the current profile.
+
+    Finalization contract: the profile equals the batch GROUP BY only while
+    a user's state has not been idle-evicted — in this availableNow replay
+    the watermark advances once at the end, so no eviction fires and the
+    equality is exact.  In a long-running multi-batch deployment an evicted
+    user's counters restart at zero by design (that IS the bounded-state
+    trade); the latest row then profiles the active horizon, and ordering
+    by last_seen — not by the no-longer-monotonic n_events — is what keeps
+    "latest" meaning latest."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -614,7 +643,9 @@ def q_user_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = _run_to_table(
         spark, streaming_user_stats(events), "user_stats_stream", output_mode="update"
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_seen").desc(), F.col("n_events").desc()
+    )
     return (
         updates.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -717,11 +748,7 @@ def q_replay_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("amount_cents").cast("double") / 100).alias("total_amount"),
     )
 
-    name = f"replay_rate_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
-    try:
+    with _stream_run(spark, "replay_rate") as (name, checkpoint):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -732,15 +759,21 @@ def q_replay_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a rate source never ends: poll the complete-mode sink until the
         # first `limit` events are all accounted for, then stop
         deadline = time.time() + 120
+        seen = 0
         while time.time() < deadline:
-            row = spark.table(name).agg(F.sum("n_events")).collect()[0]
-            if row[0] == limit:
+            seen = spark.table(name).agg(F.sum("n_events")).collect()[0][0] or 0
+            if seen == limit:
                 break
             time.sleep(0.25)
         q.stop()
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if seen != limit:
+            # fail loudly: a silent partial table would surface downstream as
+            # a baffling oracle row-count/hash mismatch instead of the real
+            # story (an overloaded host starving the rate source)
+            raise TimeoutError(
+                f"rate source emitted {seen}/{limit} events within 120s"
+            )
     return spark.table(name)
 
 
@@ -808,11 +841,7 @@ def q_multi_metric_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = read_file_stream(spark, sf_dir)
-    name = f"multi_metric_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), "e_commerce_streaming_datapipeline_ckpt", name)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
-    try:
+    with _stream_run(spark, "multi_metric") as (name, checkpoint):
         q = (
             stream.writeStream.foreachBatch(reduce_batch)
             .option("checkpointLocation", checkpoint)
@@ -820,8 +849,6 @@ def q_multi_metric_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     # merge per-batch partials (exact: counts and cents are both sums)
     p = (
@@ -1016,28 +1043,15 @@ def build_full_outer_click_purchase(
     watermark progression) and compare against the single-batch run."""
     from pyspark.sql import functions as F
 
-    def leg(event_type: str):
-        return read_file_stream(
-            spark, sf_dir, filename, max_files_per_trigger
-        ).where(F.col("event_type") == event_type)
-
-    clicks = (
-        leg("click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("c_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
+    clicks = _stream_leg(
+        spark, sf_dir, "click", "click_ts",
+        user_alias="c_user", id_alias="c_id",
+        filename=filename, max_files_per_trigger=max_files_per_trigger,
     )
-    purchases = (
-        leg("purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("p_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
+    purchases = _stream_leg(
+        spark, sf_dir, "purchase", "purchase_ts",
+        user_alias="p_user", id_alias="p_id",
+        filename=filename, max_files_per_trigger=max_files_per_trigger,
     )
     return clicks.join(
         purchases,
@@ -1102,24 +1116,13 @@ def q_unattributed_asym_watermark_stream(spark: SparkSession, sf_dir: str) -> Da
     stream small instead of inflating both to the worst case."""
     from pyspark.sql import functions as F
 
-    clicks = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "5 minutes")
+    clicks = _stream_leg(
+        spark, sf_dir, "click", "click_ts",
+        delay="5 minutes", user_alias="click_user_id",
     )
-    purchases = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buyer_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "30 minutes")
+    purchases = _stream_leg(
+        spark, sf_dir, "purchase", "purchase_ts",
+        delay="30 minutes", user_alias="buyer_id", id_alias="purchase_id",
     )
     joined = (
         purchases.join(
@@ -1141,15 +1144,12 @@ def q_unattributed_asym_watermark_stream(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
-def _session_dynamic_oracle() -> str:
-    from e_commerce_streaming_datapipeline_spark.operators.analytics import (
-        _SESSION_DYNAMIC_ORACLE,
-    )
-
-    return _SESSION_DYNAMIC_ORACLE
+from e_commerce_streaming_datapipeline_spark.operators.analytics import (  # noqa: E402
+    _SESSION_DYNAMIC_ORACLE,
+)
 
 
-@query("session_dynamic_stream", oracle=_session_dynamic_oracle())
+@query("session_dynamic_stream", oracle=_SESSION_DYNAMIC_ORACLE)
 def q_session_dynamic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-gap session windows ON THE STREAM — the per-event gap
     expression (purchase: 30 min, else 10 min) drives a stateful
@@ -1225,24 +1225,12 @@ def q_attributed_clicks_semi_stream(spark: SparkSession, sf_dir: str) -> DataFra
     as the inner join's oracle)."""
     from pyspark.sql import functions as F
 
-    clicks = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
+    clicks = _stream_leg(
+        spark, sf_dir, "click", "click_ts",
+        user_alias="user_id", id_alias="click_id",
     )
-    purchases = (
-        read_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buyer_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
+    purchases = _stream_leg(
+        spark, sf_dir, "purchase", "purchase_ts", user_alias="buyer_id",
     )
     joined = clicks.join(
         purchases,

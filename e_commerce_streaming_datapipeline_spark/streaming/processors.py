@@ -173,18 +173,24 @@ def streaming_gmv_cascade(events: DataFrame) -> DataFrame:
     minutely state is the only stream-sized state; hourly state is
     #hours rows.
     """
+    # money rides the cascade as scaled-long CENTS: minute subtotals and the
+    # hourly re-add are exact integer sums, so re-aggregation order cannot
+    # drift a half-cent against the flat-sum oracle — the same property that
+    # makes the batch q_cascaded_rollup safe (analytics.py)
     minutely = (
         _ensure_watermark(events.where(F.col("event_type") == "purchase"))
         .groupBy(F.window("ts", "1 minute").alias("w1"))
         .agg(
-            F.sum(F.coalesce("value", F.lit(0.0))).alias("m_gmv"),
+            F.sum(
+                F.round(F.coalesce("value", F.lit(0.0)) * 100, 0).cast("long")
+            ).alias("m_cents"),
             F.count("*").alias("m_n"),
         )
     )
     hourly = (
         minutely.groupBy(F.window(F.window_time("w1"), "1 hour").alias("w2"))
         .agg(
-            F.sum("m_gmv").alias("gmv_raw"),
+            F.sum("m_cents").alias("cents"),
             F.sum("m_n").alias("n_purchases"),
             F.count("*").alias("n_active_minutes"),
         )
@@ -192,7 +198,7 @@ def streaming_gmv_cascade(events: DataFrame) -> DataFrame:
     return hourly.select(
         F.col("w2.start").alias("window_start"),
         F.col("w2.end").alias("window_end"),
-        fround(F.col("gmv_raw"), 2).alias("gmv"),
+        (F.col("cents").cast("double") / 100).alias("gmv"),
         "n_purchases",
         "n_active_minutes",
     )
@@ -458,11 +464,17 @@ def streaming_user_stats(events: DataFrame) -> DataFrame:
         state.update((n, total, purchases, last_us))
         # evict users idle past the watermark + 1h
         state.setTimeoutTimestamp(last_us // 1000 + 3600 * 1000)
+        # half-away-from-zero at 2dp (the fround/DuckDB mechanism) — Python's
+        # round() is banker's half-to-even and would flip an exact half-cent
+        # against the oracle
+        import math
+
+        emitted = math.copysign(math.floor(abs(total) * 100 + 0.5), total) / 100
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [emitted],
                 "n_purchases": [purchases],
                 "last_seen": [pd.Timestamp(last_us, unit="us")],
             }
