@@ -93,12 +93,27 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts"), F.col("is_purchase").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    purchase_ts = F.when(F.col("is_purchase") == 1, F.col("ts"))
+    # ONE last() over a (ts, value) struct, not two independent last()s:
+    # a purchase whose value is NULL must still be "the last purchase" —
+    # ignorenulls over a bare pvalue column would skip it and pair an older
+    # purchase's value with the newer purchase's ts, while the struct (never
+    # NULL on a purchase row) keeps the pair from one row, matching the
+    # oracle's ASOF JOIN emitting (NULL value, newest ts)
+    purchase_rec = F.when(
+        F.col("is_purchase") == 1,
+        F.struct(F.col("ts").alias("p_ts"), F.col("pvalue").alias("p_val")),
+    )
+    last_rec = F.last(purchase_rec, ignorenulls=True).over(w)
     return (
-        unioned.withColumn("last_purchase_value", F.last("pvalue", ignorenulls=True).over(w))
-        .withColumn("last_purchase_ts", F.last(purchase_ts, ignorenulls=True).over(w))
+        unioned.withColumn("__last_p", last_rec)
         .where(F.col("is_purchase") == 0)
-        .select("event_id", "user_id", "ts", "last_purchase_value", "last_purchase_ts")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("__last_p.p_val").alias("last_purchase_value"),
+            F.col("__last_p.p_ts").alias("last_purchase_ts"),
+        )
     )
 
 

@@ -195,15 +195,20 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 16384  # bits
-# two independent universal hashes h(k) = (a*k + b) mod M; constants are
-# plain odd 32-bit multipliers — products stay far below 2^63 for any
-# realistic key domain, so BIGINT arithmetic is exact on both engines.
+_BLOOM_P = 2147483647  # Mersenne prime 2^31 - 1: the universal-hash modulus
+# two universal hashes h_i(k) = ((a_i*k + b_i) mod P) mod M.  The prime
+# intermediate modulus is what makes them independent: reducing the affine
+# map directly mod M = 2^14 (odd a) is a BIJECTION of k mod 2^14, so both
+# probe positions would be functions of k mod M alone and the k=2 AND would
+# degrade to a single-hash filter.  k is pre-reduced mod P so every product
+# stays below (P-1)*a < 2^63 — exact BIGINT arithmetic on both engines.
 _BLOOM_H = [(2654435761, 97), (40503, 2654435769)]
 
 
 def _bloom_pos(col: F.Column, h: int) -> F.Column:
     a, b = _BLOOM_H[h]
-    return F.pmod(col * F.lit(a) + F.lit(b), F.lit(_BLOOM_M))
+    kp = F.pmod(col, F.lit(_BLOOM_P))
+    return F.pmod(F.pmod(kp * F.lit(a) + F.lit(b), F.lit(_BLOOM_P)), F.lit(_BLOOM_M))
 
 
 def bloom_filter_prejoin(orders: DataFrame, customer: DataFrame) -> DataFrame:
@@ -274,7 +279,7 @@ def bloom_filter_prejoin(orders: DataFrame, customer: DataFrame) -> DataFrame:
 def _bloom_oracle() -> str:
     def pos(expr: str, h: int) -> str:
         a, b = _BLOOM_H[h]
-        return f"(({expr} * {a} + {b}) % {_BLOOM_M})"
+        return f"(((({expr} % {_BLOOM_P}) * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M})"
 
     return f"""
 WITH keys AS (

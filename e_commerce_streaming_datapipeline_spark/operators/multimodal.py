@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -43,7 +44,9 @@ def as_assets(docs: DataFrame) -> DataFrame:
         F.struct(
             F.col("source").alias("origin"),
             F.col("lang").alias("lang"),
-            F.length(F.col("text")).alias("n_bytes_decl"),
+            # BYTE length of the payload (length over the encoded binary),
+            # not the character count — they differ on any non-ASCII text
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes_decl"),
         ).alias("meta"),
     )
 
@@ -75,7 +78,7 @@ def q_multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.groupBy("modality").agg(
         F.count("*").alias("n_assets"),
         F.sum(F.length(F.col("payload"))).cast("long").alias("total_bytes"),
-        F.round(F.avg(F.length(F.col("payload"))), 2).alias("avg_bytes"),
+        fround(F.avg(F.length(F.col("payload"))), 2).alias("avg_bytes"),
         F.max(F.length(F.col("payload"))).alias("max_bytes"),
     )
 
@@ -94,18 +97,31 @@ def _pil_image_module():
         return None
 
 
-def _decode_fake(payload: bytes, modality: str) -> dict:
+def _decode_fake(payload: bytes | None, modality: str) -> dict:
     """Deterministic fake decode: pseudo-metadata from an md5 of the payload,
     reproducible across engines (the DuckDB oracles rebuild it from
-    ``md5(payload)`` hex)."""
-    digest = hashlib.md5(payload).digest()
+    ``md5(payload)`` hex).
+
+    A NULL payload (NULL-text document — in-domain per the edge fixture)
+    propagates NULL through every digest-derived field while literals stay
+    literal, exactly like the oracle's CASE arithmetic (64 + NULL*4 is NULL,
+    the constant 1 is still 1)."""
+    if payload is None:
+        d0 = d1 = d2 = d3 = None
+    else:
+        digest = hashlib.md5(payload).digest()
+        d0, d1, d2, d3 = digest[0], digest[1], digest[2], digest[3]
+
+    def _maybe(base, x, mult):
+        return None if x is None else base + x * mult
+
     if modality == "image":
-        return {"width": 64 + digest[0] * 4, "height": 64 + digest[1] * 4, "frames": 1}
+        return {"width": _maybe(64, d0, 4), "height": _maybe(64, d1, 4), "frames": 1}
     if modality == "video":
-        return {"width": 64 + digest[0] * 4, "height": 64 + digest[1] * 4,
-                "frames": 1 + digest[2]}
+        return {"width": _maybe(64, d0, 4), "height": _maybe(64, d1, 4),
+                "frames": _maybe(1, d2, 1)}
     if modality == "audio":
-        return {"width": 0, "height": 0, "frames": 1 + digest[3] * 100}
+        return {"width": 0, "height": 0, "frames": _maybe(1, d3, 100)}
     return {"width": 0, "height": 0, "frames": 0}
 
 
@@ -123,6 +139,8 @@ def decode_asset_bytes(payload: bytes, modality: str) -> dict:
     schema is identical either way (asserted in tests/test_multimodal.py).
     Video has no stdlib codec — it always uses the fake until ffmpeg/pyav
     is present (same dispatch seam)."""
+    if payload is None:
+        return _decode_fake(None, modality)
     raw = bytes(payload)
     if modality == "image" and raw.startswith(_IMAGE_MAGIC):
         image_mod = _pil_image_module()
@@ -161,7 +179,7 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
                 "width": [m["width"] for m in meta],
                 "height": [m["height"] for m in meta],
                 "frames": [m["frames"] for m in meta],
@@ -260,16 +278,39 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [decode_asset_bytes(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
-            w = np.array([m["width"] for m in meta], dtype="int64")
-            h = np.array([m["height"] for m in meta], dtype="int64")
-            scale = float(RESIZE_TARGET) / np.maximum(w, h)
+            has_null = any(m["width"] is None for m in meta)
+            if not has_null:
+                w = np.array([m["width"] for m in meta], dtype="int64")
+                h = np.array([m["height"] for m in meta], dtype="int64")
+                scale = float(RESIZE_TARGET) / np.maximum(w, h)
+                ow = np.maximum(1, np.floor(w * scale)).astype("int64")
+                oh = np.maximum(1, np.floor(h * scale)).astype("int64")
+                w_col, h_col, ow_col, oh_col = w, h, ow, oh
+            else:
+                # NULL-payload rows: width/height stay NULL; the out dims
+                # follow the oracle's greatest(1, NULL) -> 1 (DuckDB greatest
+                # ignores NULL arguments)
+                import math as _math
+
+                w_col, h_col, ow_col, oh_col = [], [], [], []
+                for m in meta:
+                    wv, hv = m["width"], m["height"]
+                    w_col.append(wv)
+                    h_col.append(hv)
+                    if wv is None or hv is None:
+                        ow_col.append(1)
+                        oh_col.append(1)
+                    else:
+                        s = float(RESIZE_TARGET) / max(wv, hv)
+                        ow_col.append(max(1, _math.floor(wv * s)))
+                        oh_col.append(max(1, _math.floor(hv * s)))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "modality": pdf["modality"],
-                "width": w,
-                "height": h,
-                "out_width": np.maximum(1, np.floor(w * scale)).astype("int64"),
-                "out_height": np.maximum(1, np.floor(h * scale)).astype("int64"),
+                "width": w_col,
+                "height": h_col,
+                "out_width": ow_col,
+                "out_height": oh_col,
             })
 
     return assets.mapInPandas(
@@ -319,12 +360,20 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 decode_asset_bytes(p, m)["frames"]
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
-            sampled = [list(range(0, n, FRAME_STEP)) for n in frames]
+            # NULL frames (NULL payload) -> NULL sample columns, matching the
+            # oracle's generate_series(0, NULL - 1, step) -> NULL
+            sampled = [
+                None if n is None else list(range(0, n, FRAME_STEP)) for n in frames
+            ]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
-                "frames": pd.Series(frames, dtype="int64"),
-                "sampled_frames": [",".join(map(str, s)) for s in sampled],
-                "n_sampled": pd.Series([len(s) for s in sampled], dtype="int32"),
+                "frames": pd.Series(frames, dtype="Int64"),
+                "sampled_frames": [
+                    None if s is None else ",".join(map(str, s)) for s in sampled
+                ],
+                "n_sampled": pd.Series(
+                    [None if s is None else len(s) for s in sampled], dtype="Int32"
+                ),
             })
 
     return assets.mapInPandas(
@@ -373,7 +422,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                [b / 255.0 for b in hashlib.md5(p).digest()[:4]] for p in pdf["payload"]
+                None if p is None else [b / 255.0 for b in hashlib.md5(p).digest()[:4]]
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -384,16 +434,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = assets.mapInPandas(
         extract, "asset_id long, modality string, features array<double>"
     )
+    # concat_ws never returns NULL (it skips null inputs) while the oracle's
+    # array_to_string over a NULL list IS NULL — gate explicitly
+    quantized = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("features"),
+            lambda x: F.round(x * 1000000).cast("long").cast("string"),
+        ),
+    )
     return vectors.select(
         "asset_id",
         "modality",
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("features"),
-                lambda x: F.round(x * 1000000).cast("long").cast("string"),
-            ),
-        ).alias("features_q6"),
+        F.when(F.col("features").isNull(), F.lit(None).cast("string"))
+        .otherwise(quantized)
+        .alias("features_q6"),
     )
 
 

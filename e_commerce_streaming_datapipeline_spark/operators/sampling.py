@@ -69,7 +69,7 @@ def q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = docs.where(hash_bucket(F.col("doc_id"), 100) < pct)
     return sampled.groupBy("lang").agg(
         F.count("*").alias("sampled_docs"),
-        (F.round(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
+        fround(F.avg("n_chars"), 2).alias("avg_chars"),
     )
 
 
@@ -143,7 +143,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 127.0 / F.greatest(absmax.cast("double"), F.lit(1e-12))
     return emb.select(
         "vec_id",
-        (F.round(scale * 10000) / 10000).alias("scale_4dp"),
+        fround(scale, 4).alias("scale_4dp"),
         F.concat_ws(
             ",",
             F.transform(

@@ -146,7 +146,13 @@ def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> Da
     tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
         existing.withColumn("__pri", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy("__pri")
+    # full-row tiebreak after __pri: two update rows sharing a merge key
+    # (e.g. a micro-batch that re-emits a window before dedup) must resolve
+    # to ONE deterministic survivor, not whichever row_number saw first —
+    # Delta/Iceberg MERGE INTO raises on multiple matches; this picks the
+    # struct-order minimum instead, deterministically on any engine
+    value_cols = [c for c in updates.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy("__pri", *[F.col(c) for c in value_cols])
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

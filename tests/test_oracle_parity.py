@@ -37,7 +37,11 @@ def test_entry_contract(spark):
 
 
 _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chunks",
-                 "text_stats", "pii_redaction", "dedup_docs_exact"]
+                 "text_stats", "pii_redaction", "dedup_docs_exact",
+                 # NULL payload must flow through every Arrow kernel as NULL
+                 # metadata, not a bytes(None) crash (round-3 review)
+                 "multimodal_decode", "multimodal_asset_stats", "multimodal_resize",
+                 "multimodal_frame_sample", "multimodal_features", "multimodal_dedup"]
 
 
 @pytest.fixture(scope="module")
