@@ -21,13 +21,33 @@ from pyspark.sql import functions as F
 _KEY = "__scalar_join_k"
 
 
+_CHEAP_TYPES = {
+    "long", "integer", "short", "byte", "double", "float", "boolean",
+    "string", "date", "timestamp", "timestamp_ntz", "decimal",
+}
+
+
 def _const_key(df: DataFrame) -> Column:
     """A key that is always 1 but NOT constant-foldable: ``lit(1) = lit(1)``
     would fold to ``true`` and Catalyst would demote the join right back to
     a nested loop.  ``pmod(xxhash64(col), 1) + 1`` is data-dependent in form
     (so it survives ConstantFolding), deterministic, never null (xxhash64
-    hashes NULL to the seed), and costs one hash per row."""
-    return (F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(1)) + F.lit(1)).cast("int")
+    hashes NULL to the seed), and costs one hash per row.
+
+    The hashed column is the first CHEAP-typed one, not blindly column 0 —
+    xxhash64 over a document string or embedding array would pay a
+    full-value hash per row just to produce the constant, and MapType
+    columns cannot be hashed at all (AnalysisException)."""
+    for field in df.schema.fields:
+        if field.dataType.typeName() in _CHEAP_TYPES:
+            probe = F.col(field.name)
+            break
+    else:
+        if not df.columns:
+            raise ValueError("scalar_join requires at least one column on each side")
+        # exotic schema (all map/array/struct): hash a stringified prefix
+        probe = F.to_json(F.struct(F.col(df.columns[0])))
+    return (F.pmod(F.xxhash64(probe), F.lit(1)) + F.lit(1)).cast("int")
 
 
 def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:

@@ -18,6 +18,7 @@ explodes at 100 TB):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -74,12 +75,17 @@ def lint_plan(
                 "volume; use dedup-then-count)",
             )
         )
-    if ("collect_list" in plan or "collect_set" in plan) and "slice" not in plan:
+    # the slice must actually WRAP a collect (possibly through sort_array
+    # etc.) — a stray slice() elsewhere in the plan, or a column merely named
+    # *slice*, must not silence the rule for an unrelated unbounded collect
+    has_collect = re.search(r"collect_(?:list|set)", plan)
+    bounded = re.search(r"slice\((?:[a-z_]+\()*collect_(?:list|set)", plan)
+    if has_collect and not bounded:
         findings.append(
             Finding(
                 "unbounded-collect",
-                "collect_list/collect_set without a bounding slice in the "
-                "same plan (unbounded per-group arrays)",
+                "collect_list/collect_set not wrapped by a bounding slice "
+                "(unbounded per-group arrays)",
             )
         )
     return findings

@@ -138,6 +138,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            # overwriting silently would swap a proof query's builder+oracle
+            # out from under the driver's hash-checked window with no signal
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
         return fn
 

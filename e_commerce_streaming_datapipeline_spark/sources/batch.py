@@ -41,7 +41,7 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
     return out
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -55,7 +55,10 @@ def _ship_package(spark: SparkSession) -> None:
     reaches workers through SparkFiles, so it works however the session was
     built.  Idempotent per (process, SparkContext)."""
     sc = spark.sparkContext
-    key = id(sc)
+    # keyed on applicationId, NOT id(sc): CPython recycles object addresses,
+    # so after a context is stopped and freed a NEW context can reuse the
+    # address and silently skip the addPyFile it needs
+    key = sc.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     import tempfile

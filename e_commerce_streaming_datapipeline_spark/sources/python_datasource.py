@@ -156,7 +156,45 @@ class _StagedFile(WriterCommitMessage):
     rows: int
 
 
-class EcommerceJsonlWriter(DataSourceWriter):
+class _JsonlStagingMixin:
+    """The staging half shared by the batch and stream writers — one
+    definition of the file contract, so a fix (e.g. the None-message guard)
+    cannot land in one writer and miss the other.
+
+    Single-shared-filesystem commit: tasks stage and the driver publishes on
+    ONE posix filesystem (true in this local-mode harness; a multi-node
+    deployment swaps ``os.replace`` for an object-store manifest-only
+    publish — the manifest already carries everything a reader needs)."""
+
+    path: str
+
+    def _stage_partition(self, iterator) -> _StagedFile:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StagedFile(staged_path=fname, rows=n)
+
+    @staticmethod
+    def _remove_staged(messages) -> None:
+        for m in messages:
+            if m is None:
+                # pyspark contract: a FAILED task's commit message is None,
+                # and abort only runs when something failed — without this
+                # guard the abort itself dies on AttributeError and leaks
+                # every other task's staged file
+                continue
+            try:
+                os.remove(m.staged_path)
+            except OSError:
+                pass
+
+
+class EcommerceJsonlWriter(_JsonlStagingMixin, DataSourceWriter):
     """Executor half of the commit protocol: each task writes its partition
     to ``<path>/_staging/<uuid>.jsonl`` and returns the staged filename as
     its commit message.  Nothing under ``<path>`` outside ``_staging`` is
@@ -172,23 +210,34 @@ class EcommerceJsonlWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _StagedFile:
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(fname, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _StagedFile(staged_path=fname, rows=n)
+        return self._stage_partition(iterator)
 
     def commit(self, messages) -> None:
         """Driver-side atomic publish: rename every staged file into the
         target dir, then write the ``_MANIFEST`` naming exactly the
         committed files + row counts.  Readers trust only the manifest, so
         a crash between renames publishes nothing (no manifest) and a
-        re-run republishes idempotently."""
-        published = []
+        re-run republishes idempotently.
+
+        Save-mode semantics against a prior manifest: ``append`` MERGES the
+        prior file list (clobbering it would silently unpublish every
+        previously committed row); ``overwrite`` deletes the prior data
+        files before publishing (or they would sit on disk unreferenced
+        forever)."""
+        manifest_path = os.path.join(self.path, "_MANIFEST")
+        prior = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                prior_manifest = json.load(f)
+            if self.overwrite:
+                for p in prior_manifest["files"]:
+                    try:
+                        os.remove(os.path.join(self.path, p["file"]))
+                    except OSError:
+                        pass
+            else:
+                prior = prior_manifest["files"]
+        published = list(prior)
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.staged_path))
             os.replace(m.staged_path, final)
@@ -197,15 +246,11 @@ class EcommerceJsonlWriter(DataSourceWriter):
             "files": sorted(published, key=lambda p: p["file"]),
             "total_rows": sum(p["rows"] for p in published),
         }
-        with open(os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8") as f:
+        with open(manifest_path, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            try:
-                os.remove(m.staged_path)
-            except OSError:
-                pass
+        self._remove_staged(messages)
 
 
 class EcommerceJsonlSink(DataSource):
@@ -247,15 +292,16 @@ def read_manifest_files(path: str) -> tuple[list[str], int]:
 from pyspark.sql.datasource import DataSourceStreamWriter
 
 
-class EcommerceJsonlStreamWriter(DataSourceStreamWriter):
+class EcommerceJsonlStreamWriter(_JsonlStagingMixin, DataSourceStreamWriter):
     """Streaming half of the sink: same staging contract as the batch
     writer, but the driver commit is PER MICRO-BATCH and idempotent on
     batchId — the manifest for epoch N is written once at
-    ``_MANIFEST-<N>``; a replayed epoch (restart re-running the last
-    uncommitted batch) overwrites its own staged output and re-publishes
-    the same manifest name, so downstream readers never observe a
-    duplicated epoch.  This is the exactly-once recipe for sinks without
-    transactions: idempotent per-epoch publish keyed on batchId."""
+    ``_MANIFEST-<N>``, and committing an epoch removes any
+    ``epoch-<N>-*`` data files a crashed earlier attempt of the SAME epoch
+    left behind, so neither manifest-trusting readers nor naive globbers
+    ever observe a duplicated epoch.  This is the exactly-once recipe for
+    sinks without transactions: idempotent per-epoch publish keyed on
+    batchId."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -263,15 +309,7 @@ class EcommerceJsonlStreamWriter(DataSourceStreamWriter):
             raise ValueError("ecommerce_jsonl stream writer requires option 'path'")
 
     def write(self, iterator) -> _StagedFile:
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
-        n = 0
-        with open(fname, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _StagedFile(staged_path=fname, rows=n)
+        return self._stage_partition(iterator)
 
     def commit(self, messages, batchId: int) -> None:
         published = []
@@ -283,6 +321,15 @@ class EcommerceJsonlStreamWriter(DataSourceStreamWriter):
             )
             os.replace(m.staged_path, final)
             published.append({"file": os.path.basename(final), "rows": m.rows})
+        kept = {p["file"] for p in published}
+        # replayed epoch: sweep the crashed attempt's uuid-named files so the
+        # directory never holds two copies of epoch N's data
+        for fname in os.listdir(self.path):
+            if fname.startswith(f"epoch-{batchId}-") and fname not in kept:
+                try:
+                    os.remove(os.path.join(self.path, fname))
+                except OSError:
+                    pass
         manifest = {
             "batch_id": batchId,
             "files": sorted(published, key=lambda p: p["file"]),
@@ -294,10 +341,4 @@ class EcommerceJsonlStreamWriter(DataSourceStreamWriter):
             json.dump(manifest, f)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            try:
-                os.remove(m.staged_path)
-            except OSError:
-                pass
+        self._remove_staged(messages)
