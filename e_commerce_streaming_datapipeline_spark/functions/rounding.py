@@ -31,3 +31,25 @@ def cents_sum_double(col: Column) -> Column:
         F.sum(F.round(F.coalesce(col, F.lit(0.0)) * 100, 0).cast("long")).cast("double")
         / 100
     )
+
+
+def cents(col: Column) -> Column:
+    """Scaled-long cents of a 2dp money value — exact integer representation."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def cents_sum(col: Column) -> Column:
+    """Exact order-independent money sum: scaled-long cents, to be divided
+    back to currency once at the edge.  The one definition the TPC-H-shape
+    modules share (was two private copies)."""
+    return F.sum(cents(col))
+
+
+def decimal_avg(col: Column, count_expr: Column) -> Column:
+    """Exact-decimal mean: sum as DECIMAL(18,2) (exact), cast once to
+    double, divide by the given count — both engines then divide the
+    IDENTICAL double, where a plain double avg can land a knife-edge
+    half-cent whose rounding depends on engine-specific summation order.
+    Callers wrap with ``fround``.  One definition shared by the GMV,
+    payment-metrics and payment-rollup aggregate sets."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double") / count_expr

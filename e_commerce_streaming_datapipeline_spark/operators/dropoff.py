@@ -41,26 +41,36 @@ from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 ALERT_THRESHOLD = 10
 
 
-def dropoff_analysis(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+def dropoff_analysis(
+    events: DataFrame, duration: str = "1 hour", include_samples: bool = True
+) -> DataFrame:
+    """``include_samples=False`` skips the top-3 sample branch entirely —
+    consumers that drop sample_event_ids (active_alerts) would otherwise
+    still pay its WindowGroupLimit pass, collect_list, and join: the
+    1:1-by-construction join is invisible to column pruning, so Catalyst
+    cannot eliminate the branch on their behalf."""
     base = tumbling_window(events, "ts", duration)
     per_status = base.groupBy("window_start", "window_end", "event_type").agg(
         F.count("*").alias("dropped_events"),
         F.count_distinct(F.col("user_id")).alias("unique_users_affected"),
     )
-    # bounded top-3 sample: WindowGroupLimit caps each map task at 3 rows per
-    # group before the shuffle (see module docstring)
-    wtop = Window.partitionBy("window_start", "event_type").orderBy("eid")
-    samples = (
-        base.select("window_start", "event_type", F.col("event_id").cast("string").alias("eid"))
-        .withColumn("__rn", F.row_number().over(wtop))
-        .where(F.col("__rn") <= 3)
-        .groupBy("window_start", "event_type")
-        .agg(F.array_sort(F.collect_list("eid")).alias("sample_event_ids"))
-    )
+    if include_samples:
+        # bounded top-3 sample: WindowGroupLimit caps each map task at 3 rows
+        # per group before the shuffle (see module docstring)
+        wtop = Window.partitionBy("window_start", "event_type").orderBy("eid")
+        samples = (
+            base.select(
+                "window_start", "event_type", F.col("event_id").cast("string").alias("eid")
+            )
+            .withColumn("__rn", F.row_number().over(wtop))
+            .where(F.col("__rn") <= 3)
+            .groupBy("window_start", "event_type")
+            .agg(F.array_sort(F.collect_list("eid")).alias("sample_event_ids"))
+        )
+        per_status = per_status.join(samples, ["window_start", "event_type"])
     over_window = Window.partitionBy("window_start")
-    return (
-        per_status.join(samples, ["window_start", "event_type"])
-        .withColumn("window_total", F.sum("dropped_events").over(over_window))
+    out = (
+        per_status.withColumn("window_total", F.sum("dropped_events").over(over_window))
         .where(F.col("event_type").isin(*EVENT_DROPOFF_TYPES))
         .select(
             "window_start",
@@ -70,11 +80,18 @@ def dropoff_analysis(events: DataFrame, duration: str = "1 hour") -> DataFrame:
             "unique_users_affected",
             fround(F.col("dropped_events") / F.col("window_total") * 100, 2).alias("drop_rate"),
             (F.col("dropped_events") > ALERT_THRESHOLD).alias("alert_triggered"),
-            # comma-joined string, not ArrayType: array columns are not
-            # hashable by pandas-based result canonicalizers downstream
-            F.concat_ws(",", "sample_event_ids").alias("sample_event_ids"),
+            *(
+                [
+                    # comma-joined string, not ArrayType: array columns are not
+                    # hashable by pandas-based result canonicalizers downstream
+                    F.concat_ws(",", "sample_event_ids").alias("sample_event_ids")
+                ]
+                if include_samples
+                else []
+            ),
         )
     )
+    return out
 
 
 _DROPOFF_ORACLE = f"""

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.rounding import decimal_avg, fround
 
 from e_commerce_streaming_datapipeline_spark.functions.windows import sliding_window, tumbling_window
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -46,7 +46,7 @@ def gmv_aggs(include_distinct: bool = True):
     if include_distinct:
         aggs.append(F.count_distinct(F.col("user_id")).alias("unique_buyers"))
     aggs += [
-        fround(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 2)
+        fround(decimal_avg(F.col("value"), F.count("value")), 2)
         .alias("avg_item_price"),
         fround(F.max("value"), 2).alias("max_item_price"),
         fround(F.min("value"), 2).alias("min_item_price"),

@@ -258,7 +258,11 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
     l.l_orderkey                                       AS orderkey,
-    round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue,
+    -- scaled-long fixed point: the 4dp summands land on exact half-cents
+    -- where a double sum's addition order flips the rounding (see
+    -- order_details)
+    round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+               AS DOUBLE) / 10000.0 * 100) / 100 AS revenue,
     o.o_orderdate                                      AS orderdate,
     o.o_orderpriority                                  AS priority
 FROM customer c
@@ -304,9 +308,19 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # scaled-long fixed point (order_details discipline): at sf0.1,
+            # 132 groups under these filters sum to an exact half-cent and
+            # ~1/6 of them round differently under permuted addition order —
+            # a live cross-engine hash flake on a plain double sum
+            fround(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("orderkey"))
         .limit(10)
@@ -318,7 +332,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, count(*) AS n_orders, round(min(o_totalprice), 2) AS min_price
 FROM orders
-WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+-- exact-cents average: identical integer sum and identical division
+-- sequence on both engines, so no ulp gap a boundary order can fall into
+WHERE o_totalprice > (
+    SELECT CAST(sum(round(o_totalprice * 100)::BIGINT) AS DOUBLE) / 100 / count(*)
+    FROM orders)
 GROUP BY 1
 """,
 )
@@ -328,7 +346,16 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated once and injected as a literal — the fact is scanned twice but
     filtered in one pass, never nested-loop re-evaluated per row."""
     orders = load_table(spark, "orders", sf_dir)
-    spark_avg = orders.select(F.avg("o_totalprice").alias("a"))
+    # exact threshold: cents sum (exact long) divided identically to the
+    # oracle — a float F.avg's engine-specific summation order could put the
+    # cut inside an ulp gap a real order price falls into
+    spark_avg = orders.select(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100
+            / F.count("*")
+        ).alias("a")
+    )
     return (
         scalar_join(orders, spark_avg)
         .where(F.col("o_totalprice") > F.col("a"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.rounding import decimal_avg, fround
 
 from e_commerce_streaming_datapipeline_spark.functions.windows import safe_rate, tumbling_window
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -48,11 +48,8 @@ def payment_metrics(events: DataFrame, duration: str = "1 hour") -> DataFrame:
             F.count("*").alias("transaction_count"),
             F.count_distinct(F.col("user_id")).alias("unique_users"),
             fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_payment_value"),
-            # decimal-sum/count avg: see operators/gmv.py determinism note
             fround(
-                F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
-                .cast("double") / F.count("*"),
-                2,
+                decimal_avg(F.coalesce(F.col("value"), F.lit(0.0)), F.count("*")), 2
             ).alias("avg_payment_value"),
             F.sum(F.when(success, 1).otherwise(0)).alias("successful_payments"),
             F.sum(F.when(~success, 1).otherwise(0)).alias("failed_payments"),
@@ -72,7 +69,7 @@ WITH typed AS (
         *,
         CAST(props->>'$.k' AS BIGINT) AS props_k,
         ['credit_card', 'boleto', 'voucher', 'debit_card']
-            [(CAST(props->>'$.k' AS BIGINT) % 4) + 1] AS payment_type
+            [(((CAST(props->>'$.k' AS BIGINT) % 4) + 4) % 4) + 1] AS payment_type  -- positive mod, matching Spark's pmod for negative k
     FROM events
 )
 SELECT

@@ -34,12 +34,13 @@ from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
 
-def _cents_sum(col: F.Column) -> F.Column:
-    """Exact order-independent money sum: scaled-long cents."""
-    return F.sum(F.round(col * 100, 0).cast("long"))
+from e_commerce_streaming_datapipeline_spark.functions.rounding import (
+    cents_sum as _cents_sum,
+)
 
 
 def _revenue_cents() -> F.Column:
+    """Exact revenue sum in scaled-long 1/100 units (see rounding.cents_sum)."""
     return _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
 
 

@@ -44,16 +44,13 @@ from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
 
-def _cents(col: F.Column) -> F.Column:
-    return F.round(col * 100, 0).cast("long")
-
-
-def _cents_sum(col: F.Column) -> F.Column:
-    return F.sum(_cents(col))
-
-
-def _revenue_cents() -> F.Column:
-    return _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+from e_commerce_streaming_datapipeline_spark.functions.rounding import (
+    cents as _cents,
+    cents_sum as _cents_sum,
+)
+from e_commerce_streaming_datapipeline_spark.operators.tpch_shapes import (
+    _revenue_cents,
+)
 
 
 @query(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+from e_commerce_streaming_datapipeline_spark.functions.rounding import decimal_avg, fround
 
 from e_commerce_streaming_datapipeline_spark.operators.dropoff import dropoff_analysis
 from e_commerce_streaming_datapipeline_spark.operators.gmv import gmv_tumbling
@@ -56,7 +56,7 @@ def q_latest_gmv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH typed AS (
     SELECT *, ['credit_card', 'boleto', 'voucher', 'debit_card']
-        [(CAST(props->>'$.k' AS BIGINT) % 4) + 1] AS payment_type
+        [(((CAST(props->>'$.k' AS BIGINT) % 4) + 4) % 4) + 1] AS payment_type  -- positive mod, matching Spark's pmod for negative k
     FROM events
 )
 SELECT
@@ -80,9 +80,7 @@ def q_payment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("transactions"),
         fround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
         fround(
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
-            .cast("double") / F.count("*"),
-            2,
+            decimal_avg(F.coalesce(F.col("value"), F.lit(0.0)), F.count("*")), 2
         ).alias("avg_value"),
         F.count_distinct(F.col("user_id")).alias("unique_users"),
     )
@@ -127,7 +125,10 @@ def q_active_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     without retuning.  The mean is exact integer arithmetic (sum/count)
     broadcast as a 1-row relation, so the cut is bit-identical in DuckDB."""
     events = load_table(spark, "events", sf_dir)
-    per = dropoff_analysis(events, "1 hour").select(
+    # metrics-only: skipping the sample branch saves a WindowGroupLimit pass
+    # over all events, a collect_list, and a join whose output this view
+    # immediately discards
+    per = dropoff_analysis(events, "1 hour", include_samples=False).select(
         "window_start", "window_end", "drop_status",
         "dropped_events", "unique_users_affected", "drop_rate",
     )
