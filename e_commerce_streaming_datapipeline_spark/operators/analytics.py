@@ -1091,3 +1091,77 @@ def q_ansi_shared_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_ANSI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Frequent event-path n-grams (sequence mining)
+# --------------------------------------------------------------------------
+
+_PATH_N = 3
+_PATH_TOP_K = 15
+
+
+@query(
+    "event_path_ngrams",
+    oracle=f"""
+WITH paths AS (
+    SELECT string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
+               AS shape
+    FROM events GROUP BY user_id
+), grams AS (
+    SELECT substr(shape, i, {_PATH_N}) AS gram
+    FROM paths, LATERAL unnest(generate_series(1, len(shape) - {_PATH_N - 1})) AS t(i)
+    WHERE len(shape) >= {_PATH_N}
+)
+SELECT gram, count(*) AS n_paths
+FROM grams GROUP BY 1
+ORDER BY n_paths DESC, gram
+LIMIT {_PATH_TOP_K}
+""",
+)
+def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral path mining (PrefixSpan's contiguous little
+    sibling): every user's event sequence collapses to an ordered
+    initial-string and the corpus-wide top-{_PATH_TOP_K} {_PATH_N}-grams of
+    those paths are counted — the "what do users actually do around a
+    purchase" signal behind funnel redesign and bot fingerprinting.
+
+    Plan: ONE hash aggregation builds each user's path (sort_array over
+    collected (ts, id, initial) structs — the journey_shape_pairs idiom, no
+    per-event window), n-gram expansion is a row-local generator expression
+    over the path string, and the top-k is TakeOrdered (per-partition
+    heaps) after a gram-keyed partial-aggregated count.  The gram alphabet
+    is event-type initials, so cardinality is bounded (|types|^{_PATH_N})
+    and the count shuffle is tiny regardless of corpus size."""
+    events = load_table(spark, "events", sf_dir)
+    paths = (
+        events.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("event_id").alias("event_id"),
+                        F.substring("event_type", 1, 1).alias("ini"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws("", F.transform(F.col("evs"), lambda e: e["ini"])).alias("shape")
+        )
+    )
+    grams = paths.where(F.length("shape") >= _PATH_N).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("shape") - (_PATH_N - 1)),
+                lambda i: F.col("shape").substr(i, F.lit(_PATH_N)),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "gram")
+        .limit(_PATH_TOP_K)
+    )

@@ -1020,3 +1020,97 @@ def q_leakage_safe_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ML-prep: leave-one-out target encoding + k-fold assignment
+# --------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+WITH per AS (
+    SELECT lang, sum(n_chars) AS s, count(n_chars) AS c
+    FROM documents GROUP BY 1
+)
+SELECT
+    doc_id,
+    d.lang,
+    CASE WHEN c > 1 AND n_chars IS NOT NULL
+         THEN round(CAST(s - n_chars AS DOUBLE) / (c - 1) * 10000) / 10000
+         END AS lang_loo_mean_chars
+FROM documents d JOIN per USING (lang)
+""",
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the category-to-number feature
+    transform that replaces each row's category with the mean target of its
+    OTHER members: (group_sum - own) / (group_count - 1).  Subtracting the
+    row's own contribution is what prevents the target leakage a naive
+    group-mean join ships into training.
+
+    Exactness: sums and counts are integers, so the single double division
+    is bit-identical cross-engine; singleton groups (and NULL targets)
+    encode as NULL rather than a divide-by-zero or a leaked self-mean.
+
+    Scale: one partial-aggregated groupBy over the category (|categories|
+    rows) broadcast back onto the corpus — the fact never shuffles; the
+    same shape holds for any (categorical, numeric target) pair at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    per = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("s"), F.count("n_chars").alias("c")
+    )
+    return docs.join(F.broadcast(per), "lang").select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("c") > 1) & F.col("n_chars").isNotNull(),
+            fround(
+                (F.col("s") - F.col("n_chars")).cast("double") / (F.col("c") - 1), 4
+            ),
+        ).alias("lang_loo_mean_chars"),
+    )
+
+
+@query(
+    "kfold_assignment",
+    oracle=f"""
+WITH folded AS (
+    SELECT (doc_id * 2654435761) % 4294967296 % {_KFOLDS} AS fold, lang, n_chars
+    FROM documents
+)
+SELECT
+    fold,
+    count(*)                         AS n_docs,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+    round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 100) / 100 AS mean_chars
+FROM folded
+GROUP BY 1
+""",
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: the multiplicative
+    hash buckets every document into one of {_KFOLDS} folds — reproducible
+    on any engine and STABLE UNDER APPEND (a grown corpus keeps every
+    existing row's fold, unlike randomSplit whose assignment depends on
+    partition layout), with per-fold balance stats as the audit output.
+
+    Row-local fold math, one small groupBy — the fold column itself is the
+    export; the stats relation is k rows at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            hash_bucket(F.col("doc_id"), _KFOLDS).alias("fold"), "lang", "n_chars"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            fround(F.sum("n_chars").cast("double") / F.count("n_chars"), 2).alias(
+                "mean_chars"
+            ),
+        )
+    )

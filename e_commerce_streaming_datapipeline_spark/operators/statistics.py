@@ -2029,3 +2029,85 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     return monthly_quantiles_from_day_bins(day_bins)
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (exact-integer)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_cusum_changepoints",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), tot AS (
+    SELECT sum(cents) AS t_cents, count(*) AS n_days FROM daily
+), dev AS (
+    SELECT day_num, cents,
+           sum(cents * n_days - t_cents) OVER (
+               ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           n_days, t_cents
+    FROM daily, tot
+), cusum AS (
+    SELECT *,
+           cum - least(0, min(cum) OVER (
+               ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS s_scaled
+    FROM dev
+)
+SELECT
+    day_num,
+    CAST(cents AS DOUBLE) / 100                          AS revenue,
+    round(CAST(s_scaled AS DOUBLE) / n_days / 100 * 100) / 100 AS cusum_excess,
+    4 * s_scaled > t_cents                               AS changepoint
+FROM cusum
+""",
+)
+def q_revenue_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward CUSUM changepoint detection on the daily revenue series —
+    the sequential level-shift detector (a sustained demand jump an
+    isolated-day z-score like `revenue_anomaly_days` cannot see, because
+    each day individually stays inside 2 sigma).
+
+    The textbook recurrence s_i = max(0, s_{i-1} + (x_i - mean)) is not
+    windowable, but it UNROLLS: s_i = cum_i - min(0, running_min(cum_i))
+    where cum is the running sum of deviations — two ordered window passes,
+    no fold.  All state stays INTEGER: deviations are scaled by n
+    (n*x_i - T, cents x days), so the running sums, the running min, and
+    the changepoint comparison (4*s_scaled > T: CUSUM excess above a
+    quarter of the mean daily revenue, in the shared scaled units — a
+    relative threshold, so it discriminates at every fixture size instead
+    of needing a tuned absolute cut) are exact cross-engine; doubles appear
+    only in the displayed columns, divided identically on both engines.
+
+    Scale: the windows run over the DAILY aggregate (#days rows — tiny at
+    any corpus size; the corpus-sized work is the same one rollup every
+    revenue query shares), so the single-partition ordered pass is over
+    ~365 rows/year, not events."""
+    events = load_table(spark, "events", sf_dir)
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    tot = daily.agg(F.sum("cents").alias("t_cents"), F.count("*").alias("n_days"))
+    run = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        scalar_join(daily, tot)
+        .withColumn("cum", F.sum(F.col("cents") * F.col("n_days") - F.col("t_cents")).over(run))
+        .withColumn(
+            "s_scaled",
+            F.col("cum") - F.least(F.lit(0).cast("long"), F.min("cum").over(run)),
+        )
+    )
+    return d.select(
+        "day_num",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        fround(F.col("s_scaled").cast("double") / F.col("n_days") / 100, 2).alias(
+            "cusum_excess"
+        ),
+        (4 * F.col("s_scaled") > F.col("t_cents")).alias("changepoint"),
+    )
