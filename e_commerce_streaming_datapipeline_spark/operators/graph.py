@@ -243,3 +243,63 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(_COPURCHASE_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive-CTE BFS reachability (Spark 4 WITH RECURSIVE surface)
+# --------------------------------------------------------------------------
+
+_REACHABILITY_SQL = """
+WITH RECURSIVE ps AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem WHERE l_quantity >= 49
+), edges AS (
+    SELECT a.sk AS u, b.sk AS v
+    FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk
+    GROUP BY 1, 2
+), seed AS (
+    SELECT min(u) AS s FROM edges
+), walk(node, depth) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT e.v, w.depth + 1
+    FROM walk w JOIN edges e ON e.u = w.node
+    WHERE w.depth < 3
+)
+SELECT node AS suppkey,
+       CAST(min(depth) AS BIGINT) AS hops,
+       CAST(count(*) AS BIGINT)   AS n_walks
+FROM walk
+GROUP BY node
+ORDER BY suppkey
+"""
+
+
+@query("recursive_reachability", oracle=_REACHABILITY_SQL)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE graph traversal (``WITH RECURSIVE``, new SQL surface
+    in Spark 4): breadth-first walk of the supplier co-part graph (same
+    selective edge rule as ``supplier_triangles``) from the minimum-key
+    supplier, bounded at 3 hops; per reached supplier, the minimum hop
+    count and the number of distinct ≤3-hop walks arriving there.  The
+    iterate-until-frontier-empty shape behind org-chart rollups,
+    bill-of-materials explosions, and category-tree traversals — expressed
+    in pure SQL instead of a driver-side loop.
+
+    Shared-dialect discipline (the `ansi_shared_sql_revenue` pattern): the
+    SAME SQL text is submitted to Spark and to the DuckDB oracle — the
+    recursion semantics themselves are what's being parity-checked, and
+    every value is integer arithmetic so the match is exact.
+
+    Scale: the recursion is UNION ALL with an explicit depth bound, so each
+    step is one equi-join of the frontier against the edge list — a plan
+    Catalyst shuffles on the join key like any other join; walk count grows
+    as deg^depth, which the depth bound caps (and a production BFS over a
+    hub-skewed graph would switch to per-level ``min(depth)`` dedup — the
+    UNION-distinct form — to keep frontiers linear in nodes).  The edge
+    build (the only corpus-sized stage) is the triangle census's bounded
+    per-part pair expansion, computed once before recursion starts."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACHABILITY_SQL)
