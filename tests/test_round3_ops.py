@@ -236,3 +236,113 @@ class TestLintCatchesBadPlans:
         findings = lint_plan(agg)
         assert any(f.rule == "distinct-expand" for f in findings), findings
         assert not lint_plan(agg, allow_expand=True)
+
+
+class TestLateRound3Queries:
+    """Pins for the late-round-3 additions: CUSUM's unrolled recurrence,
+    the n-gram miner's top-k plan, LOO encoding's broadcast + singleton
+    semantics, k-fold append stability, and the recursive-CTE BFS."""
+
+    def test_cusum_matches_textbook_recurrence(self, spark, sf_dir):
+        """The windowed form (cum - min(0, running_min(cum))) must equal the
+        textbook fold s_i = max(0, s_{i-1} + dev_i) — recomputed here in
+        exact scaled-integer arithmetic."""
+        from e_commerce_streaming_datapipeline_spark.operators.statistics import (
+            q_revenue_cusum_changepoints,
+        )
+
+        rows = sorted(
+            q_revenue_cusum_changepoints(spark, sf_dir).collect(),
+            key=lambda r: r.day_num,
+        )
+        cents = [round(r.revenue * 100) for r in rows]
+        n, t = len(cents), sum(cents)
+        s = 0
+        for r, c in zip(rows, cents):
+            s = max(0, s + (c * n - t))  # scaled by n: stays integer
+            assert r.cusum_excess == round(s / n / 100, 2)
+            assert r.changepoint == (4 * s > t)
+        assert any(r.changepoint for r in rows) and not all(
+            r.changepoint for r in rows
+        ), "threshold should discriminate on the fixture"
+
+    def test_event_path_ngrams_plans_takeordered(self, spark, sf_dir):
+        """Top-k must be TakeOrderedAndProject (per-partition heaps), not a
+        global sort; the path build must be ONE aggregation (no per-event
+        window pass)."""
+        from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+            q_event_path_ngrams,
+        )
+
+        df = q_event_path_ngrams(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        out = df.collect()
+        assert 0 < len(out) <= 15
+        assert all(len(r.gram) == 3 for r in out)
+        # descending count, gram-lexicographic tiebreak
+        keys = [(-r.n_paths, r.gram) for r in out]
+        assert keys == sorted(keys)
+
+    def test_target_encoding_loo_broadcast_and_singletons(self, spark, sf_dir):
+        """Group stats attach via broadcast hash join (fact never shuffles),
+        and a singleton category encodes as NULL, not a leaked self-mean."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.curation import (
+            q_target_encoding_loo,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        df = q_target_encoding_loo(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+        singleton = docs.withColumn("lang", F.concat(F.lit("solo_"), F.col("doc_id")))
+        singleton.createOrReplaceTempView("_loo_singletons")
+        per = singleton.groupBy("lang").agg(
+            F.sum("n_chars").alias("s"), F.count("n_chars").alias("c")
+        )
+        enc = singleton.join(per, "lang").select(
+            F.when((F.col("c") > 1) & F.col("n_chars").isNotNull(), F.lit(0.0)).alias("e")
+        )
+        assert enc.where(F.col("e").isNotNull()).count() == 0
+
+    def test_kfold_assignment_is_append_stable(self, spark, sf_dir):
+        """A document's fold depends only on its id — appending rows must
+        not move any existing assignment (the property randomSplit lacks)."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        docs = load_table(spark, "documents", sf_dir).select("doc_id")
+        full = docs.select("doc_id", hash_bucket(F.col("doc_id"), 5).alias("fold"))
+        subset = docs.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", hash_bucket(F.col("doc_id"), 5).alias("fold")
+        )
+        moved = subset.alias("s").join(full.alias("f"), "doc_id").where(
+            F.col("s.fold") != F.col("f.fold")
+        )
+        assert moved.count() == 0
+        folds = {r.fold for r in full.select("fold").distinct().collect()}
+        assert folds <= set(range(5))
+
+    def test_recursive_reachability_unionloop_and_bfs_invariants(self, spark, sf_dir):
+        """The plan must carry Spark 4's recursive-CTE execution node, the
+        seed must sit at hop 0, and hop counts stay within the depth bound."""
+        from e_commerce_streaming_datapipeline_spark.operators.graph import (
+            q_recursive_reachability,
+        )
+
+        df = q_recursive_reachability(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "UnionLoop" in plan
+        rows = df.collect()
+        seeds = [r for r in rows if r.hops == 0]
+        # the edge list is symmetric, so min(u) (the seed rule) == min node
+        assert len(seeds) == 1
+        assert seeds[0].suppkey == min(r.suppkey for r in rows)
+        assert all(0 <= r.hops <= 3 and r.n_walks >= 1 for r in rows)
