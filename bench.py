@@ -99,6 +99,9 @@ EXTENDED_R3 = [
     "observed_quality_metrics",  # observe() counters riding the main pass
     "jdbc_upsert_roundtrip",  # live Derby MERGE stage+merge+replay+readback
     "lambda_unified_gmv",     # batch layer UNION real streaming speed layer
+    "revenue_cusum_changepoints",  # exact-integer CUSUM over the daily rollup
+    "event_path_ngrams",      # behavioral path mining (1 agg + TakeOrdered)
+    "recursive_reachability", # WITH RECURSIVE BFS (UnionLoop iterate)
 ]
 
 
