@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.statistics",
     "e_commerce_streaming_datapipeline_spark.operators.layout",
     "e_commerce_streaming_datapipeline_spark.operators.graph",
+    "e_commerce_streaming_datapipeline_spark.operators.segmentation",
 ]
 
 

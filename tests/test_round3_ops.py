@@ -346,3 +346,86 @@ class TestLateRound3Queries:
         assert len(seeds) == 1
         assert seeds[0].suppkey == min(r.suppkey for r in rows)
         assert all(0 <= r.hops <= 3 and r.n_walks >= 1 for r in rows)
+
+
+class TestSegmentationQueries:
+    """Semantic pins for the segmentation module (RFM, Pareto deciles,
+    inter-purchase survival): invariants that must hold on ANY fixture, plus
+    plan shapes (scalar anchors broadcast; the lag window stays partitioned)."""
+
+    def test_rfm_segment_grid_is_exhaustive_and_conserves_customers(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.segmentation import (
+            q_rfm_segments,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_rfm_segments(spark, sf_dir).collect()
+        # scores stay in 1..4 and every customer lands in exactly one cell
+        assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+                   for r in rows)
+        n_cust = (
+            load_table(spark, "orders", sf_dir)
+            .select("o_custkey").distinct().count()
+        )
+        assert sum(r.customers for r in rows) == n_cust
+        # NTILE quartiles are balanced per axis: each axis's marginal is
+        # n_cust/4 +/- 1 ... exactly floor/ceil of n/4
+        per_r = {}
+        for r in rows:
+            per_r[r.r_score] = per_r.get(r.r_score, 0) + r.customers
+        assert set(per_r) == {1, 2, 3, 4}
+        assert max(per_r.values()) - min(per_r.values()) <= 1
+        assert all(r.avg_recency_days >= 0 and r.total_revenue > 0 for r in rows)
+
+    def test_clv_pareto_monotone_and_sums_to_one(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.segmentation import (
+            q_clv_pareto_deciles,
+        )
+
+        rows = q_clv_pareto_deciles(spark, sf_dir).collect()
+        assert [r.decile for r in rows] == list(range(1, 11))
+        # decile 1 holds the top spenders: shares weakly decrease
+        shares = [r.revenue_share for r in rows]
+        assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+        cums = [r.cum_revenue_share for r in rows]
+        assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+        assert abs(cums[-1] - 1.0) < 1e-6
+        # concentration sanity: top decile out-earns the bottom decile
+        assert shares[0] > shares[-1]
+
+    def test_survival_curve_monotone_and_bounded(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.segmentation import (
+            q_interpurchase_survival,
+        )
+
+        rows = q_interpurchase_survival(spark, sf_dir).collect()
+        assert [r.threshold_days for r in rows] == [7, 30, 60, 90]
+        # one total, shared by every row; survival decreases with threshold
+        assert len({r.total_gaps for r in rows}) == 1
+        rates = [r.survival_rate for r in rows]
+        assert all(0.0 <= x <= 1.0 for x in rates)
+        assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+        assert all(r.surviving_gaps <= r.total_gaps for r in rows)
+
+    def test_segmentation_plan_shapes(self, spark, sf_dir):
+        """Anchor/total scalars attach via broadcast on a constant key (no
+        cartesian), the survival lag window is partitioned by custkey (never
+        single-partition), and the only global sorts are dim-sized NTILEs."""
+        from e_commerce_streaming_datapipeline_spark.operators.segmentation import (
+            q_interpurchase_survival,
+            q_rfm_segments,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        rfm = q_rfm_segments(spark, sf_dir)
+        assert lint_plan(rfm) == []
+        plan = rfm._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+        surv = q_interpurchase_survival(spark, sf_dir)
+        assert lint_plan(surv) == []
+        splan = surv._jdf.queryExecution().executedPlan().toString()
+        # the per-customer lag window keeps its partitioning key
+        assert "o_custkey" in splan
