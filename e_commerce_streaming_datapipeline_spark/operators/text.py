@@ -1080,3 +1080,160 @@ def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+_PMI_MIN_SUPPORT = 5
+_PMI_TOPK = 40
+
+
+@query(
+    "bigram_pmi_topk",
+    oracle=f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+), uni AS (
+    SELECT u.w AS w, count(*) AS c
+    FROM toks, unnest(t) AS u(w)
+    GROUP BY 1
+), n1 AS (
+    SELECT sum(c) AS n_tokens FROM uni
+), bi AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    GROUP BY 1, 2
+    HAVING count(*) >= {_PMI_MIN_SUPPORT}
+), n2 AS (
+    SELECT sum(c12) AS n_bigrams
+    FROM (
+        SELECT count(*) AS c12
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY t[i], t[i + 1]
+    )
+)
+SELECT w1, w2, c12, ca.c AS c1, cb.c AS c2,
+       round(CAST(c12 AS DOUBLE) * n_tokens * n_tokens / n_bigrams / ca.c / cb.c
+             * 10000) / 10000 AS pmi_lift
+FROM bi, n1, n2
+JOIN uni ca ON ca.w = w1
+JOIN uni cb ON cb.w = w2
+ORDER BY pmi_lift DESC, w1, w2
+LIMIT {_PMI_TOPK}
+""",
+)
+def q_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{k} adjacent-bigram PMI lift over the corpus
+    — P(w1,w2) / (P(w1)·P(w2)), the association measure behind phrase
+    vocabularies and tokenizer merge candidates.  Reported as the raw lift
+    ratio rather than its log: log() is not IEEE-correctly-rounded and its
+    last bits differ across engines, while this expression is only exact
+    integer counts fed through an identical multiply/divide chain — bit-equal
+    cross-engine, then fround'd.
+
+    Scale shape: bigram expansion is a narrow flatMap (no shuffle); both
+    count tables are token/vocab-keyed hash aggregates; the min-support
+    HAVING prunes the bigram relation BEFORE the unigram joins; unigram
+    counts broadcast (vocab-sized ≪ corpus-sized); the final top-k is
+    TakeOrdered.  The corpus-sized relation is scanned twice (bigram counts
+    and the n_bigrams total share the first aggregate in Spark via self-ref)
+    but never shuffled whole."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.split(F.col("text"), " ").alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n_tokens"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_all = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n2 = bi_all.agg(F.sum("c12").alias("n_bigrams"))
+    bi = bi_all.where(F.col("c12") >= _PMI_MIN_SUPPORT)
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = scalar_join(scalar_join(bi, n1), n2).join(
+        F.broadcast(ca), "w1"
+    ).join(F.broadcast(cb), "w2")
+    lift = (
+        F.col("c12").cast("double")
+        * F.col("n_tokens")
+        * F.col("n_tokens")
+        / F.col("n_bigrams")
+        / F.col("c1")
+        / F.col("c2")
+    )
+    return (
+        joined.select(
+            "w1", "w2", "c12", "c1", "c2", fround(lift, 4).alias("pmi_lift")
+        )
+        .orderBy(F.col("pmi_lift").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle="""
+WITH pred AS (
+    SELECT lang AS labeled_lang,
+           CASE
+               WHEN len(regexp_extract_all(text, '\\bthe\\b')) >= 2 THEN 'en'
+               WHEN len(regexp_extract_all(text, '\\b(a|of|and)\\b')) >= 1 THEN 'en-like'
+               ELSE 'und'
+           END AS predicted_lang
+    FROM documents
+), tot AS (
+    SELECT labeled_lang, count(*) AS label_total FROM pred GROUP BY 1
+)
+SELECT p.labeled_lang, p.predicted_lang, count(*) AS docs, t.label_total,
+       round(CAST(count(*) AS DOUBLE) / t.label_total * 10000) / 10000 AS rate
+FROM pred p JOIN tot t ON t.labeled_lang = p.labeled_lang
+GROUP BY 1, 2, 4
+ORDER BY 1, 2
+""",
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction confusion matrix for the stopword lang-ID
+    heuristic (`lang_id`): per (labeled, predicted) cell, doc count and the
+    per-label rate — the audit that decides whether a cheap classifier is
+    good enough to route documents at corpus scale.  Two hash aggregates +
+    one broadcast join on the label key (|labels| is tiny); rates divide
+    exact counts, identical cross-engine."""
+    docs = load_table(spark, "documents", sf_dir)
+    en_markers = F.regexp_count(F.col("text"), F.lit(r"\bthe\b"))
+    en_function = F.regexp_count(F.col("text"), F.lit(r"\b(a|of|and)\b"))
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_markers >= 2, "en")
+        .when(en_function >= 1, "en-like")
+        .otherwise("und")
+        .alias("predicted_lang"),
+    )
+    tot = pred.groupBy("labeled_lang").agg(F.count("*").alias("label_total"))
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("docs"))
+        .join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "docs",
+            "label_total",
+            fround(F.col("docs").cast("double") / F.col("label_total"), 4).alias(
+                "rate"
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

@@ -429,3 +429,77 @@ class TestSegmentationQueries:
         splan = surv._jdf.queryExecution().executedPlan().toString()
         # the per-customer lag window keeps its partitioning key
         assert "o_custkey" in splan
+
+
+class TestTextCollocationQueries:
+    """Pins for the PMI collocation and lang-ID confusion queries."""
+
+    def test_pmi_lift_definition_and_support_floor(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            _PMI_MIN_SUPPORT,
+            _PMI_TOPK,
+            q_bigram_pmi_topk,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_bigram_pmi_topk(spark, sf_dir).collect()
+        assert 0 < len(rows) <= _PMI_TOPK
+        assert all(r.c12 >= _PMI_MIN_SUPPORT for r in rows)
+        # lift recomputes from the row's own exact counts and the corpus
+        # totals — spot-check one row end to end
+        docs = (
+            load_table(spark, "documents", sf_dir)
+            .where(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("t"))
+            .where(F.size("t") >= 2)
+        )
+        n_tokens = docs.select(F.explode("t")).count()
+        n_bigrams = docs.select((F.size("t") - 1).alias("nb")).agg(F.sum("nb")).first()[0]
+        r = rows[0]
+        expect = r.c12 * n_tokens * n_tokens / n_bigrams / r.c1 / r.c2
+        assert abs(r.pmi_lift - expect) < 1e-3
+        # descending by lift with (w1, w2) tiebreaks
+        lifts = [r.pmi_lift for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+
+    def test_pmi_plan_bigrams_never_shuffle_whole_and_vocab_broadcasts(
+        self, spark, sf_dir
+    ):
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            q_bigram_pmi_topk,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = q_bigram_pmi_topk(spark, sf_dir)
+        assert lint_plan(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # unigram side attaches via broadcast; final top-k is TakeOrdered
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_lang_confusion_conserves_docs_and_rates_sum_to_one(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            q_lang_confusion_matrix,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_lang_confusion_matrix(spark, sf_dir).collect()
+        n_docs = load_table(spark, "documents", sf_dir).count()
+        assert sum(r.docs for r in rows) == n_docs
+        per_label: dict[str, float] = {}
+        per_label_docs: dict[str, int] = {}
+        for r in rows:
+            per_label[r.labeled_lang] = per_label.get(r.labeled_lang, 0.0) + r.rate
+            per_label_docs[r.labeled_lang] = (
+                per_label_docs.get(r.labeled_lang, 0) + r.docs
+            )
+            assert r.docs <= r.label_total
+        for lang, s in per_label.items():
+            assert abs(s - 1.0) < 1e-3, (lang, s)
+        # label_total really is the label's marginal
+        totals = {r.labeled_lang: r.label_total for r in rows}
+        assert totals == per_label_docs
