@@ -102,6 +102,9 @@ EXTENDED_R3 = [
     "revenue_cusum_changepoints",  # exact-integer CUSUM over the daily rollup
     "event_path_ngrams",      # behavioral path mining (1 agg + TakeOrdered)
     "recursive_reachability", # WITH RECURSIVE BFS (UnionLoop iterate)
+    "rfm_segments",           # RFM quartile grid (dim-sized NTILE windows)
+    "interpurchase_survival", # partitioned lag + one-pass threshold unpivot
+    "bigram_pmi_topk",        # collocation lift (flatMap + broadcast vocab)
 ]
 
 
