@@ -105,6 +105,7 @@ EXTENDED_R3 = [
     "rfm_segments",           # RFM quartile grid (dim-sized NTILE windows)
     "interpurchase_survival", # partitioned lag + one-pass threshold unpivot
     "bigram_pmi_topk",        # collocation lift (flatMap + broadcast vocab)
+    "incremental_minhash_dedup",  # batch probe vs stored LSH band index
 ]
 
 

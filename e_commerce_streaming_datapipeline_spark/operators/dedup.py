@@ -1145,3 +1145,70 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
         fround(F.col("n_hits") * 1.0 / F.col("n_truth_pairs"), 4).alias("recall"),
     )
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=f"""
+WITH {_MINHASH_VERIFIED_CTES}
+SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+       CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_index,
+       round(jaccard, 4) AS jaccard
+FROM verified
+WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+  AND jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_new, doc_index
+""",
+)
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: probe an arriving batch (doc_id % 10
+    == 0 plays the new micro-batch) against the already-indexed corpus (the
+    other 90%) — the shape a production ingest pipeline runs every batch,
+    where `incremental_dedup` (exact hashes) upgrades to MinHash+LSH.
+
+    Scale story: the index side's band signatures are computed once and
+    stored bucketed by (band, band_sig) — per batch only the NEW docs are
+    shingled/hashed (batch-sized, not corpus-sized), and candidate
+    generation is a bucket-key equi-join of a batch-sized probe against the
+    index, never a corpus self-join.  Exact-Jaccard verification then
+    touches only colliding pairs; both verification joins broadcast the
+    candidate-bounded side and probe the sharded shingle sets in place.
+    Intra-batch duplicates are the batch near-dup pass's job
+    (`minhash_near_dups`); this operator is the cross-index admission gate.
+
+    The fixture computes both sides' bands in one pass (same signatures the
+    stored index would hold — `minhash_bands` is deterministic), so the
+    oracle shares `_MINHASH_VERIFIED_CTES` and just restricts to pairs that
+    span the batch/index split."""
+    docs = load_table(spark, "documents", sf_dir)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sets = shingled_docs(docs).localCheckpoint()
+    bands = minhash_bands(docs, shingled=sets)
+    is_new = (F.col("doc_id") % 10) == 0
+    probe = bands.where(is_new).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_sig"
+    )
+    index = bands.where(~is_new).select(
+        F.col("doc_id").alias("doc_index"), "band", "band_sig"
+    )
+    candidates = (
+        probe.join(index, ["band", "band_sig"])
+        .select("doc_new", "doc_index")
+        .distinct()
+    )
+    sn = sets.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n"))
+    si = sets.select(
+        F.col("doc_id").alias("doc_index"), F.col("shingles").alias("sh_i")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_i")))
+    jaccard = inter / (F.size("sh_n") + F.size("sh_i") - inter)
+    with_n = sn.join(F.broadcast(candidates), "doc_new")
+    return (
+        si.join(F.broadcast(with_n), "doc_index")
+        .withColumn("__raw_j", jaccard)
+        .where(F.col("__raw_j") >= JACCARD_THRESHOLD)
+        .select("doc_new", "doc_index", fround(F.col("__raw_j"), 4).alias("jaccard"))
+        .orderBy("doc_new", "doc_index")
+    )

@@ -503,3 +503,42 @@ class TestTextCollocationQueries:
         # label_total really is the label's marginal
         totals = {r.labeled_lang: r.label_total for r in rows}
         assert totals == per_label_docs
+
+
+class TestIncrementalMinhashDedup:
+    """The cross-index admission gate: batch docs probe the index's band
+    buckets; results must agree with the full-corpus near-dup pass."""
+
+    def test_pairs_span_the_split_and_match_full_pass(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            q_incremental_minhash_dedup,
+            q_minhash_near_dups,
+        )
+
+        inc = q_incremental_minhash_dedup(spark, sf_dir).collect()
+        assert all(r.doc_new % 10 == 0 and r.doc_index % 10 != 0 for r in inc)
+        assert all(r.jaccard >= JACCARD_THRESHOLD - 5e-5 for r in inc)
+        # every incremental hit is exactly a full-pass near-dup pair that
+        # spans the split (as (min, max)), and vice versa
+        full = q_minhash_near_dups(spark, sf_dir).collect()
+        spanning = {
+            (max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b))
+            if r.doc_a % 10 != 0
+            else (r.doc_a, r.doc_b)
+            for r in full
+            if (r.doc_a % 10 == 0) != (r.doc_b % 10 == 0)
+        }
+        assert {(r.doc_new, r.doc_index) for r in inc} == spanning
+
+    def test_probe_is_bucket_equi_join_not_self_join(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+            q_incremental_minhash_dedup,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = q_incremental_minhash_dedup(spark, sf_dir)
+        assert lint_plan(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "band_sig" in plan  # candidates come from the band-key join
+        assert "CartesianProduct" not in plan
