@@ -88,9 +88,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scalar_join(cust, anchor).withColumn(
         "recency_days", F.datediff("anchor_date", "last_date")
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+    # explicit NULLS LAST on every ASC key: Spark's ASC default is NULLS
+    # FIRST while DuckDB's is NULLS LAST — on a corpus with NULL custkeys or
+    # all-NULL order dates the NTILE assignment would silently diverge
+    # (DESC agrees between the engines already)
+    w_r = Window.orderBy(
+        F.col("recency_days").asc_nulls_last(), F.col("o_custkey").asc_nulls_last()
+    )
+    w_f = Window.orderBy(
+        F.col("n_orders").desc(), F.col("o_custkey").asc_nulls_last()
+    )
+    w_m = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("o_custkey").asc_nulls_last()
+    )
     scored = (
         scored.withColumn("r_score", F.ntile(4).over(w_r))
         .withColumn("f_score", F.ntile(4).over(w_f))
@@ -146,7 +156,9 @@ def q_clv_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over 10 rows.
     """
     cust = _customer_value(spark, sf_dir).select("o_custkey", "revenue_cents")
-    w_d = Window.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+    w_d = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("o_custkey").asc_nulls_last()
+    )
     g = (
         cust.withColumn("decile", F.ntile(10).over(w_d))
         .groupBy("decile")
@@ -217,7 +229,11 @@ def q_interpurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE divide, identical cross-engine.
     """
     orders = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS LAST to match DuckDB's default window ordering (a NULL orderdate
+    # must not re-sequence a customer's gaps differently per engine)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
     gaps = (
         orders.select(
             F.col("o_orderdate").cast("date").alias("d"),

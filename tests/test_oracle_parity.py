@@ -85,3 +85,52 @@ def edge_sf_dir(sf_dir, tmp_path_factory):
 def test_null_and_degenerate_docs_keep_oracle_parity(spark, edge_sf_dir, name):
     res = compare_query(spark, name, edge_sf_dir)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
+
+
+_ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_survival"]
+
+
+@pytest.fixture(scope="module")
+def edge_orders_sf_dir(sf_dir, tmp_path_factory):
+    """The shipped fixture with adversarial ORDER rows appended: NULL
+    custkey (two rows, so the NULL partition has a real gap), a NULL
+    orderdate inside an existing customer's history, and a NULL totalprice.
+    Spark's ASC sort default is NULLS FIRST while DuckDB's is NULLS LAST —
+    without explicit ``asc_nulls_last`` on every NTILE/lag ordering key the
+    segmentation queries diverge exactly (and only) on rows like these."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("edge_orders_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    base = orders.slice(0, 4).to_pylist()
+    some_custkey = base[0]["o_custkey"]
+    edits = [
+        {"o_orderkey": 9000001, "o_custkey": None,
+         "o_orderdate": datetime.datetime(1997, 3, 1)},
+        {"o_orderkey": 9000002, "o_custkey": None,
+         "o_orderdate": datetime.datetime(1997, 4, 15)},
+        {"o_orderkey": 9000003, "o_custkey": some_custkey, "o_orderdate": None},
+        {"o_orderkey": 9000004, "o_custkey": some_custkey, "o_totalprice": None},
+    ]
+    rows = []
+    for b, e in zip(base, edits):
+        r = dict(b)
+        r.update(e)
+        rows.append(r)
+    extra = pa.Table.from_pylist(rows, schema=orders.schema)
+    (tmp / "orders.parquet").unlink()
+    pq.write_table(pa.concat_tables([orders, extra]), tmp / "orders.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", _ORDERS_EDGE_QUERIES)
+def test_null_order_rows_keep_oracle_parity(spark, edge_orders_sf_dir, name):
+    res = compare_query(spark, name, edge_orders_sf_dir)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
