@@ -64,7 +64,17 @@ QUERIES = [
                               # corpus without adding clusters grows block
                               # size, so expect ~k^2 here, the documented
                               # IVF-blocking trade; K scales with N in prod)
+    # round-3 late additions
+    "rfm_segments",           # fact agg + dim-sized NTILE windows (customer
+                              # dim is NOT replicated: windows stay constant)
+    "interpurchase_survival", # custkey-partitioned lag + one aggregate pass
+    "bigram_pmi_topk",        # bigram flatMap + vocab-keyed joins
 ]
+
+# optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c
+_only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _only:
+    QUERIES = [q for q in QUERIES if q in {s.strip() for s in _only.split(",")}]
 
 
 def build_factor_dir(factor: int) -> str:
