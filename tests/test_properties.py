@@ -275,3 +275,74 @@ def test_bloom_positions_in_range_and_engine_identical(key):
         ).fetchone()[0]
         assert got == want
         assert 0 <= want < _BLOOM_M
+
+
+# -- cross-engine rounding primitives: fround / cents_sum vs DuckDB ----------
+
+_money_vals = st.lists(
+    st.one_of(
+        st.floats(-1e9, 1e9, allow_nan=False, allow_infinity=False, width=64),
+        # knife-edge decimal halves (inexact in binary — the entire point:
+        # both engines must round the SAME double the SAME way)
+        st.integers(-10**6, 10**6).map(lambda k: k / 100 + 0.005),
+        st.integers(-10**6, 10**6).map(lambda k: k / 1000 + 0.0005),
+        st.sampled_from([52.755, 2.675, -2.675, 0.005, -0.005, 0.0]),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@PROP
+@given(vals=_money_vals, ndigits=st.sampled_from([0, 2, 4, 6]))
+def test_fround_bit_equals_duckdb_round(spark, vals, ndigits):
+    """`fround(x, n)` (the rounding every oracle-checked column uses) must be
+    BIT-equal to DuckDB's `round(x * 10^n) / 10^n` for arbitrary doubles,
+    including decimal half knife-edges — the primitive the whole
+    cross-engine hash-match strategy stands on."""
+    import duckdb
+    import struct
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r.i: r.y
+        for r in sdf.select("i", fround(F.col("x"), ndigits).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    expected = {}
+    for i, v in enumerate(vals):
+        expected[i] = con.execute(
+            f"SELECT round(CAST(? AS DOUBLE) * {10**ndigits}) / {10**ndigits}", [v]
+        ).fetchone()[0]
+    for i in got:
+        g, e = got[i], expected[i]
+        # bit-level comparison (0.0 == -0.0 would hide a sign divergence;
+        # the value hash stringifies, where -0.0 and 0.0 both print 0)
+        gb = struct.pack("<d", g if g != 0 else abs(g))
+        eb = struct.pack("<d", e if e != 0 else abs(e))
+        assert gb == eb, (vals[i], ndigits, g, e)
+
+
+@PROP
+@given(vals=_money_vals)
+def test_cents_sum_bit_equals_duckdb(spark, vals):
+    """`cents_sum` (scaled-long exact money aggregation) must equal DuckDB's
+    `sum(CAST(round(x * 100) AS BIGINT))` for any input multiset — exactness
+    plus order-independence is what makes money hashes engine-stable."""
+    import duckdb
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum
+
+    # keep the scaled sum far from long overflow
+    vals = [max(min(v, 1e12), -1e12) for v in vals]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = sdf.agg(cents_sum(F.col("x")).alias("s")).first().s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    expected = con.execute(
+        "SELECT sum(CAST(round(x * 100) AS BIGINT)) FROM t"
+    ).fetchone()[0]
+    assert got == expected, (vals, got, expected)
