@@ -1209,6 +1209,7 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         si.join(F.broadcast(with_n), "doc_index")
         .withColumn("__raw_j", jaccard)
         .where(F.col("__raw_j") >= JACCARD_THRESHOLD)
+        # no output orderBy: the pair relation can be large and the compare
+        # is order-insensitive — a cosmetic global sort is a wasted exchange
         .select("doc_new", "doc_index", fround(F.col("__raw_j"), 4).alias("jaccard"))
-        .orderBy("doc_new", "doc_index")
     )
