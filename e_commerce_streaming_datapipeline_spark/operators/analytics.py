@@ -1040,7 +1040,10 @@ def q_locf_value_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("staleness_min"),
-    ).orderBy("event_type", "bucket_start")
+        # no output orderBy: rows already leave the LOCF window sorted within
+        # each type partition and the compare is order-insensitive — a global
+        # range exchange here is cosmetic
+    )
 
 
 # One SQL text, two engines: runs UNMODIFIED on Spark SQL and DuckDB.
