@@ -41,7 +41,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # NULL payload must flow through every Arrow kernel as NULL
                  # metadata, not a bytes(None) crash (round-3 review)
                  "multimodal_decode", "multimodal_asset_stats", "multimodal_resize",
-                 "multimodal_frame_sample", "multimodal_features", "multimodal_dedup"]
+                 "multimodal_frame_sample", "multimodal_features", "multimodal_dedup",
+                 # round-3 late additions over documents
+                 "bigram_pmi_topk", "lang_confusion_matrix", "incremental_minhash_dedup"]
 
 
 @pytest.fixture(scope="module")
