@@ -58,3 +58,17 @@ def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
         .join(F.broadcast(scalar_df.withColumn(_KEY, _const_key(scalar_df))), _KEY)
         .drop(_KEY)
     )
+
+
+def bounded_cross_join(df: DataFrame, small_df: DataFrame) -> DataFrame:
+    """Deliberate cross product of ``df`` with a SMALL bounded relation
+    (pair scaffolds, threshold grids), planned as a constant-key BROADCAST
+    HASH join rather than a CartesianProduct/nested loop — same mechanism as
+    ``scalar_join`` but the right side may hold more than one row, so the
+    output multiplies.  Callers own the boundedness argument (document it at
+    the call site)."""
+    return (
+        df.withColumn(_KEY, _const_key(df))
+        .join(F.broadcast(small_df.withColumn(_KEY, _const_key(small_df))), _KEY)
+        .drop(_KEY)
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
-from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -1236,4 +1236,116 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+@query(
+    "source_unigram_divergence",
+    oracle="""
+WITH toks AS (
+    SELECT source, u.w AS w
+    FROM (SELECT source, string_split(text, ' ') AS t
+          FROM documents WHERE text IS NOT NULL), unnest(t) AS u(w)
+), uni AS (
+    SELECT source, w, CAST(count(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+), tot AS (
+    SELECT source, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY 1
+), uni2 AS (
+    SELECT u.source, u.w, u.c, t.n FROM uni u JOIN tot t ON t.source = u.source
+), scaffold AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_tokens_a, b.n AS n_tokens_b
+    FROM tot a JOIN tot b ON a.source < b.source
+), stats AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT)                    AS shared_tokens,
+           CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS d_abs,
+           CAST(sum(a.c * b.n) AS BIGINT)              AS s_a,
+           CAST(sum(b.c * a.n) AS BIGINT)              AS s_b
+    FROM uni2 a JOIN uni2 b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT sc.source_a, sc.source_b, sc.n_tokens_a, sc.n_tokens_b,
+       coalesce(st.shared_tokens, 0) AS shared_tokens,
+       round(CAST(coalesce(st.d_abs, 0) + 2 * sc.n_tokens_a * sc.n_tokens_b
+                  - coalesce(st.s_a, 0) - coalesce(st.s_b, 0) AS DOUBLE)
+             / CAST(2 * sc.n_tokens_a * sc.n_tokens_b AS DOUBLE)
+             * 1000000) / 1000000 AS tv_distance
+FROM scaffold sc
+LEFT JOIN stats st
+  ON st.source_a = sc.source_a AND st.source_b = sc.source_b
+ORDER BY 1, 2
+""",
+)
+def q_source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift audit: pairwise TOTAL-VARIATION distance between every
+    two sources' unigram distributions — the mixture-design signal that says
+    which sources are near-duplicates of each other distribution-wise and
+    which contribute genuinely different text (feeds `source_mixture_sample`
+    weights).
+
+    Exactness: TV = ½·Σ|p_a − p_b| is folded so only the SHARED-token inner
+    join is ever materialized — tokens unique to one side contribute
+    1 − Σ_shared p, so tv = (Σ|c_a·N_b − c_b·N_a| + 2·N_a·N_b − Σc_a·N_b −
+    Σc_b·N_a) / (2·N_a·N_b).  Every sum is an exact BIGINT (order-
+    independent, engine-stable — a float Σ|p_a−p_b| would hash-drift on
+    summation order); ONE final division produces the double.  Headroom:
+    c·N ≤ N², so BIGINT holds to ~3e9 tokens/source; beyond that switch the
+    three sums to DECIMAL(38,0).
+
+    Scale shape: per-source counts are one token-keyed hash agg; the pair
+    expansion is an equi-join ON TOKEN (shuffle keyed by token, never a
+    corpus cross join) whose output scales with shared-vocab x S², S =
+    #sources (tens, not millions); totals broadcast; the scaffold keeps
+    zero-overlap pairs (tv = 1) in the output."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uni = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = uni.groupBy("source").agg(F.sum("c").alias("n"))
+    uni2 = uni.join(F.broadcast(tot), "source")
+    a = uni2.select(
+        F.col("source").alias("source_a"), "w",
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = uni2.select(
+        F.col("source").alias("source_b"), "w",
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    stats = (
+        a.join(b, ["w"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("shared_tokens"),
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("d_abs"),
+            F.sum(F.col("ca") * F.col("nb")).alias("s_a"),
+            F.sum(F.col("cb") * F.col("na")).alias("s_b"),
+        )
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_tokens_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_tokens_b"))
+    # S x S pair scaffold as a constant-key BROADCAST HASH join + filter
+    # (a raw `<` join would demote to a nested loop; |tot| = #sources is
+    # tiny, but the plan lint rightly forbids the shape)
+    scaffold = bounded_cross_join(ta, tb).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    denom = (F.lit(2) * F.col("n_tokens_a") * F.col("n_tokens_b")).cast("double")
+    numer = (
+        F.coalesce(F.col("d_abs"), F.lit(0))
+        + F.lit(2) * F.col("n_tokens_a") * F.col("n_tokens_b")
+        - F.coalesce(F.col("s_a"), F.lit(0))
+        - F.coalesce(F.col("s_b"), F.lit(0))
+    ).cast("double")
+    return (
+        scaffold.join(F.broadcast(stats), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_tokens_a",
+            "n_tokens_b",
+            F.coalesce(F.col("shared_tokens"), F.lit(0)).alias("shared_tokens"),
+            fround(numer / denom, 6).alias("tv_distance"),
+        )
     )

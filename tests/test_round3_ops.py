@@ -542,3 +542,71 @@ class TestIncrementalMinhashDedup:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "band_sig" in plan  # candidates come from the band-key join
         assert "CartesianProduct" not in plan
+
+
+class TestSourceUnigramDivergence:
+    """TV divergence between per-source unigram distributions: metric axioms
+    on the real fixture, plan shape (token equi-join + broadcast scaffold,
+    no nested loop), and the zero-overlap completeness guarantee."""
+
+    def test_tv_axioms_and_pair_completeness(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            q_source_unigram_divergence,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_source_unigram_divergence(spark, sf_dir).collect()
+        sources = sorted(
+            r.source
+            for r in load_table(spark, "documents", sf_dir)
+            .where(F.col("text").isNotNull())
+            .select("source")
+            .distinct()
+            .collect()
+        )
+        n = len(sources)
+        assert len(rows) == n * (n - 1) // 2  # every unordered pair, exactly once
+        assert all(r.source_a < r.source_b for r in rows)
+        assert all(0.0 <= r.tv_distance <= 1.0 for r in rows)
+        assert all(r.shared_tokens >= 0 for r in rows)
+        # zero shared vocabulary would mean maximal divergence; the synthetic
+        # sources share the vocab, so every pair overlaps and tv < 1
+        assert all(r.shared_tokens > 0 and r.tv_distance < 1.0 for r in rows)
+
+    def test_identical_distributions_have_zero_tv(self, spark, sf_dir):
+        """Feeding the SAME source as both sides of the fold must yield 0 —
+        checked by recomputing the fold's terms for a: d_abs = 0 and
+        sum(c*n) = n^2 when a == b."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+        uni = (
+            docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count("*").alias("c"))
+        )
+        tot = uni.groupBy("source").agg(F.sum("c").alias("n"))
+        self_stats = (
+            uni.join(tot, "source")
+            .groupBy("source")
+            .agg(F.sum(F.col("c") * F.col("n")).alias("s"), F.max("n").alias("n"))
+            .select((F.col("s") - F.col("n") * F.col("n")).alias("zero"))
+            .collect()
+        )
+        assert all(r.zero == 0 for r in self_stats)
+
+    def test_plan_no_nested_loop_and_token_join(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            q_source_unigram_divergence,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = q_source_unigram_divergence(spark, sf_dir)
+        assert lint_plan(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
