@@ -106,6 +106,7 @@ EXTENDED_R3 = [
     "interpurchase_survival", # partitioned lag + one-pass threshold unpivot
     "bigram_pmi_topk",        # collocation lift (flatMap + broadcast vocab)
     "incremental_minhash_dedup",  # batch probe vs stored LSH band index
+    "source_unigram_divergence",  # pairwise TV drift (exact-integer fold)
 ]
 
 
