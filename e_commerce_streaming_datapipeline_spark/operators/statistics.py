@@ -2111,3 +2111,130 @@ def q_revenue_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (4 * F.col("s_scaled") > F.col("t_cents")).alias("changepoint"),
     )
+
+
+_BOOT_B = 200  # bootstrap replicates
+# integer thresholds (per mille) approximating Poisson(1) truncated at 4:
+# P(0)=P(1)=.368, P(2)=.184, P(3)=.061, P(4)=.019 — identical in both
+# engines by construction, so the approximation never affects parity
+_BOOT_T = (368, 736, 920, 981)
+
+
+@query(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+    GROUP BY 1
+), reps AS (
+    SELECT d, cents, b.b AS b,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || b.b), 1, 6))::BIGINT
+               % 1000 AS h
+    FROM daily, generate_series(0, {_BOOT_B - 1}) b(b)
+), weighted AS (
+    SELECT b,
+           CASE WHEN h < {_BOOT_T[0]} THEN 0
+                WHEN h < {_BOOT_T[1]} THEN 1
+                WHEN h < {_BOOT_T[2]} THEN 2
+                WHEN h < {_BOOT_T[3]} THEN 3
+                ELSE 4 END AS w,
+           cents
+    FROM reps
+), means AS (
+    SELECT b,
+           CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100 AS rep_mean
+    FROM weighted
+    GROUP BY b
+    HAVING sum(w) > 0
+), ranked AS (
+    SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, b) AS rn,
+           count(*) OVER () AS n_reps
+    FROM means
+), pt AS (
+    SELECT CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS mean_daily_revenue,
+           count(*) AS n_days
+    FROM daily
+)
+SELECT pt.mean_daily_revenue,
+       pt.n_days,
+       r.n_reps,
+       min(CASE WHEN r.rn = 5 THEN r.rep_mean END)   AS ci_lo,
+       min(CASE WHEN r.rn = 195 THEN r.rep_mean END) AS ci_hi
+FROM ranked r, pt
+GROUP BY 1, 2, 3
+""",
+)
+def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for mean daily revenue: 200 deterministic
+    Poisson-ish resamples of the DAILY rollup, replicate means ranked, the
+    5th / 195th order statistics taken as the interval — uncertainty
+    quantification without any closed-form variance assumption.
+
+    Determinism: replicate weights come from md5(day:replicate) reduced to
+    integer thresholds — both engines draw the IDENTICAL weight table, so
+    the (statistical) Poisson truncation at 4 cannot affect parity; each
+    replicate mean is exact-integer cents over an exact-integer weight sum,
+    one divide; CI bounds are exact order statistics (rank 5 / 195 with a
+    replicate-id tiebreak), never interpolated quantiles.
+
+    Scale shape: the classic at-scale bootstrap — resample the AGGREGATE,
+    not the fact table: expansion is spine-sized x B (200 x #days, i.e.
+    thousands of rows at ANY corpus size), one hash agg per replicate set,
+    a 200-row window for the order statistics.  The fact table is read
+    once for the daily rollup."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    reps = daily.select(
+        "d",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000,
+    )
+    w = (
+        F.when(F.col("h") < _BOOT_T[0], 0)
+        .when(F.col("h") < _BOOT_T[1], 1)
+        .when(F.col("h") < _BOOT_T[2], 2)
+        .when(F.col("h") < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    means = (
+        reps.select("b", w.alias("w"), "cents")
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("num"), F.sum("w").alias("den"))
+        .where(F.col("den") > 0)
+        .select("b", (F.col("num").cast("double") / F.col("den") / 100).alias("rep_mean"))
+    )
+    ranked = means.select(
+        "rep_mean",
+        F.row_number().over(Window.orderBy("rep_mean", "b")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_reps"),
+    )
+    pt = daily.agg(
+        (F.sum("cents").cast("double") / F.count("*") / 100).alias("mean_daily_revenue"),
+        F.count("*").alias("n_days"),
+    )
+    ci = ranked.groupBy("n_reps").agg(
+        F.min(F.when(F.col("rn") == 5, F.col("rep_mean"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == 195, F.col("rep_mean"))).alias("ci_hi"),
+    )
+    return scalar_join(pt, ci).select(
+        "mean_daily_revenue", "n_days", "n_reps", "ci_lo", "ci_hi"
+    )

@@ -610,3 +610,33 @@ class TestSourceUnigramDivergence:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestBootstrapRevenueCI:
+    """Percentile-bootstrap CI: interval brackets the point estimate, order
+    statistics are sane, and the plan has no nested loop (spine-sized
+    explode + one agg per replicate)."""
+
+    def test_interval_brackets_point_estimate(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.statistics import (
+            _BOOT_B,
+            q_bootstrap_revenue_ci,
+        )
+
+        row = q_bootstrap_revenue_ci(spark, sf_dir).first()
+        assert row.n_reps == _BOOT_B
+        assert row.ci_lo <= row.ci_hi
+        # with 200 resamples of thousands of days the CI must bracket the
+        # sample mean (percentile bootstrap is centered by construction)
+        assert row.ci_lo <= row.mean_daily_revenue <= row.ci_hi
+        # and be non-degenerate but far tighter than the mean itself
+        width = row.ci_hi - row.ci_lo
+        assert 0 < width < row.mean_daily_revenue
+
+    def test_plan_is_lint_clean(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.statistics import (
+            q_bootstrap_revenue_ci,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        assert lint_plan(q_bootstrap_revenue_ci(spark, sf_dir)) == []
