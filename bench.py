@@ -107,6 +107,7 @@ EXTENDED_R3 = [
     "bigram_pmi_topk",        # collocation lift (flatMap + broadcast vocab)
     "incremental_minhash_dedup",  # batch probe vs stored LSH band index
     "source_unigram_divergence",  # pairwise TV drift (exact-integer fold)
+    "bootstrap_revenue_ci",   # 200-replicate percentile bootstrap (spine-sized)
 ]
 
 
