@@ -108,6 +108,7 @@ EXTENDED_R3 = [
     "incremental_minhash_dedup",  # batch probe vs stored LSH band index
     "source_unigram_divergence",  # pairwise TV drift (exact-integer fold)
     "bootstrap_revenue_ci",   # 200-replicate percentile bootstrap (spine-sized)
+    "dpp_partitioned_join",   # runtime dynamicpruning partition filter
 ]
 
 

@@ -686,3 +686,55 @@ def q_warehouse_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
             cents_sum_double(F.col("value")).alias("total_value"),
         )
     )
+
+
+_DPP_SPIKE_VALUE = 320.0
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle=f"""
+WITH spike_dates AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS event_date
+    FROM events
+    WHERE event_type = 'purchase' AND value >= {_DPP_SPIKE_VALUE}
+)
+SELECT e.event_date,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(coalesce(e.value, 0.0) * 100) AS BIGINT)) AS DOUBLE)
+           / 100 AS total_value
+FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e
+JOIN spike_dates d ON d.event_date = e.event_date
+GROUP BY 1
+""",
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven twin of
+    `partitioned_scan_counts`' static pruning: full-day activity rollup for
+    exactly the days that saw a spike purchase (value >= 320).  The spike
+    days are not knowable at planning time; Catalyst turns the broadcast
+    dim into a runtime partition filter (`dynamicpruning` subquery reusing
+    the broadcast), so the date-partitioned fact opens ONLY the matching
+    daily partitions — at 100 TB that is the difference between scanning a
+    handful of days and the whole corpus, with zero user-side plumbing.
+    The plan shape (PartitionFilters carrying a dynamicpruning expression)
+    is pinned by test."""
+    part_dir = partitioned_events_dir(spark, sf_dir)
+    fact = spark.read.parquet(part_dir)
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= _DPP_SPIKE_VALUE)
+        )
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            cents_sum_double(F.col("value")).alias("total_value"),
+        )
+    )

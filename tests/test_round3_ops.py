@@ -640,3 +640,42 @@ class TestBootstrapRevenueCI:
         from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
 
         assert lint_plan(q_bootstrap_revenue_ci(spark, sf_dir)) == []
+
+
+class TestDynamicPartitionPruning:
+    """The join-driven pruning twin: the broadcast dim must become a runtime
+    partition filter on the date-partitioned fact scan."""
+
+    def test_dpp_expression_in_scan_and_output_is_spike_days_only(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.connectors import (
+            _DPP_SPIKE_VALUE,
+            q_dpp_partitioned_join,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = q_dpp_partitioned_join(spark, sf_dir)
+        assert lint_plan(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan
+        assert "SubqueryBroadcast" in plan or "SubqueryAdaptiveBroadcast" in plan
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        events = load_table(spark, "events", sf_dir)
+        spike_days = {
+            r.d
+            for r in events.where(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _DPP_SPIKE_VALUE)
+            )
+            .select(F.to_date("ts").alias("d"))
+            .distinct()
+            .collect()
+        }
+        all_days = events.select(F.to_date("ts")).distinct().count()
+        rows = df.collect()
+        assert {r.event_date for r in rows} == spike_days
+        # the filter must be selective on this fixture, else the demo is vacuous
+        assert len(spike_days) < all_days
