@@ -738,3 +738,51 @@ def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum_double(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "xml_source_stats",
+    oracle="""
+SELECT
+    event_type,
+    count(*)                                    AS n_events,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                                                AS total_value,
+    count(props)                                AS n_props
+FROM events
+GROUP BY 1
+""",
+)
+def q_xml_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML batch source (Spark 4's built-in reader — no spark-xml jar),
+    proven lossless like the CSV/ORC twins: write the events fixture as XML
+    (one <event> element per row; the JSON props payload and its special
+    characters ride through XML escaping) and read it back with an explicit
+    schema + the same microsecond timestampFormat, then aggregate.  A hash
+    match against the parquet-side oracle proves rows, doubles, timestamps,
+    and NULL-vs-present props all survive the XML writer/reader pair — the
+    door for the B2B/legacy-feed ingest XML still dominates.  Same
+    multi-file parallel scan properties as CSV; schema is explicit so no
+    inference job runs."""
+    events = load_table(spark, "events", sf_dir)
+    out_dir = _scratch_dir("xml", sf_dir)
+    (
+        events.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .save(out_dir)
+    )
+    back = (
+        spark.read.schema(_CSV_SCHEMA)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .load(out_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        cents_sum_double(F.col("value")).alias("total_value"),
+        F.count("props").alias("n_props"),
+    )
