@@ -1147,9 +1147,59 @@ def q_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "incremental_minhash_dedup",
-    oracle=f"""
+def minhash_index(index_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The stored side of the near-dup admission gate: the index corpus's
+    shingle sets and LSH band signatures, both materialized
+    (localCheckpoint) so a per-batch probe — batch query or every streaming
+    micro-batch — reuses them without re-tokenizing the corpus.  In
+    production these are bucketed tables keyed by (band, band_sig)."""
+    sets = shingled_docs(index_docs).localCheckpoint()
+    bands = minhash_bands(index_docs, shingled=sets).localCheckpoint()
+    return sets, bands
+
+
+def minhash_admission_pairs(
+    new_docs: DataFrame, index_sets: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Probe a batch of NEW documents against a prebuilt MinHash index:
+    batch-sized signature work, bucket-key equi-join candidates, exact
+    Jaccard verification over colliding pairs only.  ONE definition shared
+    by `incremental_minhash_dedup` and the streaming admission gate
+    (`minhash_admission_stream`) so the gate semantics cannot drift
+    between the batch and streaming paths."""
+    new_sets = shingled_docs(new_docs)
+    new_bands = minhash_bands(new_docs, shingled=new_sets)
+    probe = new_bands.select(F.col("doc_id").alias("doc_new"), "band", "band_sig")
+    index = index_bands.select(
+        F.col("doc_id").alias("doc_index"), "band", "band_sig"
+    )
+    candidates = (
+        probe.join(index, ["band", "band_sig"])
+        .select("doc_new", "doc_index")
+        .distinct()
+    )
+    sn = new_sets.select(
+        F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n")
+    )
+    si = index_sets.select(
+        F.col("doc_id").alias("doc_index"), F.col("shingles").alias("sh_i")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_i")))
+    jaccard = inter / (F.size("sh_n") + F.size("sh_i") - inter)
+    with_n = sn.join(F.broadcast(candidates), "doc_new")
+    return (
+        si.join(F.broadcast(with_n), "doc_index")
+        .withColumn("__raw_j", jaccard)
+        .where(F.col("__raw_j") >= JACCARD_THRESHOLD)
+        # no output orderBy: the pair relation can be large and the compare
+        # is order-insensitive — a cosmetic global sort is a wasted exchange
+        .select("doc_new", "doc_index", fround(F.col("__raw_j"), 4).alias("jaccard"))
+    )
+
+
+# shared by the batch admission gate and its streaming twin
+# (minhash_admission_stream) — one oracle, two execution paths
+INCREMENTAL_MINHASH_ORACLE = f"""
 WITH {_MINHASH_VERIFIED_CTES}
 SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
        CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_index,
@@ -1158,7 +1208,12 @@ FROM verified
 WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
   AND jaccard >= {JACCARD_THRESHOLD}
 ORDER BY doc_new, doc_index
-""",
+"""
+
+
+@query(
+    "incremental_minhash_dedup",
+    oracle=INCREMENTAL_MINHASH_ORACLE,
 )
 def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission: probe an arriving batch (doc_id % 10
@@ -1184,32 +1239,6 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    sets = shingled_docs(docs).localCheckpoint()
-    bands = minhash_bands(docs, shingled=sets)
     is_new = (F.col("doc_id") % 10) == 0
-    probe = bands.where(is_new).select(
-        F.col("doc_id").alias("doc_new"), "band", "band_sig"
-    )
-    index = bands.where(~is_new).select(
-        F.col("doc_id").alias("doc_index"), "band", "band_sig"
-    )
-    candidates = (
-        probe.join(index, ["band", "band_sig"])
-        .select("doc_new", "doc_index")
-        .distinct()
-    )
-    sn = sets.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n"))
-    si = sets.select(
-        F.col("doc_id").alias("doc_index"), F.col("shingles").alias("sh_i")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_i")))
-    jaccard = inter / (F.size("sh_n") + F.size("sh_i") - inter)
-    with_n = sn.join(F.broadcast(candidates), "doc_new")
-    return (
-        si.join(F.broadcast(with_n), "doc_index")
-        .withColumn("__raw_j", jaccard)
-        .where(F.col("__raw_j") >= JACCARD_THRESHOLD)
-        # no output orderBy: the pair relation can be large and the compare
-        # is order-insensitive — a cosmetic global sort is a wasted exchange
-        .select("doc_new", "doc_index", fround(F.col("__raw_j"), 4).alias("jaccard"))
-    )
+    index_sets, index_bands = minhash_index(docs.where(~is_new))
+    return minhash_admission_pairs(docs.where(is_new), index_sets, index_bands)

@@ -1502,3 +1502,58 @@ def q_heavy_hitters_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+    INCREMENTAL_MINHASH_ORACLE as _ADMISSION_ORACLE,
+)
+
+
+@query(
+    "minhash_admission_stream",
+    oracle=_ADMISSION_ORACLE,
+)
+def q_minhash_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup admission gate ON A STREAM: arriving documents
+    (doc_id % 10 == 0 plays the live feed) probe the prebuilt static MinHash
+    band index per micro-batch inside ``foreachBatch`` — a STATELESS gate
+    (each document's verdict depends only on itself and the index, so no
+    state store exists; within-batch signature duplicates collapse in the
+    per-batch distinct, and each file-source document arrives exactly once).
+
+    Shares `minhash_admission_pairs` with the batch twin
+    (`incremental_minhash_dedup`) so the gate semantics cannot drift, and
+    hash-checks against the SAME DuckDB oracle — batch/stream equivalence
+    for the LLM-dedup tier, the same gate a Kafka-fed deployment would run.
+    At scale accepted pairs land in a sink table instead of a driver list;
+    the index sides are bucketed tables keyed by (band, band_sig)."""
+    from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+        minhash_admission_pairs,
+        minhash_index,
+    )
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    index_sets, index_bands = minhash_index(docs.where((F.col("doc_id") % 10) != 0))
+
+    accepted: list = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.where((F.col("doc_id") % 10) == 0)
+        accepted.extend(
+            minhash_admission_pairs(new, index_sets, index_bands).collect()
+        )
+
+    stream = read_file_stream(spark, sf_dir, "documents.parquet")
+    with _stream_run(spark, "minhash_admission") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.createDataFrame(
+        accepted, schema="doc_new long, doc_index long, jaccard double"
+    )

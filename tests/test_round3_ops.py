@@ -679,3 +679,74 @@ class TestDynamicPartitionPruning:
         assert {r.event_date for r in rows} == spike_days
         # the filter must be selective on this fixture, else the demo is vacuous
         assert len(spike_days) < all_days
+
+
+class TestMinhashAdmissionStream:
+    """Streaming twin of the incremental near-dup gate: per-micro-batch
+    verdicts must equal the batch gate's, including under a genuinely
+    multi-batch chunked replay (the gate is stateless by design)."""
+
+    def test_multi_batch_replay_equals_batch_gate(self, spark, sf_dir, tmp_path):
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+            minhash_admission_pairs,
+            minhash_index,
+            q_incremental_minhash_dedup,
+        )
+        from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+            _stream_run,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+        from e_commerce_streaming_datapipeline_spark.sources.streaming import (
+            read_file_stream,
+        )
+
+        # chunk the documents fixture into 4 files so availableNow +
+        # maxFilesPerTrigger=1 replays as 4 REAL micro-batches
+        import os
+
+        docs_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        n = docs_tbl.num_rows
+        chunk_dir = tmp_path / "docs_chunks"
+        chunk_dir.mkdir()
+        step = (n + 3) // 4
+        for i in range(4):
+            pq.write_table(
+                docs_tbl.slice(i * step, step), chunk_dir / f"documents-{i}.parquet"
+            )
+
+        docs = load_table(spark, "documents", sf_dir)
+        index_sets, index_bands = minhash_index(
+            docs.where((F.col("doc_id") % 10) != 0)
+        )
+        accepted: list = []
+        batches: list = []
+
+        def admit(batch_df, batch_id):
+            new = batch_df.where((F.col("doc_id") % 10) == 0)
+            rows = minhash_admission_pairs(new, index_sets, index_bands).collect()
+            batches.append(len(rows))
+            accepted.extend(rows)
+
+        stream = read_file_stream(
+            spark, str(chunk_dir), "documents-*.parquet", max_files_per_trigger=1
+        )
+        with _stream_run(spark, "admission_mb") as (name, checkpoint):
+            q = (
+                stream.writeStream.foreachBatch(admit)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        assert len(batches) >= 4  # it really ran multi-batch
+        got = {(r.doc_new, r.doc_index) for r in accepted}
+        want = {
+            (r.doc_new, r.doc_index)
+            for r in q_incremental_minhash_dedup(spark, sf_dir).collect()
+        }
+        assert got == want
