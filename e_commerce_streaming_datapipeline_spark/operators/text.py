@@ -1123,7 +1123,7 @@ LIMIT {_PMI_TOPK}
 """,
 )
 def q_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top-{k} adjacent-bigram PMI lift over the corpus
+    """Collocation mining: top-40 adjacent-bigram PMI lift over the corpus
     — P(w1,w2) / (P(w1)·P(w2)), the association measure behind phrase
     vocabularies and tokenizer merge candidates.  Reported as the raw lift
     ratio rather than its log: log() is not IEEE-correctly-rounded and its
