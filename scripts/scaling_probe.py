@@ -69,6 +69,9 @@ QUERIES = [
                               # dim is NOT replicated: windows stay constant)
     "interpurchase_survival", # custkey-partitioned lag + one aggregate pass
     "bigram_pmi_topk",        # bigram flatMap + vocab-keyed joins
+    "source_unigram_divergence",  # vocab-keyed pair join (counts scale, vocab doesn't)
+    "bootstrap_revenue_ci",   # resamples the day-grain rollup (spine-sized)
+    "dpp_partitioned_join",   # runtime-pruned partition scan
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c
