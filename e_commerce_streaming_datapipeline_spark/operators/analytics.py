@@ -1168,3 +1168,58 @@ def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "gram")
         .limit(_PATH_TOP_K)
     )
+
+
+@query(
+    "gmv_local_tz_daily",
+    oracle="""
+SELECT
+    CAST(ts - INTERVAL 3 HOUR AS DATE)                    AS local_date,
+    count(*)                                              AS n_purchases,
+    CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) AS DOUBLE)
+        / 100                                             AS gmv
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_gmv_local_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-time reporting: daily purchase GMV on the MERCHANT's calendar
+    (America/Sao_Paulo — the reference pipeline is Brazilian e-commerce,
+    Olist), not UTC's.  A UTC-midnight rollup splits every Brazilian
+    business day across two rows; this is the rollup a local analyst
+    actually reads, and days differ from the UTC twin whenever a purchase
+    lands in the 00:00-03:00 UTC window.
+
+    The Spark side exercises the REAL timezone machinery
+    (``from_utc_timestamp`` with a named zone, tzdb-driven).  The oracle
+    encodes the conversion as a fixed -3h offset, which IS the zone's
+    correct conversion over the fixture's entire 2024 range — Brazil
+    abolished DST in 2019, so the named-zone path and the fixed offset
+    must agree; a divergence (e.g. a tzdb regression) breaks the hash.
+    DuckDB's own ``timezone()`` is deliberately avoided in the oracle: its
+    naive-timestamp interpretation depends on the session TimeZone, which
+    the driver does not pin.
+
+    Scale shape: identical to the UTC daily rollup — the conversion is a
+    per-row map-side expression; one hash agg on the local-date key."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date(
+                F.from_utc_timestamp(F.col("ts"), "America/Sao_Paulo")
+            ).alias("local_date")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100
+            ).alias("gmv"),
+        )
+    )

@@ -750,3 +750,36 @@ class TestMinhashAdmissionStream:
             for r in q_incremental_minhash_dedup(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestLocalTzDaily:
+    """Local-calendar rollup: conservation vs the UTC twin, and the named-zone
+    conversion really shifts days (the query is not a UTC rollup in disguise)."""
+
+    def test_conserves_purchases_and_shifts_days(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+            q_gmv_local_tz_daily,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_gmv_local_tz_daily(spark, sf_dir).collect()
+        purchases = load_table(spark, "events", sf_dir).where(
+            F.col("event_type") == "purchase"
+        )
+        assert sum(r.n_purchases for r in rows) == purchases.count()
+        # the 00:00-03:00 UTC window exists in the fixture, so at least one
+        # purchase must land on a DIFFERENT local day than its UTC day
+        moved = purchases.where(
+            F.to_date(F.from_utc_timestamp("ts", "America/Sao_Paulo"))
+            != F.to_date("ts")
+        ).count()
+        assert moved > 0
+        # and the named-zone conversion equals the fixed -3h offset over the
+        # 2024 fixture (Brazil has no DST since 2019) — the oracle's premise
+        mismatch = purchases.where(
+            F.from_utc_timestamp("ts", "America/Sao_Paulo")
+            != F.col("ts") - F.expr("INTERVAL 3 HOURS")
+        ).count()
+        assert mismatch == 0
