@@ -1242,3 +1242,90 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("doc_id") % 10) == 0
     index_sets, index_bands = minhash_index(docs.where(~is_new))
     return minhash_admission_pairs(docs.where(is_new), index_sets, index_bands)
+
+
+@query(
+    "dedup_rewrite_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+), chunks AS (
+    SELECT doc_id, u.c AS c,
+           array_to_string(
+               t[c * {_CHUNK_WORDS} + 1 : c * {_CHUNK_WORDS} + {_CHUNK_WORDS}], ' '
+           ) AS chunk
+    FROM toks,
+         LATERAL unnest(generate_series(
+             0, CAST(floor((len(t) - 1) / {_CHUNK_WORDS}.0) AS BIGINT)
+         )) u(c)
+    WHERE len(t) >= 1
+), hc AS (
+    SELECT md5(chunk) AS h, count(*) AS n FROM chunks GROUP BY 1
+)
+SELECT
+    c.doc_id,
+    CAST(count(*) AS INT)                                  AS n_chunks,
+    CAST(sum(CASE WHEN hc.n = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+    coalesce(string_agg(CASE WHEN hc.n = 1 THEN c.chunk END, ' ' ORDER BY c.c), '')
+        AS clean_text
+FROM chunks c JOIN hc ON hc.h = md5(c.chunk)
+GROUP BY c.doc_id
+""",
+)
+def q_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-dedup REWRITE — the transformation stage downstream of
+    `chunk_dedup_retention`'s audit: every chunk whose hash repeats anywhere
+    in the corpus is dropped (all copies, the web-pipeline paragraph-dedup
+    policy) and each document's text is REBUILT from its surviving chunks in
+    original order.  Documents whose every chunk was boilerplate survive as
+    empty strings — the downstream length filter's job, not silent row loss.
+
+    Shares `_CHUNK_WORDS` chunking with the audit query so the two stages
+    can never disagree about what a chunk is.
+
+    Plan shape: chunking is row-local HOF work; the hash-count join is
+    chunk-keyed; reassembly is ONE per-doc ``listagg ... WITHIN GROUP
+    (ORDER BY c)`` aggregate (Spark 4) — no collected array exists at any
+    point; the aggregation buffer is the output string itself, the same
+    memory class as the document being rebuilt, and the chunk index is
+    carried through the shuffle so output order is a property of the data,
+    not of partitioning."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    n = _CHUNK_WORDS
+    chunk_structs = F.expr(
+        f"transform(sequence(0, CAST(floor((size(t) - 1) / {n}) AS INT)), "
+        f"c -> struct(c AS c, concat_ws(' ', slice(t, c * {n} + 1, {n})) AS chunk))"
+    )
+    chunks = (
+        toks.where(F.size("t") >= 1)
+        .select("doc_id", F.explode(chunk_structs).alias("s"))
+        .select("doc_id", F.col("s.c").alias("c"), F.col("s.chunk").alias("chunk"))
+        .withColumn("h", F.md5("chunk"))
+    )
+    hc = chunks.groupBy("h").agg(F.count("*").alias("hn"))
+    # dropped chunks become NULL inside the CASE and listagg skips NULLs —
+    # the keep-filter rides inside the aggregate, no second join; WITHIN
+    # GROUP (ORDER BY c) makes reassembly order a property of the data, not
+    # of partitioning, with no collected array anywhere (the aggregation
+    # buffer is the output string itself, the same memory class as the
+    # document being rebuilt)
+    return (
+        chunks.join(hc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("hn") == 1, 1).otherwise(0)).cast("int").alias("n_kept"),
+            F.coalesce(
+                F.expr(
+                    "listagg(CASE WHEN hn = 1 THEN chunk END, ' ') "
+                    "WITHIN GROUP (ORDER BY c)"
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )

@@ -783,3 +783,51 @@ class TestLocalTzDaily:
             != F.col("ts") - F.expr("INTERVAL 3 HOURS")
         ).count()
         assert mismatch == 0
+
+
+class TestDedupRewriteDocs:
+    """The rewrite must agree with the audit (`chunk_dedup_retention`) chunk
+    for chunk, rebuild text in original order, and keep fully-boilerplate
+    docs as empty rows rather than dropping them."""
+
+    def test_agrees_with_audit_and_rebuilds_in_order(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+            q_chunk_dedup_retention,
+            q_dedup_rewrite_docs,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        df = q_dedup_rewrite_docs(spark, sf_dir)
+        assert lint_plan(df) == []  # listagg: no collected array anywhere
+        rewrite = {r.doc_id: r for r in df.collect()}
+        audit = {r.doc_id: r for r in q_chunk_dedup_retention(spark, sf_dir).collect()}
+        assert set(rewrite) == set(audit)
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, "documents", sf_dir)
+            .where(F.col("text").isNotNull())
+            .collect()
+        }
+        for doc_id, r in rewrite.items():
+            a = audit[doc_id]
+            assert r.n_chunks == a.n_chunks
+            assert r.n_kept == a.n_chunks - a.n_shared_chunks
+            # kept chunks appear in clean_text in original relative order
+            if r.n_kept == r.n_chunks:
+                # nothing dropped => the rebuild must reproduce the document
+                # exactly up to the trailing partial chunk's word join
+                assert r.clean_text == docs[doc_id]
+            if r.n_kept == 0:
+                assert r.clean_text == ""
+            # every kept doc's clean_text tokens are a subsequence of the
+            # original tokens
+            orig = docs[doc_id].split(" ")
+            clean = r.clean_text.split(" ") if r.clean_text else []
+            it = iter(orig)
+            assert all(tok in it for tok in clean)
+        # the fixture's duplicated docs guarantee both regimes appear
+        assert any(r.n_kept == 0 for r in rewrite.values())
+        assert any(0 < r.n_kept < r.n_chunks for r in rewrite.values())
