@@ -12,6 +12,8 @@ matters at 100 TB.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1222,4 +1224,62 @@ def q_gmv_local_tz_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 100
             ).alias("gmv"),
         )
+    )
+
+
+_PARAM_START, _PARAM_END = "1996-01-01", "1996-12-31"
+_PARAM_MIN_TOTAL = 50_000.0
+
+
+@query(
+    "parameterized_revenue_window",
+    oracle=f"""
+SELECT
+    o_orderpriority,
+    count(*) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_PARAM_START} 00:00:00'
+  AND o_orderdate <= TIMESTAMP '{_PARAM_END} 00:00:00'
+  AND o_totalprice >= {_PARAM_MIN_TOTAL}
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_parameterized_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (named parameter markers, `spark.sql(..., args=)`):
+    the injection-safe way to ship user-supplied report bounds — parameters
+    bind as typed literals in the parser, never by string concatenation, so
+    a hostile `start` can't rewrite the query.  Markers bind plan-time
+    literals, which also keeps predicate pushdown intact (the date bound
+    reaches the parquet scan exactly like a hand-inlined constant).
+
+    The reference's SQL tier has no parametrization story at all
+    (`infrastructure/postgres/init_metrics.sql` ships fixed views); this is
+    the production replacement for the string-formatted dashboards built on
+    it."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            o_orderpriority,
+            count(*) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                AS revenue
+        FROM orders
+        WHERE o_orderdate >= :start AND o_orderdate <= :end
+          AND o_totalprice >= :min_total
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        args={
+            # typed binds: datetime values arrive as TIMESTAMP literals, so
+            # the raw o_orderdate comparison pushes down to the parquet scan
+            "start": datetime.datetime.fromisoformat(_PARAM_START),
+            "end": datetime.datetime.fromisoformat(_PARAM_END),
+            "min_total": _PARAM_MIN_TOTAL,
+        },
     )

@@ -831,3 +831,27 @@ class TestDedupRewriteDocs:
         # the fixture's duplicated docs guarantee both regimes appear
         assert any(r.n_kept == 0 for r in rewrite.values())
         assert any(0 < r.n_kept < r.n_chunks for r in rewrite.values())
+
+
+class TestParameterizedSQL:
+    """Named parameter markers must bind as typed plan-time literals: the
+    date bound reaches the parquet scan as a pushed filter, and a hostile
+    string bind stays a value, never SQL."""
+
+    def test_bounds_push_down_and_binds_are_values(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+            q_parameterized_revenue_window,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+        df = q_parameterized_revenue_window(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed, not post-scan
+        # injection attempt: the marker is a VALUE, so this is just an
+        # impossible priority string, not a rewritten query
+        register_views(spark, sf_dir)
+        hostile = spark.sql(
+            "SELECT count(*) AS n FROM orders WHERE o_orderpriority = :p",
+            args={"p": "' OR '1'='1"},
+        ).first()
+        assert hostile.n == 0
