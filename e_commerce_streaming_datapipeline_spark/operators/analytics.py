@@ -1283,3 +1283,35 @@ def q_parameterized_revenue_window(spark: SparkSession, sf_dir: str) -> DataFram
             "min_total": _PARAM_MIN_TOTAL,
         },
     )
+
+
+# ONE SQL text, two engines (the ansi_shared_sql_revenue discipline): the
+# bytes of the query are the portability proof.
+_LATERAL_TOPK_SQL = """
+SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+FROM orders o, LATERAL (
+    SELECT l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+    ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+) l
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@query("lateral_top_lineitems", oracle=_LATERAL_TOPK_SQL)
+def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-order top-2 lineitems by price) —
+    the SQL shape analysts write naturally for per-entity top-k, submitted
+    as ONE byte-identical string to both engines.
+
+    The scale story is what Catalyst does with it: the correlated LIMIT
+    subquery is DECORRELATED into a row_number window (partial
+    WindowGroupLimit — each map task forwards at most 2 rows per order into
+    the shuffle) plus one hash join; no per-row re-execution of the inner
+    query survives planning, so the naive O(orders x lineitem-scan) reading
+    of the syntax never runs.  Pinned by test: no nested-loop/cartesian in
+    the physical plan."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

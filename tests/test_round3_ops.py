@@ -855,3 +855,26 @@ class TestParameterizedSQL:
             args={"p": "' OR '1'='1"},
         ).first()
         assert hostile.n == 0
+
+
+class TestLateralTopLineitems:
+    """The correlated LATERAL LIMIT must decorrelate: WindowGroupLimit + one
+    hash join, never a per-row nested loop; and per-order row counts obey
+    the LIMIT."""
+
+    def test_decorrelated_plan_and_limit_semantics(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+            q_lateral_top_lineitems,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+        df = q_lateral_top_lineitems(spark, sf_dir)
+        assert lint_plan(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        rows = df.collect()
+        per_order: dict[int, int] = {}
+        for r in rows:
+            per_order[r.o_orderkey] = per_order.get(r.o_orderkey, 0) + 1
+        assert max(per_order.values()) <= 2
