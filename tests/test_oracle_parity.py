@@ -43,7 +43,8 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "multimodal_decode", "multimodal_asset_stats", "multimodal_resize",
                  "multimodal_frame_sample", "multimodal_features", "multimodal_dedup",
                  # round-3 late additions over documents
-                 "bigram_pmi_topk", "lang_confusion_matrix", "incremental_minhash_dedup"]
+                 "bigram_pmi_topk", "lang_confusion_matrix", "incremental_minhash_dedup",
+                 "source_unigram_divergence", "dedup_rewrite_docs"]
 
 
 @pytest.fixture(scope="module")
@@ -89,7 +90,8 @@ def test_null_and_degenerate_docs_keep_oracle_parity(spark, edge_sf_dir, name):
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
 
 
-_ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_survival"]
+_ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_survival",
+                        "bootstrap_revenue_ci", "parameterized_revenue_window"]
 
 
 @pytest.fixture(scope="module")
