@@ -20,10 +20,19 @@ from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 
 def tumbling_window(df: DataFrame, ts: str, duration: str) -> DataFrame:
-    """Assign each row to its tumbling window; adds window_start/window_end."""
+    """Assign each row to its tumbling window; adds window_start/window_end.
+
+    NULL-event-time policy (shared with ``sliding_window``): a row with no
+    event time cannot be windowed — the streaming twin could not watermark
+    it either — so it is dropped EXPLICITLY here.  Spark's ``window()``
+    already drops such rows silently; making the filter explicit keeps the
+    batch plan honest and the DuckDB oracles (whose ``date_trunc(NULL)``
+    would otherwise emit a NULL-window group) in agreement via their own
+    ``WHERE ts IS NOT NULL``."""
     w = F.window(F.col(ts), duration)
     return (
-        df.withColumn("__w", w)
+        df.where(F.col(ts).isNotNull())
+        .withColumn("__w", w)
         .withColumn("window_start", F.col("__w.start"))
         .withColumn("window_end", F.col("__w.end"))
         .drop("__w")
@@ -32,10 +41,12 @@ def tumbling_window(df: DataFrame, ts: str, duration: str) -> DataFrame:
 
 def sliding_window(df: DataFrame, ts: str, duration: str, slide: str) -> DataFrame:
     """Assign each row to all overlapping sliding windows (Spark semantics:
-    ``duration/slide`` windows per row; 1m/30s => exactly 2)."""
+    ``duration/slide`` windows per row; 1m/30s => exactly 2).  NULL event
+    times are dropped explicitly — see ``tumbling_window``."""
     w = F.window(F.col(ts), duration, slide)
     return (
-        df.withColumn("__w", w)
+        df.where(F.col(ts).isNotNull())
+        .withColumn("__w", w)
         .withColumn("window_start", F.col("__w.start"))
         .withColumn("window_end", F.col("__w.end"))
         .drop("__w")

@@ -200,6 +200,8 @@ WITH ordered AS (
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
     FROM events
+    -- a row with no event time cannot be sessionized (event-time policy)
+    WHERE ts IS NOT NULL
 ), numbered AS (
     SELECT *, CAST(sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
@@ -222,7 +224,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of ``session_window``/``applyInPandasWithState`` in the
     streaming layer.  One shuffle on user_id; both window functions reuse the
     same partitioning."""
-    events = load_table(spark, "events", sf_dir)
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ inputs
     # (unix_micros only accepts TIMESTAMP, so it would reject NTZ parquet).
@@ -543,6 +545,8 @@ WITH ordered AS (
                   >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
              THEN 1 ELSE 0 END AS is_new
     FROM events
+    -- a row with no event time cannot be sessionized (event-time policy)
+    WHERE ts IS NOT NULL
 ), numbered AS (
     SELECT *, sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts

@@ -54,6 +54,15 @@ def dropoff_analysis(
         F.count("*").alias("dropped_events"),
         F.count_distinct(F.col("user_id")).alias("unique_users_affected"),
     )
+    # window_total BEFORE the samples join: that join's equi-key drops a
+    # NULL event_type group (NULL keys never match), which would silently
+    # exclude those events from every status's share-of-window denominator
+    # — the oracle (and the honest metric) counts ALL events in the window
+    # (pinned by the events-edge fixture test)
+    over_window = Window.partitionBy("window_start")
+    per_status = per_status.withColumn(
+        "window_total", F.sum("dropped_events").over(over_window)
+    )
     if include_samples:
         # bounded top-3 sample: WindowGroupLimit caps each map task at 3 rows
         # per group before the shuffle (see module docstring)
@@ -68,9 +77,8 @@ def dropoff_analysis(
             .agg(F.array_sort(F.collect_list("eid")).alias("sample_event_ids"))
         )
         per_status = per_status.join(samples, ["window_start", "event_type"])
-    over_window = Window.partitionBy("window_start")
     out = (
-        per_status.withColumn("window_total", F.sum("dropped_events").over(over_window))
+        per_status
         .where(F.col("event_type").isin(*EVENT_DROPOFF_TYPES))
         .select(
             "window_start",
@@ -104,6 +112,7 @@ WITH per_status AS (
         count(DISTINCT user_id)                    AS unique_users_affected,
         array_to_string(list_sort(list(CAST(event_id AS VARCHAR)))[1:3], ',') AS sample_event_ids
     FROM events
+    WHERE ts IS NOT NULL  -- event-time policy (windows.py)
     GROUP BY 1, 2, 3
 ), with_total AS (
     SELECT *, CAST(sum(dropped_events) OVER (PARTITION BY window_start) AS BIGINT) AS window_total

@@ -68,6 +68,8 @@ WITH agg AS (
         CAST(count_if(event_type = 'signup') AS BIGINT)   AS signups,
         CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
     FROM events
+    -- event-time policy: NULL-ts rows cannot be windowed (windows.py)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
 )
 SELECT

@@ -99,7 +99,9 @@ SELECT
     date_trunc('minute', ts) + INTERVAL '1 minute'  AS window_end,
     {_GMV_ORACLE_AGGS}
 FROM events
-WHERE event_type = 'purchase'
+-- event-time policy: unwindowable NULL-ts rows are dropped (see
+-- functions/windows.py tumbling_window)
+WHERE event_type = 'purchase' AND ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -118,7 +120,7 @@ WITH exploded AS (
     FROM (
         SELECT *, time_bucket(INTERVAL '30 seconds', ts) AS tb
         FROM events
-        WHERE event_type = 'purchase'
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
 )
 SELECT
@@ -143,7 +145,9 @@ SELECT
     date_trunc('hour', ts) + INTERVAL '1 hour'   AS window_end,
     {_GMV_ORACLE_AGGS}
 FROM events
-WHERE event_type = 'purchase'
+-- event-time policy: unwindowable NULL-ts rows are dropped (see
+-- functions/windows.py tumbling_window)
+WHERE event_type = 'purchase' AND ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )

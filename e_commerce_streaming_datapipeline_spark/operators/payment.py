@@ -30,12 +30,22 @@ SUCCESS_MIN_VALUE = 20.0
 
 
 def with_payment_type(events: DataFrame) -> DataFrame:
-    """Decode the JSON props payload (S3) and derive a payment_type bucket."""
+    """Decode the JSON props payload (S3) and derive a payment_type bucket.
+
+    NULL props (or props without ``k``) must yield a NULL payment_type —
+    guarded EXPLICITLY with ``when(isNotNull)``, because Catalyst's
+    extract-value simplification rewrites ``element_at(<literal array>,
+    idx)`` into a CASE whose ELSE branch is the LAST element, so a NULL
+    index silently returns 'debit_card' instead of NULL (pinned by the
+    events-edge fixture test)."""
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     bucket = F.pmod(k, F.lit(4)).cast("int")
     return events.withColumn("props_k", k).withColumn(
         "payment_type",
-        F.element_at(F.array(*[F.lit(t) for t in PAYMENT_TYPES]), bucket + 1),
+        F.when(
+            bucket.isNotNull(),
+            F.element_at(F.array(*[F.lit(t) for t in PAYMENT_TYPES]), bucket + 1),
+        ),
     )
 
 
@@ -71,6 +81,7 @@ WITH typed AS (
         ['credit_card', 'boleto', 'voucher', 'debit_card']
             [(((CAST(props->>'$.k' AS BIGINT) % 4) + 4) % 4) + 1] AS payment_type  -- positive mod, matching Spark's pmod for negative k
     FROM events
+    WHERE ts IS NOT NULL  -- event-time policy (windows.py)
 )
 SELECT
     date_trunc('hour', ts)                     AS window_start,

@@ -736,6 +736,8 @@ WITH seq AS (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
            ) AS to_type
     FROM events
+    -- event-time policy: NULL-ts rows cannot be sequenced
+    WHERE ts IS NOT NULL
 ), pairs AS (
     SELECT from_type, to_type, count(*) AS n
     FROM seq WHERE to_type IS NOT NULL
@@ -759,7 +761,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering with event_id tie-break), then a hash agg on the 5×5 type-pair
     domain — map-side combine collapses everything; the row-normalizing
     window runs over ≤ |types|² rows."""
-    events = load_table(spark, "events", sf_dir)
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     seq = events.select(
         "user_id",
         F.col("event_type").alias("from_type"),

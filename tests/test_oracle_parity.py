@@ -138,3 +138,56 @@ def edge_orders_sf_dir(sf_dir, tmp_path_factory):
 def test_null_order_rows_keep_oracle_parity(spark, edge_orders_sf_dir, name):
     res = compare_query(spark, name, edge_orders_sf_dir)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
+
+
+_EVENTS_EDGE_QUERIES = [
+    "gmv_minutely", "gmv_hourly", "gmv_sliding", "funnel_hourly",
+    "dropoff_hourly", "payment_hourly", "dedup_events", "user_sessions",
+    "event_transition_matrix", "gmv_local_tz_daily", "dpp_partitioned_join",
+    "value_histogram", "csv_source_stats", "event_value_moments",
+    "retention_filter", "user_activity_1h",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_sf_dir(sf_dir, tmp_path_factory):
+    """The shipped fixture with adversarial EVENT rows appended: NULL value,
+    NULL user_id, NULL event_type, NULL props, and a NULL timestamp.  The
+    NULL-ts row is the sharp one: Spark's ``window()`` silently drops it
+    while ``date_trunc(NULL)`` in an oracle would keep a NULL-window group,
+    and NULL ordering positions differ per engine inside lag/lead windows —
+    the whole event-time family now drops unwindowable rows EXPLICITLY on
+    both sides (functions/windows.py policy), which this fixture pins."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("edge_events_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    base = ev.slice(0, 5).to_pylist()
+    edits = [
+        {"event_id": 900001, "value": None},
+        {"event_id": 900002, "user_id": None},
+        {"event_id": 900003, "event_type": None},
+        {"event_id": 900004, "props": None},
+        {"event_id": 900005, "ts": None},
+    ]
+    rows = []
+    for b, e in zip(base, edits):
+        r = dict(b)
+        r.update(e)
+        rows.append(r)
+    extra = pa.Table.from_pylist(rows, schema=ev.schema)
+    (tmp / "events.parquet").unlink()
+    pq.write_table(pa.concat_tables([ev, extra]), tmp / "events.parquet")
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", _EVENTS_EDGE_QUERIES)
+def test_null_event_rows_keep_oracle_parity(spark, edge_events_sf_dir, name):
+    res = compare_query(spark, name, edge_events_sf_dir)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
