@@ -169,7 +169,13 @@ def q_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
         .agg(
             F.sum("__cnt").alias("item_count"),
-            F.count("*").alias("distinct_parts"),
+            # COUNT(DISTINCT x) skips NULLs; the pre-deduplicated groups
+            # include a (orderkey, NULL) group when a lineitem has no part,
+            # so a plain count(*) here would overcount by one — condition on
+            # the group key instead (pinned by the lineitem-edge fixture)
+            F.sum(F.when(F.col("l_partkey").isNotNull(), 1).otherwise(0)).alias(
+                "distinct_parts"
+            ),
             fround(F.sum("__rev") / 10000.0, 2).alias("order_revenue"),
         )
     )

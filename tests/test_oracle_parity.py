@@ -191,3 +191,74 @@ def edge_events_sf_dir(sf_dir, tmp_path_factory):
 def test_null_event_rows_keep_oracle_parity(spark, edge_events_sf_dir, name):
     res = compare_query(spark, name, edge_events_sf_dir)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
+
+
+_LINEITEM_EDGE_QUERIES = [
+    "pricing_summary", "top_customers", "top_orders_per_customer",
+    "order_details", "shipping_priority", "order_priority_check",
+    "returned_item_ranking", "large_volume_customers", "bracket_revenue",
+    "region_revenue", "enrich_lineitem", "min_cost_supplier",
+    "discount_revenue_potential", "nation_market_share", "product_type_profit",
+    "important_part_values", "customer_order_distribution", "top_supplier",
+    "small_qty_order_revenue", "dominant_part_suppliers", "late_sole_supplier",
+    "idle_rich_customers", "window_shoppers", "above_avg_orders",
+    "orders_vs_customer_avg", "big_spender_nations", "supplier_triangles",
+    "copurchase_pairs", "salted_priority_revenue", "bucketed_order_join",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_lineitem_sf_dir(sf_dir, tmp_path_factory):
+    """The shipped fixture with adversarial LINEITEM and CUSTOMER rows:
+    NULL order/part/supp keys (join keys that must drop consistently), NULL
+    quantity/price/discount+tax (the money-discipline inputs), NULL custkey/
+    name/acctbal.  Found one real bug on first run: `order_details`'
+    aggregate-then-join counted a NULL-partkey group where COUNT(DISTINCT)
+    skips NULLs — this fixture keeps the whole TPC-H family pinned."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("edge_li_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    lbase = li.slice(0, 6).to_pylist()
+    ledits = [
+        {"l_orderkey": None}, {"l_partkey": None}, {"l_suppkey": None},
+        {"l_quantity": None}, {"l_extendedprice": None},
+        {"l_discount": None, "l_tax": None},
+    ]
+    rows = []
+    for i, (b, e) in enumerate(zip(lbase, ledits)):
+        r = dict(b)
+        r.update(e)
+        r["l_linenumber"] = 90 + i  # keep (orderkey, linenumber) unique
+        rows.append(r)
+    (tmp / "lineitem.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([li, pa.Table.from_pylist(rows, schema=li.schema)]),
+        tmp / "lineitem.parquet",
+    )
+    cu = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    cbase = cu.slice(0, 3).to_pylist()
+    cedits = [{"c_custkey": None}, {"c_name": None}, {"c_acctbal": None}]
+    crows = []
+    for b, e in zip(cbase, cedits):
+        r = dict(b)
+        r.update(e)
+        crows.append(r)
+    (tmp / "customer.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([cu, pa.Table.from_pylist(crows, schema=cu.schema)]),
+        tmp / "customer.parquet",
+    )
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", _LINEITEM_EDGE_QUERIES)
+def test_null_lineitem_rows_keep_oracle_parity(spark, edge_lineitem_sf_dir, name):
+    res = compare_query(spark, name, edge_lineitem_sf_dir)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
