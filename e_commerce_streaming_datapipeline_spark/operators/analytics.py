@@ -150,6 +150,9 @@ WITH daily AS (
         round(sum(o_totalprice), 2)    AS revenue,
         count(*)                       AS orders
     FROM orders
+    -- a dateless order cannot sit in a calendar frame: the NULL day would
+    -- order NULLS FIRST in Spark's frame and NULLS LAST in DuckDB's
+    WHERE o_orderdate IS NOT NULL
     GROUP BY 1
 )
 SELECT
@@ -171,7 +174,9 @@ FROM daily
 def q_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: 7-day moving average + running total of daily revenue —
     the dashboard smoothing query (Grafana time-series panels)."""
-    orders = load_table(spark, "orders", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = (
         orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
         .agg(fround(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("orders"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
-from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table, load_valid_embeddings
 
 # MinHash/LSH parameters: 16 hashes in 4 bands of 4 — standard S-curve puts
 # the candidate threshold near jaccard ≈ (1/4)^(1/4) ≈ 0.71; verification
@@ -846,7 +846,7 @@ SEMANTIC_DEDUP_COSINE = 0.4  # fixture has no planted twins; 0.4 = real tail
     "semantic_dedup",
     oracle=f"""
 WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), dropped AS (
     SELECT DISTINCT b.vec_id
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -894,7 +894,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of three (dot + two norm recomputations) — measured 3x on the pair
     # stage.  dot/(na*nb) is the same float arithmetic as the oracle's
     # ip/(sqrt(ipa)*sqrt(ipb)), so 6dp-rounded parity is unchanged.
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
     emb = emb.withColumn("nrm", norm_expr(F.col("e")))
@@ -938,7 +938,7 @@ WITH planes AS (
             % 2147483648) % 2001) - 1000) / 1000.0 AS h
     FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(i)
 ), v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), bits AS (
     SELECT v.vec_id, p.j, round(sum(v.e[p.i + 1] * p.h), 4) >= 0 AS bit
     FROM v, planes p
@@ -1000,7 +1000,7 @@ def q_semantic_dedup_autoblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from e_commerce_streaming_datapipeline_spark.operators.similarity import _lsh_band_sigs
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     emb = emb.withColumn("nrm", norm_expr(F.col("e")))

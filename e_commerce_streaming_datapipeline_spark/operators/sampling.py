@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
-from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table, load_valid_embeddings
 
 _KNUTH = 2654435761  # golden-ratio multiplicative hash constant
 _MOD = 2**32
@@ -114,7 +114,7 @@ WITH scaled AS (
     SELECT vec_id,
            127.0 / greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12)
                AS scale
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 )
 SELECT
     e.vec_id,
@@ -122,7 +122,7 @@ SELECT
     array_to_string(
         list_transform(e.embedding, x -> CAST(round(x * s.scale) AS INTEGER)), ','
     ) AS qvec
-FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) e JOIN scaled s ON e.vec_id = s.vec_id
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +138,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a comma-joined string (exact integer text, bit-identical cross-engine):
     ArrayType output columns are unhashable by pandas-based result
     canonicalizers, so every registered query keeps scalar output columns."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_valid_embeddings(spark, sf_dir)
     absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
     scale = 127.0 / F.greatest(absmax.cast("double"), F.lit(1e-12))
     return emb.select(

@@ -27,14 +27,14 @@ from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.functions.vector import cosine_similarity_expr, norm_expr, to_double_array
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
-from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+from e_commerce_streaming_datapipeline_spark.sources.batch import load_table, load_valid_embeddings
 
 N_QUERIES = 8  # fixture convention: vec_id < 8 are the query vectors
 TOP_K = 5
 
 _ORACLE_PAIRS = """
 WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), q AS (
     SELECT * FROM v WHERE vec_id < {n_queries}
 ), pairs AS (
@@ -78,7 +78,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query vectors (vec_id < 8) against the full
     table via broadcast nested-loop, dot products as codegen'd higher-order
     functions (zip_with/aggregate) — zero Python in the loop."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -108,7 +108,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned ANN: candidates restricted to the query's cluster
     (label = coarse centroid id), turning the scan into an equi-join — the
     plan shape that survives N=10^9 vectors."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -149,7 +149,7 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fround``/DuckDB, where ``np.round`` is half-to-even."""
     import numpy as np
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_valid_embeddings(spark, sf_dir)
     qrows = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
@@ -205,7 +205,7 @@ _ORACLE_SIG_CTES = f"""planes AS (
     FROM generate_series(0, {LSH_NBITS - 1}) t1(j),
          generate_series(0, {LSH_DIM - 1}) t2(i)
 ), v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), bits AS (
     SELECT v.vec_id, p.j, round(sum(v.e[p.i + 1] * p.h), 4) >= 0 AS bit
     FROM v, planes p
@@ -287,7 +287,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band bucket sizes (~N/256) bound the pair expansion, and recall
     tunes by adding bands (more joins) or multi-probing neighboring
     signatures — the plan shape stays equi-join."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     # repartition before the 16-dot-product projection so single-file inputs
@@ -440,7 +440,7 @@ def q_embedding_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFra
     Scale anatomy unchanged from ``embedding_topk_lsh``: the probe fan-out
     multiplies only the broadcast query side (9 masks x 2 bands per query);
     the corpus signature relation and the equi-join shape are identical."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     sigs = _lsh_band_sigs(
@@ -506,7 +506,7 @@ def q_lsh_multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     signal is the SHAPE — recall rises monotonically with probe count at
     fixed index size, which is exactly the trade the knob exists to make
     (on clustered real-world embeddings the same curve starts high)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     sigs = _lsh_band_sigs(
@@ -548,7 +548,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN index first (IVF/LSH candidates), then the label filter and exact
     rerank run on candidates only — the same escalation path as
     ``embedding_topk`` -> ``embedding_topk_lsh``."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
     anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -575,7 +575,7 @@ NEAR_DUP_COSINE = 0.4  # fixture has no planted twins; 0.4 captures the tail
     "embedding_near_dups",
     oracle=f"""
 WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 )
 SELECT
     a.vec_id AS vec_a,
@@ -606,7 +606,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact float arithmetic, so 6dp parity holds."""
     from e_commerce_streaming_datapipeline_spark.functions.vector import dot_expr, norm_expr
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
     emb = emb.withColumn("nrm", norm_expr(F.col("e")))
@@ -634,7 +634,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ex AS (
     SELECT label,
            unnest(list_transform(embedding, (x, i) -> {'pos': i, 'v': CAST(x AS DOUBLE)})) AS u
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), per_dim AS (
     SELECT label, u.pos AS pos, round(avg(u.v), 4) + 0 AS c, count(*) AS n
     FROM ex GROUP BY 1, 2
@@ -662,7 +662,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     string: exact integer text is bit-identical cross-engine, and scalar
     output columns keep the result hashable by pandas-based canonicalizers
     (ArrayType output columns are not)."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_valid_embeddings(spark, sf_dir)
     per_dim = (
         emb.select("label", F.posexplode(to_double_array("embedding")).alias("pos", "v"))
         .groupBy("label", "pos")
@@ -743,7 +743,7 @@ WITH v AS (
     SELECT vec_id,
         CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                    * 10000) AS BIGINT) AS norm_e4
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 )
 SELECT
     d.doc_id,
@@ -769,7 +769,7 @@ def q_training_record_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     a zero-exchange zip of co-located buckets; embedding bytes stay
     columnar until the shard writer consumes them."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id",
         # norm_expr folds acc + x*x left-to-right — bit-identical to the
         # oracle's list_inner_product(e, e) sequential sum
@@ -809,7 +809,7 @@ WITH v AS (
         CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                    * 10000) AS BIGINT) AS norm_e4,
         vec_id % {_COGROUP_BUCKETS} AS bucket
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), d AS (
     SELECT doc_id, n_chars, doc_id % {_COGROUP_BUCKETS} AS bucket FROM documents
 ), m AS (
@@ -859,7 +859,7 @@ def q_cogrouped_doc_vec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "n_chars", (F.col("doc_id") % _COGROUP_BUCKETS).alias("bucket")
     )
-    vecs = load_table(spark, "embeddings", sf_dir).select(
+    vecs = load_valid_embeddings(spark, sf_dir).select(
         "vec_id",
         # norm_expr folds acc + x*x left-to-right — bit-identical to the
         # oracle's list_inner_product(e, e) sequential sum
@@ -903,7 +903,7 @@ _SQ_CANDIDATES = 20  # 4x the final k — the quantized recall budget
 
 _SQ_ORACLE = f"""
 WITH v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), sc AS (
     SELECT vec_id, e,
            127.0 / greatest(list_max(list_transform(e, y -> abs(y))), 1e-12) AS s
@@ -968,7 +968,7 @@ def q_embedding_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial top-k before the shuffle); rerank touches ≤ 4k candidate
     rows/query.  Composes with the IVF/LSH pruners — quantize the bucketed
     candidates instead of the corpus."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
     scale = 127.0 / F.greatest(
@@ -1045,7 +1045,7 @@ SELECT
     round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding)
           * 10000) / 10000 + 0.0                             AS mean_component,
     CAST(len(list_filter(embedding, x -> x > 0)) AS INT)     AS n_positive
-FROM embeddings
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 """,
 )
 def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,7 +1089,7 @@ def q_embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "l2_raw", "mean_raw", "n_positive"],
             )
 
-    raw = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").mapInArrow(
+    raw = load_valid_embeddings(spark, sf_dir).select("vec_id", "embedding").mapInArrow(
         kernel, "vec_id long, l2_raw double, mean_raw double, n_positive int"
     )
     return raw.select(
@@ -1111,7 +1111,7 @@ WITH q4 AS (
     SELECT vec_id, label,
            list_transform(embedding::DOUBLE[],
                           x -> CAST(round(x * 10000) AS BIGINT)) AS v
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), dims AS (
     SELECT label, u.i AS dim, sum(v[u.i]) AS s, count(*) AS n
     FROM q4, LATERAL unnest(generate_series(1, len(v))) u(i)
@@ -1162,7 +1162,7 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the corpus — the canonical O(N·K·D) Lloyd step with no
     shuffle of the vectors themselves.  `dist_sq` is reported in original
     embedding units (÷10^8 for the two q4 scales)."""
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id",
         "label",
         F.transform(
@@ -1216,7 +1216,7 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ex AS (
     SELECT label,
            unnest(list_transform(embedding, (x, i) -> {'pos': i, 'v': CAST(x AS DOUBLE)})) AS u
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
 ), per_dim AS (
     SELECT label, u.pos AS pos, round(avg(u.v), 4) + 0 AS c, count(*) AS n
     FROM ex GROUP BY 1, 2
@@ -1244,7 +1244,7 @@ def q_embedding_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, "embeddings", sf_dir).select("label", "embedding")
+    emb = load_valid_embeddings(spark, sf_dir).select("label", "embedding")
 
     def centroid(table: pa.Table) -> pa.Table:
         label = table.column("label")[0].as_py()
@@ -1294,7 +1294,7 @@ WITH xq AS (
         SELECT vec_id,
                unnest(list_transform(embedding::DOUBLE[],
                       (e, i) -> {{'i': i - 1, 'x': CAST(round(e * {_PC_Q}) AS BIGINT)}})) AS u
-        FROM embeddings
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
     )
 ), mu AS (
     SELECT i, CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
@@ -1354,7 +1354,7 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how production PCA hands the Gram matrix to LAPACK)."""
     import math
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_valid_embeddings(spark, sf_dir)
     xq = emb.select(
         "vec_id",
         F.posexplode(

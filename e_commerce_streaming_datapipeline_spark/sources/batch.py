@@ -108,6 +108,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return _normalize_ns_timestamps(df)
 
 
+EMBED_DIM = 64  # fixture embedding dimensionality (embeddings.parquet)
+
+
+def load_valid_embeddings(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The vector-op input gate: a row whose embedding is NULL, empty, or
+    not EMBED_DIM-dimensional is INVALID INPUT for every vector kernel —
+    under ANSI mode a zero-length vector turns the cosine denominator into
+    a job-killing DIVIDE_BY_ZERO, and the Arrow kernels cannot reshape a
+    ragged batch.  Dropped EXPLICITLY here, once, for the whole similarity/
+    dedup/quantize family; every family oracle mirrors the gate with
+    ``WHERE embedding IS NOT NULL AND len(embedding) = 64`` (pinned by the
+    embeddings-edge fixture test).  At 100 TB this filter is a map-side
+    predicate on the scan — production pipelines gate malformed vectors at
+    ingest for exactly this reason."""
+    df = load_table(spark, "embeddings", sf_dir)
+    return df.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMBED_DIM)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TESTDATA_TABLES}
 

@@ -262,3 +262,77 @@ def edge_lineitem_sf_dir(sf_dir, tmp_path_factory):
 def test_null_lineitem_rows_keep_oracle_parity(spark, edge_lineitem_sf_dir, name):
     res = compare_query(spark, name, edge_lineitem_sf_dir)
     assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
+
+
+_EMBEDDINGS_EDGE_QUERIES = [
+    "embedding_topk", "embedding_topk_pandas", "embedding_topk_ivf",
+    "embedding_topk_lsh", "embedding_topk_lsh_multiprobe", "embedding_topk_sq",
+    "lsh_recall_audit", "lsh_multiprobe_recall_audit", "embedding_norms_arrow",
+    "embedding_centroids", "embedding_centroids_arrow", "embedding_quantize",
+    "embedding_near_dups", "kmeans_lloyd_step", "hard_negative_mining",
+    "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
+    "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
+    # NULL orderdate also rides this fixture (calendar-frame policy)
+    "daily_revenue_ma",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_embeddings_sf_dir(sf_dir, tmp_path_factory):
+    """The shipped fixture with adversarial EMBEDDING rows (NULL vector,
+    NULL label, EMPTY vector) plus a NULL-orderdate / NULL-totalprice order.
+    Before the `load_valid_embeddings` gate, the empty vector was a
+    job-killing ANSI DIVIDE_BY_ZERO inside the cosine kernels, the Arrow
+    kernels crashed reshaping the ragged batch, and the DuckDB oracles
+    errored outright on NULL vectors — the gate drops invalid vectors
+    explicitly on both sides, once, for the whole family."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("edge_emb_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    em = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ebase = em.slice(0, 3).to_pylist()
+    eedits = [
+        {"vec_id": 800001, "embedding": None},
+        {"vec_id": 800002, "label": None},
+        {"vec_id": 800003, "embedding": []},
+    ]
+    rows = []
+    for b, e in zip(ebase, eedits):
+        r = dict(b)
+        r.update(e)
+        rows.append(r)
+    (tmp / "embeddings.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([em, pa.Table.from_pylist(rows, schema=em.schema)]),
+        tmp / "embeddings.parquet",
+    )
+    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    obase = od.slice(0, 2).to_pylist()
+    oedits = [
+        {"o_orderkey": 9100001, "o_orderdate": None},
+        {"o_orderkey": 9100002, "o_totalprice": None},
+    ]
+    orows = []
+    for b, e in zip(obase, oedits):
+        r = dict(b)
+        r.update(e)
+        orows.append(r)
+    (tmp / "orders.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([od, pa.Table.from_pylist(orows, schema=od.schema)]),
+        tmp / "orders.parquet",
+    )
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", _EMBEDDINGS_EDGE_QUERIES)
+def test_null_embedding_rows_keep_oracle_parity(spark, edge_embeddings_sf_dir, name):
+    res = compare_query(spark, name, edge_embeddings_sf_dir)
+    assert res.ok, f"{name}: {res.detail} (spark={res.spark_rows}, oracle={res.oracle_rows})"
