@@ -44,7 +44,14 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "multimodal_frame_sample", "multimodal_features", "multimodal_dedup",
                  # round-3 late additions over documents
                  "bigram_pmi_topk", "lang_confusion_matrix", "incremental_minhash_dedup",
-                 "source_unigram_divergence", "dedup_rewrite_docs"]
+                 "source_unigram_divergence", "dedup_rewrite_docs",
+                 # doc-metadata NULLs (lang/source/n_chars) over the
+                 # sampling/stats/export tier
+                 "lang_quality_stats", "stratified_doc_sample", "source_mixture_sample",
+                 "weighted_doc_sample", "source_id_stats", "group_sample_topk",
+                 "dataset_profile", "corpus_quality_filter", "train_test_split",
+                 "training_shard_assignment", "target_encoding_loo", "kfold_assignment",
+                 "k_anonymity_audit"]
 
 
 @pytest.fixture(scope="module")
@@ -66,12 +73,16 @@ def edge_sf_dir(sf_dir, tmp_path_factory):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(sf_dir, f), tmp / f)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    base = docs.slice(0, 4).to_pylist()
+    base = docs.slice(0, 7).to_pylist()
     edits = [
         {"doc_id": 100000, "text": None},
         {"doc_id": 100001, "text": "hello world text here", "n_chars": None},
         {"doc_id": 100002, "text": "the a the"},
         {"doc_id": 100003, "text": ""},
+        # metadata NULLs: grouping/sampling keys and the weight column
+        {"doc_id": 100004, "lang": None},
+        {"doc_id": 100005, "source": None},
+        {"doc_id": 100006, "n_chars": None},
     ]
     rows = []
     for b, e in zip(base, edits):
