@@ -36,6 +36,10 @@ from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
     oracle="""
 SELECT event_id, ts, user_id, event_type, round(coalesce(value, 0.0) * 100) / 100 AS value
 FROM events
+-- wire contract: the entity id is the Kafka key and a REQUIRED field — a
+-- keyless event is an invalid message, dropped by the consumer's
+-- required-field validation, so the producer never emits it either
+WHERE event_id IS NOT NULL
 """,
 )
 def q_kafka_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +55,12 @@ def q_kafka_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields on a wire format should be fixed-point anyway (the reference's
     Postgres DDL agrees: DECIMAL(15,2), init_metrics.sql:28).
     """
-    events = load_table(spark, "events", sf_dir)
+    # producer side: never emit a keyless message (the oracle's wire
+    # contract; the consumer's required-field probe would drop it anyway,
+    # and a NULL Kafka key would break log compaction in production)
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("event_id").isNotNull()
+    )
     payload_schema = StructType(
         [
             StructField("event_id", LongType()),

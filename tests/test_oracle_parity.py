@@ -156,7 +156,8 @@ _EVENTS_EDGE_QUERIES = [
     "dropoff_hourly", "payment_hourly", "dedup_events", "user_sessions",
     "event_transition_matrix", "gmv_local_tz_daily", "dpp_partitioned_join",
     "value_histogram", "csv_source_stats", "event_value_moments",
-    "retention_filter", "user_activity_1h",
+    "retention_filter", "user_activity_1h", "kafka_payload_roundtrip",
+    "event_path_ngrams", "active_alerts",
 ]
 
 
@@ -179,13 +180,17 @@ def edge_events_sf_dir(sf_dir, tmp_path_factory):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(sf_dir, f), tmp / f)
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    base = ev.slice(0, 5).to_pylist()
+    base = ev.slice(0, 7).to_pylist()
     edits = [
         {"event_id": 900001, "value": None},
         {"event_id": 900002, "user_id": None},
         {"event_id": 900003, "event_type": None},
         {"event_id": 900004, "props": None},
         {"event_id": 900005, "ts": None},
+        # keyless messages: the wire contract (kafka_payload_roundtrip)
+        # drops them on BOTH sides; everything else groups NULL ids
+        {"event_id": None},
+        {"event_id": None, "user_id": None},
     ]
     rows = []
     for b, e in zip(base, edits):
