@@ -220,6 +220,9 @@ _LINEITEM_EDGE_QUERIES = [
     "idle_rich_customers", "window_shoppers", "above_avg_orders",
     "orders_vs_customer_avg", "big_spender_nations", "supplier_triangles",
     "copurchase_pairs", "salted_priority_revenue", "bucketed_order_join",
+    # NULL part/supplier attributes ride the same fixture
+    "supplier_part_variety", "nation_trade_volume", "local_supplier_volume",
+    "promo_revenue", "scd2_pit_lookup",
 ]
 
 
@@ -270,6 +273,32 @@ def edge_lineitem_sf_dir(sf_dir, tmp_path_factory):
     pq.write_table(
         pa.concat_tables([cu, pa.Table.from_pylist(crows, schema=cu.schema)]),
         tmp / "customer.parquet",
+    )
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"))
+    pbase = pt.slice(0, 3).to_pylist()
+    pedits = [{"p_type": None}, {"p_brand": None}, {"p_retailprice": None}]
+    prows = []
+    for b, e in zip(pbase, pedits):
+        r = dict(b)
+        r.update(e)
+        prows.append(r)
+    (tmp / "part.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([pt, pa.Table.from_pylist(prows, schema=pt.schema)]),
+        tmp / "part.parquet",
+    )
+    sp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    sbase = sp.slice(0, 2).to_pylist()
+    sedits = [{"s_nationkey": None}, {"s_name": None}]
+    srows = []
+    for b, e in zip(sbase, sedits):
+        r = dict(b)
+        r.update(e)
+        srows.append(r)
+    (tmp / "supplier.parquet").unlink()
+    pq.write_table(
+        pa.concat_tables([sp, pa.Table.from_pylist(srows, schema=sp.schema)]),
+        tmp / "supplier.parquet",
     )
     return str(tmp)
 
