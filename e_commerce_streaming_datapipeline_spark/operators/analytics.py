@@ -720,6 +720,9 @@ WITH ordered AS (
         CASE WHEN event_type = 'purchase' THEN 1800000000 ELSE 600000000 END
             AS gap_us
     FROM events
+    -- a row with no event time cannot join a session window (policy note
+    -- in functions/windows.py; session_window drops it silently)
+    WHERE ts IS NOT NULL
 ), flagged AS (
     SELECT *,
         CASE WHEN max(ts_us + gap_us) OVER (

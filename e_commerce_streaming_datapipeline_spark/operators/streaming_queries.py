@@ -176,6 +176,7 @@ WITH agg AS (
         CAST(count_if(event_type = 'signup') AS BIGINT)   AS signups,
         CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
     FROM events
+    WHERE ts IS NOT NULL  -- event-time policy (streaming/processors.py)
     GROUP BY 1, 2
 )
 SELECT
@@ -205,6 +206,7 @@ WITH ordered AS (
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL  -- event-time policy (streaming/processors.py)
 ), numbered AS (
     SELECT *, sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
@@ -241,6 +243,9 @@ FROM (
     SELECT event_type, value,
            row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id, event_type) AS rn
     FROM events
+    -- event-time policy: the watermark-disciplined ingest stage cannot
+    -- admit unwatermarkable rows (streaming/processors.py)
+    WHERE ts IS NOT NULL
 )
 WHERE rn = 1
 GROUP BY 1

@@ -51,9 +51,16 @@ def with_event_time_discipline(events: DataFrame) -> DataFrame:
     """Watermark + watermarked dedup — the ingest-stage state hygiene the
     reference skipped.  Windows downstream are on true event time, not the
     reference's kafka ingest time (stream_processor.py:130-133 aliases
-    kafka_timestamp; SURVEY §1.3 flags the divergence)."""
+    kafka_timestamp; SURVEY §1.3 flags the divergence).
+
+    NULL-event-time policy (same as the batch window helpers): a row with
+    no event time cannot be watermarked or windowed — the engine drops it
+    EXPLICITLY at the ingest stage instead of letting each downstream
+    stateful operator drop it silently (the oracles mirror with
+    ``WHERE ts IS NOT NULL``)."""
     return (
-        events.withWatermark("ts", WATERMARK_DELAY)
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", WATERMARK_DELAY)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 

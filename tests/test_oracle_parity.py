@@ -158,6 +158,11 @@ _EVENTS_EDGE_QUERIES = [
     "value_histogram", "csv_source_stats", "event_value_moments",
     "retention_filter", "user_activity_1h", "kafka_payload_roundtrip",
     "event_path_ngrams", "active_alerts",
+    # streaming twins: the ingest-stage event-time policy must hold through
+    # the watermark/stateful machinery, not just the batch helpers
+    "gmv_stream_minutely", "dedup_stream_counts", "funnel_stream_hourly",
+    "session_stream", "session_dynamic_stream", "session_window_stats",
+    "session_dynamic_gap_stats", "unique_buyers_stream",
 ]
 
 
