@@ -795,3 +795,106 @@ def q_xml_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_sum_double(F.col("value")).alias("total_value"),
         F.count("props").alias("n_props"),
     )
+
+
+@query(
+    "corrupt_dlq_roundtrip",
+    oracle="""
+WITH m AS (
+    SELECT event_id, event_type,
+        CASE WHEN event_id % 7 = 0 THEN substr(props, 2)
+             WHEN event_id % 11 = 0 THEN replace(props, '"k"', '"x"')
+             ELSE props END AS mp
+    FROM events
+), flagged AS (
+    SELECT event_type,
+        CASE WHEN mp IS NULL THEN 'null_payload'
+             WHEN TRY_CAST(mp AS JSON) IS NULL THEN 'malformed_json'
+             WHEN json_extract(TRY_CAST(mp AS JSON), '$.k') IS NULL
+                 THEN 'missing_required_field'
+        END AS reason
+    FROM m
+)
+SELECT event_type,
+    CAST(count(CASE WHEN reason IS NULL THEN 1 END) AS BIGINT) AS n_valid,
+    CAST(count(reason) AS BIGINT)                              AS n_dlq,
+    coalesce(string_agg(DISTINCT reason, ',' ORDER BY reason), '')
+        AS dlq_reasons
+FROM flagged
+GROUP BY 1
+""",
+)
+def q_corrupt_dlq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue ingest split — the production completion of
+    `corrupt_record_drop`'s counting: rows that fail the wire contract are
+    not merely dropped, they are ROUTED to a DLQ sink with a machine-
+    readable reason (`malformed_json` via the PERMISSIVE parser's
+    _corrupt_record column, `missing_required_field` via the required-field
+    probe, `null_payload`), the DLQ is persisted as parquet and READ BACK,
+    and the returned accounting derives the DLQ side from the read-back
+    relation — proving the error channel loses nothing.  Corruption is
+    synthesized deterministically (every 7th event loses its brace, every
+    11th loses its required key) since the fixture's props are well-formed.
+
+    Scale shape: classification is map-side codegen (Jackson in the JVM);
+    the DLQ write is a partitioned parquet append keyed however the ops
+    team wants to triage (here: one directory per run); both aggregates are
+    type-keyed hash aggs; the reasons string is a listagg over <=3 distinct
+    values.  At 100 TB the DLQ is the cheap side by construction — it holds
+    only the failure tail."""
+    events = load_table(spark, "events", sf_dir)
+    mangled = (
+        F.when(F.col("event_id") % 7 == 0, F.expr("substring(props, 2)"))
+        .when(
+            F.col("event_id") % 11 == 0,
+            F.regexp_replace(F.col("props"), F.lit('"k"'), F.lit('"x"')),
+        )
+        .otherwise(F.col("props"))
+    )
+    parsed = F.from_json(
+        mangled,
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    reason = (
+        F.when(mangled.isNull(), "null_payload")
+        .when(parsed["_corrupt_record"].isNotNull(), "malformed_json")
+        .when(parsed["k"].isNull(), "missing_required_field")
+    )
+    classified = events.select(
+        "event_id", "event_type", mangled.alias("payload"), reason.alias("reason")
+    )
+    dlq_dir = _scratch_dir("dlq", sf_dir)
+    classified.where(F.col("reason").isNotNull()).write.mode("overwrite").parquet(
+        dlq_dir
+    )
+    dlq = (
+        spark.read.parquet(dlq_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_dlq"),
+            F.expr(
+                "listagg(DISTINCT reason, ',') WITHIN GROUP (ORDER BY reason)"
+            ).alias("dlq_reasons"),
+        )
+    )
+    valid = (
+        classified.where(F.col("reason").isNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_valid"))
+    )
+    # NULL-SAFE join key: a NULL event_type is a legitimate group on both
+    # sides (the oracle's single-pass GROUP BY merges them); a plain
+    # equi-join would silently split it into valid-with-zero-DLQ
+    dlq = dlq.withColumnRenamed("event_type", "__dlq_type")
+    return (
+        valid.join(
+            dlq, valid["event_type"].eqNullSafe(dlq["__dlq_type"]), "left"
+        )
+        .select(
+            "event_type",
+            "n_valid",
+            F.coalesce(F.col("n_dlq"), F.lit(0)).alias("n_dlq"),
+            F.coalesce(F.col("dlq_reasons"), F.lit("")).alias("dlq_reasons"),
+        )
+    )

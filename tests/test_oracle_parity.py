@@ -163,6 +163,7 @@ _EVENTS_EDGE_QUERIES = [
     "gmv_stream_minutely", "dedup_stream_counts", "funnel_stream_hourly",
     "session_stream", "session_dynamic_stream", "session_window_stats",
     "session_dynamic_gap_stats", "unique_buyers_stream",
+    "corrupt_dlq_roundtrip",
 ]
 
 
