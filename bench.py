@@ -109,6 +109,7 @@ EXTENDED_R3 = [
     "source_unigram_divergence",  # pairwise TV drift (exact-integer fold)
     "bootstrap_revenue_ci",   # 200-replicate percentile bootstrap (spine-sized)
     "dpp_partitioned_join",   # runtime dynamicpruning partition filter
+    "scd2_stream_merge",      # incremental SCD2 CDC merge (foreachBatch store)
 ]
 
 

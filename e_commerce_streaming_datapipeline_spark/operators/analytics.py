@@ -648,9 +648,7 @@ def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_priority_history",
-    oracle="""
+SCD2_ORACLE = """
 WITH ordered AS (
     SELECT
         o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -677,20 +675,20 @@ SELECT
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ) IS NULL                   AS is_current
 FROM changes
-""",
-)
-def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 history build: collapse a change stream into effective-dated
-    dimension versions (effective_from / effective_to / is_current) — the
-    standard warehouse versioning pattern, here tracking each customer's
-    order-priority transitions.  Change detection (lag) and interval closing
-    (lead) reuse ONE hash partitioning on custkey — a single shuffle for the
-    whole history build; at 100 TB the change stream is CDC input and the
-    plan is unchanged."""
-    orders = load_table(spark, "orders", sf_dir)
+"""
+
+
+def scd2_history(rows: DataFrame) -> DataFrame:
+    """Collapse ``(o_custkey, o_orderpriority, o_orderdate, o_orderkey)``
+    change candidates into effective-dated SCD2 versions.  Shared by the
+    one-shot batch build (`scd2_priority_history`) and the per-micro-batch
+    recompute inside the incremental stream maintainer (`scd2_stream_merge`)
+    so the change-detection/interval-closing semantics cannot drift between
+    the two.  Change detection (lag) and interval closing (lead) reuse ONE
+    hash partitioning on custkey — a single shuffle for the whole build."""
     by_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     changes = (
-        orders.select(
+        rows.select(
             "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
             F.lag("o_orderpriority").over(by_cust).alias("prev_priority"),
         )
@@ -710,6 +708,16 @@ def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective_to.alias("effective_to"),
         effective_to.isNull().alias("is_current"),
     )
+
+
+@query("scd2_priority_history", oracle=SCD2_ORACLE)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse a change stream into effective-dated
+    dimension versions (effective_from / effective_to / is_current) — the
+    standard warehouse versioning pattern, here tracking each customer's
+    order-priority transitions.  At 100 TB the change stream is CDC input and
+    the plan is unchanged; `scd2_stream_merge` is that incremental twin."""
+    return scd2_history(load_table(spark, "orders", sf_dir))
 
 
 _SESSION_DYNAMIC_ORACLE = """

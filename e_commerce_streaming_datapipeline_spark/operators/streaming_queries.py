@@ -1562,3 +1562,114 @@ def q_minhash_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         accepted, schema="doc_new long, doc_index long, jaccard double"
     )
+
+
+from e_commerce_streaming_datapipeline_spark.operators.analytics import (  # noqa: E402
+    SCD2_ORACLE as _SCD2_ORACLE,
+)
+
+_SCD2_HISTORY_SCHEMA = (
+    "custkey long, priority string, effective_from date, "
+    "effective_to date, is_current boolean"
+)
+
+
+@query("scd2_stream_merge", oracle=_SCD2_ORACLE)
+def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintained INCREMENTALLY by a stream — the lakehouse
+    CDC pattern: order-priority change events replayed in event-time order
+    (year-chunked files, ``maxFilesPerTrigger=1``) merge into a persistent
+    history store inside ``foreachBatch``, and the final store must equal
+    the one-shot batch build — hash-checked against the SAME oracle as
+    `scd2_priority_history` (batch/stream equivalence for dimension
+    maintenance, the CDC sibling of `metrics_merge_upsert`'s fact merge).
+
+    The merge exploits the SCD2 CDC invariant: with time-ordered arrival,
+    only ``is_current`` rows are mutable — a later change can close the
+    open interval but can never rewrite an already-closed one.  Each batch
+    therefore touches ONLY the current rows of the custkeys it contains
+    (broadcast semi/anti split), re-derives those customers' open tails via
+    the shared `scd2_history` builder (seeded with the stored current row
+    so an unchanged priority does NOT open a spurious version), and unions
+    the untouched remainder back.  At 100 TB the store is a key-bucketed
+    table and the keep/replace union is a MERGE INTO keyed on
+    (custkey, effective_from); per-batch work is proportional to the batch,
+    not the dimension.  The year-chunking below is test-harness scaffolding
+    for what a Kafka CDC feed provides naturally.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.operators.analytics import scd2_history
+
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_scd2", uuid.uuid4().hex
+    )
+    cdc_dir = os.path.join(run_dir, "cdc")
+    os.makedirs(cdc_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"],
+    )
+    years = pc.year(tbl["o_orderdate"])
+    base_mtime = os.stat(sf_dir).st_mtime
+    for i, y in enumerate(sorted(pc.unique(years).to_pylist())):
+        path = os.path.join(cdc_dir, f"orders-{i:02d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(years, y)), path)
+        # the file source orders batches by modification time — small chunks
+        # written back-to-back can share an mtime millisecond, which would
+        # replay years out of order and void the only-current-rows-mutable
+        # invariant; stamp strictly ascending mtimes to pin arrival order
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+    store: dict[str, str | None] = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch = batch_df.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        )
+        if store["path"] is None:
+            keep = sp.createDataFrame([], _SCD2_HISTORY_SCHEMA)
+            seeds = keep
+        else:
+            hist = sp.read.parquet(store["path"])
+            affected = batch.select(F.col("o_custkey").alias("custkey")).distinct()
+            hit = hist.join(
+                F.broadcast(affected).withColumn("__hit", F.lit(1)), "custkey", "left"
+            )
+            keep = hit.where(
+                F.col("__hit").isNull() | ~F.col("is_current")
+            ).drop("__hit")
+            seeds = hit.where(
+                F.col("__hit").isNotNull() & F.col("is_current")
+            ).drop("__hit")
+        # the stored open version re-enters change detection as a pseudo-row
+        # strictly before every batch row (its effective_from is from an
+        # earlier chunk), so a batch whose first priority matches it extends
+        # the open interval instead of opening a duplicate version
+        seed_rows = seeds.select(
+            F.col("custkey").alias("o_custkey"),
+            F.col("priority").alias("o_orderpriority"),
+            F.col("effective_from").alias("o_orderdate"),
+            F.lit(-1).cast("long").alias("o_orderkey"),
+        )
+        out = os.path.join(run_dir, f"store_v{batch_id}")
+        keep.unionByName(scd2_history(seed_rows.unionByName(batch))).write.parquet(out)
+        store["path"] = out
+
+    stream = read_file_stream(
+        spark, cdc_dir, "orders-*.parquet", max_files_per_trigger=1
+    )
+    with _stream_run(spark, "scd2_merge") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the final store version stays on disk for the returned (lazy) scan;
+    # superseded versions are already-materialized inputs and could be
+    # reaped, but the run dir is /tmp-scoped like the other roundtrips
+    return spark.read.parquet(store["path"])

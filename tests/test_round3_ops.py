@@ -878,3 +878,45 @@ class TestLateralTopLineitems:
         for r in rows:
             per_order[r.o_orderkey] = per_order.get(r.o_orderkey, 0) + 1
         assert max(per_order.values()) <= 2
+
+
+class TestScd2StreamMerge:
+    """Incremental SCD2 maintenance (foreachBatch CDC merge) must equal the
+    one-shot batch build, and must actually run as a multi-batch stream —
+    one micro-batch per year chunk — or the merge path is vacuous."""
+
+    def test_stream_store_equals_batch_build_and_is_multibatch(self, spark, sf_dir):
+        import glob
+        import os
+        import tempfile
+
+        from e_commerce_streaming_datapipeline_spark.operators.analytics import (
+            q_scd2_priority_history,
+        )
+        from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+            q_scd2_stream_merge,
+        )
+
+        before = set(
+            glob.glob(
+                os.path.join(
+                    tempfile.gettempdir(), "e_commerce_streaming_datapipeline_scd2", "*"
+                )
+            )
+        )
+        streamed = {tuple(r) for r in q_scd2_stream_merge(spark, sf_dir).collect()}
+        batch = {tuple(r) for r in q_scd2_priority_history(spark, sf_dir).collect()}
+        assert streamed == batch
+        run_dirs = [
+            d
+            for d in glob.glob(
+                os.path.join(
+                    tempfile.gettempdir(), "e_commerce_streaming_datapipeline_scd2", "*"
+                )
+            )
+            if d not in before
+        ]
+        assert len(run_dirs) == 1
+        versions = glob.glob(os.path.join(run_dirs[0], "store_v*"))
+        # one store version per micro-batch; the fixture spans >1 order-year
+        assert len(versions) > 1
