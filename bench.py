@@ -110,6 +110,10 @@ EXTENDED_R3 = [
     "bootstrap_revenue_ci",   # 200-replicate percentile bootstrap (spine-sized)
     "dpp_partitioned_join",   # runtime dynamicpruning partition filter
     "scd2_stream_merge",      # incremental SCD2 CDC merge (foreachBatch store)
+    "bm25_topk",              # lexical ranker: query-term postings only shuffle
+    "hybrid_rrf_fusion",      # BM25 + cosine reciprocal-rank fusion
+    "state_store_inspect",    # statestore reader over the dedup checkpoint
+    "checkpoint_resume_stream",  # two-start exactly-once restart proof
 ]
 
 

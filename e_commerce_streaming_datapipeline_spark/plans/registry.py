@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.layout",
     "e_commerce_streaming_datapipeline_spark.operators.graph",
     "e_commerce_streaming_datapipeline_spark.operators.segmentation",
+    "e_commerce_streaming_datapipeline_spark.operators.retrieval",
 ]
 
 

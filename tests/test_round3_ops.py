@@ -7,6 +7,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pytest
 
+from pyspark.sql import functions as F
+
 from e_commerce_streaming_datapipeline_spark.plans import registry
 
 
@@ -920,3 +922,96 @@ class TestScd2StreamMerge:
         versions = glob.glob(os.path.join(run_dirs[0], "store_v*"))
         # one store version per micro-batch; the fixture spans >1 order-year
         assert len(versions) > 1
+
+
+class TestRetrieval:
+    """BM25 + RRF hybrid fusion semantic properties (the oracle pins the
+    values; these pin the *retrieval* meaning of the output)."""
+
+    def test_bm25_topk_docs_contain_query_terms_and_ranks_are_dense(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.retrieval import (
+            QUERY_TERMS,
+            q_bm25_topk,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_bm25_topk(spark, sf_dir).collect()
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        texts = {
+            r.doc_id: r.text
+            for r in load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id").isin([r.doc_id for r in rows]))
+            .collect()
+        }
+        for r in rows:
+            assert any(t in texts[r.doc_id].split(" ") for t in QUERY_TERMS)
+
+    def test_rrf_score_recomputes_from_ranks_and_excludes_query_doc(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.retrieval import (
+            QUERY_VEC_ID,
+            RRF_K,
+            q_hybrid_rrf_fusion,
+        )
+
+        rows = q_hybrid_rrf_fusion(spark, sf_dir).collect()
+        assert all(r.doc_id != QUERY_VEC_ID for r in rows)
+        for r in rows:
+            expect = (1.0 / (RRF_K + r.rank_lex) if r.rank_lex else 0.0) + (
+                1.0 / (RRF_K + r.rank_vec) if r.rank_vec else 0.0
+            )
+            assert abs(r.rrf - expect) < 5e-7  # rrf is rounded to 6dp
+        # fusion is only meaningful if at least one doc is ranked by both legs
+        assert any(r.rank_lex is not None and r.rank_vec is not None for r in rows)
+
+
+class TestStateStoreReader:
+    """The statestore-reader query must reflect the dedup operator's REAL
+    state: one state row per distinct event_id."""
+
+    def test_state_rows_equal_distinct_keys(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+            q_state_store_inspect,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_state_store_inspect(spark, sf_dir).collect()
+        n_state = sum(r.state_rows for r in rows)
+        n_distinct = (
+            load_table(spark, "events", sf_dir).select("event_id").distinct().count()
+        )
+        assert n_state == n_distinct
+
+
+class TestCheckpointResume:
+    """The restart query must really run TWO separate stream starts against
+    one checkpoint and suppress the cross-phase replay via recovered state."""
+
+    def test_two_phases_one_copy_of_every_event(self, spark, sf_dir):
+        import glob
+        import os
+        import tempfile
+
+        from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+            q_checkpoint_resume_stream,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        pattern = os.path.join(
+            tempfile.gettempdir(), "e_commerce_streaming_datapipeline_resume", "*"
+        )
+        before = set(glob.glob(pattern))
+        agg = {r.event_type: r.n_events for r in q_checkpoint_resume_stream(spark, sf_dir).collect()}
+        run_dirs = [d for d in glob.glob(pattern) if d not in before]
+        assert len(run_dirs) == 1
+        out = os.path.join(run_dirs[0], "out")
+        sink = spark.read.parquet(out)
+        # exactly one copy of every event despite the chunk-2 replay slice
+        assert sink.count() == sink.select("event_id").distinct().count()
+        total = load_table(spark, "events", sf_dir).count()
+        assert sum(agg.values()) == total
+        # the commit log must show more than one batch => a real restart ran
+        commits = glob.glob(os.path.join(run_dirs[0], "ckpt", "commits", "*"))
+        batches = [c for c in commits if not c.endswith(".crc")]
+        assert len(batches) >= 2
