@@ -114,6 +114,7 @@ EXTENDED_R3 = [
     "hybrid_rrf_fusion",      # BM25 + cosine reciprocal-rank fusion
     "state_store_inspect",    # statestore reader over the dedup checkpoint
     "checkpoint_resume_stream",  # two-start exactly-once restart proof
+    "promo_window_attribution",  # keyless interval join, bin-bucketized
 ]
 
 

@@ -498,3 +498,108 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100).alias("local_revenue"),
         )
     )
+
+
+@query(
+    "promo_window_attribution",
+    oracle="""
+WITH minute_rev AS (
+    SELECT date_trunc('minute', ts) AS window_peak,
+           sum(CAST(round(value * 100) AS BIGINT)) AS rev_cents
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), top10 AS (
+    SELECT window_peak FROM minute_rev
+    ORDER BY rev_cents DESC, window_peak
+    LIMIT 10
+), w AS (
+    SELECT window_peak,
+           window_peak - INTERVAL 45 MINUTE AS w_start,
+           window_peak + INTERVAL 45 MINUTE AS w_end
+    FROM top10
+)
+SELECT
+    w.window_peak,
+    count(*)                  AS n_events,
+    count(DISTINCT e.user_id) AS n_users,
+    CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(round(e.value * 100) AS BIGINT) END), 0)
+         AS DOUBLE) / 100     AS promo_revenue
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1
+""",
+)
+def q_promo_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join, bucketized: attribute all site activity to the
+    top-10 purchase-revenue "promo windows" (peak minute ± 45 min) — each
+    event matches a window purely by timestamp containment, with NO shared
+    equi-key to join on.
+
+    Scale technique (the one this query exists to demonstrate): a naive
+    ``e.ts BETWEEN w.start AND w.end`` join plans as a nested loop — O(N·M)
+    and fatal when the interval relation is a real campaign catalog, not 10
+    rows.  Instead each interval EXPLODES into the hour bins it covers
+    (``sequence`` + ``explode``; ≤3 bins per 90-min window), each event maps
+    to its one hour bin, and the join becomes an EQUI-join on the bin with
+    the BETWEEN as a residual filter.  Because the probe side keeps exactly
+    one bin per event, a window spanning several bins still matches each
+    event at most once — no post-join dedup.  At 10⁶ campaigns × 10¹⁰
+    events this is a plain shuffle hash join on bin (skew-salting the hot
+    bins if campaigns cluster); here the interval side is small enough that
+    Catalyst broadcasts it, same shape either way.
+
+    Window derivation is deterministic: peak minutes ranked by exact
+    cents revenue (TakeOrdered), minute ascending on ties.
+    """
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    purchases = events.where(F.col("event_type") == "purchase")
+    top10 = (
+        purchases.groupBy(F.date_trunc("minute", "ts").alias("window_peak"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rev_cents"))
+        .orderBy(F.col("rev_cents").desc(), "window_peak")
+        .limit(10)
+    )
+    windows = top10.select(
+        "window_peak",
+        (F.col("window_peak") - F.expr("INTERVAL 45 MINUTE")).alias("w_start"),
+        (F.col("window_peak") + F.expr("INTERVAL 45 MINUTE")).alias("w_end"),
+    )
+    # bin expansion on the INTERVAL side only: sequence() emits the hour bins
+    # [hour(start) .. hour(end)] — a superset at the exclusive end, trimmed
+    # by the residual predicate
+    binned_windows = windows.select(
+        "window_peak",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "w_start"),
+                F.date_trunc("hour", "w_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("w_bin"),
+    )
+    binned_events = events.withColumn("bin", F.date_trunc("hour", "ts"))
+    joined = binned_events.join(
+        F.broadcast(binned_windows),
+        (F.col("bin") == F.col("w_bin"))
+        & (F.col("ts") >= F.col("w_start"))
+        & (F.col("ts") < F.col("w_end")),
+    )
+    return joined.groupBy("window_peak").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("double")
+            / 100
+        ).alias("promo_revenue"),
+    )

@@ -1682,6 +1682,7 @@ SELECT
     min(event_id)                 AS min_event_id,
     max(event_id)                 AS max_event_id
 FROM events
+WHERE event_id IS NOT NULL
 GROUP BY 1
 """
 
@@ -1711,8 +1712,14 @@ def q_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checkpoint = os.path.join(run_dir, "ckpt")
     out_dir = os.path.join(run_dir, "out")
-    deduped = read_file_stream(spark, sf_dir, "events.parquet").dropDuplicates(
-        ["event_id"]
+    # keyless (NULL event_id) messages cannot be deduped by key — the same
+    # wire-contract drop kafka_payload_roundtrip applies, mirrored in the
+    # oracle's WHERE; NULL keys would otherwise collapse to ONE state row
+    # while COUNT(DISTINCT) counts zero
+    deduped = (
+        read_file_stream(spark, sf_dir, "events.parquet")
+        .where(F.col("event_id").isNotNull())
+        .dropDuplicates(["event_id"])
     )
     q = (
         deduped.writeStream.format("parquet")
@@ -1742,6 +1749,7 @@ SELECT
     min(event_id)            AS min_event_id,
     max(event_id)            AS max_event_id
 FROM events
+WHERE event_id IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -1776,8 +1784,12 @@ def q_checkpoint_resume_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_mtime = os.stat(sf_dir).st_mtime
 
     def run_phase() -> None:
-        deduped = read_file_stream(spark, feed_dir, "chunk-*.parquet").dropDuplicates(
-            ["event_id"]
+        # keyless rows dropped pre-dedup (wire contract, mirrored in the
+        # oracle): NULL keys would collapse nondeterministically in state
+        deduped = (
+            read_file_stream(spark, feed_dir, "chunk-*.parquet")
+            .where(F.col("event_id").isNotNull())
+            .dropDuplicates(["event_id"])
         )
         q = (
             deduped.writeStream.format("parquet")

@@ -51,7 +51,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "weighted_doc_sample", "source_id_stats", "group_sample_topk",
                  "dataset_profile", "corpus_quality_filter", "train_test_split",
                  "training_shard_assignment", "target_encoding_loo", "kfold_assignment",
-                 "k_anonymity_audit"]
+                 "k_anonymity_audit",
+                 # retrieval tier: NULL/empty/stopword-only text must not
+                 # perturb postings, document length or the fused ranking
+                 "bm25_topk", "hybrid_rrf_fusion"]
 
 
 @pytest.fixture(scope="module")
@@ -164,6 +167,11 @@ _EVENTS_EDGE_QUERIES = [
     "session_stream", "session_dynamic_stream", "session_window_stats",
     "session_dynamic_gap_stats", "unique_buyers_stream",
     "corrupt_dlq_roundtrip",
+    # keyless binned interval join: NULL ts must not bin, NULL value must
+    # not perturb the peak-minute ranking or the attributed revenue
+    "promo_window_attribution",
+    # statestore/restart queries: NULL event_ids flow through dedup state
+    "state_store_inspect", "checkpoint_resume_stream",
 ]
 
 

@@ -1015,3 +1015,39 @@ class TestCheckpointResume:
         commits = glob.glob(os.path.join(run_dirs[0], "ckpt", "commits", "*"))
         batches = [c for c in commits if not c.endswith(".crc")]
         assert len(batches) >= 2
+
+
+class TestBinnedIntervalJoin:
+    """The keyless interval join must plan as an EQUI join on the hour bin
+    (range predicate as residual), never as a nested loop — the whole point
+    of the bin expansion."""
+
+    def test_plans_as_hash_join_on_bin_with_range_residual(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.joins import (
+            q_promo_window_attribution,
+        )
+
+        plan = (
+            q_promo_window_attribution(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin [bin" in plan
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_multi_bin_windows_count_each_event_once(self, spark, sf_dir):
+        """A 90-minute window spans 2-3 hour bins; the probe side keeps one
+        bin per event, so no event may be attributed twice to one window."""
+        from e_commerce_streaming_datapipeline_spark.operators.joins import (
+            q_promo_window_attribution,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_promo_window_attribution(spark, sf_dir).collect()
+        events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+        for r in rows[:3]:  # spot-check the top windows
+            lo = r.window_peak - __import__("datetime").timedelta(minutes=45)
+            hi = r.window_peak + __import__("datetime").timedelta(minutes=45)
+            n = events.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).count()
+            assert n == r.n_events
