@@ -115,6 +115,8 @@ EXTENDED_R3 = [
     "state_store_inspect",    # statestore reader over the dedup checkpoint
     "checkpoint_resume_stream",  # two-start exactly-once restart proof
     "promo_window_attribution",  # keyless interval join, bin-bucketized
+    "dq_expectations",        # one-pass declarative data-quality gate
+    "changelog_replay_stream",   # update-mode changelog capture + replay
 ]
 
 

@@ -19,7 +19,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -1824,4 +1824,95 @@ def q_checkpoint_resume_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
         )
+    )
+
+
+@query(
+    "changelog_replay_stream",
+    oracle="""
+SELECT
+    TIMESTAMP '1970-01-01 00:00:00'
+        + CAST(floor(epoch(ts) / 604800) AS BIGINT) * INTERVAL 1 SECOND * 604800
+        AS window_start,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS gmv,
+    count(*) AS item_count
+FROM events
+WHERE event_type = 'purchase' AND ts IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_changelog_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode changelog capture + replay: the GMV-per-WEEK aggregate
+    streams over a day-chunked replay (3 day-files per micro-batch, so every
+    week window is re-emitted across ~3 batches as its days arrive), and every
+    batch's CHANGED windows are appended to a parquet changelog stamped with
+    the batch id — the CDC feed a downstream system tails.  Replaying the
+    changelog (last emission per window wins) must reconstruct the batch
+    aggregate exactly — hash-checked against the same oracle as the batch
+    twin.
+
+    This is the semantic contract of ``outputMode("update")`` made
+    checkable: a window is re-emitted WITH ITS COMPLETE NEW VALUE every
+    batch it changes in, so last-writer-wins replay converges to the final
+    table.  It is also why the append-side sink tolerates at-least-once
+    delivery: a duplicated emission is identical, and max-batch-id replay
+    collapses it.  At 100 TB the changelog is the handoff between the
+    streaming layer and any store that can upsert; per-batch volume is
+    #changed-windows, not #events.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_changelog", uuid.uuid4().hex
+    )
+    feed_dir = os.path.join(run_dir, "feed")
+    changelog_dir = os.path.join(run_dir, "changelog")
+    os.makedirs(feed_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    days = pc.cast(pc.floor(pc.divide(pc.cast(pc.cast(
+        tbl["ts"], "timestamp[us]"), "int64"), 86_400_000_000)), "int64")
+    base_mtime = os.stat(sf_dir).st_mtime
+    uniq = [d for d in pc.unique(days).to_pylist() if d is not None]
+    for i, d in enumerate(sorted(uniq)):
+        path = os.path.join(feed_dir, f"events-{i:03d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(days, d)), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    if tbl.filter(pc.is_null(tbl["ts"])).num_rows:
+        path = os.path.join(feed_dir, "events-nullts.parquet")
+        pq.write_table(tbl.filter(pc.is_null(tbl["ts"])), path)
+        os.utime(path, (base_mtime, base_mtime))
+
+    def capture(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(changelog_dir)
+
+    agg = (
+        read_file_stream(spark, feed_dir, "events-*.parquet", max_files_per_trigger=3)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "7 days"))
+        .agg(
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100)
+            .alias("gmv"),
+            F.count("*").alias("item_count"),
+        )
+        .select(F.col("window.start").alias("window_start"), "gmv", "item_count")
+    )
+    with _stream_run(spark, "changelog") as (name, checkpoint):
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    changelog = spark.read.parquet(changelog_dir)
+    latest = Window.partitionBy("window_start").orderBy(F.col("batch_id").desc())
+    return (
+        changelog.withColumn("__rn", F.row_number().over(latest))
+        .where(F.col("__rn") == 1)
+        .select("window_start", "gmv", "item_count")
     )

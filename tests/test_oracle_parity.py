@@ -172,6 +172,9 @@ _EVENTS_EDGE_QUERIES = [
     "promo_window_attribution",
     # statestore/restart queries: NULL event_ids flow through dedup state
     "state_store_inspect", "checkpoint_resume_stream",
+    # update-mode changelog: NULL-ts rows must drop on BOTH sides of the
+    # capture/replay roundtrip
+    "changelog_replay_stream",
 ]
 
 
@@ -237,6 +240,8 @@ _LINEITEM_EDGE_QUERIES = [
     # NULL part/supplier attributes ride the same fixture
     "supplier_part_variety", "nation_trade_volume", "local_supplier_volume",
     "promo_revenue", "scd2_pit_lookup",
+    # the DQ gate: NULL keys/values must hit exactly one constraint each
+    "dq_expectations",
 ]
 
 

@@ -1051,3 +1051,72 @@ class TestBinnedIntervalJoin:
             hi = r.window_peak + __import__("datetime").timedelta(minutes=45)
             n = events.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).count()
             assert n == r.n_events
+
+
+class TestDqExpectations:
+    """The DQ gate's verdict semantics: the pristine fixture publishes clean
+    (every constraint passes), and each constraint name appears exactly once."""
+
+    def test_pristine_fixture_publishes_clean(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.quality import (
+            q_dq_expectations,
+        )
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = q_dq_expectations(spark, sf_dir).collect()
+        assert len(rows) == 9
+        assert len({r.constraint_name for r in rows}) == 9
+        bad = {r.constraint_name: r.violations for r in rows if r.violations != 0}
+        # the gate CAUGHT a real defect in the synthetic fixture: the
+        # generator does not keep (l_orderkey, l_linenumber) unique —
+        # everything else publishes clean
+        assert set(bad) == {"unique_orderkey_linenumber"}, bad
+        li = load_table(spark, "lineitem", sf_dir)
+        expected_dups = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+        assert bad["unique_orderkey_linenumber"] == expected_dups
+        assert all(
+            r.pass_rate == 1.0
+            for r in rows
+            if r.constraint_name != "unique_orderkey_linenumber"
+        )
+
+
+class TestChangelogReplay:
+    """The update-mode changelog must contain REAL supersessions (a window
+    re-emitted across batches) or the last-writer-wins replay is vacuous."""
+
+    def test_changelog_supersedes_across_batches(self, spark, sf_dir):
+        import glob
+        import os
+        import tempfile
+
+        from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+            q_changelog_replay_stream,
+        )
+
+        pattern = os.path.join(
+            tempfile.gettempdir(), "e_commerce_streaming_datapipeline_changelog", "*"
+        )
+        before = set(glob.glob(pattern))
+        final = q_changelog_replay_stream(spark, sf_dir)
+        n_windows = final.count()
+        run_dirs = [d for d in glob.glob(pattern) if d not in before]
+        assert len(run_dirs) == 1
+        log = spark.read.parquet(os.path.join(run_dirs[0], "changelog"))
+        assert log.count() > n_windows  # at least one window emitted twice
+        assert log.select("batch_id").distinct().count() > 1
+        # a superseded emission must carry a DIFFERENT (partial) value than
+        # the final one — i.e. update mode re-emits the full new aggregate
+        from pyspark.sql import functions as SF
+
+        per_window = (
+            log.groupBy("window_start")
+            .agg(
+                SF.count("*").alias("emissions"),
+                SF.count_distinct("item_count").alias("distinct_counts"),
+            )
+            .where(SF.col("emissions") > 1)
+        )
+        assert per_window.count() > 0
+        assert per_window.where(SF.col("distinct_counts") > 1).count() > 0
