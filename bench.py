@@ -117,6 +117,7 @@ EXTENDED_R3 = [
     "promo_window_attribution",  # keyless interval join, bin-bucketized
     "dq_expectations",        # one-pass declarative data-quality gate
     "changelog_replay_stream",   # update-mode changelog capture + replay
+    "ngram_udtf_topk",        # polymorphic analyze() UDTF trigram top-k
 ]
 
 

@@ -1349,3 +1349,78 @@ def q_source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(numer / denom, 6).alias("tv_distance"),
         )
     )
+
+
+_POLY_NGRAM_N = 3
+_POLY_NGRAM_TOP_K = 20
+
+
+@query(
+    "ngram_udtf_topk",
+    oracle=f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS a FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT a[CAST(i AS INT)]     AS t0,
+           a[CAST(i AS INT) + 1] AS t1,
+           a[CAST(i AS INT) + 2] AS t2
+    FROM (
+        SELECT a, unnest(generate_series(1, len(a) - {_POLY_NGRAM_N - 1})) AS i
+        FROM toks WHERE len(a) >= {_POLY_NGRAM_N}
+    )
+)
+SELECT t0, t1, t2, n, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, t0, t1, t2) AS rn
+    FROM (SELECT t0, t1, t2, count(*) AS n FROM grams GROUP BY 1, 2, 3)
+)
+WHERE rn <= {_POLY_NGRAM_TOP_K}
+""",
+)
+def q_ngram_udtf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the ``analyze()`` extension seam (Spark 4):
+    the n-gram splitter's OUTPUT SCHEMA is computed at plan time from the
+    constant ``n`` argument (``t0..t{{n-1}}`` columns), so one registration
+    serves every gram width; here it runs at n=3 and the corpus top-20
+    trigrams are ranked on the exploded output.
+
+    This completes the §2.8 UDTF surface beyond the fixed-schema chunker
+    (`doc_chunks_udtf`): fixed-schema UDTF, lateral join, and now plan-time
+    schema synthesis.  Same scale trade as the chunker — row-at-a-time
+    Python is the extension seam, not the hot path; the equivalent
+    generator-expression pipeline (`bigram_pmi_topk`, `event_path_ngrams`)
+    stays codegen-side.  Ranking orders by the exact count with full
+    lexicographic tie-break, so the top-20 is engine-stable."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"t{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ngrams_poly", udtf(NGrams))
+    docs = load_table(spark, "documents", sf_dir)
+    docs.select("text").createOrReplaceTempView("documents_for_poly_udtf")
+    grams = spark.sql(
+        "SELECT g.* FROM documents_for_poly_udtf t, "
+        f"LATERAL ngrams_poly(t.text, {_POLY_NGRAM_N}) g"
+    )
+    gram_cols = [f"t{i}" for i in range(_POLY_NGRAM_N)]
+    counts = grams.groupBy(*gram_cols).agg(F.count("*").alias("n"))
+    top = counts.orderBy(
+        F.col("n").desc(), *[F.col(c) for c in gram_cols]
+    ).limit(_POLY_NGRAM_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), *[F.col(c) for c in gram_cols])
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -54,7 +54,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "k_anonymity_audit",
                  # retrieval tier: NULL/empty/stopword-only text must not
                  # perturb postings, document length or the fused ranking
-                 "bm25_topk", "hybrid_rrf_fusion"]
+                 "bm25_topk", "hybrid_rrf_fusion",
+                 # polymorphic UDTF: NULL text yields no grams on both sides
+                 "ngram_udtf_topk"]
 
 
 @pytest.fixture(scope="module")
