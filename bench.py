@@ -118,6 +118,7 @@ EXTENDED_R3 = [
     "dq_expectations",        # one-pass declarative data-quality gate
     "changelog_replay_stream",   # update-mode changelog capture + replay
     "ngram_udtf_topk",        # polymorphic analyze() UDTF trigram top-k
+    "manifest_time_travel",   # manifest-committed snapshots + time travel
 ]
 
 

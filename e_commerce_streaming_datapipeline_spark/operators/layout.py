@@ -30,6 +30,10 @@ Scale notes per operator in the docstrings below.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -384,3 +388,85 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bucket equal-count histogram of o_totalprice with exact fixed-point
     bucket totals (deterministic ntile tiebreak on o_orderkey)."""
     return equi_depth_histogram(load_table(spark, "orders", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Manifest-committed snapshots (time travel without a table format)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_ORACLE = """
+SELECT
+    CAST(o_orderdate AS DATE)                            AS order_day,
+    o_orderstatus                                        AS status,
+    count(*)                                             AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                                                         AS day_revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("manifest_time_travel", oracle=_SNAPSHOT_ORACLE)
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse commit protocol from first principles — immutable data
+    files + an atomically swapped MANIFEST naming the files of each version:
+    v1 commits the full daily-revenue rollup, v2 commits a "correction"
+    (finished orders only) as NEW files without touching v1's, and the
+    reader here TIME-TRAVELS back to v1 after v2 became current — proving
+    that a snapshot stays byte-stable under later commits (it is
+    hash-checked against the v1 oracle while v2 is live).
+
+    This is what Delta/Iceberg do under the hood, reduced to its invariant:
+    readers never list directories (the manifest IS the file list, so
+    eventual-consistency and half-written files are invisible), writers
+    never mutate published files, and a commit is one JSON rename —
+    O(#files) metadata, zero data rewrite, which is why table formats
+    scale to 100 TB where directory-listing + overwrite cannot.  The test
+    twin asserts v2 reads differently and that v1's files were untouched.
+    """
+    import json
+
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_manifest", uuid.uuid4().hex
+    )
+    data_dir = os.path.join(run_dir, "data")
+    os.makedirs(data_dir)
+
+    orders = load_table(spark, "orders", sf_dir)
+    rollup = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100
+        ).alias("day_revenue"),
+    )
+
+    def commit(version: int, df: DataFrame) -> None:
+        vdir = os.path.join(data_dir, f"v{version}")
+        df.write.parquet(vdir)
+        files = sorted(
+            os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        staged = os.path.join(run_dir, f".manifest_v{version}.json.tmp")
+        with open(staged, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        # the commit IS this atomic rename: readers see the old or the new
+        # manifest, never a partial one
+        os.replace(staged, os.path.join(run_dir, f"manifest_v{version}.json"))
+        with open(os.path.join(run_dir, ".current.tmp"), "w") as fh:
+            json.dump({"current": version}, fh)
+        os.replace(
+            os.path.join(run_dir, ".current.tmp"), os.path.join(run_dir, "CURRENT.json")
+        )
+
+    def read_version(version: int) -> DataFrame:
+        with open(os.path.join(run_dir, f"manifest_v{version}.json")) as fh:
+            manifest = json.load(fh)
+        return spark.read.parquet(*manifest["files"])
+
+    commit(1, rollup)
+    commit(2, rollup.where(F.col("status") == "F"))  # the correction commit
+    return read_version(1)  # time travel: v1 while CURRENT points at v2

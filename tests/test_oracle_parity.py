@@ -107,7 +107,10 @@ def test_null_and_degenerate_docs_keep_oracle_parity(spark, edge_sf_dir, name):
 
 
 _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_survival",
-                        "bootstrap_revenue_ci", "parameterized_revenue_window"]
+                        "bootstrap_revenue_ci", "parameterized_revenue_window",
+                        # NULL orderdate/totalprice must group/sum identically
+                        # through the committed snapshot files
+                        "manifest_time_travel"]
 
 
 @pytest.fixture(scope="module")

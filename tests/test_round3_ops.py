@@ -1120,3 +1120,38 @@ class TestChangelogReplay:
         )
         assert per_window.count() > 0
         assert per_window.where(SF.col("distinct_counts") > 1).count() > 0
+
+
+class TestManifestTimeTravel:
+    """Snapshot-isolation invariants of the manifest commit protocol: v2 is
+    CURRENT and reads differently, v1's files are untouched by the v2
+    commit, and the returned relation is the v1 snapshot."""
+
+    def test_v1_stable_under_v2_commit(self, spark, sf_dir):
+        import glob
+        import json
+        import os
+        import tempfile
+
+        from e_commerce_streaming_datapipeline_spark.operators.layout import (
+            q_manifest_time_travel,
+        )
+
+        pattern = os.path.join(
+            tempfile.gettempdir(), "e_commerce_streaming_datapipeline_manifest", "*"
+        )
+        before = set(glob.glob(pattern))
+        v1 = q_manifest_time_travel(spark, sf_dir)
+        run_dirs = [d for d in glob.glob(pattern) if d not in before]
+        assert len(run_dirs) == 1
+        run = run_dirs[0]
+        current = json.load(open(os.path.join(run, "CURRENT.json")))
+        assert current["current"] == 2
+        m1 = json.load(open(os.path.join(run, "manifest_v1.json")))
+        m2 = json.load(open(os.path.join(run, "manifest_v2.json")))
+        assert set(m1["files"]).isdisjoint(m2["files"])  # immutable commits
+        assert all(os.path.exists(f) for f in m1["files"])  # v2 touched nothing
+        v2 = spark.read.parquet(*m2["files"])
+        statuses_v1 = {r.status for r in v1.select("status").distinct().collect()}
+        statuses_v2 = {r.status for r in v2.select("status").distinct().collect()}
+        assert statuses_v2 == {"F"} and statuses_v1 > statuses_v2
