@@ -1889,7 +1889,11 @@ def q_changelog_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(changelog_dir)
 
     agg = (
-        read_file_stream(spark, feed_dir, "events-*.parquet", max_files_per_trigger=3)
+        # 5 day-files per batch over ~30 days: 6 micro-batches, and every
+        # 7-day window still spans >=2 of them (real supersessions, pinned
+        # by test) at roughly half the micro-batch machinery cost of
+        # smaller triggers
+        read_file_stream(spark, feed_dir, "events-*.parquet", max_files_per_trigger=5)
         .where(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "7 days"))
