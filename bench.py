@@ -119,6 +119,7 @@ EXTENDED_R3 = [
     "changelog_replay_stream",   # update-mode changelog capture + replay
     "ngram_udtf_topk",        # polymorphic analyze() UDTF trigram top-k
     "manifest_time_travel",   # manifest-committed snapshots + time travel
+    "supplier_components",    # iterative min-label connected components
 ]
 
 

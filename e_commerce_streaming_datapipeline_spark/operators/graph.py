@@ -303,3 +303,111 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACHABILITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Connected components (iterative min-label propagation)
+# --------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE ps AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem WHERE l_quantity >= 49
+), edges AS (
+    SELECT a.sk AS u, b.sk AS v
+    FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk <> b.sk
+    GROUP BY 1, 2
+), nodes AS (
+    SELECT DISTINCT sk AS node FROM ps
+), reach(src, node) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+    SELECT src AS node, min(node) AS component_id FROM reach GROUP BY src
+)
+SELECT component_id,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       max(node)                AS max_suppkey
+FROM comp
+GROUP BY 1
+"""
+
+
+@query("supplier_components", oracle=_COMPONENTS_ORACLE)
+def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-part graph by ITERATIVE
+    min-label propagation — the driver-loop-until-converged algorithm family
+    (alongside the bounded-iteration Lloyd step and the pure-SQL
+    ``WITH RECURSIVE`` BFS): every node starts labeled with its own id, each
+    round takes the min of its own and its neighbors' labels, and the loop
+    stops when a round changes nothing.  Output: one row per component
+    (id = min supplier key, size, max member).
+
+    The oracle computes the same components by recursive closure (UNION-
+    distinct reachability → min reachable id), so the fixed point itself is
+    hash-checked — not just row counts.
+
+    Scale shape: each round is ONE equi-join of the directed edge list
+    against the current labels plus a min-aggregate — Catalyst shuffles on
+    the node key like any join; labels relation stays node-sized all the
+    way.  Convergence here is O(diameter) rounds (assert-capped); at
+    10⁹-node scale the same loop uses the large-star/small-star rewiring
+    (Kiveris et al., SoCC'14) to collapse rounds to O(log n), and each
+    round persists/unpersists its frontier exactly as done here.
+    """
+    ps = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") != F.col("b.sk")))
+        .select(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .distinct()
+        .persist()
+    )
+    labels = ps.select(F.col("sk").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    try:
+        for _round in range(30):
+            neighbor_min = (
+                edges.join(labels, edges["u"] == labels["node"])
+                .select(F.col("v").alias("node"), "label")
+                .groupBy("node")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:  # pragma: no cover - diameter 30 would be a fixture anomaly
+            raise AssertionError("label propagation did not converge in 30 rounds")
+        return (
+            labels.groupBy(F.col("label").alias("component_id"))
+            .agg(
+                F.count("*").alias("n_suppliers"),
+                F.max("node").alias("max_suppkey"),
+            )
+        )
+    finally:
+        edges.unpersist()

