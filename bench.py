@@ -120,6 +120,7 @@ EXTENDED_R3 = [
     "ngram_udtf_topk",        # polymorphic analyze() UDTF trigram top-k
     "manifest_time_travel",   # manifest-committed snapshots + time travel
     "supplier_components",    # iterative min-label connected components
+    "forecast_backtest_snaive",  # seasonal-naive walk-forward backtest
 ]
 
 

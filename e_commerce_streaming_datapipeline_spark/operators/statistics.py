@@ -2240,3 +2240,67 @@ def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar_join(pt, ci).select(
         "mean_daily_revenue", "n_days", "n_reps", "ci_lo", "ci_hi"
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest (seasonal-naive, exact-integer error metrics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forecast_backtest_snaive",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), forecasted AS (
+    SELECT day_num, cents,
+           lag(cents, 7) OVER (ORDER BY day_num) AS fc
+    FROM daily
+), scored AS (
+    SELECT CAST(floor(day_num / 7) AS BIGINT) AS week_num,
+           cents, fc, abs(cents - fc) AS abs_err
+    FROM forecasted WHERE fc IS NOT NULL
+)
+SELECT week_num,
+       CAST(count(*) AS BIGINT)                       AS n_days,
+       CAST(sum(cents) AS DOUBLE) / 100               AS actual_revenue,
+       CAST(sum(abs_err) AS DOUBLE) / count(*) / 100  AS mae,
+       round(CAST(sum(abs_err) AS DOUBLE) / sum(cents) * 10000) / 10000 AS wmape
+FROM scored
+GROUP BY 1
+""",
+)
+def q_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST of the daily revenue series: the seasonal-naive
+    predictor (forecast(d) = revenue(d-7), the baseline every demand-
+    forecasting deployment must beat) evaluated walk-forward over the
+    fixture month, reporting per-week MAE and WMAPE (Σ|err| / Σactual —
+    the ratio-of-sums MAPE variant that is both the industry standard for
+    intermittent demand AND exact here: numerator and denominator are
+    integer cents sums, divided once at the edge, so no float-summation
+    order exists to drift cross-engine).
+
+    Scale shape: identical to every revenue rollup — the corpus-sized work
+    is one hash agg to the daily grain; lag(7) and the week re-aggregation
+    run over #days rows.  A real deployment swaps the predictor column
+    (model output joined on day) and keeps this exact scoring harness —
+    the backtest is the operator, the model is data."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    fc = daily.withColumn("fc", F.lag("cents", 7).over(Window.orderBy("day_num")))
+    scored = fc.where(F.col("fc").isNotNull()).select(
+        F.floor(F.col("day_num") / 7).cast("long").alias("week_num"),
+        "cents",
+        F.abs(F.col("cents") - F.col("fc")).alias("abs_err"),
+    )
+    return scored.groupBy("week_num").agg(
+        F.count("*").alias("n_days"),
+        (F.sum("cents").cast("double") / 100).alias("actual_revenue"),
+        (F.sum("abs_err").cast("double") / F.count("*") / 100).alias("mae"),
+        fround(F.sum("abs_err").cast("double") / F.sum("cents"), 4).alias("wmape"),
+    )

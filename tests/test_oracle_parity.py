@@ -180,6 +180,8 @@ _EVENTS_EDGE_QUERIES = [
     # update-mode changelog: NULL-ts rows must drop on BOTH sides of the
     # capture/replay roundtrip
     "changelog_replay_stream",
+    # backtest scoring: NULL ts drops, NULL value defaults to 0 cents
+    "forecast_backtest_snaive",
 ]
 
 
