@@ -121,6 +121,7 @@ EXTENDED_R3 = [
     "manifest_time_travel",   # manifest-committed snapshots + time travel
     "supplier_components",    # iterative min-label connected components
     "forecast_backtest_snaive",  # seasonal-naive walk-forward backtest
+    "agg_state_inspect",      # statestore reader over agg accumulators
 ]
 
 

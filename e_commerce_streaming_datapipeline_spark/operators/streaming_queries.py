@@ -1920,3 +1920,62 @@ def q_changelog_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("window_start", "gmv", "item_count")
     )
+
+
+@query(
+    "agg_state_inspect",
+    oracle="""
+SELECT
+    date_trunc('hour', ts) AS hour,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+    count(*) AS n_purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_agg_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming aggregation's STATE STORE read back as the aggregate it
+    is: an hourly purchase-revenue streaming aggregation runs to a
+    checkpoint, and the checkpoint's state rows — key = the grouping
+    expression, value = the (sum, count) accumulator pair Spark actually
+    maintains — are hash-checked against the semantic definition of the
+    aggregate.  Where `state_store_inspect` audits a dedup operator's KEY
+    set, this verifies stateful-aggregation ACCUMULATORS themselves:
+    exactly the evidence needed when debugging a suspected state
+    corruption/upgrade issue in production, and the strongest possible form
+    of the SCALE.md claim that streaming state is the windowed aggregate
+    and nothing more.
+
+    The checkpoint lives in a /tmp-scoped run dir kept for the returned
+    lazy plan, like the other roundtrip queries.
+    """
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_aggstate", uuid.uuid4().hex
+    )
+    checkpoint = os.path.join(run_dir, "ckpt")
+    agg = (
+        read_file_stream(spark, sf_dir, "events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            F.count("*").alias("n_purchases"),
+        )
+    )
+    name = f"agg_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(checkpoint)
+    return state.select(
+        F.col("key._groupingexpression").alias("hour"),
+        (F.col("value.sum").cast("double") / 100).alias("revenue"),
+        F.col("value.count").alias("n_purchases"),
+    )
