@@ -122,6 +122,7 @@ EXTENDED_R3 = [
     "supplier_components",    # iterative min-label connected components
     "forecast_backtest_snaive",  # seasonal-naive walk-forward backtest
     "agg_state_inspect",      # statestore reader over agg accumulators
+    "l_diversity_audit",      # homogeneity-attack privacy audit
 ]
 
 

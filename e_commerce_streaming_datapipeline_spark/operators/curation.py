@@ -673,6 +673,76 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH cells AS (
+    SELECT
+        CAST(extract(hour FROM ts) AS INTEGER) AS qi_hour,
+        CAST(floor(coalesce(value, 0) / 100) AS BIGINT) AS qi_value_bucket,
+        event_type,
+        count(*) AS c
+    FROM events
+    GROUP BY 1, 2, 3
+), per_group AS (
+    SELECT qi_hour, qi_value_bucket,
+           count(*)  AS n_sensitive_values,
+           sum(c)    AS n_rows,
+           max(c)    AS dominant_rows
+    FROM cells
+    GROUP BY 1, 2
+)
+SELECT qi_hour, qi_value_bucket, n_sensitive_values,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(dominant_rows AS DOUBLE) / n_rows * 10000) / 10000
+           AS dominant_share
+FROM per_group
+WHERE n_sensitive_values < {{_LDIV_L}}
+ORDER BY qi_hour, qi_value_bucket
+""".format(_LDIV_L=_LDIV_L),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's stronger sibling: a QI group can
+    cover many individuals yet still leak if they all share one SENSITIVE
+    value (homogeneity attack).  QI = (hour-of-day, value bucket),
+    sensitive attribute = event_type; every group with fewer than l=3
+    distinct sensitive values is listed with its dominant-value share (the
+    input to recursive (c,l)-diversity).  Together with `k_anonymity_audit`
+    this is the pre-release pair a privacy review actually runs.
+
+    Scale: two chained hash aggregations — (QI, sensitive) counts, then the
+    QI-grain distinct/sum/max — both over the cell grid, never raw rows
+    after the first pass; exact integers until the one displayed division.
+    """
+    events = load_table(spark, "events", sf_dir)
+    cells = events.groupBy(
+        F.hour("ts").alias("qi_hour"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100).alias("qi_value_bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    per_group = cells.groupBy("qi_hour", "qi_value_bucket").agg(
+        F.count("*").alias("n_sensitive_values"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("dominant_rows"),
+    )
+    return (
+        per_group.where(F.col("n_sensitive_values") < _LDIV_L)
+        .select(
+            "qi_hour",
+            "qi_value_bucket",
+            "n_sensitive_values",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            fround(F.col("dominant_rows").cast("double") / F.col("n_rows"), 4).alias(
+                "dominant_share"
+            ),
+        )
+        .orderBy("qi_hour", "qi_value_bucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # Training shard assignment (the "global shuffle" a trainer consumes)
 # --------------------------------------------------------------------------

@@ -185,6 +185,8 @@ _EVENTS_EDGE_QUERIES = [
     # agg-state reader: NULL-ts purchases form a NULL-key state row that
     # must match the oracle's NULL group
     "agg_state_inspect",
+    # privacy pair: NULL hour/type form their own QI cells on both engines
+    "l_diversity_audit",
 ]
 
 
