@@ -1180,3 +1180,74 @@ class TestSupplierComponents:
             .count()
         )
         assert sum(r.n_suppliers for r in rows) == nodes
+
+
+class TestWatermarkEvictionViaStateReader:
+    """The statestore READER must show watermark eviction directly: after a
+    chunked in-order replay, a watermarked dedup's surviving state keys are
+    a small suffix of the feed (only events above the final watermark),
+    while the unwatermarked twin in state_store_inspect holds every key."""
+
+    def test_watermarked_dedup_state_is_evicted_suffix(self, spark, sf_dir):
+        import os
+        import tempfile
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as SF
+
+        from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
+
+        run = os.path.join(tempfile.gettempdir(), "evict_probe", uuid.uuid4().hex)
+        feed = os.path.join(run, "feed")
+        os.makedirs(feed)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        days = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64"),
+                    86_400_000_000,
+                )
+            ),
+            "int64",
+        )
+        base = os.stat(sf_dir).st_mtime
+        uniq = sorted(d for d in pc.unique(days).to_pylist() if d is not None)
+        for i, d in enumerate(uniq):
+            p = os.path.join(feed, f"d{i:03d}.parquet")
+            pq.write_table(tbl.filter(pc.equal(days, d)), p)
+            os.utime(p, (base + i, base + i))
+
+        deduped = (
+            read_file_stream(spark, feed, "d*.parquet", max_files_per_trigger=1)
+            .where(SF.col("event_id").isNotNull())
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        ckpt = os.path.join(run, "ckpt")
+        q = (
+            deduped.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ckpt)
+        n_state = state.count()
+        n_keys = tbl.num_rows
+        # eviction really happened: surviving state is a small suffix (the
+        # last day or two above the final watermark), not the whole feed
+        assert 0 < n_state < n_keys / 5, (n_state, n_keys)
+        # and every surviving key's event sits in the feed's final stretch
+        min_surviving_ts = (
+            state.select(SF.col("key.event_id").alias("event_id"))
+            .join(spark.read.parquet(*[os.path.join(feed, f) for f in os.listdir(feed)]), "event_id")
+            .agg(SF.min("ts"))
+            .collect()[0][0]
+        )
+        last_day_start = uniq[-2] * 86400  # epoch seconds of the penultimate day
+        import datetime
+
+        assert min_surviving_ts >= datetime.datetime.utcfromtimestamp(last_day_start)
