@@ -123,6 +123,7 @@ EXTENDED_R3 = [
     "forecast_backtest_snaive",  # seasonal-naive walk-forward backtest
     "agg_state_inspect",      # statestore reader over agg accumulators
     "l_diversity_audit",      # homogeneity-attack privacy audit
+    "trained_ivf_topk",       # k-means-trained IVF: train -> index -> search
 ]
 
 

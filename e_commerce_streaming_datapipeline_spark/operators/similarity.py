@@ -1396,3 +1396,177 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, v[i], float(eigenvalue)) for i in range(dims)],
         "dim int, loading_q4 long, eigenvalue double",
     )
+
+
+# --------------------------------------------------------------------------
+# Trained IVF: k-means from scratch (2 Lloyd iterations) + nprobe search
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 3
+
+# one Lloyd stage in DuckDB: centroids from `{src}`'s {lab} column, then the
+# integer-rational argmin assignment of every vector
+_IVF_STAGE_SQL = """
+, cents{i} AS (
+    SELECT {lab} AS c_label, any_value(n) AS n, list(s ORDER BY dim) AS s_arr
+    FROM (
+        SELECT {lab}, u.i AS dim, sum(v[u.i]) AS s, count(*) AS n
+        FROM {src}, LATERAL unnest(generate_series(1, len(v))) u(i)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+), assign{i} AS (
+    SELECT vec_id, v, e, c_label AS label{i}
+    FROM (
+        SELECT q4.vec_id, q4.v, q4.e, c.c_label,
+               row_number() OVER (
+                   PARTITION BY q4.vec_id
+                   ORDER BY CAST(list_aggregate(
+                       list_transform(
+                           list_zip(q4.v, c.s_arr),
+                           p -> (c.n * p[1] - p[2]) * (c.n * p[1] - p[2])
+                       ), 'sum') AS DOUBLE) / (c.n * c.n), c.c_label
+               ) AS rn
+        FROM q4 JOIN {src} USING (vec_id), cents{i} c
+    ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "trained_ivf_topk",
+    oracle=f"""
+WITH q4 AS (
+    SELECT vec_id,
+           vec_id % {_IVF_K} AS seed,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 10000) AS BIGINT)) AS v,
+           embedding::DOUBLE[] AS e
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+), seeded AS (SELECT vec_id, seed AS lab, v FROM q4)
+{_IVF_STAGE_SQL.format(i=1, src="(SELECT vec_id, lab, v FROM seeded)", lab="lab")}
+{_IVF_STAGE_SQL.format(i=2, src="(SELECT vec_id, label1 AS lab, v FROM assign1)", lab="lab")}
+, probes AS (
+    SELECT vec_id AS query_id, c_label AS probe_label
+    FROM (
+        SELECT q4.vec_id, c.c_label,
+               row_number() OVER (
+                   PARTITION BY q4.vec_id
+                   ORDER BY CAST(list_aggregate(
+                       list_transform(
+                           list_zip(q4.v, c.s_arr),
+                           p -> (c.n * p[1] - p[2]) * (c.n * p[1] - p[2])
+                       ), 'sum') AS DOUBLE) / (c.n * c.n), c.c_label
+               ) AS rn
+        FROM q4, cents2 c
+        WHERE q4.vec_id < 8
+    ) WHERE rn <= {_IVF_NPROBE}
+), pairs AS (
+    SELECT
+        p.query_id,
+        a.vec_id AS neighbor_id,
+        round(
+            list_inner_product(q.e, a.e)
+            / (sqrt(list_inner_product(q.e, q.e))
+               * sqrt(list_inner_product(a.e, a.e))),
+            6
+        ) AS cos_sim
+    FROM probes p
+    JOIN assign2 a ON a.label2 = p.probe_label AND a.vec_id <> p.query_id
+    JOIN q4 q ON q.vec_id = p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn FROM pairs
+)
+WHERE rn <= {_IVF_TOPK}
+""",
+)
+def q_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF trained END TO END in the engine: k-means centroids learned from
+    scratch (deterministic ``vec_id % K`` seeding, two full Lloyd
+    iterations with the module's exact-integer rational-centroid metric),
+    every vector assigned to its learned cluster, and queries probing their
+    ``nprobe=2`` nearest centroids with exact cosine rerank of the probed
+    candidates — the complete production ANN lifecycle (train → index →
+    search) where `embedding_topk_ivf` used the fixture's label column as
+    a stand-in for offline clustering.
+
+    Everything is hash-checked: Lloyd assignment keys are pure integer math
+    (Σ(n·x − S)², one final division), so both engines learn IDENTICAL
+    clusters, and the search result is deterministic given the clusters.
+
+    Scale shape: each Lloyd iteration is one O(N·K·D) broadcast-centroid
+    map + one K×D hash-agg — vectors never shuffle; the search is an
+    equi-join on cluster id (candidate fraction ≈ nprobe/K).  Integer
+    headroom: |n·x − S| ≤ 2·n·10⁴ ⇒ the 64-dim sum fits int64 to n ≈ 10⁸
+    per cluster; beyond that the accumulator becomes DECIMAL(38,0) with
+    the same plan."""
+    emb = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id",
+        (F.col("vec_id") % _IVF_K).alias("lab"),
+        F.transform(
+            to_double_array("embedding"),
+            lambda x: F.round(x * 10000).cast("long"),
+        ).alias("v"),
+        to_double_array("embedding").alias("e"),
+    )
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        dims = (
+            assigned.select("lab", F.posexplode("v").alias("dim", "x"))
+            .groupBy("lab", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        return dims.groupBy(F.col("lab").alias("c_label")).agg(
+            F.any_value("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda p: p["s"]
+            ).alias("s_arr"),
+        )
+
+    rational_dist = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("s_arr"),
+            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    ).cast("double") / (F.col("n") * F.col("n"))
+
+    def assign(vectors: DataFrame, cents: DataFrame, top: int = 1) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
+        return (
+            vectors.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "e", "c_label", rational_dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top)
+        )
+
+    a1 = assign(emb, centroids(emb)).select(
+        "vec_id", "v", "e", F.col("c_label").alias("lab")
+    )
+    cents2 = centroids(a1)
+    a2 = assign(a1, cents2).select(
+        "vec_id", "e", F.col("c_label").alias("cluster")
+    )
+    probes = assign(emb.where(F.col("vec_id") < 8), cents2, top=_IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("c_label").alias("probe_label"),
+    )
+    pairs = probes.join(
+        a2,
+        (F.col("probe_label") == F.col("cluster"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+    )
+    return _ranked_topk(pairs, top_k=_IVF_TOPK)

@@ -430,6 +430,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "hard_negative_mining",   # anchor-sample broadcast, label-mismatch predicate
         "embedding_topk_sq",      # query-vector broadcast (quantized candidate scan)
         "kmeans_lloyd_step",      # K-row centroid-table broadcast (Lloyd assignment)
+        "trained_ivf_topk",       # same K-row centroid broadcast, x3 (train/assign/probe)
         "source_fuzzy_pairs",     # 20-row distinct-key self-join, length-banded
         "revenue_theilsen_trend", # daily-aggregate pair expansion (n_days^2/2)
         "locf_value_15min",       # spine x |event types| tiny-relation grid

@@ -348,6 +348,7 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "lsh_recall_audit", "lsh_multiprobe_recall_audit", "embedding_norms_arrow",
     "embedding_centroids", "embedding_centroids_arrow", "embedding_quantize",
     "embedding_near_dups", "kmeans_lloyd_step", "hard_negative_mining",
+    "trained_ivf_topk", "hybrid_rrf_fusion",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
