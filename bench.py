@@ -124,6 +124,7 @@ EXTENDED_R3 = [
     "agg_state_inspect",      # statestore reader over agg accumulators
     "l_diversity_audit",      # homogeneity-attack privacy audit
     "trained_ivf_topk",       # k-means-trained IVF: train -> index -> search
+    "psi_value_drift",        # PSI input-drift monitor (fixed-point fold)
 ]
 
 

@@ -2304,3 +2304,100 @@ def q_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("abs_err").cast("double") / F.count("*") / 100).alias("mae"),
         fround(F.sum("abs_err").cast("double") / F.sum("cents"), 4).alias("wmape"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population stability index (model-input drift monitor)
+# --------------------------------------------------------------------------
+
+_PSI_BIN_W = 50.0  # value-units per bin; events value spans ~[0, 500)
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+WITH marked AS (
+    SELECT
+        CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) AS bin,
+        CASE WHEN epoch_us(ts) < (
+                 SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events
+                 WHERE ts IS NOT NULL AND value IS NOT NULL)
+             THEN 0 ELSE 1 END AS half
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), counts AS (
+    SELECT bin,
+           sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_ref,
+           sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_cur
+    FROM marked GROUP BY 1
+), tot AS (
+    SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM counts
+), contrib AS (
+    SELECT bin, c_ref, c_cur,
+           CAST(round(
+               ((c_cur + 1.0) / (n_cur + 1.0) - (c_ref + 1.0) / (n_ref + 1.0))
+               * ln(((c_cur + 1.0) / (n_cur + 1.0))
+                    / ((c_ref + 1.0) / (n_ref + 1.0)))
+               * 1000000
+           ) AS BIGINT) AS c_micro
+    FROM counts, tot
+)
+SELECT
+    bin,
+    CAST(c_ref AS BIGINT)                         AS c_ref,
+    CAST(c_cur AS BIGINT)                         AS c_cur,
+    round(CAST(c_micro AS DOUBLE) / 1000000, 6)   AS psi_contribution,
+    round(CAST(sum(c_micro) OVER () AS DOUBLE) / 1000000, 6) AS psi_total
+FROM contrib
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the feed's first and second time
+    halves — the standard model-input drift monitor: per value-bin,
+    (p_cur − p_ref)·ln(p_cur/p_ref) with add-one smoothing (a bin present
+    in only one half must contribute, not divide by zero), plus the
+    overall PSI every bin row carries (rule of thumb: <0.1 stable, >0.25
+    drifted).
+
+    Determinism: each bin's contribution is ONE identical IEEE expression
+    on both engines, fixed-pointed to micros BEFORE the total — so the
+    cross-bin sum is order-independent integer addition (same discipline
+    as bm25's per-term fold).  Scale shape: one scan → (bin, half) hash
+    agg; everything after runs on the #bins relation.  The time split is a
+    min/max scalar broadcast; in production the two sides are yesterday's
+    and today's partitions and the split predicate is partition pruning."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    mid = events.agg(
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid_us")
+    )
+    marked = scalar_join(events, mid).select(
+        F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
+        F.when(us < F.col("mid_us"), F.lit(0)).otherwise(F.lit(1)).alias("half"),
+    )
+    counts = marked.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    tot = counts.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
+    p_cur = (F.col("c_cur") + F.lit(1.0)) / (F.col("n_cur") + F.lit(1.0))
+    p_ref = (F.col("c_ref") + F.lit(1.0)) / (F.col("n_ref") + F.lit(1.0))
+    contrib = scalar_join(counts, tot).select(
+        "bin",
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000, 0)
+        .cast("long")
+        .alias("c_micro"),
+    )
+    total_w = Window.partitionBy()
+    return contrib.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        fround(F.col("c_micro").cast("double") / 1000000, 6).alias("psi_contribution"),
+        fround(
+            F.sum("c_micro").over(total_w).cast("double") / 1000000, 6
+        ).alias("psi_total"),
+    )

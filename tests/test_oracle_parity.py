@@ -187,6 +187,8 @@ _EVENTS_EDGE_QUERIES = [
     "agg_state_inspect",
     # privacy pair: NULL hour/type form their own QI cells on both engines
     "l_diversity_audit",
+    # drift monitor: NULL ts/value rows are excluded from BOTH halves
+    "psi_value_drift",
 ]
 
 
