@@ -125,6 +125,7 @@ EXTENDED_R3 = [
     "l_diversity_audit",      # homogeneity-attack privacy audit
     "trained_ivf_topk",       # k-means-trained IVF: train -> index -> search
     "psi_value_drift",        # PSI input-drift monitor (fixed-point fold)
+    "source_quantile_normalize",  # cross-source score normalization
 ]
 
 

@@ -1184,3 +1184,106 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "source_quantile_normalize",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, source,
+           round((len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' ')) * 50
+                  + least(len(string_split(text, ' ')), 100) / 100 * 50)
+                 * 100) / 100 AS quality_score
+    FROM documents WHERE text IS NOT NULL
+), ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality_score, doc_id
+           ) AS BIGINT) AS src_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM scored
+), globally AS (
+    SELECT quality_score AS g_score,
+           CAST(row_number() OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS g_idx,
+           CAST(count(*) OVER () AS BIGINT) AS n_all
+    FROM scored
+), mapped AS (
+    SELECT r.doc_id, r.source, r.quality_score, r.src_rank,
+           CASE WHEN r.n_src = 1 THEN 0.0
+                ELSE CAST(r.src_rank - 1 AS DOUBLE) / (r.n_src - 1) END AS pr,
+           CAST(CASE WHEN r.n_src = 1 THEN 0
+                ELSE floor(CAST(r.src_rank - 1 AS DOUBLE) / (r.n_src - 1)
+                           * ((SELECT any_value(n_all) FROM globally) - 1))
+                END AS BIGINT) + 1 AS target_idx
+    FROM ranked r
+)
+SELECT m.doc_id, m.source, m.quality_score,
+       m.src_rank, round(m.pr * 10000) / 10000 AS pr,
+       g.g_score AS normalized_score
+FROM mapped m JOIN globally g ON g.g_idx = m.target_idx
+""",
+)
+def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of quality scores ACROSS sources — the
+    curation fix for incomparable per-source score scales (web text scores
+    cluster high, code scores low; a single global threshold then
+    over-prunes one source): each document's within-source percent-rank is
+    mapped to the score at that same rank in the GLOBAL distribution, so a
+    "top-10%-of-its-source" document gets the global top-10% score
+    regardless of its source's raw scale.
+
+    Determinism: ranks tie-break on doc_id, the percent-rank and the
+    target-index arithmetic are identical IEEE expressions on both engines,
+    and the normalized value is a LOOKUP (equi-join on the global rank
+    index), never interpolation — nothing to drift.
+
+    Scale note: the global rank here is an exact single-pass window
+    (fixture-sized corpus; same exactness choice as `equi_depth_histogram`);
+    at 100 TB the global distribution is summarized by the mergeable
+    histogram (`histogram_quantile_rollup`) and the lookup joins the
+    ~1000-point grid instead — same plan shape, bounded grid."""
+    from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    scored = text_stats(docs).select("doc_id", "quality_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    by_src = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(by_src).cast("long").alias("src_rank"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias("n_src"),
+    )
+    g_w = Window.orderBy("quality_score", "doc_id")
+    globally = scored.select(
+        F.col("quality_score").alias("g_score"),
+        F.row_number().over(g_w).cast("long").alias("g_idx"),
+    )
+    n_all = globally.agg(F.count("*").alias("n_all"))
+    pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("src_rank") - 1).cast("double") / (F.col("n_src") - 1)
+    )
+    mapped = scalar_join(ranked, n_all).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "src_rank",
+        pr.alias("pr_raw"),
+        (
+            F.when(F.col("n_src") == 1, F.lit(0).cast("long")).otherwise(
+                F.floor(pr * (F.col("n_all") - 1)).cast("long")
+            )
+            + 1
+        ).alias("target_idx"),
+    )
+    return mapped.join(globally, F.col("g_idx") == F.col("target_idx")).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "src_rank",
+        fround(F.col("pr_raw"), 4).alias("pr"),
+        F.col("g_score").alias("normalized_score"),
+    )

@@ -56,7 +56,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # perturb postings, document length or the fused ranking
                  "bm25_topk", "hybrid_rrf_fusion",
                  # polymorphic UDTF: NULL text yields no grams on both sides
-                 "ngram_udtf_topk"]
+                 "ngram_udtf_topk",
+                 # quantile normalization: NULL text drops, NULL source is
+                 # its own rank partition on both engines
+                 "source_quantile_normalize"]
 
 
 @pytest.fixture(scope="module")
