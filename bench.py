@@ -126,6 +126,7 @@ EXTENDED_R3 = [
     "trained_ivf_topk",       # k-means-trained IVF: train -> index -> search
     "psi_value_drift",        # PSI input-drift monitor (fixed-point fold)
     "source_quantile_normalize",  # cross-source score normalization
+    "auc_quality_langid",     # exact tie-aware Mann-Whitney AUC
 ]
 
 

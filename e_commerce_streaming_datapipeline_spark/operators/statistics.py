@@ -282,6 +282,102 @@ def q_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "attribution_linear_cents",
+    oracle="""
+WITH pairs AS (
+    SELECT
+        p.event_id AS purchase_id,
+        p.user_id,
+        CAST(round(p.value * 100) AS BIGINT) AS cents,
+        c.event_id AS click_id,
+        row_number() OVER (
+            PARTITION BY p.event_id ORDER BY c.ts, c.event_id NULLS LAST
+        ) AS touch_rank,
+        count(*) OVER (PARTITION BY p.event_id) AS n_touches
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.event_type = 'purchase' AND p.value IS NOT NULL AND p.value > 0
+)
+SELECT
+    purchase_id,
+    user_id,
+    click_id,
+    CAST(touch_rank AS INT) AS touch_rank,
+    CAST(n_touches AS INT)  AS n_touches,
+    cents // n_touches
+      + CASE WHEN touch_rank <= cents % n_touches THEN 1 ELSE 0 END
+      AS attributed_cents
+FROM pairs
+""",
+)
+def q_attribution_linear_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) click attribution with an EXACT largest-remainder
+    cents split: each purchase's value in integer cents divides equally
+    across its preceding-hour clicks, and the indivisible remainder goes to
+    the EARLIEST touches one cent each — so per purchase the attributed
+    cents sum back to the purchase cents EXACTLY (a books-balance invariant
+    float division can never give; `tests/test_round3_ops.py` asserts it).
+    Purchases with no value (or a non-positive one) are excluded: equal
+    credit over negative cents is undefined and floor-vs-truncate integer
+    division diverges between engines on negatives.
+
+    Scale shape: one user-keyed range join (the same shuffle as
+    `attribution_first_last` — this is its credit-assignment sibling), then
+    two window functions over the per-purchase touch list, which is
+    interval-bounded (clicks within one hour), so no window partition can
+    grow with corpus size.  All arithmetic is integer DIV/MOD — exact at
+    any scale, no summation-order sensitivity."""
+    events = load_table(spark, "events", sf_dir)
+    p = events.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    w = Window.partitionBy("purchase_id")
+    ordw = w.orderBy(F.col("c_ts").asc(), F.col("click_id").asc_nulls_last())
+    ranked = pairs.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "cents",
+        F.row_number().over(ordw).cast("int").alias("touch_rank"),
+        F.count("*").over(w).cast("int").alias("n_touches"),
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "touch_rank",
+        "n_touches",
+        (
+            F.expr("cents DIV n_touches")
+            + F.when(
+                F.col("touch_rank") <= F.col("cents") % F.col("n_touches"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("attributed_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # --------------------------------------------------------------------------
@@ -2400,4 +2496,94 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(
             F.sum("c_micro").over(total_w).cast("double") / 1000000, 6
         ).alias("psi_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney, tie-aware, integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "auc_quality_langid",
+    oracle="""
+WITH scored AS (
+    SELECT
+        round((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * 50
+               + least(len(string_split(text, ' ')), 100) / 100 * 50)
+              * 100) / 100 AS s,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents WHERE text IS NOT NULL
+), grouped AS (
+    SELECT s, count(*) AS cnt, sum(y) AS pos_cnt FROM scored GROUP BY s
+), ranked AS (
+    SELECT *,
+           coalesce(sum(cnt) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS below
+    FROM grouped
+), sums AS (
+    SELECT
+        sum(pos_cnt)                               AS n_pos,
+        sum(cnt) - sum(pos_cnt)                    AS n_neg,
+        sum(pos_cnt * (2 * (below + 1) + cnt - 1)) AS sum_r2_pos
+    FROM ranked
+)
+SELECT
+    CAST(n_pos AS BIGINT) AS n_pos,
+    CAST(n_neg AS BIGINT) AS n_neg,
+    round(CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+          / (2 * n_pos * n_neg) * 1000000) / 1000000 AS auc
+FROM sums
+""",
+)
+def q_auc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of "quality score predicts English" — the Mann-Whitney
+    rank formulation with PROPER tie handling (tied scores get their
+    average rank), computed entirely in integers: doubled average ranks
+    keep the half-ranks integral, so AUC = (Σ2R₊ − n₊(n₊+1)) / (2·n₊·n₋)
+    is one exact ratio and both engines emit the identical 6dp value.
+
+    This is the evaluator half of the ML-prep toolkit (`target_encoding_loo`,
+    `kfold_assignment`, `train_test_split` build features; this scores any
+    ranking column against any binary label with zero sampling error —
+    unlike threshold-sweep AUC approximations).
+
+    Scale shape: one scan → per-distinct-score (cnt, pos_cnt) hash agg; the
+    ordered cumulative pass runs over #distinct scores (bounded by the 2dp
+    score grid, ≤ ~10⁴ rows at ANY corpus size) — so exact AUC costs one
+    aggregation even at 10¹⁰ documents, no per-pair work, no sort of the
+    raw corpus."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
+
+    scored = text_stats(docs).select(
+        F.col("quality_score").alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    grouped = scored.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos_cnt")
+    )
+    run = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(run), F.lit(0))
+    )
+    sums = ranked.agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("n_neg"),
+        F.sum(
+            F.col("pos_cnt") * (2 * (F.col("below") + 1) + F.col("cnt") - 1)
+        ).alias("sum_r2_pos"),
+    )
+    return sums.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        fround(
+            (F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
     )

@@ -59,7 +59,12 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "ngram_udtf_topk",
                  # quantile normalization: NULL text drops, NULL source is
                  # its own rank partition on both engines
-                 "source_quantile_normalize"]
+                 "source_quantile_normalize",
+                 # exact AUC: NULL text drops, NULL lang counts as negative
+                 "auc_quality_langid",
+                 # retrieval eval: NULL/empty text contributes no postings,
+                 # no labels and no grades on either engine
+                 "retrieval_eval_mrr", "retrieval_eval_ndcg"]
 
 
 @pytest.fixture(scope="module")
@@ -192,6 +197,9 @@ _EVENTS_EDGE_QUERIES = [
     "l_diversity_audit",
     # drift monitor: NULL ts/value rows are excluded from BOTH halves
     "psi_value_drift",
+    # largest-remainder split: NULL-value purchases drop; NULL click ids
+    # tie-break identically (asc_nulls_last) inside the touch ranking
+    "attribution_linear_cents",
 ]
 
 
