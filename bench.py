@@ -127,6 +127,9 @@ EXTENDED_R3 = [
     "psi_value_drift",        # PSI input-drift monitor (fixed-point fold)
     "source_quantile_normalize",  # cross-source score normalization
     "auc_quality_langid",     # exact tie-aware Mann-Whitney AUC
+    "retrieval_eval_mrr",     # MRR/P@k/R@k of the BM25 ranker
+    "retrieval_eval_ndcg",    # NDCG@10, literal weight table
+    "attribution_linear_cents",  # largest-remainder credit split
 ]
 
 

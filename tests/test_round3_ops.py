@@ -1251,3 +1251,48 @@ class TestWatermarkEvictionViaStateReader:
         import datetime
 
         assert min_surviving_ts >= datetime.datetime.utcfromtimestamp(last_day_start)
+
+
+class TestLinearAttribution:
+    """attribution_linear_cents: the largest-remainder split must balance
+    the books — per purchase, attributed cents sum back to the purchase's
+    cents exactly, and remainder cents go to the earliest touches."""
+
+    def test_attribution_sums_back_exactly(self, spark, sf_dir):
+        res = registry.get_query("attribution_linear_cents").builder(spark, sf_dir)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        purchases = ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        per = res.groupBy("purchase_id").agg(
+            F.sum("attributed_cents").alias("total"),
+            F.max("n_touches").alias("n"),
+            F.count("*").alias("rows"),
+        )
+        joined = per.join(purchases, "purchase_id").collect()
+        assert joined, "fixture produced no attributed purchases"
+        for r in joined:
+            assert r["total"] == r["cents"], r
+            assert r["rows"] == r["n"], r
+
+    def test_remainder_goes_to_earliest_touches(self, spark, sf_dir):
+        res = registry.get_query("attribution_linear_cents").builder(spark, sf_dir)
+        rows = res.collect()
+        by_purchase = {}
+        for r in rows:
+            by_purchase.setdefault(r["purchase_id"], []).append(r)
+        multi = [v for v in by_purchase.values() if len(v) > 1]
+        for touches in multi:
+            touches.sort(key=lambda r: r["touch_rank"])
+            base = min(t["attributed_cents"] for t in touches)
+            seen_base = False
+            for t in touches:
+                assert t["attributed_cents"] in (base, base + 1)
+                if t["attributed_cents"] == base:
+                    seen_base = True
+                else:
+                    # a +1 touch can never follow a base touch
+                    assert not seen_base, touches
