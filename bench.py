@@ -130,6 +130,9 @@ EXTENDED_R3 = [
     "retrieval_eval_mrr",     # MRR/P@k/R@k of the BM25 ranker
     "retrieval_eval_ndcg",    # NDCG@10, literal weight table
     "attribution_linear_cents",  # largest-remainder credit split
+    "calibration_bins",       # reliability bins + exact Brier decomposition
+    "conformal_interval",     # split-conformal coverage, order statistics
+    "revenue_gini",           # exact rank-formulation Gini
 ]
 
 

@@ -2587,3 +2587,377 @@ def q_auc_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Probability calibration: reliability bins + exact Brier decomposition
+# --------------------------------------------------------------------------
+
+
+@query(
+    "calibration_bins",
+    oracle="""
+WITH scored AS (
+    SELECT
+        doc_id,
+        round((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * 50
+               + least(len(string_split(text, ' ')), 100) / 100 * 50)
+              * 100) / 100 AS s,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents WHERE text IS NOT NULL
+), binned AS (
+    SELECT doc_id % 2 AS half, least(CAST(floor(s / 10) AS INT), 9) AS bin, y
+    FROM scored
+), tr AS (
+    SELECT bin, count(*) AS n_tr, sum(y) AS pos_tr FROM binned
+    WHERE half = 0 GROUP BY 1
+), g AS (
+    SELECT CAST(round(1000000.0 * sum(y) / count(*)) AS BIGINT) AS g_micros
+    FROM binned WHERE half = 0
+), te AS (
+    SELECT bin, count(*) AS n_te, sum(y) AS pos_te FROM binned
+    WHERE half = 1 GROUP BY 1
+), base AS (
+    SELECT
+        te.bin, coalesce(tr.n_tr, 0) AS n_train, te.n_te, te.pos_te,
+        coalesce(CAST(round(1000000.0 * tr.pos_tr / tr.n_tr) AS BIGINT),
+                 g.g_micros) AS p_micros
+    FROM te LEFT JOIN tr USING (bin) CROSS JOIN g
+), terms AS (
+    SELECT
+        bin, n_train, n_te, p_micros,
+        CAST(pos_te AS DOUBLE) / n_te                       AS o_b,
+        p_micros / 1000000.0                                AS p_b,
+        CAST(sum(pos_te) OVER () AS DOUBLE) / sum(n_te) OVER () AS obar,
+        sum(n_te) OVER ()                                   AS n_total
+    FROM base
+), t2 AS (
+    SELECT *,
+        CAST(round(n_te * (p_b - o_b) * (p_b - o_b) * 1000000)
+             AS BIGINT) AS rel_t,
+        CAST(round(n_te * (o_b - obar) * (o_b - obar) * 1000000)
+             AS BIGINT) AS res_t
+    FROM terms
+)
+SELECT
+    bin, n_train, n_te AS n_test,
+    round(p_micros / 1000000.0, 6) AS p_hat,
+    round(o_b, 6)                  AS obs_rate,
+    round(CAST(sum(rel_t) OVER () AS DOUBLE) / (1000000.0 * n_total), 6)
+                                   AS reliability,
+    round(CAST(sum(res_t) OVER () AS DOUBLE) / (1000000.0 * n_total), 6)
+                                   AS resolution,
+    round(obar * (1 - obar), 6)    AS uncertainty,
+    round((sum(rel_t) OVER () - sum(res_t) OVER ()) / (1000000.0 * n_total)
+          + obar * (1 - obar), 6)  AS brier
+FROM t2
+""",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit with the exact Murphy decomposition of
+    the Brier score: the quality-score→"is English" predictor is calibrated
+    on the even-doc_id half (per decile bin, train positive rate in micros)
+    and evaluated on the odd half — per test bin the reliability diagram row
+    (predicted vs observed rate), plus Brier = reliability − resolution +
+    uncertainty (exact here because predictions are constant within bins,
+    so the bin-level decomposition IS the per-document Brier).
+
+    Determinism: every per-bin term (n·(p−o)², n·(o−ō)²) is one identical
+    IEEE expression fixed-pointed to micros BEFORE the cross-bin sums, so
+    the decomposition totals are order-independent integer additions — the
+    `psi_value_drift` discipline applied to calibration.
+
+    Scale shape: one scan to (half, bin) counts; everything after runs on
+    the #bins relation (≤10 rows at any corpus size).  The unseen-bin
+    fallback is the global train rate attached as a 1-row broadcast scalar.
+    """
+    from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    st = text_stats(docs).select(
+        "doc_id",
+        F.col("quality_score").alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    binned = st.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.least(F.floor(F.col("s") / 10), F.lit(9)).cast("int").alias("bin"),
+        "y",
+    )
+    tr = (
+        binned.where(F.col("half") == 0)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_tr"), F.sum("y").alias("pos_tr"))
+    )
+    g = binned.where(F.col("half") == 0).agg(
+        F.round(F.lit(1000000.0) * F.sum("y") / F.count("*"), 0)
+        .cast("long")
+        .alias("g_micros")
+    )
+    te = (
+        binned.where(F.col("half") == 1)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_te"), F.sum("y").alias("pos_te"))
+    )
+    base = scalar_join(te.join(tr, "bin", "left"), g).select(
+        "bin",
+        F.coalesce(F.col("n_tr"), F.lit(0)).alias("n_train"),
+        "n_te",
+        "pos_te",
+        F.coalesce(
+            F.round(F.lit(1000000.0) * F.col("pos_tr") / F.col("n_tr"), 0).cast("long"),
+            F.col("g_micros"),
+        ).alias("p_micros"),
+    )
+    allw = Window.partitionBy()
+    o_b = F.col("pos_te").cast("double") / F.col("n_te")
+    p_b = F.col("p_micros") / 1000000.0
+    obar = F.sum("pos_te").over(allw).cast("double") / F.sum("n_te").over(allw)
+    terms = base.select(
+        "bin",
+        "n_train",
+        "n_te",
+        "p_micros",
+        o_b.alias("o_b"),
+        p_b.alias("p_b"),
+        obar.alias("obar"),
+        F.sum("n_te").over(allw).alias("n_total"),
+    )
+    t2 = terms.select(
+        "*",
+        F.round(
+            F.col("n_te") * (F.col("p_b") - F.col("o_b")) * (F.col("p_b") - F.col("o_b")) * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("rel_t"),
+        F.round(
+            F.col("n_te") * (F.col("o_b") - F.col("obar")) * (F.col("o_b") - F.col("obar")) * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("res_t"),
+    )
+    return t2.select(
+        "bin",
+        "n_train",
+        F.col("n_te").alias("n_test"),
+        fround(F.col("p_micros") / 1000000.0, 6).alias("p_hat"),
+        fround(F.col("o_b"), 6).alias("obs_rate"),
+        fround(
+            F.sum("rel_t").over(allw).cast("double") / (1000000.0 * F.col("n_total")), 6
+        ).alias("reliability"),
+        fround(
+            F.sum("res_t").over(allw).cast("double") / (1000000.0 * F.col("n_total")), 6
+        ).alias("resolution"),
+        fround(F.col("obar") * (1 - F.col("obar")), 6).alias("uncertainty"),
+        fround(
+            (F.sum("rel_t").over(allw) - F.sum("res_t").over(allw))
+            / (1000000.0 * F.col("n_total"))
+            + F.col("obar") * (1 - F.col("obar")),
+            6,
+        ).alias("brier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "conformal_interval",
+    oracle="""
+WITH c AS (
+    SELECT o_orderpriority AS grp, o_orderkey AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL
+), cal AS (SELECT * FROM c WHERE okey % 2 = 0),
+te AS (SELECT * FROM c WHERE okey % 2 = 1),
+med AS (
+    SELECT grp, cents AS median_cents FROM (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents, okey) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM cal
+    ) WHERE rn = (n + 1) // 2
+), resid AS (
+    SELECT cal.grp, abs(cal.cents - med.median_cents) AS r, cal.okey
+    FROM cal JOIN med USING (grp)
+), q AS (
+    SELECT grp, n_cal, r AS q90_cents FROM (
+        SELECT grp, r, okey,
+               row_number() OVER (PARTITION BY grp ORDER BY r, okey) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n_cal
+        FROM resid
+    ) WHERE rn = least((9 * n_cal + 18) // 10, n_cal)
+), scored AS (
+    SELECT te.grp, med.median_cents, q.n_cal, q.q90_cents,
+           CASE WHEN abs(te.cents - med.median_cents) <= q.q90_cents
+                THEN 1 ELSE 0 END AS covered
+    FROM te JOIN med USING (grp) JOIN q USING (grp)
+)
+SELECT
+    grp AS o_orderpriority,
+    CAST(n_cal AS BIGINT)  AS n_cal,
+    median_cents,
+    q90_cents,
+    count(*)               AS n_test,
+    sum(covered)           AS n_covered,
+    round(CAST(sum(covered) AS DOUBLE) / count(*), 6) AS coverage
+FROM scored
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per order priority — the
+    distribution-free uncertainty wrapper every deployed regressor needs:
+    the even-orderkey half calibrates (point prediction = the group's lower
+    median in cents; conformal quantile = the ceil(0.9·(n+1))-th smallest
+    absolute residual, the finite-sample-valid rank), and the odd half
+    measures empirical coverage of prediction ± q, which conformal theory
+    guarantees ≥ 90% in expectation REGARDLESS of the value distribution.
+
+    Determinism: predictions and quantiles are ORDER STATISTICS (row_number
+    lookups over (value, key) total orders), never interpolation, and the
+    quantile rank ceil(0.9·(n+1)) is computed as (9n+18) DIV 10 — pure
+    integer arithmetic end to end; coverage is one exact ratio.
+
+    Scale shape: two rank-filtered partitioned windows over the calibration
+    half (WindowGroupLimit-style per-group work, groups are the partition
+    key), then a broadcast join of the 5-row (median, q) relation onto the
+    test half — the corpus is scanned twice and never re-shuffled wider
+    than its group key."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_totalprice").isNotNull()
+    )
+    c = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cal = c.where(F.col("okey") % 2 == 0)
+    te = c.where(F.col("okey") % 2 == 1)
+    w = Window.partitionBy("grp")
+    med = (
+        cal.select(
+            "grp",
+            "cents",
+            F.row_number().over(w.orderBy("cents", "okey")).alias("rn"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("grp", F.col("cents").alias("median_cents"))
+    )
+    resid = cal.join(F.broadcast(med), "grp").select(
+        "grp", "okey", F.abs(F.col("cents") - F.col("median_cents")).alias("r")
+    )
+    q = (
+        resid.select(
+            "grp",
+            "r",
+            F.row_number().over(w.orderBy("r", "okey")).alias("rn"),
+            F.count("*").over(w).alias("n_cal"),
+        )
+        .where(F.col("rn") == F.least(F.expr("(9 * n_cal + 18) DIV 10"), F.col("n_cal")))
+        .select("grp", "n_cal", F.col("r").alias("q90_cents"))
+    )
+    scored = (
+        te.join(F.broadcast(med), "grp")
+        .join(F.broadcast(q), "grp")
+        .select(
+            "grp",
+            "median_cents",
+            "n_cal",
+            "q90_cents",
+            F.when(
+                F.abs(F.col("cents") - F.col("median_cents")) <= F.col("q90_cents"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("covered"),
+        )
+    )
+    return scored.groupBy(
+        F.col("grp").alias("o_orderpriority"), "n_cal", "median_cents", "q90_cents"
+    ).agg(
+        F.count("*").alias("n_test"),
+        F.sum("covered").alias("n_covered"),
+        fround(F.sum("covered").cast("double") / F.count("*"), 6).alias("coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient (revenue concentration, exact rank formulation)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_gini",
+    oracle="""
+WITH x AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+), r AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey NULLS LAST) AS rn
+    FROM x
+), s AS (
+    SELECT count(*) AS n,
+           sum(CAST(cents AS HUGEINT))      AS sx,
+           sum(CAST(rn AS HUGEINT) * cents) AS srx
+    FROM r
+)
+SELECT
+    CAST(n AS BIGINT)  AS n_customers,
+    CAST(sx AS BIGINT) AS total_cents,
+    round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6) AS gini
+FROM s
+""",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration summary
+    behind every "top X% of customers drive Y% of revenue" claim
+    (`clv_pareto_deciles`' scalar sibling) — via the exact rank formulation
+    G = (2·Σᵢ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-sorted cents:
+    integer arithmetic end to end (rank×cents products summed in
+    DECIMAL(38,0) / HUGEINT so the sum cannot overflow at any scale), one
+    cast-to-double division at the edge.
+
+    Scale shape: one groupBy to per-customer cents, then a global ascending
+    rank.  The rank here is a single-partition window over the #customers
+    relation (already 4 orders of magnitude smaller than orders); at 10⁹
+    customers the same ranks come from a distributed sort + per-partition
+    offset cumsum (two passes), with the Σrx/Σx aggregation unchanged —
+    the formula needs only (rank, value) pairs, not a resident sort."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_totalprice").isNotNull()
+    )
+    x = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    r = x.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc_nulls_last()))
+        .alias("rn"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(20,0)")).alias("sx"),
+        F.sum(F.col("rn").cast("decimal(18,0)") * F.col("cents").cast("decimal(20,0)"))
+        .alias("srx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        fround(
+            (F.lit(2) * F.col("srx") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n").cast("decimal(18,0)") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

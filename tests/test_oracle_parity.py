@@ -64,7 +64,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "auc_quality_langid",
                  # retrieval eval: NULL/empty text contributes no postings,
                  # no labels and no grades on either engine
-                 "retrieval_eval_mrr", "retrieval_eval_ndcg"]
+                 "retrieval_eval_mrr", "retrieval_eval_ndcg",
+                 # calibration: NULL text drops, NULL lang is a negative
+                 "calibration_bins"]
 
 
 @pytest.fixture(scope="module")
@@ -118,7 +120,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "bootstrap_revenue_ci", "parameterized_revenue_window",
                         # NULL orderdate/totalprice must group/sum identically
                         # through the committed snapshot files
-                        "manifest_time_travel"]
+                        "manifest_time_travel",
+                        # order statistics: NULL totalprice drops on both
+                        # sides; NULL custkey groups and sorts NULLS LAST
+                        "conformal_interval", "revenue_gini"]
 
 
 @pytest.fixture(scope="module")
