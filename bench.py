@@ -133,6 +133,9 @@ EXTENDED_R3 = [
     "calibration_bins",       # reliability bins + exact Brier decomposition
     "conformal_interval",     # split-conformal coverage, order statistics
     "revenue_gini",           # exact rank-formulation Gini
+    "t_closeness_audit",      # TVD per QI group vs global (privacy trio)
+    "term_postings",          # inverted-index build, bounded posting heads
+    "psi_drift_stream",       # PSI maintained by a streaming aggregation
 ]
 
 

@@ -1287,3 +1287,143 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("pr_raw"), 4).alias("pr"),
         F.col("g_score").alias("normalized_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (the third of the privacy trio)
+# --------------------------------------------------------------------------
+
+_TCLOSE_T = 0.2
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+WITH cells AS (
+    SELECT
+        CAST(extract(hour FROM ts) AS INTEGER) AS qi_hour,
+        CAST(floor(coalesce(value, 0) / 100) AS BIGINT) AS qi_value_bucket,
+        event_type,
+        count(*) AS c
+    FROM events
+    GROUP BY 1, 2, 3
+), per_group AS (
+    SELECT qi_hour, qi_value_bucket, sum(c) AS n_rows FROM cells GROUP BY 1, 2
+), types AS (
+    SELECT event_type,
+           CAST(round(1000000.0 * count(*)
+                      / (SELECT count(*) FROM events)) AS BIGINT) AS q_micros
+    FROM events GROUP BY 1
+), qall AS (
+    SELECT sum(q_micros) AS q_all FROM types
+), present AS (
+    SELECT
+        cells.qi_hour, cells.qi_value_bucket,
+        sum(CAST(round(abs(1000000.0 * cells.c / pg.n_rows - t.q_micros))
+                 AS BIGINT))  AS present_diff,
+        sum(t.q_micros)       AS q_present
+    FROM cells
+    JOIN types t ON cells.event_type IS NOT DISTINCT FROM t.event_type
+    JOIN per_group pg ON pg.qi_hour IS NOT DISTINCT FROM cells.qi_hour
+       AND pg.qi_value_bucket IS NOT DISTINCT FROM cells.qi_value_bucket
+    GROUP BY 1, 2
+)
+SELECT
+    p.qi_hour, p.qi_value_bucket,
+    CAST(pg.n_rows AS BIGINT) AS n_rows,
+    round((p.present_diff + (q.q_all - p.q_present)) / 2000000.0, 6)
+        AS t_distance,
+    (p.present_diff + (q.q_all - p.q_present)) / 2000000.0 > {_TCLOSE_T}
+        AS violates_t
+FROM present p
+JOIN per_group pg ON pg.qi_hour IS NOT DISTINCT FROM p.qi_hour
+   AND pg.qi_value_bucket IS NOT DISTINCT FROM p.qi_value_bucket
+CROSS JOIN qall q
+ORDER BY p.qi_hour, p.qi_value_bucket
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third of the privacy trio with
+    `k_anonymity_audit` and `l_diversity_audit`: a QI group can be large
+    (k-safe) and diverse (l-safe) yet still leak if its SENSITIVE-value
+    distribution differs sharply from the table's (skewness attack).  Per
+    QI group (hour-of-day, value bucket — the trio's shared QI), the total
+    variation distance ½·Σ|p_t − q_t| between the group's event_type
+    distribution and the global one (TVD is the t-closeness paper's EMD
+    instance for nominal attributes), with the t=0.2 violation flag.
+
+    Determinism: global type mass is fixed-pointed to micros ONCE (an
+    integer per type), each present-type |p−q| term is micros-rounded
+    before the per-group integer sum, and absent types contribute their
+    exact global micros mass via (q_all − q_present) — no cross join
+    against the type dimension and no float summation order anywhere.
+
+    Scale: two hash aggregations over the (QI, type) cell grid (bounded:
+    24 hours × value buckets × 5 types regardless of corpus size), a
+    broadcast type-mass join, and a 1-row scalar attach."""
+    events = load_table(spark, "events", sf_dir)
+    cells = events.groupBy(
+        F.hour("ts").alias("qi_hour"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 100).alias("qi_value_bucket"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    per_group = cells.groupBy("qi_hour", "qi_value_bucket").agg(
+        F.sum("c").alias("n_rows")
+    )
+    n_total = events.agg(F.count("*").alias("n_total"))
+    types = scalar_join(
+        events.groupBy("event_type").agg(F.count("*").alias("ct")), n_total
+    ).select(
+        "event_type",
+        F.round(F.lit(1000000.0) * F.col("ct") / F.col("n_total"), 0)
+        .cast("long")
+        .alias("q_micros"),
+    )
+    qall = types.agg(F.sum("q_micros").alias("q_all"))
+    pg = per_group.select(
+        F.col("qi_hour").alias("pg_hour"),
+        F.col("qi_value_bucket").alias("pg_bucket"),
+        "n_rows",
+    )
+    # QI keys can be NULL (NULL-ts events form their own cell) — the group
+    # joins must be null-safe or the NULL cell silently drops on this side
+    present = (
+        cells.join(F.broadcast(types), cells["event_type"].eqNullSafe(types["event_type"]))
+        .join(
+            pg,
+            F.col("qi_hour").eqNullSafe(F.col("pg_hour"))
+            & F.col("qi_value_bucket").eqNullSafe(F.col("pg_bucket")),
+        )
+        .groupBy("qi_hour", "qi_value_bucket")
+        .agg(
+            F.sum(
+                F.round(
+                    F.abs(
+                        F.lit(1000000.0) * F.col("c") / F.col("n_rows")
+                        - F.col("q_micros")
+                    ),
+                    0,
+                ).cast("long")
+            ).alias("present_diff"),
+            F.sum("q_micros").alias("q_present"),
+        )
+    )
+    tvd = (F.col("present_diff") + (F.col("q_all") - F.col("q_present"))) / 2000000.0
+    return (
+        scalar_join(
+            present.join(
+                pg,
+                F.col("qi_hour").eqNullSafe(F.col("pg_hour"))
+                & F.col("qi_value_bucket").eqNullSafe(F.col("pg_bucket")),
+            ),
+            qall,
+        )
+        .select(
+            "qi_hour",
+            "qi_value_bucket",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            fround(tvd, 6).alias("t_distance"),
+            (tvd > _TCLOSE_T).alias("violates_t"),
+        )
+        .orderBy("qi_hour", "qi_value_bucket")
+    )

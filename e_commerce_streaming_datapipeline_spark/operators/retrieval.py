@@ -423,7 +423,9 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     rel = labels.groupBy("term").agg(F.count("*").alias("n_relevant"))
-    hits = topk.join(labels, ["term", "doc_id"])
+    # broadcast the k×#queries topk (always tiny) INTO the corpus-sized
+    # label relation — never the reverse
+    hits = labels.join(F.broadcast(topk), ["term", "doc_id"])
     per = hits.groupBy("term").agg(
         F.count("*").alias("hits_at_10"),
         F.min("rnk").cast("int").alias("first_rel_rank"),
@@ -432,8 +434,8 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(t) for t in EVAL_TERMS])).alias("term")
     )
     base = (
-        terms.join(rel, "term", "left")
-        .join(per, "term", "left")
+        terms.join(F.broadcast(rel), "term", "left")
+        .join(F.broadcast(per), "term", "left")
         .select(
             "term",
             F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
@@ -541,8 +543,14 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(rnk == r + 1, F.lit(w)).otherwise(expr)
         return expr
 
+    # gains only matter for ranked docs: shrink the corpus-sized grade
+    # relation through a broadcast semi-join on the tiny topk BEFORE the
+    # preserving left join, so no outer join ever builds on the big side
+    glab_top = glab.join(
+        F.broadcast(topk.select("term", "doc_id")), ["term", "doc_id"], "leftsemi"
+    )
     dcg = (
-        topk.join(glab, ["term", "doc_id"], "left")
+        topk.join(F.broadcast(glab_top), ["term", "doc_id"], "left")
         .groupBy("term")
         .agg(
             F.sum(F.coalesce(gain(F.col("grade")), F.lit(0)) * w_micros(F.col("rnk")))

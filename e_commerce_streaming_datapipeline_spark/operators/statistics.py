@@ -2409,9 +2409,36 @@ def q_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_BIN_W = 50.0  # value-units per bin; events value spans ~[0, 500)
 
 
-@query(
-    "psi_value_drift",
-    oracle=f"""
+def psi_from_bin_counts(counts: DataFrame) -> DataFrame:
+    """PSI finalization over a ``(bin, c_ref, c_cur)`` relation — shared by
+    the batch monitor (`psi_value_drift`) and its streaming twin
+    (`psi_drift_stream`) so the smoothing/fixed-point discipline cannot
+    drift between the two.  Everything here runs on the #bins relation."""
+    tot = counts.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
+    p_cur = (F.col("c_cur") + F.lit(1.0)) / (F.col("n_cur") + F.lit(1.0))
+    p_ref = (F.col("c_ref") + F.lit(1.0)) / (F.col("n_ref") + F.lit(1.0))
+    contrib = scalar_join(counts, tot).select(
+        "bin",
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000, 0)
+        .cast("long")
+        .alias("c_micro"),
+    )
+    total_w = Window.partitionBy()
+    return contrib.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        fround(F.col("c_micro").cast("double") / 1000000, 6).alias("psi_contribution"),
+        fround(
+            F.sum("c_micro").over(total_w).cast("double") / 1000000, 6
+        ).alias("psi_total"),
+    )
+
+
+# shared with the streaming twin (psi_drift_stream), which must hash-match
+PSI_DRIFT_ORACLE = f"""
 WITH marked AS (
     SELECT
         CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) AS bin,
@@ -2444,8 +2471,10 @@ SELECT
     round(CAST(c_micro AS DOUBLE) / 1000000, 6)   AS psi_contribution,
     round(CAST(sum(c_micro) OVER () AS DOUBLE) / 1000000, 6) AS psi_total
 FROM contrib
-""",
-)
+"""
+
+
+@query("psi_value_drift", oracle=PSI_DRIFT_ORACLE)
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the feed's first and second time
     halves — the standard model-input drift monitor: per value-bin,
@@ -2465,8 +2494,11 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
     us = F.unix_micros(F.col("ts"))
+    # exact-integer midpoint (DIV, not a floor over a double): epoch-micros
+    # sums exceed 2^53, where double arithmetic could drift off the
+    # oracle's integer // 2 by a few hundred microseconds
     mid = events.agg(
-        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid_us")
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").alias("mid_us")
     )
     marked = scalar_join(events, mid).select(
         F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
@@ -2476,27 +2508,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
     )
-    tot = counts.agg(F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur"))
-    p_cur = (F.col("c_cur") + F.lit(1.0)) / (F.col("n_cur") + F.lit(1.0))
-    p_ref = (F.col("c_ref") + F.lit(1.0)) / (F.col("n_ref") + F.lit(1.0))
-    contrib = scalar_join(counts, tot).select(
-        "bin",
-        F.col("c_ref").cast("long").alias("c_ref"),
-        F.col("c_cur").cast("long").alias("c_cur"),
-        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000, 0)
-        .cast("long")
-        .alias("c_micro"),
-    )
-    total_w = Window.partitionBy()
-    return contrib.select(
-        "bin",
-        "c_ref",
-        "c_cur",
-        fround(F.col("c_micro").cast("double") / 1000000, 6).alias("psi_contribution"),
-        fround(
-            F.sum("c_micro").over(total_w).cast("double") / 1000000, 6
-        ).alias("psi_total"),
-    )
+    return psi_from_bin_counts(counts)
 
 
 # --------------------------------------------------------------------------

@@ -1979,3 +1979,61 @@ def q_agg_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value.sum").cast("double") / 100).alias("revenue"),
         F.col("value.count").alias("n_purchases"),
     )
+
+
+from e_commerce_streaming_datapipeline_spark.operators.statistics import (  # noqa: E402
+    _PSI_BIN_W,
+    PSI_DRIFT_ORACLE as _PSI_ORACLE,
+    psi_from_bin_counts,
+)
+
+
+# shares the batch twin's oracle: the streaming monitor must hash-match it
+@query("psi_drift_stream", oracle=_PSI_ORACLE)
+def q_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI input-drift monitor maintained BY a streaming aggregation —
+    how drift detection actually deploys: the reference window's bin masses
+    are fixed up front, the live feed streams through a stateful (bin,
+    half) count whose state is the histogram itself (≤ #bins × 2 longs —
+    bounded key space by construction, the CMS/bitmap/histogram mergeable-
+    state family), and PSI finalization reuses the batch extractor over
+    the collected bin relation.  Output hash-matches the batch
+    `psi_value_drift` (shared oracle): the streaming histogram lost
+    nothing crossing micro-batches.
+
+    The time split lands per-event against a plan-time midpoint literal
+    (computed from one bounded 1-row batch aggregate before the stream
+    starts — the documented plan-time-pruning collect pattern); in
+    production that constant is simply "today's date", and the reference
+    half is yesterday's already-aggregated bin table."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    batch = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # bounded collect: ONE row, the split point (plan-time literal)
+    mid_us = batch.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").alias("m")
+    ).collect()[0][0]
+
+    stream = read_file_stream(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    keyed = stream.select(
+        F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
+        F.when(F.unix_micros(F.col("ts")) < F.lit(mid_us), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    cells_stream = keyed.groupBy("bin", "half").count()
+    collected = _run_to_table(spark, cells_stream, "psi_stream", output_mode="update")
+    # update-mode memory sink logs every per-batch revision; counts only
+    # grow, so the final cell value is the max observed per (bin, half)
+    cells = collected.groupBy("bin", "half").agg(F.max("count").alias("c"))
+    counts = cells.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("c_cur"),
+    )
+    return psi_from_bin_counts(counts)

@@ -1424,3 +1424,70 @@ def q_ngram_udtf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_POLY_NGRAM_TOP_K)
     w = Window.orderBy(F.col("n").desc(), *[F.col(c) for c in gram_cols])
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Inverted-index construction: posting lists per term
+# --------------------------------------------------------------------------
+
+_POSTING_HEAD = 8
+
+
+@query(
+    "term_postings",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+), head AS (
+    SELECT term, list(doc_id ORDER BY doc_id)[1:{_POSTING_HEAD}] AS posting_head
+    FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM tf
+    ) WHERE rn <= {_POSTING_HEAD}
+    GROUP BY 1
+)
+SELECT s.term, s.df, CAST(s.total_tf AS BIGINT) AS total_tf, h.posting_head
+FROM stats s JOIN head h USING (term)
+""",
+)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per vocabulary term, its document frequency,
+    total term frequency, and the posting list's sorted head (first
+    {head} doc_ids) — the physical structure `bm25_topk`'s
+    filter-then-aggregate access path emulates relationally, materialized
+    here as the index a dedicated search tier would serve.
+
+    Scale shape: one token explode into a (doc, term) hash aggregation;
+    stats are a second aggregation of that relation (exchange reuse on
+    term); the posting HEAD is a rank-filtered partitioned window
+    (WindowGroupLimit — per-partition heaps), so the collected array is
+    bounded at {head} entries per term no matter the corpus size.  Full
+    posting lists at 100 TB stay relational (term-bucketed files, never a
+    driver-side array); collecting a bounded head per key is the pattern
+    for index MANIFESTS, not the lists themselves.""".format(
+        head=_POSTING_HEAD
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    head = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _POSTING_HEAD)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+    )
+    return stats.join(head, "term").select(
+        "term", "df", F.col("total_tf").cast("long").alias("total_tf"), "posting_head"
+    )

@@ -66,7 +66,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # no labels and no grades on either engine
                  "retrieval_eval_mrr", "retrieval_eval_ndcg",
                  # calibration: NULL text drops, NULL lang is a negative
-                 "calibration_bins"]
+                 "calibration_bins",
+                 # inverted index: NULL text posts nothing; the empty-string
+                 # doc posts the '' term identically on both engines
+                 "term_postings"]
 
 
 @pytest.fixture(scope="module")
@@ -201,10 +204,14 @@ _EVENTS_EDGE_QUERIES = [
     # privacy pair: NULL hour/type form their own QI cells on both engines
     "l_diversity_audit",
     # drift monitor: NULL ts/value rows are excluded from BOTH halves
-    "psi_value_drift",
+    # (batch and streaming twins share one oracle)
+    "psi_value_drift", "psi_drift_stream",
     # largest-remainder split: NULL-value purchases drop; NULL click ids
     # tie-break identically (asc_nulls_last) inside the touch ranking
     "attribution_linear_cents",
+    # t-closeness: NULL hour is its own QI cell, NULL event_type its own
+    # sensitive value (null-safe joins on both engines)
+    "t_closeness_audit",
 ]
 
 
