@@ -136,6 +136,8 @@ EXTENDED_R3 = [
     "t_closeness_audit",      # TVD per QI group vs global (privacy trio)
     "term_postings",          # inverted-index build, bounded posting heads
     "psi_drift_stream",       # PSI maintained by a streaming aggregation
+    "kfold_auc",              # per-fold exact CV-AUC (partitioned ranks)
+    "markov_attribution",     # removal-effect attribution, integer chain
 ]
 
 

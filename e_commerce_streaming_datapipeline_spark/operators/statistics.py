@@ -2973,3 +2973,372 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "kfold_auc",
+    oracle="""
+WITH scored AS (
+    SELECT
+        (doc_id * 2654435761) % 4294967296 % 5 AS fold,
+        round((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * 50
+               + least(len(string_split(text, ' ')), 100) / 100 * 50)
+              * 100) / 100 AS s,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents WHERE text IS NOT NULL
+), grouped AS (
+    SELECT fold, s, count(*) AS cnt, sum(y) AS pos_cnt
+    FROM scored GROUP BY 1, 2
+), ranked AS (
+    SELECT *,
+           coalesce(sum(cnt) OVER (
+               PARTITION BY fold ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS below
+    FROM grouped
+), sums AS (
+    SELECT
+        fold,
+        sum(pos_cnt)                               AS n_pos,
+        sum(cnt) - sum(pos_cnt)                    AS n_neg,
+        sum(pos_cnt * (2 * (below + 1) + cnt - 1)) AS sum_r2_pos
+    FROM ranked GROUP BY 1
+), per_fold AS (
+    SELECT
+        fold,
+        CAST(n_pos AS BIGINT) AS n_pos,
+        CAST(n_neg AS BIGINT) AS n_neg,
+        CAST(round(1000000.0 * (sum_r2_pos - n_pos * (n_pos + 1))
+                   / (2 * n_pos * n_neg)) AS BIGINT) AS auc_micros
+    FROM sums
+)
+SELECT
+    fold, n_pos, n_neg,
+    round(auc_micros / 1000000.0, 6) AS auc,
+    round(CAST(sum(auc_micros) OVER () AS DOUBLE)
+          / (count(*) OVER () * 1000000.0), 6) AS mean_auc
+FROM per_fold
+""",
+)
+def q_kfold_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated ranking evaluation: the exact Mann-Whitney AUC
+    (`auc_quality_langid`) computed PER FOLD of the deterministic k-fold
+    split (`kfold_assignment`'s hash buckets), plus the mean CV-AUC — the
+    composition every model-selection loop runs, with zero sampling error
+    in both the split and the metric.
+
+    Scale shape: this is the PARTITIONED form of the AUC operator — the
+    cumulative rank pass runs per fold (window PARTITION BY fold, so folds
+    fan out instead of serializing through one partition), per-fold AUCs
+    are fixed-pointed to micros, and the CV mean is an integer-sum window
+    over k rows."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+    from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    scored = text_stats(docs).join(
+        docs.select("doc_id", hash_bucket(F.col("doc_id"), 5).alias("fold")), "doc_id"
+    ).select(
+        "fold",
+        F.col("quality_score").alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    grouped = scored.groupBy("fold", "s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos_cnt")
+    )
+    run = (
+        Window.partitionBy("fold")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grouped.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(run), F.lit(0))
+    )
+    sums = ranked.groupBy("fold").agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("n_neg"),
+        F.sum(
+            F.col("pos_cnt") * (2 * (F.col("below") + 1) + F.col("cnt") - 1)
+        ).alias("sum_r2_pos"),
+    )
+    per_fold = sums.select(
+        "fold",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            0,
+        )
+        .cast("long")
+        .alias("auc_micros"),
+    )
+    allw = Window.partitionBy()
+    return per_fold.select(
+        "fold",
+        "n_pos",
+        "n_neg",
+        fround(F.col("auc_micros") / 1000000.0, 6).alias("auc"),
+        fround(
+            F.sum("auc_micros").over(allw).cast("double")
+            / (F.count("*").over(allw) * 1000000.0),
+            6,
+        ).alias("mean_auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+# --------------------------------------------------------------------------
+
+_MKV_CHANNELS = ("click", "view", "signup", "error")
+_MKV_STEPS = 8
+
+
+def _mkv_iter_sql() -> str:
+    parts = []
+    for k in range(_MKV_STEPS):
+        parts.append(
+            f"""v{k + 1} AS (
+    SELECT v{k}.g, mg.t AS s,
+           CAST(round(sum(v{k}.mass * mg.p) / 1000000.0) AS BIGINT) AS mass
+    FROM v{k} JOIN mg ON mg.g = v{k}.g AND mg.f = v{k}.s
+    GROUP BY 1, 2
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_MKV_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('click', 'view', 'signup', 'error', 'purchase')
+), seq AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
+           ) AS rn
+    FROM ev
+), cut AS (
+    SELECT s.user_id, s.event_type, s.rn
+    FROM seq s LEFT JOIN (
+        SELECT user_id, min(rn) AS first_rn FROM seq
+        WHERE event_type = 'purchase' GROUP BY 1
+    ) fp USING (user_id)
+    WHERE fp.first_rn IS NULL OR s.rn <= fp.first_rn
+), stepped AS (
+    SELECT user_id, event_type, rn,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+    FROM cut
+), transitions AS (
+    SELECT 'START' AS f, event_type AS t FROM stepped WHERE rn = 1
+    UNION ALL
+    SELECT event_type AS f, coalesce(nxt, 'NULL_ST') AS t
+    FROM stepped WHERE event_type <> 'purchase'
+), m0 AS (
+    SELECT f, t, CAST(round(1000000.0 * c / tot) AS BIGINT) AS p
+    FROM (SELECT f, t, count(*) AS c,
+                 sum(count(*)) OVER (PARTITION BY f) AS tot
+          FROM transitions GROUP BY 1, 2)
+    UNION ALL SELECT 'purchase', 'purchase', 1000000
+    UNION ALL SELECT 'NULL_ST', 'NULL_ST', 1000000
+), graphs AS (
+    SELECT * FROM (VALUES ('base'), ('click'), ('view'), ('signup'), ('error')) gg(g)
+), expanded AS (
+    SELECT gr.g, m.f,
+           CASE WHEN gr.g <> 'base' AND m.t = gr.g THEN 'NULL_ST' ELSE m.t END AS t,
+           m.p
+    FROM m0 m CROSS JOIN graphs gr
+    WHERE NOT (gr.g <> 'base' AND m.f = gr.g)
+), mg AS (
+    SELECT g, f, t, CAST(sum(p) AS BIGINT) AS p FROM expanded GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT g, g AS f, 'NULL_ST' AS t, CAST(1000000 AS BIGINT) AS p
+    FROM graphs WHERE g <> 'base'
+), v0 AS (
+    SELECT g, 'START' AS s, CAST(1000000 AS BIGINT) AS mass FROM graphs
+),
+{_mkv_iter_sql()},
+conv AS (
+    SELECT gr.g, CAST(coalesce(v.mass, 0) AS BIGINT) AS conv_mass
+    FROM graphs gr LEFT JOIN (
+        SELECT g, mass FROM v{_MKV_STEPS} WHERE s = 'purchase'
+    ) v USING (g)
+), base AS (
+    SELECT conv_mass AS base_mass FROM conv WHERE g = 'base'
+), re AS (
+    SELECT c.g AS channel, b.base_mass, c.conv_mass,
+           b.base_mass - c.conv_mass AS re_micros
+    FROM conv c CROSS JOIN base b WHERE c.g <> 'base'
+)
+SELECT channel,
+    round(base_mass / 1000000.0, 6) AS base_conv,
+    round(conv_mass / 1000000.0, 6) AS removal_conv,
+    round(re_micros / 1000000.0, 6) AS removal_effect,
+    CASE WHEN sum(re_micros) OVER () > 0
+         THEN round(CAST(re_micros AS DOUBLE) / sum(re_micros) OVER (), 6)
+         ELSE CAST(0 AS DOUBLE) END AS attribution_share
+FROM re
+"""
+
+
+@query("markov_attribution", oracle=_MKV_ORACLE)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven upgrade
+    over the first/last/linear/time-decay heuristics this module already
+    carries: user journeys (events up to the first purchase) become a
+    first-order Markov chain over channel states; per channel, conversion
+    mass reaching the absorbing PURCHASE state within {steps} steps is
+    re-computed on the graph with that channel REMOVED (its in-edges
+    redirected to the NULL absorber), and the channel's credit is its
+    removal effect's share — Anderl et al.'s framework, the standard
+    data-driven attribution model.
+
+    Determinism: transition probabilities are micros integers; each of the
+    {steps} vector-matrix steps is Σ(int×int) per entry — exact — followed
+    by ONE division and round per entry, so both engines walk bit-identical
+    chains.  Mass still in transient states after {steps} steps is
+    (deterministically) unattributed — conversion-within-k semantics.
+
+    Scale shape: corpus-sized work is exactly the journey sequencing (one
+    user-keyed window + lead) and the (from, to) count aggregation;
+    everything after — graph expansion (an EXPLODE over the ≤49-row
+    matrix, not a cross join), {steps} iteration joins, removal deltas —
+    runs on relations bounded by #states², independent of corpus size.""".format(
+        steps=_MKV_STEPS
+    )
+    events = load_table(spark, "events", sf_dir)
+    states = list(_MKV_CHANNELS) + ["purchase"]
+    ev = events.where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin(*states)
+    ).select("user_id", "event_type", "ts", "event_id")
+    uw = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+    )
+    seq = ev.select("user_id", "event_type", F.row_number().over(uw).alias("rn"))
+    fp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    cut = seq.join(fp, "user_id", "left").where(
+        F.col("first_rn").isNull() | (F.col("rn") <= F.col("first_rn"))
+    )
+    sw = Window.partitionBy("user_id").orderBy("rn")
+    stepped = cut.select(
+        "user_id", "event_type", "rn", F.lead("event_type").over(sw).alias("nxt")
+    )
+    transitions = (
+        stepped.where(F.col("rn") == 1).select(
+            F.lit("START").alias("f"), F.col("event_type").alias("t")
+        )
+    ).unionAll(
+        stepped.where(F.col("event_type") != "purchase").select(
+            F.col("event_type").alias("f"),
+            F.coalesce(F.col("nxt"), F.lit("NULL_ST")).alias("t"),
+        )
+    )
+    fw = Window.partitionBy("f")
+    m0 = (
+        transitions.groupBy("f", "t")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "f",
+            "t",
+            F.round(F.lit(1000000.0) * F.col("c") / F.sum("c").over(fw), 0)
+            .cast("long")
+            .alias("p"),
+        )
+        .unionAll(
+            spark.createDataFrame(
+                [("purchase", "purchase", 1000000), ("NULL_ST", "NULL_ST", 1000000)],
+                "f string, t string, p long",
+            )
+        )
+    )
+    graph_names = ["base"] + list(_MKV_CHANNELS)
+    # graph expansion by EXPLODE over the tiny matrix relation — a
+    # deliberate grid fan-out with no nested-loop join in the plan
+    expanded = (
+        m0.withColumn(
+            "g", F.explode(F.array(*[F.lit(g) for g in graph_names]))
+        )
+        .where(~((F.col("g") != "base") & (F.col("f") == F.col("g"))))
+        .select(
+            "g",
+            "f",
+            F.when(
+                (F.col("g") != "base") & (F.col("t") == F.col("g")), F.lit("NULL_ST")
+            )
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "p",
+        )
+    )
+    mg = (
+        expanded.groupBy("g", "f", "t")
+        .agg(F.sum("p").cast("long").alias("p"))
+        .unionAll(
+            spark.createDataFrame(
+                [(g, g, "NULL_ST", 1000000) for g in _MKV_CHANNELS],
+                "g string, f string, t string, p long",
+            )
+        )
+    )
+    # distinct column names break the v->mg->v self-join lineage ambiguity
+    mgr = mg.select(
+        F.col("g").alias("mg_g"),
+        F.col("f").alias("mg_f"),
+        F.col("t").alias("mg_t"),
+        F.col("p").alias("mg_p"),
+    )
+    v = spark.createDataFrame(
+        [(g, "START", 1000000) for g in graph_names], "g string, s string, mass long"
+    )
+    for _ in range(_MKV_STEPS):
+        v = (
+            v.join(
+                F.broadcast(mgr),
+                (F.col("g") == F.col("mg_g")) & (F.col("s") == F.col("mg_f")),
+            )
+            .groupBy(F.col("g"), F.col("mg_t").alias("s"))
+            .agg(
+                F.round(F.sum(F.col("mass") * F.col("mg_p")) / 1000000.0, 0)
+                .cast("long")
+                .alias("mass")
+            )
+        )
+    graphs_df = spark.createDataFrame([(g,) for g in graph_names], "g string")
+    conv = graphs_df.join(
+        v.where(F.col("s") == "purchase").select("g", "mass"), "g", "left"
+    ).select("g", F.coalesce(F.col("mass"), F.lit(0)).cast("long").alias("conv_mass"))
+    base = conv.where(F.col("g") == "base").select(
+        F.col("conv_mass").alias("base_mass")
+    )
+    re = scalar_join(conv.where(F.col("g") != "base"), base).select(
+        F.col("g").alias("channel"),
+        "base_mass",
+        "conv_mass",
+        (F.col("base_mass") - F.col("conv_mass")).alias("re_micros"),
+    )
+    allw = Window.partitionBy()
+    return re.select(
+        "channel",
+        fround(F.col("base_mass") / 1000000.0, 6).alias("base_conv"),
+        fround(F.col("conv_mass") / 1000000.0, 6).alias("removal_conv"),
+        fround(F.col("re_micros") / 1000000.0, 6).alias("removal_effect"),
+        F.when(
+            F.sum("re_micros").over(allw) > 0,
+            fround(
+                F.col("re_micros").cast("double") / F.sum("re_micros").over(allw), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("attribution_share"),
+    )

@@ -69,7 +69,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "calibration_bins",
                  # inverted index: NULL text posts nothing; the empty-string
                  # doc posts the '' term identically on both engines
-                 "term_postings"]
+                 "term_postings",
+                 # per-fold AUC: NULL text drops, NULL lang is a negative,
+                 # fold hash is NULL-free (doc_id non-null)
+                 "kfold_auc"]
 
 
 @pytest.fixture(scope="module")
@@ -212,6 +215,9 @@ _EVENTS_EDGE_QUERIES = [
     # t-closeness: NULL hour is its own QI cell, NULL event_type its own
     # sensitive value (null-safe joins on both engines)
     "t_closeness_audit",
+    # markov journeys: NULL user/ts/type rows are out of scope on both
+    # sides; NULL event_id tie-breaks nulls-last in the sequencing
+    "markov_attribution",
 ]
 
 

@@ -1296,3 +1296,22 @@ class TestLinearAttribution:
                 else:
                     # a +1 touch can never follow a base touch
                     assert not seen_base, touches
+
+
+class TestMarkovAttribution:
+    """markov_attribution: per-graph mass must stay conserved through the
+    integer-rounded iteration, and the credit shares must sum to ~1."""
+
+    def test_shares_and_mass_conservation(self, spark, sf_dir):
+        res = registry.get_query("markov_attribution").builder(spark, sf_dir)
+        rows = res.collect()
+        assert len(rows) == 4
+        base = rows[0]["base_conv"]
+        for r in rows:
+            assert r["base_conv"] == base
+            # removing a channel can only lose conversion mass (up to
+            # per-step rounding of ±1 micro per state)
+            assert r["removal_conv"] <= base + 1e-4
+            assert 0.0 <= r["attribution_share"] <= 1.0
+        total_share = sum(r["attribution_share"] for r in rows)
+        assert abs(total_share - 1.0) < 1e-4, total_share
