@@ -138,6 +138,8 @@ EXTENDED_R3 = [
     "psi_drift_stream",       # PSI maintained by a streaming aggregation
     "kfold_auc",              # per-fold exact CV-AUC (partitioned ranks)
     "markov_attribution",     # removal-effect attribution, integer chain
+    "cuped_did_lift",         # naive/DiD/CUPED estimator ladder
+    "matryoshka_recall_audit",  # truncated-dim retrieval recall
 ]
 
 

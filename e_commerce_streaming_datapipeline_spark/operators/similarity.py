@@ -1570,3 +1570,135 @@ def q_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
     )
     return _ranked_topk(pairs, top_k=_IVF_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval audit
+# --------------------------------------------------------------------------
+
+MRL_DIM = 16  # prefix dimensions of the 64-dim embedding used for search
+MRL_TOP_K = 10
+
+
+@query(
+    "matryoshka_recall_audit",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), q AS (
+    SELECT * FROM v WHERE vec_id < {N_QUERIES}
+), pairs AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        round(
+            list_inner_product(q.e, c.e)
+            / (sqrt(list_inner_product(q.e, q.e))
+               * sqrt(list_inner_product(c.e, c.e))),
+            6
+        ) AS cos_full,
+        round(
+            list_inner_product(q.e[1:{MRL_DIM}], c.e[1:{MRL_DIM}])
+            / (sqrt(list_inner_product(q.e[1:{MRL_DIM}], q.e[1:{MRL_DIM}]))
+               * sqrt(list_inner_product(c.e[1:{MRL_DIM}], c.e[1:{MRL_DIM}]))),
+            6
+        ) AS cos_trunc
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+), truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id
+        ) AS rn FROM pairs
+    ) WHERE rn <= {MRL_TOP_K}
+), trunc AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id
+        ) AS rn FROM pairs
+    ) WHERE rn <= {MRL_TOP_K}
+)
+SELECT
+    t.query_id,
+    CAST(count(*) AS INT)              AS n_true,
+    CAST(count(x.neighbor_id) AS INT)  AS n_hit,
+    round(count(x.neighbor_id) * 1.0 / count(*), 4) AS recall,
+    round(CAST(sum(count(x.neighbor_id)) OVER () AS DOUBLE)
+          / sum(count(*)) OVER (), 4)  AS mean_recall
+FROM truth t LEFT JOIN trunc x
+    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+GROUP BY t.query_id
+""",
+)
+def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: retrieval by the embedding's
+    FIRST {dim} dimensions vs ground truth from the full 64 — per query,
+    |trunc top-{k} ∩ full top-{k}| / {k}, plus the macro recall.  This is
+    the measurement behind dimension-truncated ANN deployments (store/scan
+    {dim}/64 of the bytes, rerank survivors at full precision): the audit
+    says what that 4× scan saving costs in recall BEFORE you ship it.
+
+    One pass computes BOTH similarities per pair (the truncated dot product
+    is a prefix slice of the same codegen'd zip_with — no second scan);
+    both rankings are rank-filtered partitioned windows and the hit check
+    is an equi-join on (query, neighbor).  At scale the audit runs on a
+    sampled query set exactly like `lsh_recall_audit`.""".format(
+        dim=MRL_DIM, k=MRL_TOP_K
+    )
+    emb = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    qt = F.slice(F.col("qe"), 1, MRL_DIM)
+    ct = F.slice(F.col("e"), 1, MRL_DIM)
+    pairs = (
+        F.broadcast(queries)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_full"
+            ),
+            fround(cosine_similarity_expr(qt, ct), 6).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= MRL_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    trunc = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= MRL_TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    allw = Window.partitionBy()
+    return (
+        truth.join(F.broadcast(trunc), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("n_true"),
+            F.count("hit").cast("int").alias("n_hit"),
+            fround(F.count("hit") / F.count("*"), 4).alias("recall"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            "recall",
+            fround(
+                F.sum("n_hit").over(allw).cast("double") / F.sum("n_true").over(allw),
+                4,
+            ).alias("mean_recall"),
+        )
+    )

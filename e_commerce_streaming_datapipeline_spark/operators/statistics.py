@@ -3097,15 +3097,19 @@ _MKV_CHANNELS = ("click", "view", "signup", "error")
 _MKV_STEPS = 8
 
 
+_MKV_SQUARINGS = 3  # M^8 by repeated squaring: 3 rounds, not 8 vector steps
+
+
 def _mkv_iter_sql() -> str:
     parts = []
-    for k in range(_MKV_STEPS):
+    for k in range(_MKV_SQUARINGS):
+        a, b = f"m{2 ** k}", f"m{2 ** (k + 1)}"
         parts.append(
-            f"""v{k + 1} AS (
-    SELECT v{k}.g, mg.t AS s,
-           CAST(round(sum(v{k}.mass * mg.p) / 1000000.0) AS BIGINT) AS mass
-    FROM v{k} JOIN mg ON mg.g = v{k}.g AND mg.f = v{k}.s
-    GROUP BY 1, 2
+            f"""{b} AS (
+    SELECT l.g, l.f, r.t,
+           CAST(round(sum(l.p * r.p) / 1000000.0) AS BIGINT) AS p
+    FROM {a} l JOIN {a} r ON r.g = l.g AND r.f = l.t
+    GROUP BY 1, 2, 3
 )"""
         )
     return ",\n".join(parts)
@@ -3159,14 +3163,15 @@ WITH ev AS (
     UNION ALL
     SELECT g, g AS f, 'NULL_ST' AS t, CAST(1000000 AS BIGINT) AS p
     FROM graphs WHERE g <> 'base'
-), v0 AS (
-    SELECT g, 'START' AS s, CAST(1000000 AS BIGINT) AS mass FROM graphs
+), m1 AS (
+    SELECT g, f, t, p FROM mg
 ),
 {_mkv_iter_sql()},
 conv AS (
-    SELECT gr.g, CAST(coalesce(v.mass, 0) AS BIGINT) AS conv_mass
+    SELECT gr.g, CAST(coalesce(v.p, 0) AS BIGINT) AS conv_mass
     FROM graphs gr LEFT JOIN (
-        SELECT g, mass FROM v{_MKV_STEPS} WHERE s = 'purchase'
+        SELECT g, p FROM m{2 ** _MKV_SQUARINGS}
+        WHERE f = 'START' AND t = 'purchase'
     ) v USING (g)
 ), base AS (
     SELECT conv_mass AS base_mass FROM conv WHERE g = 'base'
@@ -3198,16 +3203,17 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal effect's share — Anderl et al.'s framework, the standard
     data-driven attribution model.
 
-    Determinism: transition probabilities are micros integers; each of the
-    {steps} vector-matrix steps is Σ(int×int) per entry — exact — followed
-    by ONE division and round per entry, so both engines walk bit-identical
-    chains.  Mass still in transient states after {steps} steps is
-    (deterministically) unattributed — conversion-within-k semantics.
+    Determinism: transition probabilities are micros integers; M^{steps}
+    comes from REPEATED SQUARING (3 matrix-matrix rounds, not {steps}
+    vector steps), each entry Σ(int×int) — exact — followed by ONE
+    division and round, so both engines walk bit-identical chains.  Mass
+    still in transient states after {steps} steps is (deterministically)
+    unattributed — conversion-within-k semantics.
 
     Scale shape: corpus-sized work is exactly the journey sequencing (one
     user-keyed window + lead) and the (from, to) count aggregation;
     everything after — graph expansion (an EXPLODE over the ≤49-row
-    matrix, not a cross join), {steps} iteration joins, removal deltas —
+    matrix, not a cross join), O(log k) squaring joins, removal deltas —
     runs on relations bounded by #states², independent of corpus size.""".format(
         steps=_MKV_STEPS
     )
@@ -3245,79 +3251,56 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fw = Window.partitionBy("f")
-    m0 = (
-        transitions.groupBy("f", "t")
-        .agg(F.count("*").alias("c"))
-        .select(
-            "f",
-            "t",
-            F.round(F.lit(1000000.0) * F.col("c") / F.sum("c").over(fw), 0)
-            .cast("long")
-            .alias("p"),
-        )
-        .unionAll(
-            spark.createDataFrame(
-                [("purchase", "purchase", 1000000), ("NULL_ST", "NULL_ST", 1000000)],
-                "f string, t string, p long",
-            )
-        )
+    m0_dist = transitions.groupBy("f", "t").agg(F.count("*").alias("c")).select(
+        "f",
+        "t",
+        F.round(F.lit(1000000.0) * F.col("c") / F.sum("c").over(fw), 0)
+        .cast("long")
+        .alias("p"),
     )
+    # bounded collect (documented pattern, similarity.py query vectors):
+    # the transition matrix is <= (#states+1)^2 rows BY CONSTRUCTION.  The
+    # corpus-sized work (journey windows, transition counts) stays fully
+    # distributed above this line; the removal-graph expansion and the
+    # O(#states^3 · log k) squaring chain below are constant-size integer
+    # arithmetic — running 5 graphs x 3 squarings as ~20 cluster stages
+    # over <=51-row relations costs seconds of pure scheduling, so the
+    # chain runs here, in the EXACT integer form the oracle mirrors:
+    # per-entry round(sum / 1e6) == (sum + 500000) // 1000000 for the
+    # non-negative sums of this chain (halves are dyadic, so the IEEE
+    # division is exact at every .5 boundary).
+    base_m = {(r["f"], r["t"]): r["p"] for r in m0_dist.collect()}
+    base_m[("purchase", "purchase")] = 1000000
+    base_m[("NULL_ST", "NULL_ST")] = 1000000
     graph_names = ["base"] + list(_MKV_CHANNELS)
-    # graph expansion by EXPLODE over the tiny matrix relation — a
-    # deliberate grid fan-out with no nested-loop join in the plan
-    expanded = (
-        m0.withColumn(
-            "g", F.explode(F.array(*[F.lit(g) for g in graph_names]))
-        )
-        .where(~((F.col("g") != "base") & (F.col("f") == F.col("g"))))
-        .select(
-            "g",
-            "f",
-            F.when(
-                (F.col("g") != "base") & (F.col("t") == F.col("g")), F.lit("NULL_ST")
-            )
-            .otherwise(F.col("t"))
-            .alias("t"),
-            "p",
-        )
-    )
-    mg = (
-        expanded.groupBy("g", "f", "t")
-        .agg(F.sum("p").cast("long").alias("p"))
-        .unionAll(
-            spark.createDataFrame(
-                [(g, g, "NULL_ST", 1000000) for g in _MKV_CHANNELS],
-                "g string, f string, t string, p long",
-            )
-        )
-    )
-    # distinct column names break the v->mg->v self-join lineage ambiguity
-    mgr = mg.select(
-        F.col("g").alias("mg_g"),
-        F.col("f").alias("mg_f"),
-        F.col("t").alias("mg_t"),
-        F.col("p").alias("mg_p"),
-    )
-    v = spark.createDataFrame(
-        [(g, "START", 1000000) for g in graph_names], "g string, s string, mass long"
-    )
-    for _ in range(_MKV_STEPS):
-        v = (
-            v.join(
-                F.broadcast(mgr),
-                (F.col("g") == F.col("mg_g")) & (F.col("s") == F.col("mg_f")),
-            )
-            .groupBy(F.col("g"), F.col("mg_t").alias("s"))
-            .agg(
-                F.round(F.sum(F.col("mass") * F.col("mg_p")) / 1000000.0, 0)
-                .cast("long")
-                .alias("mass")
-            )
-        )
-    graphs_df = spark.createDataFrame([(g,) for g in graph_names], "g string")
-    conv = graphs_df.join(
-        v.where(F.col("s") == "purchase").select("g", "mass"), "g", "left"
-    ).select("g", F.coalesce(F.col("mass"), F.lit(0)).cast("long").alias("conv_mass"))
+
+    def removal_graph(g: str) -> dict:
+        if g == "base":
+            return dict(base_m)
+        mg: dict = {}
+        for (f, t), p in base_m.items():
+            if f == g:
+                continue
+            t2 = "NULL_ST" if t == g else t
+            mg[(f, t2)] = mg.get((f, t2), 0) + p
+        mg[(g, "NULL_ST")] = 1000000
+        return mg
+
+    def square(m: dict) -> dict:
+        acc: dict = {}
+        for (f, k), p1 in m.items():
+            for (k2, t), p2 in m.items():
+                if k2 == k:
+                    acc[(f, t)] = acc.get((f, t), 0) + p1 * p2
+        return {ft: (s + 500000) // 1000000 for ft, s in acc.items()}
+
+    conv_rows = []
+    for g in graph_names:
+        m = removal_graph(g)
+        for _ in range(_MKV_SQUARINGS):
+            m = square(m)
+        conv_rows.append((g, m.get(("START", "purchase"), 0)))
+    conv = spark.createDataFrame(conv_rows, "g string, conv_mass long")
     base = conv.where(F.col("g") == "base").select(
         F.col("conv_mass").alias("base_mass")
     )
@@ -3341,4 +3324,168 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("attribution_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Experimentation estimators: naive / difference-in-differences / CUPED
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cuped_did_lift",
+    oracle="""
+WITH mid AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+    FROM events WHERE ts IS NOT NULL
+), per_user AS (
+    SELECT
+        user_id,
+        (user_id * 2654435761) % 4294967296 % 2 AS arm,
+        CAST(sum(CASE WHEN event_type = 'purchase' AND ts IS NOT NULL
+                       AND epoch_us(ts) < mid.mid_us
+                      THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+                      ELSE 0 END) AS BIGINT) AS pre_c,
+        CAST(sum(CASE WHEN event_type = 'purchase' AND ts IS NOT NULL
+                       AND epoch_us(ts) >= mid.mid_us
+                      THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+                      ELSE 0 END) AS BIGINT) AS post_c
+    FROM events CROSS JOIN mid
+    WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+), sums AS (
+    SELECT
+        count(*)                                    AS n,
+        sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)    AS n_a,
+        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)    AS n_b,
+        sum(CASE WHEN arm = 0 THEN pre_c  ELSE 0 END) AS sp_a,
+        sum(CASE WHEN arm = 0 THEN post_c ELSE 0 END) AS so_a,
+        sum(CASE WHEN arm = 1 THEN pre_c  ELSE 0 END) AS sp_b,
+        sum(CASE WHEN arm = 1 THEN post_c ELSE 0 END) AS so_b,
+        sum(CAST(pre_c AS HUGEINT))                   AS sp,
+        sum(CAST(post_c AS HUGEINT))                  AS so,
+        sum(CAST(pre_c AS HUGEINT) * pre_c)           AS spp,
+        sum(CAST(post_c AS HUGEINT) * post_c)         AS soo,
+        sum(CAST(pre_c AS HUGEINT) * post_c)          AS spo
+    FROM per_user
+), d AS (
+    SELECT
+        n, n_a, n_b,
+        CAST(so_a AS DOUBLE) / n_a AS mo_a, CAST(so_b AS DOUBLE) / n_b AS mo_b,
+        CAST(sp_a AS DOUBLE) / n_a AS mp_a, CAST(sp_b AS DOUBLE) / n_b AS mp_b,
+        CAST(n * spo - sp * so AS DOUBLE) AS cov_n2,
+        CAST(n * spp - sp * sp AS DOUBLE) AS varp_n2,
+        CAST(n * soo - so * so AS DOUBLE) AS varo_n2
+    FROM sums
+), est AS (
+    SELECT
+        n_a, n_b,
+        mo_b - mo_a                                    AS naive_c,
+        (mo_b - mp_b) - (mo_a - mp_a)                  AS did_c,
+        cov_n2 / varp_n2                               AS theta,
+        (mo_b - mo_a) - cov_n2 / varp_n2 * (mp_b - mp_a) AS cuped_c,
+        cov_n2 * cov_n2 / (varp_n2 * varo_n2)          AS corr2
+    FROM d
+)
+SELECT
+    CAST(n_a AS BIGINT) AS n_a,
+    CAST(n_b AS BIGINT) AS n_b,
+    round(naive_c / 100, 4)  AS naive_lift,
+    round(did_c / 100, 4)    AS did_lift,
+    round(cuped_c / 100, 4)  AS cuped_lift,
+    round(theta, 6)          AS theta,
+    round(corr2, 6)          AS var_reduction
+FROM est
+""",
+)
+def q_cuped_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation estimator ladder on one readout: per-user
+    purchase revenue split into pre/post periods (exact-integer time
+    midpoint), users hash-assigned to arms (`ab_test_zscore`'s
+    randomization discipline), then three lift estimates side by side —
+    naive post-period difference, difference-in-differences (subtracting
+    each arm's pre-period baseline), and CUPED (the industry-standard
+    variance-reduction adjustment: θ = cov(pre, post)/var(pre), lift
+    adjusted by θ·Δpre), plus θ and the theoretical variance-reduction
+    factor ρ² = corr(pre, post)².  On the exchangeable fixture all three
+    estimates hover near 0 — the null behaving as a null.
+
+    Determinism: every moment (Σpre, Σpost, Σpre², Σpost², Σpre·post) is
+    an exact integer-cents sum in DECIMAL(38,0)/HUGEINT; θ is computed as
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — integer numerator and denominator
+    converted to double ONCE, so both engines do the identical IEEE
+    division.  Scale: one scan to per-user (arm, pre, post), one
+    aggregation to the moment vector — CUPED at 10⁹ users is exactly this
+    plan."""
+    events = load_table(spark, "events", sf_dir)
+    mid = events.where(F.col("ts").isNotNull()).agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").alias("mid_us")
+    )
+    cents = F.coalesce(F.round(F.col("value") * 100, 0).cast("long"), F.lit(0))
+    is_purch = (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    us = F.unix_micros(F.col("ts"))
+    per_user = (
+        scalar_join(events.where(F.col("user_id").isNotNull()), mid)
+        .groupBy(
+            "user_id",
+            ((F.col("user_id") * 2654435761) % 4294967296 % 2).alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(is_purch & (us < F.col("mid_us")), cents).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("pre_c"),
+            F.sum(
+                F.when(is_purch & (us >= F.col("mid_us")), cents).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("post_c"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    sums = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_c")).otherwise(0)).alias("sp_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_c")).otherwise(0)).alias("so_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_c")).otherwise(0)).alias("sp_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_c")).otherwise(0)).alias("so_b"),
+        F.sum(dec("pre_c")).alias("sp"),
+        F.sum(dec("post_c")).alias("so"),
+        F.sum(dec("pre_c") * dec("pre_c")).alias("spp"),
+        F.sum(dec("post_c") * dec("post_c")).alias("soo"),
+        F.sum(dec("pre_c") * dec("post_c")).alias("spo"),
+    )
+    nD = F.col("n").cast("decimal(18,0)")
+    d = sums.select(
+        "n",
+        "n_a",
+        "n_b",
+        (F.col("so_a").cast("double") / F.col("n_a")).alias("mo_a"),
+        (F.col("so_b").cast("double") / F.col("n_b")).alias("mo_b"),
+        (F.col("sp_a").cast("double") / F.col("n_a")).alias("mp_a"),
+        (F.col("sp_b").cast("double") / F.col("n_b")).alias("mp_b"),
+        (nD * F.col("spo") - F.col("sp") * F.col("so")).cast("double").alias("cov_n2"),
+        (nD * F.col("spp") - F.col("sp") * F.col("sp")).cast("double").alias("varp_n2"),
+        (nD * F.col("soo") - F.col("so") * F.col("so")).cast("double").alias("varo_n2"),
+    )
+    theta = F.col("cov_n2") / F.col("varp_n2")
+    return d.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        fround((F.col("mo_b") - F.col("mo_a")) / 100, 4).alias("naive_lift"),
+        fround(
+            ((F.col("mo_b") - F.col("mp_b")) - (F.col("mo_a") - F.col("mp_a"))) / 100, 4
+        ).alias("did_lift"),
+        fround(
+            ((F.col("mo_b") - F.col("mo_a")) - theta * (F.col("mp_b") - F.col("mp_a")))
+            / 100,
+            4,
+        ).alias("cuped_lift"),
+        fround(theta, 6).alias("theta"),
+        fround(
+            F.col("cov_n2") * F.col("cov_n2") / (F.col("varp_n2") * F.col("varo_n2")), 6
+        ).alias("var_reduction"),
     )

@@ -218,6 +218,9 @@ _EVENTS_EDGE_QUERIES = [
     # markov journeys: NULL user/ts/type rows are out of scope on both
     # sides; NULL event_id tie-breaks nulls-last in the sequencing
     "markov_attribution",
+    # experimentation ladder: NULL users drop, NULL ts purchases belong to
+    # neither period, NULL values count 0 cents on both engines
+    "cuped_did_lift",
 ]
 
 
@@ -379,7 +382,7 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "lsh_recall_audit", "lsh_multiprobe_recall_audit", "embedding_norms_arrow",
     "embedding_centroids", "embedding_centroids_arrow", "embedding_quantize",
     "embedding_near_dups", "kmeans_lloyd_step", "hard_negative_mining",
-    "trained_ivf_topk", "hybrid_rrf_fusion",
+    "trained_ivf_topk", "hybrid_rrf_fusion", "matryoshka_recall_audit",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
