@@ -140,6 +140,8 @@ EXTENDED_R3 = [
     "markov_attribution",     # removal-effect attribution, integer chain
     "cuped_did_lift",         # naive/DiD/CUPED estimator ladder
     "matryoshka_recall_audit",  # truncated-dim retrieval recall
+    "quantile_pinball_backtest",  # P10/P50/P90 pinball, exact x10 cents
+    "compaction_plan",        # cumulative-fill small-file bin packing
 ]
 
 

@@ -470,3 +470,83 @@ def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit(1, rollup)
     commit(2, rollup.where(F.col("status") == "F"))  # the correction commit
     return read_version(1)  # time travel: v1 while CURRENT points at v2
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner (cumulative-fill bin packing)
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET_BINS = 8
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+WITH files AS (
+    -- one "file" per ingest hour (the classic streaming small-files
+    -- inventory); size proxy = row count
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS file_id,
+           count(*) AS size_kb
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1
+), target AS (
+    SELECT CAST(ceil(CAST(sum(size_kb) AS DOUBLE) / {_COMPACT_TARGET_BINS})
+                AS BIGINT) AS t
+    FROM files
+), filled AS (
+    SELECT file_id, size_kb, t,
+           sum(size_kb) OVER (
+               ORDER BY size_kb DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS fill
+    FROM files CROSS JOIN target
+), binned AS (
+    SELECT (fill - 1) // t AS bin, size_kb, t FROM filled
+)
+SELECT
+    CAST(bin AS BIGINT)      AS bin,
+    CAST(count(*) AS BIGINT) AS n_files,
+    sum(size_kb)             AS total_kb,
+    round(CAST(sum(size_kb) AS DOUBLE) / max(t), 4) AS fill_ratio
+FROM binned
+GROUP BY 1
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance job every streaming
+    ingest needs (each micro-batch lands a file; scans die by open() call
+    count): the per-hour file inventory is packed into
+    {_COMPACT_TARGET_BINS} merge groups by CUMULATIVE FILL — files ordered
+    size-descending, running total, bin = (cumsum−1) DIV target — the
+    deterministic one-pass relational form of first-fit-decreasing (every
+    bin lands within one file of the target; no driver loop, no
+    sequential bin state).
+
+    Completes the storage-layout family: partition pruning
+    (`partitioned_scan_counts`), clustering (`zorder_layout_stats`),
+    stats (`equi_depth_histogram`), snapshots (`manifest_time_travel`),
+    and now file-size hygiene.  Integer sizes end to end; the one ordered
+    cumulative pass runs over the FILE INVENTORY (metadata-sized — at
+    100 TB that is 10⁵ rows, not data), exactly like a table format's
+    manifest-driven OPTIMIZE."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    files = events.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("file_id")
+    ).agg(F.count("*").alias("size_kb"))
+    target = files.agg(
+        F.ceil(F.sum("size_kb").cast("double") / _COMPACT_TARGET_BINS)
+        .cast("long")
+        .alias("t")
+    )
+    w = Window.orderBy(F.col("size_kb").desc(), F.col("file_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = scalar_join(files, target).withColumn("fill", F.sum("size_kb").over(w))
+    binned = filled.select(
+        F.expr("(fill - 1) DIV t").alias("bin"), "size_kb", "t"
+    )
+    return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_kb").alias("total_kb"),
+        fround(F.sum("size_kb").cast("double") / F.max("t"), 4).alias("fill_ratio"),
+    )

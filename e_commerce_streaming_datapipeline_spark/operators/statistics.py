@@ -3489,3 +3489,92 @@ def q_cuped_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cov_n2") * F.col("cov_n2") / (F.col("varp_n2") * F.col("varo_n2")), 6
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "quantile_pinball_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), hist AS (
+    SELECT day_num, cents,
+           list_sort(list(cents) OVER (
+               ORDER BY day_num ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING
+           )) AS h
+    FROM daily
+), scorable AS (
+    SELECT * FROM hist WHERE len(h) = 14
+), expanded AS (
+    SELECT s.day_num, s.cents, qs.k, s.h[qs.idx] AS yhat
+    FROM scorable s
+    CROSS JOIN (VALUES (2, 1), (7, 5), (13, 9)) qs(idx, k)
+), scored AS (
+    SELECT k, cents, yhat,
+           greatest(k * (cents - yhat), (k - 10) * (cents - yhat)) AS l10,
+           CASE WHEN cents <= yhat THEN 1 ELSE 0 END AS covered
+    FROM expanded
+)
+SELECT
+    k / 10.0                                   AS q,
+    CAST(count(*) AS BIGINT)                   AS n_days,
+    round(CAST(sum(l10) AS DOUBLE) / (10 * count(*) * 100), 4) AS mean_pinball,
+    round(CAST(sum(covered) AS DOUBLE) / count(*), 4)          AS coverage
+FROM scored
+GROUP BY 1
+""",
+)
+def q_quantile_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest with EXACT pinball loss: walk-forward
+    P10/P50/P90 forecasts of daily revenue from the trailing 14 observed
+    days' ORDER STATISTICS (rank lookups, never interpolation — the
+    `conformal_interval` discipline applied to forecasting), scored with
+    the pinball (quantile) loss that makes each quantile forecast
+    individually falsifiable, plus empirical coverage per quantile (a
+    calibrated P90 should cover ~90% of days).
+
+    Determinism: with deciles as the quantile grid, 10× the pinball loss
+    is INTEGER-valued in cents — max(k·Δ, (k−10)·Δ) for k∈{{1,5,9}} — so
+    the loss totals are exact integer sums divided once at the edge.
+
+    Scale shape: the corpus collapses to the daily grain in one hash agg;
+    the trailing-window order statistics, quantile-grid explode (3
+    literals), and loss aggregation all run over #days rows."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    w14 = Window.orderBy("day_num").rowsBetween(-14, -1)
+    hist = daily.withColumn("h", F.sort_array(F.collect_list("cents").over(w14)))
+    scorable = hist.where(F.size("h") == 14)
+    grid = F.array(
+        *[
+            F.struct(F.lit(idx).alias("idx"), F.lit(k).alias("k"))
+            for idx, k in ((2, 1), (7, 5), (13, 9))
+        ]
+    )
+    expanded = scorable.select(
+        "day_num",
+        "cents",
+        F.explode(grid).alias("qs"),
+        "h",
+    ).select(
+        "cents",
+        F.col("qs.k").alias("k"),
+        F.element_at(F.col("h"), F.col("qs.idx")).alias("yhat"),
+    )
+    diff = F.col("cents") - F.col("yhat")
+    scored = expanded.select(
+        "k",
+        F.greatest(F.col("k") * diff, (F.col("k") - 10) * diff).alias("l10"),
+        F.when(F.col("cents") <= F.col("yhat"), 1).otherwise(0).alias("covered"),
+    )
+    return scored.groupBy((F.col("k") / 10.0).alias("q")).agg(
+        F.count("*").alias("n_days"),
+        fround(F.sum("l10").cast("double") / (10 * F.count("*") * 100), 4).alias(
+            "mean_pinball"
+        ),
+        fround(F.sum("covered").cast("double") / F.count("*"), 4).alias("coverage"),
+    )

@@ -200,7 +200,7 @@ _EVENTS_EDGE_QUERIES = [
     # capture/replay roundtrip
     "changelog_replay_stream",
     # backtest scoring: NULL ts drops, NULL value defaults to 0 cents
-    "forecast_backtest_snaive",
+    "forecast_backtest_snaive", "quantile_pinball_backtest",
     # agg-state reader: NULL-ts purchases form a NULL-key state row that
     # must match the oracle's NULL group
     "agg_state_inspect",
@@ -221,6 +221,8 @@ _EVENTS_EDGE_QUERIES = [
     # experimentation ladder: NULL users drop, NULL ts purchases belong to
     # neither period, NULL values count 0 cents on both engines
     "cuped_did_lift",
+    # compaction: NULL-ts rows belong to no file on either engine
+    "compaction_plan",
 ]
 
 
