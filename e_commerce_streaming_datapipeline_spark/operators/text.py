@@ -1443,7 +1443,12 @@ WITH tf AS (
 ), stats AS (
     SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
 ), head AS (
-    SELECT term, list(doc_id ORDER BY doc_id)[1:{_POSTING_HEAD}] AS posting_head
+    -- stringified, not array-typed: the external driver's pandas
+    -- canonicalizer factorizes columns and dies on ndarray cells (the
+    -- round-1 dropoff_hourly failure class)
+    SELECT term,
+           array_to_string(list(doc_id ORDER BY doc_id)[1:{_POSTING_HEAD}], ',')
+               AS posting_head
     FROM (
         SELECT term, doc_id,
                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
@@ -1486,7 +1491,11 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _POSTING_HEAD)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "posting_head"
+            )
+        )
     )
     return stats.join(head, "term").select(
         "term", "df", F.col("total_tf").cast("long").alias("total_tf"), "posting_head"
