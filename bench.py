@@ -142,6 +142,7 @@ EXTENDED_R3 = [
     "matryoshka_recall_audit",  # truncated-dim retrieval recall
     "quantile_pinball_backtest",  # P10/P50/P90 pinball, exact x10 cents
     "compaction_plan",        # cumulative-fill small-file bin packing
+    "holt_forecast_backtest",  # recursive smoothing: HOF fold vs CTE walk
 ]
 
 

@@ -3578,3 +3578,111 @@ def q_quantile_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fround(F.sum("covered").cast("double") / F.count("*"), 4).alias("coverage"),
     )
+
+
+@query(
+    "holt_forecast_backtest",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), seq AS (
+    SELECT cents, row_number() OVER (ORDER BY day_num) AS rn FROM daily
+), r AS (
+    SELECT CAST(1 AS BIGINT) AS rn,
+           cents * 1000      AS l,
+           CAST(0 AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS errsum,
+           CAST(0 AS BIGINT) AS ysum
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.rn,
+           CAST(round(0.5 * (s.cents * 1000) + 0.5 * (r.l + r.b)) AS BIGINT) AS l_new,
+           CAST(round(0.3 * (l_new - r.l) + 0.7 * r.b) AS BIGINT),
+           r.errsum + abs(s.cents * 1000 - (r.l + r.b)),
+           r.ysum + s.cents * 1000
+    FROM r JOIN seq s ON s.rn = r.rn + 1
+)
+SELECT
+    CAST(rn AS BIGINT)                 AS n_days,
+    round(l / 100000.0, 4)             AS final_level,
+    round(b / 100000.0, 4)             AS final_trend,
+    CASE WHEN rn > 1
+         THEN round(errsum / ((rn - 1) * 100000.0), 4)
+         ELSE CAST(0 AS DOUBLE) END    AS mae,
+    CASE WHEN ysum > 0
+         THEN round(CAST(errsum AS DOUBLE) / ysum, 4)
+         ELSE CAST(0 AS DOUBLE) END    AS wmape
+FROM r WHERE rn = (SELECT max(rn) FROM r)
+""",
+)
+def q_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3, trend-init 0) as a
+    walk-forward one-step-ahead backtest over the daily revenue series —
+    the genuinely RECURSIVE forecasting state (level + trend depend
+    non-linearly on all history, unlike snaive's lag or CUSUM's closed-form
+    unroll).  Each step fixes the state to millicents integers via one
+    round(), so both engines carry bit-identical state: here the recursion
+    is a codegen'd `aggregate` HIGHER-ORDER FOLD over the sorted day array,
+    the oracle is a `WITH RECURSIVE` walk — two maximally different
+    executions of the same recurrence, hash-equal.
+
+    Scale shape: the corpus collapses to the daily grain in one hash agg;
+    the fold runs over #days elements INSIDE one task (a year is 365
+    elements — trivially driver^W executor-local), which is exactly how
+    sequential time-series state should meet a distributed engine:
+    distribute the rollup, not the recurrence."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day_num", "cents"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("n"), zero.alias("l"), zero.alias("b"),
+        zero.alias("errsum"), zero.alias("ysum"),
+    )
+
+    def step(acc, x):
+        y = (x["cents"] * 1000).cast("long")
+        f = acc["l"] + acc["b"]
+        l_new = F.round(0.5 * y + 0.5 * f, 0).cast("long")
+        b_new = F.round(0.3 * (l_new - acc["l"]) + 0.7 * acc["b"], 0).cast("long")
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n"), y.alias("l"), zero.alias("b"),
+                zero.alias("errsum"), zero.alias("ysum"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["n"] + 1).alias("n"),
+                l_new.alias("l"),
+                b_new.alias("b"),
+                (acc["errsum"] + F.abs(y - f)).alias("errsum"),
+                (acc["ysum"] + y).alias("ysum"),
+            )
+        )
+
+    folded = arr.select(F.aggregate(F.col("arr"), init, step).alias("s"))
+    return folded.select(
+        F.col("s.n").alias("n_days"),
+        fround(F.col("s.l") / 100000.0, 4).alias("final_level"),
+        fround(F.col("s.b") / 100000.0, 4).alias("final_trend"),
+        F.when(
+            F.col("s.n") > 1,
+            fround(F.col("s.errsum") / ((F.col("s.n") - 1) * 100000.0), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mae"),
+        F.when(
+            F.col("s.ysum") > 0,
+            fround(F.col("s.errsum").cast("double") / F.col("s.ysum"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("wmape"),
+    )
