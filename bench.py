@@ -143,6 +143,8 @@ EXTENDED_R3 = [
     "quantile_pinball_backtest",  # P10/P50/P90 pinball, exact x10 cents
     "compaction_plan",        # cumulative-fill small-file bin packing
     "holt_forecast_backtest",  # recursive smoothing: HOF fold vs CTE walk
+    "skew_key_diagnosis",     # heavy keys, skew factor, salt fan-out
+    "popularity_rec_hitrate",  # segment top-5 recommender, temporal eval
 ]
 
 

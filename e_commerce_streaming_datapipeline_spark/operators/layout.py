@@ -550,3 +550,76 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_kb").alias("total_kb"),
         fround(F.sum("size_kb").cast("double") / F.max("t"), 4).alias("fill_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-key diagnosis (the measurement behind salting / AQE skew-join)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_key_diagnosis",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+), stats AS (
+    SELECT count(*) AS n_keys, sum(n_rows) AS total,
+           max(n_rows) AS max_rows
+    FROM counts
+), top AS (
+    SELECT user_id, n_rows,
+           row_number() OVER (
+               ORDER BY n_rows DESC, user_id NULLS LAST
+           ) AS rnk
+    FROM counts
+)
+SELECT
+    t.user_id,
+    CAST(t.n_rows AS BIGINT)  AS n_rows,
+    CAST(t.rnk AS INT)        AS rnk,
+    round(CAST(t.n_rows AS DOUBLE) / s.total, 6)             AS share,
+    round(CAST(s.max_rows * s.n_keys AS DOUBLE) / s.total, 4) AS skew_factor,
+    CAST(ceil(CAST(s.max_rows * s.n_keys AS DOUBLE) / s.total)
+         AS BIGINT)           AS recommended_salt
+FROM top t CROSS JOIN stats s
+WHERE t.rnk <= 10
+ORDER BY t.rnk
+""",
+)
+def q_skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for the engine's canonical fact key
+    (events.user_id): the 10 heaviest keys with their row share, the
+    overall skew factor (max key count / mean key count — how many times
+    its fair share the hottest key carries), and the derived salt fan-out
+    a manual mitigation would use (`salted_priority_revenue` is the
+    applied twin; AQE skew-join is the automatic one, pinned by
+    `tests/test_round3_ops.py::TestAQESkewJoinSplits`).  Measure first,
+    salt second — salting an unskewed key just adds a shuffle.
+
+    Exact arithmetic: all inputs are integer counts; share/skew are single
+    divisions at the edge.  One hash agg over the corpus; everything after
+    runs on the per-key relation, and the top-10 is a rank-filtered window
+    (TakeOrdered shape).  NULL keys diagnose like any other key — they ARE
+    a classic skew source (every unattributed row hashes together)."""
+    events = load_table(spark, "events", sf_dir)
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("total"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("user_id").asc_nulls_last())
+    top = counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
+    skew = F.col("max_rows") * F.col("n_keys") / F.col("total")
+    return (
+        scalar_join(top, stats)
+        .select(
+            "user_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rnk").cast("int").alias("rnk"),
+            fround(F.col("n_rows").cast("double") / F.col("total"), 6).alias("share"),
+            fround(skew, 4).alias("skew_factor"),
+            F.ceil(skew).cast("long").alias("recommended_salt"),
+        )
+        .orderBy("rnk")
+    )

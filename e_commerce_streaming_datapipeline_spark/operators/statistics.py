@@ -3686,3 +3686,113 @@ def q_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("wmape"),
     )
+
+
+@query(
+    "popularity_rec_hitrate",
+    oracle="""
+WITH od AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
+    FROM orders WHERE o_orderdate IS NOT NULL
+), mid AS (
+    SELECT (min(d) + max(d)) // 2 AS m FROM od
+), labeled AS (
+    SELECT o.o_orderkey, c.c_nationkey AS nation, o.d < mid.m AS is_train
+    FROM od o JOIN customer c ON c.c_custkey = o.o_custkey CROSS JOIN mid
+), items AS (
+    SELECT l.l_partkey AS part, lb.nation, lb.is_train
+    FROM lineitem l JOIN labeled lb ON lb.o_orderkey = l.l_orderkey
+), pop AS (
+    SELECT nation, part, count(*) AS c FROM items WHERE is_train GROUP BY 1, 2
+), top5 AS (
+    SELECT nation, part FROM (
+        SELECT nation, part, row_number() OVER (
+            PARTITION BY nation ORDER BY c DESC, part
+        ) AS rnk FROM pop
+    ) WHERE rnk <= 5
+), test AS (
+    SELECT nation, part FROM items WHERE NOT is_train
+)
+SELECT
+    t.nation,
+    count(*)       AS n_test_items,
+    count(h.part)  AS n_hits,
+    round(CAST(count(h.part) AS DOUBLE) / count(*), 6) AS hitrate_at_5,
+    round(CAST(sum(count(h.part)) OVER () AS DOUBLE)
+          / sum(count(*)) OVER (), 6)                  AS macro_hitrate
+FROM test t LEFT JOIN top5 h ON h.nation = t.nation AND h.part = t.part
+GROUP BY 1
+""",
+)
+def q_popularity_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommender baseline every personalization system must beat,
+    with its temporally-correct evaluation: per customer nation (the
+    segment), the 5 most-ordered parts are learned on the FIRST date half
+    and scored on the second — hit-rate@5 = the share of held-out line
+    items whose part was in the segment's top-5 (plus the macro rate).
+    The time split (exact-integer midpoint day) is the leakage discipline
+    `leakage_safe_labels` establishes: popularity computed over the full
+    range would grade itself on its own training data.
+
+    Scale shape: two passes over the fact join (train popularity, test
+    scoring), both plain equi-joins on orderkey/nation; the segment top-5
+    is a rank-filtered partitioned window (WindowGroupLimit) and the hit
+    check is a broadcast equi-join against the 5×#segments
+    recommendation table — the same serving-side shape an actual
+    popularity recommender deploys."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    )
+    od = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("d"),
+    )
+    mid = od.agg(F.expr("(min(d) + max(d)) DIV 2").alias("m"))
+    customer = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_nationkey").alias("nation")
+    )
+    labeled = scalar_join(od, mid).join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "nation", (F.col("d") < F.col("m")).alias("is_train"))
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("part")
+    )
+    items = lineitem.join(labeled, "o_orderkey").select("part", "nation", "is_train")
+    pop = (
+        items.where(F.col("is_train"))
+        .groupBy("nation", "part")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("c").desc(), F.col("part"))
+    top5 = (
+        pop.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("nation", "part")
+        .withColumn("hit", F.lit(1))
+    )
+    test = items.where(~F.col("is_train")).select("nation", "part")
+    allw = Window.partitionBy()
+    return (
+        test.join(F.broadcast(top5), ["nation", "part"], "left")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_test_items"),
+            F.count("hit").alias("n_hits"),
+            fround(F.count("hit").cast("double") / F.count("*"), 6).alias(
+                "hitrate_at_5"
+            ),
+        )
+        .select(
+            "nation",
+            "n_test_items",
+            "n_hits",
+            "hitrate_at_5",
+            fround(
+                F.sum("n_hits").over(allw).cast("double")
+                / F.sum("n_test_items").over(allw),
+                6,
+            ).alias("macro_hitrate"),
+        )
+    )

@@ -129,7 +129,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "manifest_time_travel",
                         # order statistics: NULL totalprice drops on both
                         # sides; NULL custkey groups and sorts NULLS LAST
-                        "conformal_interval", "revenue_gini"]
+                        "conformal_interval", "revenue_gini",
+                        # recommender eval: NULL orderdate/custkey orders
+                        # are out of scope on both engines
+                        "popularity_rec_hitrate"]
 
 
 @pytest.fixture(scope="module")
@@ -224,6 +227,8 @@ _EVENTS_EDGE_QUERIES = [
     "cuped_did_lift",
     # compaction: NULL-ts rows belong to no file on either engine
     "compaction_plan",
+    # skew diagnosis: the NULL key is a diagnosable key, nulls-last ties
+    "skew_key_diagnosis",
 ]
 
 
