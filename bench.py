@@ -145,6 +145,8 @@ EXTENDED_R3 = [
     "holt_forecast_backtest",  # recursive smoothing: HOF fold vs CTE walk
     "skew_key_diagnosis",     # heavy keys, skew factor, salt fan-out
     "popularity_rec_hitrate",  # segment top-5 recommender, temporal eval
+    "chi2_independence",      # lang x source contingency, exact terms
+    "knn_label_accuracy",     # majority-vote kNN classifier eval
 ]
 
 

@@ -1702,3 +1702,128 @@ def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN label prediction accuracy (the classifier eval over the ANN stack)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), q AS (
+    SELECT * FROM v WHERE vec_id < {N_QUERIES}
+), pairs AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        c.label  AS nbr_label,
+        round(
+            list_inner_product(q.e, c.e)
+            / (sqrt(list_inner_product(q.e, q.e))
+               * sqrt(list_inner_product(c.e, c.e))),
+            6
+        ) AS cos_sim
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+), top AS (
+    SELECT query_id, nbr_label FROM (
+        SELECT query_id, nbr_label, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn FROM pairs
+    ) WHERE rn <= {TOP_K}
+), votes AS (
+    SELECT query_id, nbr_label, count(*) AS n_votes FROM top GROUP BY 1, 2
+), predicted AS (
+    SELECT query_id, nbr_label AS predicted_label, n_votes FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, nbr_label
+        ) AS rn FROM votes
+    ) WHERE rn = 1
+)
+SELECT
+    p.query_id,
+    q.label AS true_label,
+    p.predicted_label,
+    CAST(p.n_votes AS BIGINT) AS n_votes,
+    CASE WHEN p.predicted_label = q.label THEN 1 ELSE 0 END AS correct,
+    round(CAST(sum(CASE WHEN p.predicted_label = q.label THEN 1 ELSE 0 END)
+               OVER () AS DOUBLE) / count(*) OVER (), 4) AS accuracy
+FROM predicted p JOIN q ON q.vec_id = p.query_id
+""",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the ANN stack: each query vector's label is
+    predicted by majority vote of its {k} nearest neighbors (cosine; vote
+    ties break to the smaller label — a total order, so both engines elect
+    the same winner), scored against the vector's true label — the
+    standard "are these embeddings any good for my labels" probe, and the
+    evaluation loop a kNN-classifier deployment runs on every re-embed.
+
+    Scale shape: the neighbor lists are the same rank-filtered windows the
+    rest of the similarity family uses (at scale, swap the brute-force
+    pairs for the IVF/LSH candidates — the vote/score tail is unchanged);
+    votes and the argmax election are per-query aggregations over k rows.
+    """.format(k=TOP_K)
+    emb = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "true_label", "nbr_label")
+    )
+    votes = top.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    # NULL-label neighbors lose vote ties on BOTH engines (Spark ASC is
+    # NULLS FIRST; DuckDB's is NULLS LAST — pin the DuckDB order)
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc_nulls_last()
+    )
+    predicted = (
+        votes.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nbr_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    wa = Window.partitionBy()
+    correct = F.when(F.col("predicted_label") == F.col("true_label"), 1).otherwise(0)
+    return predicted.select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        F.col("n_votes").cast("long").alias("n_votes"),
+        correct.alias("correct"),
+        fround(
+            F.sum(correct).over(wa).cast("double") / F.count("*").over(wa), 4
+        ).alias("accuracy"),
+    )

@@ -3796,3 +3796,94 @@ def q_popularity_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("macro_hitrate"),
         )
     )
+
+
+@query(
+    "chi2_independence",
+    oracle="""
+WITH base AS (
+    SELECT lang, source FROM documents
+), cells AS (
+    SELECT lang, source, count(*) AS o FROM base GROUP BY 1, 2
+), margins AS (
+    SELECT c.lang, c.source, c.o,
+           sum(c.o) OVER (PARTITION BY c.lang)   AS row_tot,
+           sum(c.o) OVER (PARTITION BY c.source) AS col_tot,
+           sum(c.o) OVER ()                      AS n,
+           -- NULL is its own category: coalesce to a sentinel so the
+           -- distinct-count sees it (Spark side counts struct(lang),
+           -- which is never NULL)
+           count(DISTINCT coalesce(c.lang, chr(1))) OVER ()   AS n_rows_dim,
+           count(DISTINCT coalesce(c.source, chr(1))) OVER () AS n_cols_dim
+    FROM cells c
+), terms AS (
+    SELECT *,
+        CAST(row_tot AS DOUBLE) * col_tot / n AS e,
+        CAST(round(
+            (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+            * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+            / (CAST(row_tot AS DOUBLE) * col_tot / n) * 1000000
+        ) AS BIGINT) AS t_micro
+    FROM margins
+)
+SELECT
+    lang, source,
+    CAST(o AS BIGINT)                        AS observed,
+    round(e, 4)                              AS expected,
+    round(t_micro / 1000000.0, 6)            AS chi2_term,
+    round(CAST(sum(t_micro) OVER () AS DOUBLE) / 1000000, 6) AS chi2_total,
+    CAST((n_rows_dim - 1) * (n_cols_dim - 1) AS BIGINT)      AS dof
+FROM terms
+""",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language
+    and source — the categorical-association check a corpus-composition
+    review runs before stratifying on either axis (a large chi² says the
+    sources have different language mixes, so per-source language quotas
+    are not redundant with global ones).  Output: the full contingency
+    relation with observed/expected counts, per-cell chi² terms, the total
+    statistic, and its degrees of freedom.
+
+    Determinism: expected counts and per-cell terms are single IEEE
+    expressions over exact integer margins, micros-fixed-pointed BEFORE
+    the cross-cell total (the PSI/Brier discipline).  Scale: one hash agg
+    to the contingency cells; margins and terms are windows over the
+    #langs × #sources relation — bounded at any corpus size.  NULL lang /
+    NULL source form their own margin rows on both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wa = Window.partitionBy()
+    margins = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("row_tot"),
+        F.sum("o").over(ws).alias("col_tot"),
+        F.sum("o").over(wa).alias("n"),
+        F.size(F.collect_set(F.struct("lang")).over(wa)).alias("n_rows_dim"),
+        F.size(F.collect_set(F.struct("source")).over(wa)).alias("n_cols_dim"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    terms = margins.select(
+        "*",
+        e.alias("e"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000, 0)
+        .cast("long")
+        .alias("t_micro"),
+    )
+    return terms.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("observed"),
+        fround(F.col("e"), 4).alias("expected"),
+        fround(F.col("t_micro") / 1000000.0, 6).alias("chi2_term"),
+        fround(F.sum("t_micro").over(wa).cast("double") / 1000000, 6).alias(
+            "chi2_total"
+        ),
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1))
+        .cast("long")
+        .alias("dof"),
+    )

@@ -72,7 +72,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "term_postings",
                  # per-fold AUC: NULL text drops, NULL lang is a negative,
                  # fold hash is NULL-free (doc_id non-null)
-                 "kfold_auc"]
+                 "kfold_auc",
+                 # contingency test: NULL lang/source are their own margin
+                 # categories, counted into dof on both engines
+                 "chi2_independence"]
 
 
 @pytest.fixture(scope="module")
@@ -391,6 +394,7 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "embedding_centroids", "embedding_centroids_arrow", "embedding_quantize",
     "embedding_near_dups", "kmeans_lloyd_step", "hard_negative_mining",
     "trained_ivf_topk", "hybrid_rrf_fusion", "matryoshka_recall_audit",
+    "knn_label_accuracy",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
