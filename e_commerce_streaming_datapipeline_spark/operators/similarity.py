@@ -1632,19 +1632,17 @@ GROUP BY t.query_id
 )
 def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation audit: retrieval by the embedding's
-    FIRST {dim} dimensions vs ground truth from the full 64 — per query,
-    |trunc top-{k} ∩ full top-{k}| / {k}, plus the macro recall.  This is
+    FIRST 16 dimensions vs ground truth from the full 64 — per query,
+    |trunc top-10 ∩ full top-10| / 10, plus the macro recall.  This is
     the measurement behind dimension-truncated ANN deployments (store/scan
-    {dim}/64 of the bytes, rerank survivors at full precision): the audit
+    16/64 of the bytes, rerank survivors at full precision): the audit
     says what that 4× scan saving costs in recall BEFORE you ship it.
 
     One pass computes BOTH similarities per pair (the truncated dot product
     is a prefix slice of the same codegen'd zip_with — no second scan);
     both rankings are rank-filtered partitioned windows and the hit check
     is an equi-join on (query, neighbor).  At scale the audit runs on a
-    sampled query set exactly like `lsh_recall_audit`.""".format(
-        dim=MRL_DIM, k=MRL_TOP_K
-    )
+    sampled query set exactly like `lsh_recall_audit`."""
     emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
@@ -1757,7 +1755,7 @@ FROM predicted p JOIN q ON q.vec_id = p.query_id
 )
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification over the ANN stack: each query vector's label is
-    predicted by majority vote of its {k} nearest neighbors (cosine; vote
+    predicted by majority vote of its 5 nearest neighbors (cosine; vote
     ties break to the smaller label — a total order, so both engines elect
     the same winner), scored against the vector's true label — the
     standard "are these embeddings any good for my labels" probe, and the
@@ -1767,7 +1765,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest of the similarity family uses (at scale, swap the brute-force
     pairs for the IVF/LSH candidates — the vote/score tail is unchanged);
     votes and the argmax election are per-query aggregations over k rows.
-    """.format(k=TOP_K)
+    """
     emb = load_valid_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )

@@ -3197,26 +3197,24 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the first/last/linear/time-decay heuristics this module already
     carries: user journeys (events up to the first purchase) become a
     first-order Markov chain over channel states; per channel, conversion
-    mass reaching the absorbing PURCHASE state within {steps} steps is
+    mass reaching the absorbing PURCHASE state within 8 steps is
     re-computed on the graph with that channel REMOVED (its in-edges
     redirected to the NULL absorber), and the channel's credit is its
     removal effect's share — Anderl et al.'s framework, the standard
     data-driven attribution model.
 
-    Determinism: transition probabilities are micros integers; M^{steps}
-    comes from REPEATED SQUARING (3 matrix-matrix rounds, not {steps}
+    Determinism: transition probabilities are micros integers; M^8
+    comes from REPEATED SQUARING (3 matrix-matrix rounds, not 8
     vector steps), each entry Σ(int×int) — exact — followed by ONE
     division and round, so both engines walk bit-identical chains.  Mass
-    still in transient states after {steps} steps is (deterministically)
+    still in transient states after 8 steps is (deterministically)
     unattributed — conversion-within-k semantics.
 
     Scale shape: corpus-sized work is exactly the journey sequencing (one
     user-keyed window + lead) and the (from, to) count aggregation;
     everything after — graph expansion (an EXPLODE over the ≤49-row
     matrix, not a cross join), O(log k) squaring joins, removal deltas —
-    runs on relations bounded by #states², independent of corpus size.""".format(
-        steps=_MKV_STEPS
-    )
+    runs on relations bounded by #states², independent of corpus size."""
     events = load_table(spark, "events", sf_dir)
     states = list(_MKV_CHANNELS) + ["purchase"]
     ev = events.where(

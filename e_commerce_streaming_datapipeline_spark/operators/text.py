@@ -1471,12 +1471,10 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are a second aggregation of that relation (exchange reuse on
     term); the posting HEAD is a rank-filtered partitioned window
     (WindowGroupLimit — per-partition heaps), so the collected array is
-    bounded at {head} entries per term no matter the corpus size.  Full
+    bounded at 8 entries per term no matter the corpus size.  Full
     posting lists at 100 TB stay relational (term-bucketed files, never a
     driver-side array); collecting a bounded head per key is the pattern
-    for index MANIFESTS, not the lists themselves.""".format(
-        head=_POSTING_HEAD
-    )
+    for index MANIFESTS, not the lists themselves."""
     docs = load_table(spark, "documents", sf_dir)
     tf = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
