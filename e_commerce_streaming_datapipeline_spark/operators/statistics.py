@@ -3667,6 +3667,9 @@ def q_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = arr.select(F.aggregate(F.col("arr"), init, step).alias("s"))
+    # empty series: the oracle's recursion has no base row — emit nothing
+    # here too rather than a zero-state row
+    folded = folded.where(F.col("s.n") > 0)
     return folded.select(
         F.col("s.n").alias("n_days"),
         fround(F.col("s.l") / 100000.0, 4).alias("final_level"),

@@ -1315,3 +1315,37 @@ class TestMarkovAttribution:
             assert 0.0 <= r["attribution_share"] <= 1.0
         total_share = sum(r["attribution_share"] for r in rows)
         assert abs(total_share - 1.0) < 1e-4, total_share
+
+
+class TestDegeneratePurchaseFreeCorpus:
+    """Forecast backtests on a corpus with ZERO purchases must emit zero
+    rows on BOTH engines (the Holt recursion has no base row; Spark's fold
+    must not leak its zero-state init as a phantom row)."""
+
+    @pytest.fixture(scope="class")
+    def purchase_free_dir(self, sf_dir, tmp_path_factory):
+        import os
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tmp = tmp_path_factory.mktemp("purchase_free")
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet") and f != "events.parquet":
+                os.symlink(os.path.join(sf_dir, f), tmp / f)
+        ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        nop = ev.filter(
+            pc.not_equal(pc.fill_null(ev["event_type"], ""), "purchase")
+        )
+        pq.write_table(nop, tmp / "events.parquet")
+        return str(tmp)
+
+    @pytest.mark.parametrize(
+        "name", ["holt_forecast_backtest", "quantile_pinball_backtest",
+                 "forecast_backtest_snaive"]
+    )
+    def test_zero_purchases_zero_rows(self, spark, purchase_free_dir, name):
+        from tests.oracle_compare import compare_query
+
+        res = compare_query(spark, name, purchase_free_dir)
+        assert res.ok, res.detail
+        assert res.spark_rows == 0
