@@ -346,3 +346,20 @@ def test_cents_sum_bit_equals_duckdb(spark, vals):
         "SELECT sum(CAST(round(x * 100) AS BIGINT)) FROM t"
     ).fetchone()[0]
     assert got == expected, (vals, got, expected)
+
+
+@given(s=st.integers(min_value=0, max_value=10**16))
+def test_integer_half_up_div_equals_engine_round(s):
+    """The Markov-squaring claim pinned: for non-negative integer sums s,
+    (s + 500000) // 1000000 == round(s / 1e6) as BOTH engines compute it
+    (exact-half quotients are dyadic rationals, representable in double, so
+    IEEE division lands exactly ON the .5 and half-away rounding agrees
+    with the integer formula).  This is what lets the driver-side squaring
+    chain in `markov_attribution` mirror the oracle's SQL round()."""
+    import duckdb
+
+    py = (s + 500_000) // 1_000_000
+    duck = duckdb.connect().execute(
+        f"SELECT CAST(round({s} / 1000000.0) AS BIGINT)"
+    ).fetchone()[0]
+    assert py == duck, (s, py, duck)
