@@ -147,6 +147,8 @@ EXTENDED_R3 = [
     "popularity_rec_hitrate",  # segment top-5 recommender, temporal eval
     "chi2_independence",      # lang x source contingency, exact terms
     "knn_label_accuracy",     # majority-vote kNN classifier eval
+    "eb_rate_shrinkage",      # empirical-Bayes posterior rates
+    "pr_curve_thresholds",    # operating-point table under the AUC
 ]
 
 

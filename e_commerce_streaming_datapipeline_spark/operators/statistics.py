@@ -3888,3 +3888,209 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
     )
+
+
+@query(
+    "eb_rate_shrinkage",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+), moments AS (
+    -- method-of-moments Beta prior from the per-user rate distribution
+    SELECT
+        CAST(sum(k) AS DOUBLE) / sum(n) AS mu,
+        sum(CAST(k AS HUGEINT) * k)     AS skk,
+        sum(CAST(k AS HUGEINT) * n)     AS skn,
+        sum(CAST(n AS HUGEINT) * n)     AS snn,
+        sum(k) AS sk, sum(n) AS sn, count(*) AS u
+    FROM per_user
+), prior AS (
+    SELECT mu,
+        -- var of per-user rates approximated on the count scale:
+        -- E[(k/n - mu)^2] with each user's term exact-integer expanded
+        (SELECT CAST(sum(CAST(round(
+             (CAST(k AS DOUBLE) / n - m.mu) * (CAST(k AS DOUBLE) / n - m.mu)
+             * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0)
+         FROM per_user) AS v
+    FROM moments m
+), ab AS (
+    SELECT mu, v,
+           mu * (mu * (1 - mu) / v - 1)       AS alpha,
+           (1 - mu) * (mu * (1 - mu) / v - 1) AS beta
+    FROM prior
+), top AS (
+    SELECT user_id, n, k,
+           row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+    FROM per_user
+)
+SELECT
+    t.user_id,
+    CAST(t.n AS BIGINT) AS n_events,
+    CAST(t.k AS BIGINT) AS n_purchases,
+    round(CAST(t.k AS DOUBLE) / t.n, 6)                    AS raw_rate,
+    round((t.k + a.alpha) / (t.n + a.alpha + a.beta), 6)   AS shrunk_rate,
+    round(a.alpha, 6) AS alpha,
+    round(a.beta, 6)  AS beta
+FROM top t CROSS JOIN ab a
+WHERE t.rnk <= 10
+""",
+)
+def q_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates — the
+    small-sample fix every per-segment rate dashboard needs (a 1/1 user is
+    not a 100% converter): a Beta prior is fitted by method of moments
+    from the whole population (mean rate μ and the rate variance v —
+    each user's squared deviation micros-fixed before the sum), and each
+    user's posterior mean (k+α)/(n+α+β) pulls small-n rates toward μ
+    while leaving big-n rates alone.  Output: the 10 most-active users
+    with raw vs shrunk rates plus the fitted prior.
+
+    Determinism: all moment inputs are exact integer sums
+    (HUGEINT/DECIMAL); μ, v, α, β are single IEEE expressions over them,
+    identical on both engines.  Scale: one hash agg to per-user counts,
+    one to the moment vector (a scalar broadcast), a rank-filtered top-10
+    — shrinkage itself is a map-side expression over any number of users.
+    """
+    events = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    mu_df = per_user.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("mu"),
+        F.count("*").alias("u"),
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    v_df = scalar_join(per_user, mu_df).agg(
+        (
+            F.sum(
+                F.round((rate - F.col("mu")) * (rate - F.col("mu")) * 1000000, 0)
+                .cast("long")
+            ).cast("double")
+            / (F.count("*") * 1000000.0)
+        ).alias("v"),
+        F.first("mu").alias("mu"),
+    )
+    m = F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1)
+    ab = v_df.select(
+        "mu",
+        "v",
+        m.alias("alpha"),
+        ((1 - F.col("mu")) * (F.col("mu") * (1 - F.col("mu")) / F.col("v") - 1)).alias(
+            "beta"
+        ),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    top = per_user.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
+    return scalar_join(top, ab).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_purchases"),
+        fround(F.col("k").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        fround(
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+        fround(F.col("alpha"), 6).alias("alpha"),
+        fround(F.col("beta"), 6).alias("beta"),
+    )
+
+
+@query(
+    "pr_curve_thresholds",
+    oracle="""
+WITH scored AS (
+    SELECT
+        round((len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) * 50
+               + least(len(string_split(text, ' ')), 100) / 100 * 50)
+              * 100) / 100 AS s,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents WHERE text IS NOT NULL
+), grouped AS (
+    SELECT s, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY 1
+), totals AS (
+    SELECT sum(cnt) AS n, sum(pos) AS p FROM grouped
+), thresholds AS (
+    SELECT unnest(range(10, 100, 10)) AS thr
+), at_thr AS (
+    SELECT t.thr,
+           coalesce(sum(g.cnt), 0) AS pred_pos,
+           coalesce(sum(g.pos), 0) AS tp
+    FROM thresholds t LEFT JOIN grouped g ON g.s >= t.thr
+    GROUP BY 1
+)
+SELECT
+    CAST(a.thr AS INT)          AS threshold,
+    CAST(a.pred_pos AS BIGINT)  AS n_predicted_pos,
+    CAST(a.tp AS BIGINT)        AS n_true_pos,
+    CASE WHEN a.pred_pos > 0
+         THEN round(CAST(a.tp AS DOUBLE) / a.pred_pos, 6)
+         ELSE CAST(0 AS DOUBLE) END AS precision,
+    CASE WHEN t.p > 0
+         THEN round(CAST(a.tp AS DOUBLE) / t.p, 6)
+         ELSE CAST(0 AS DOUBLE) END AS recall,
+    CASE WHEN a.pred_pos > 0 AND t.p > 0 AND a.tp > 0
+         THEN round(2.0 * a.tp / (a.pred_pos + t.p), 6)
+         ELSE CAST(0 AS DOUBLE) END AS f1
+FROM at_thr a CROSS JOIN totals t
+""",
+)
+def q_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision/recall/F1 threshold sweep that `auc_quality_langid`
+    integrates: "quality score >= t predicts English" evaluated at the 9
+    decile cutoffs — the operating-point table a deployment actually picks
+    its threshold from (AUC says the ranking is good; this says WHERE to
+    cut it).  F1 in its 2·TP/(pred+actual) single-division form.
+
+    Scale shape: the corpus collapses once to per-distinct-score (cnt,
+    pos) aggregates — the SAME relation the AUC query builds — and every
+    threshold row is a range-predicate re-aggregation of that bounded
+    grid (≤10⁴ rows by the 2dp score grid), so the 9-point sweep costs
+    one corpus scan regardless of size.  All counts exact integers; three
+    guarded single divisions at the edge."""
+    from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    scored = text_stats(docs).select(
+        F.col("quality_score").alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    grouped = scored.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    totals = grouped.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    thresholds = spark.range(1, 10).select((F.col("id") * 10).cast("int").alias("thr"))
+    at_thr = (
+        thresholds.join(F.broadcast(grouped), F.col("s") >= F.col("thr"), "left")
+        .groupBy("thr")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("pred_pos"),
+            F.coalesce(F.sum("pos"), F.lit(0)).alias("tp"),
+        )
+    )
+    return scalar_join(at_thr, totals).select(
+        F.col("thr").alias("threshold"),
+        F.col("pred_pos").cast("long").alias("n_predicted_pos"),
+        F.col("tp").cast("long").alias("n_true_pos"),
+        F.when(
+            F.col("pred_pos") > 0,
+            fround(F.col("tp").cast("double") / F.col("pred_pos"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(F.col("p") > 0, fround(F.col("tp").cast("double") / F.col("p"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+        F.when(
+            (F.col("pred_pos") > 0) & (F.col("p") > 0) & (F.col("tp") > 0),
+            fround(F.lit(2.0) * F.col("tp") / (F.col("pred_pos") + F.col("p")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

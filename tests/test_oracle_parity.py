@@ -75,7 +75,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "kfold_auc",
                  # contingency test: NULL lang/source are their own margin
                  # categories, counted into dof on both engines
-                 "chi2_independence"]
+                 "chi2_independence",
+                 # threshold sweep: NULL text drops, NULL lang is negative
+                 "pr_curve_thresholds"]
 
 
 @pytest.fixture(scope="module")
@@ -232,6 +234,8 @@ _EVENTS_EDGE_QUERIES = [
     "compaction_plan",
     # skew diagnosis: the NULL key is a diagnosable key, nulls-last ties
     "skew_key_diagnosis",
+    # shrinkage: NULL users are out of the population on both engines
+    "eb_rate_shrinkage",
 ]
 
 
