@@ -149,6 +149,7 @@ EXTENDED_R3 = [
     "knn_label_accuracy",     # majority-vote kNN classifier eval
     "eb_rate_shrinkage",      # empirical-Bayes posterior rates
     "pr_curve_thresholds",    # operating-point table under the AUC
+    "leaderboard_stream",     # complete-mode sorted top-10 on the stream
 ]
 
 

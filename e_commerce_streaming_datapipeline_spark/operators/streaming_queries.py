@@ -2037,3 +2037,57 @@ def q_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("c_cur"),
     )
     return psi_from_bin_counts(counts)
+
+
+@query(
+    "leaderboard_stream",
+    oracle="""
+WITH totals AS (
+    SELECT user_id,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    GROUP BY 1
+)
+SELECT user_id, cents,
+       round(cents / 100.0, 2) AS revenue,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY cents DESC, user_id) AS rn
+    FROM totals
+)
+WHERE rn <= 10
+""",
+)
+def q_leaderboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A live top-10 revenue leaderboard maintained BY the stream — the
+    one query shape that is legal ONLY in complete output mode: Structured
+    Streaming forbids sorting in append/update (rows could still move),
+    but a complete-mode aggregation re-emits the whole result per
+    micro-batch, so `.orderBy().limit(10)` runs INSIDE the streaming
+    query and the memory sink always holds the current board.  This is
+    the mode the reference's dashboard queries actually wanted
+    (src/consumers/stream_processor.py writes full refreshes).
+
+    State/scale: per-user running totals (key-bounded state, the
+    CMS/bitmap/PSI family) plus a 10-row sort per micro-batch — the sort
+    input is the aggregated relation, never raw events.  Hash-checked
+    against the batch top-10 (streaming-vs-batch equivalence)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    stream = read_file_stream(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    cents = F.coalesce(F.round(F.col("value") * 100, 0).cast("long"), F.lit(0))
+    totals = stream.groupBy("user_id").agg(F.sum(cents).alias("cents"))
+    board = totals.orderBy(F.col("cents").desc(), "user_id").limit(10)
+    collected = _run_to_table(spark, board, "leaderboard_stream")
+    w = Window.orderBy(F.col("cents").desc(), "user_id")
+    return collected.select(
+        "user_id",
+        "cents",
+        fround(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -236,6 +236,9 @@ _EVENTS_EDGE_QUERIES = [
     "skew_key_diagnosis",
     # shrinkage: NULL users are out of the population on both engines
     "eb_rate_shrinkage",
+    # complete-mode board: NULL users drop, NULL values count 0 cents,
+    # NULL-ts purchases still count (no event-time involvement)
+    "leaderboard_stream",
 ]
 
 
