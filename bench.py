@@ -150,6 +150,7 @@ EXTENDED_R3 = [
     "eb_rate_shrinkage",      # empirical-Bayes posterior rates
     "pr_curve_thresholds",    # operating-point table under the AUC
     "leaderboard_stream",     # complete-mode sorted top-10 on the stream
+    "mmr_diversified_topk",   # greedy diversity re-rank, integer kernel
 ]
 
 

@@ -1825,3 +1825,207 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct).over(wa).cast("double") / F.count("*").over(wa), 4
         ).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified re-ranking
+# --------------------------------------------------------------------------
+
+MMR_CAND = 20   # candidate depth entering the re-rank
+MMR_K = 10      # diversified picks emitted
+# lambda = 0.7 as the integer pair (7, 3): score = 7*rel - 3*max_sim, micros
+
+
+def _mmr_sel_sql() -> str:
+    parts = []
+    for k in range(2, MMR_K + 1):
+        parts.append(f""", sel{k} AS MATERIALIZED (
+    SELECT * FROM sel{k - 1}
+    UNION ALL
+    SELECT query_id, nid, rel, pen, {k} AS rk FROM (
+        SELECT c.query_id, c.nid, c.rel, coalesce(mx.pen, 0) AS pen,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY 7 * c.rel - 3 * coalesce(mx.pen, 0) DESC, c.nid
+               ) AS rn
+        FROM cands c
+        LEFT JOIN (
+            SELECT s.query_id, s.a AS nid, max(s.s) AS pen
+            FROM sims s JOIN sel{k - 1} p
+              ON p.query_id = s.query_id AND p.nid = s.b
+            GROUP BY 1, 2
+        ) mx ON mx.query_id = c.query_id AND mx.nid = c.nid
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{k - 1} p2
+            WHERE p2.query_id = c.query_id AND p2.nid = c.nid
+        )
+    ) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), q AS (
+    SELECT * FROM v WHERE vec_id < {N_QUERIES}
+), pairs AS (
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS nid,
+        CAST(round(round(
+            list_inner_product(q.e, c.e)
+            / (sqrt(list_inner_product(q.e, q.e))
+               * sqrt(list_inner_product(c.e, c.e))), 6) * 1000000)
+            AS BIGINT) AS rel
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+), cands AS MATERIALIZED (
+    SELECT query_id, nid, rel FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, nid
+        ) AS rn FROM pairs
+    ) WHERE rn <= {MMR_CAND}
+), sims AS MATERIALIZED (
+    SELECT
+        c1.query_id, c1.nid AS a, c2.nid AS b,
+        CAST(round(round(
+            list_inner_product(va.e, vb.e)
+            / (sqrt(list_inner_product(va.e, va.e))
+               * sqrt(list_inner_product(vb.e, vb.e))), 6) * 1000000)
+            AS BIGINT) AS s
+    FROM cands c1
+    JOIN cands c2 ON c2.query_id = c1.query_id AND c2.nid <> c1.nid
+    JOIN v va ON va.vec_id = c1.nid
+    JOIN v vb ON vb.vec_id = c2.nid
+), sel1 AS MATERIALIZED (
+    SELECT query_id, nid, rel, CAST(0 AS BIGINT) AS pen, 1 AS rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, nid
+        ) AS rn FROM cands
+    ) WHERE rn = 1
+){_mmr_sel_sql()}
+SELECT
+    query_id,
+    CAST(rk AS INT) AS mmr_rank,
+    nid AS neighbor_id,
+    round(rel / 1000000.0, 6) AS cos_sim,
+    round(pen / 1000000.0, 6) AS diversity_penalty,
+    round((7 * rel - 3 * pen) / 10000000.0, 6) AS mmr_score
+FROM sel{MMR_K}
+""",
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) re-ranking of the cosine top-20 —
+    the diversity pass a retrieval stack runs between ANN and the user:
+    picks greedily maximize 7·relevance − 3·(max similarity to anything
+    already picked) (λ=0.7 as an integer weight pair), so near-duplicate
+    hits stop crowding out distinct ones.
+
+    The greedy loop is inherently sequential per query, so it runs as a
+    grouped `applyInPandas` kernel over BOUNDED per-query state (20
+    candidates + their 20×19 pairwise sims, all micros integers — pure
+    Python int arithmetic inside the kernel, no float accumulation), and
+    the oracle unrolls the same 10 picks as chained SQL selections —
+    maximally different executions of one greedy recurrence, hash-equal.
+
+    Scale shape: relevance and pairwise-candidate similarities come from
+    codegen'd vector expressions BEFORE the kernel (Python sees only
+    micros longs); per-query work is O(CAND²) = constant, queries fan out
+    across partitions — 10⁶ queries re-rank embarrassingly parallel."""
+    import pandas as pd
+
+    emb = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = (
+        F.broadcast(queries)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6) * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("rel"),
+            "e",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("nid"))
+    cands = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= MMR_CAND
+    )
+    c1 = cands.select("query_id", F.col("nid").alias("a"), F.col("e").alias("ea"))
+    c2 = cands.select(
+        F.col("query_id").alias("q2"), F.col("nid").alias("b"), F.col("e").alias("eb")
+    )
+    sims = c1.join(
+        c2, (F.col("query_id") == F.col("q2")) & (F.col("a") != F.col("b"))
+    ).select(
+        "query_id",
+        "a",
+        "b",
+        F.round(
+            fround(cosine_similarity_expr(F.col("ea"), F.col("eb")), 6) * 1000000, 0
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    rel_rows = cands.select(
+        "query_id",
+        F.col("nid").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("rel").alias("v"),
+    )
+    sim_rows = sims.select("query_id", "a", "b", F.col("s").alias("v"))
+    tagged = rel_rows.unionAll(sim_rows)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for a, b, v in zip(pdf["a"], pdf["b"], pdf["v"]):
+            if pd.isna(b):
+                rel[int(a)] = int(v)
+            else:
+                sim[(int(a), int(b))] = int(v)
+        remaining = set(rel)
+        picked: list[int] = []
+        out = []
+        for rk in range(1, MMR_K + 1):
+            best = None
+            for c in remaining:
+                pen = max((sim.get((c, p), 0) for p in picked), default=0)
+                score = 7 * rel[c] - 3 * pen
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, pen)
+            _, c, pen = best
+            remaining.discard(c)
+            picked.append(c)
+            out.append((qid, rk, c, rel[c], pen))
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "neighbor_id", "rel", "pen"]
+        )
+
+    picked = tagged.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, mmr_rank int, neighbor_id long, rel long, pen long",
+    )
+    return picked.select(
+        "query_id",
+        "mmr_rank",
+        "neighbor_id",
+        fround(F.col("rel") / 1000000.0, 6).alias("cos_sim"),
+        fround(F.col("pen") / 1000000.0, 6).alias("diversity_penalty"),
+        fround((7 * F.col("rel") - 3 * F.col("pen")) / 10000000.0, 6).alias(
+            "mmr_score"
+        ),
+    )

@@ -432,6 +432,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "matryoshka_recall_audit",  # inherits embedding_topk's query-vector cross join
         "knn_label_accuracy",     # ditto (brute-force pairs feed the vote)
         "pr_curve_thresholds",    # 9-threshold x bounded score-grid range join
+        "mmr_diversified_topk",   # query-vector fan-out feeding the MMR kernel
         "kmeans_lloyd_step",      # K-row centroid-table broadcast (Lloyd assignment)
         "trained_ivf_topk",       # same K-row centroid broadcast, x3 (train/assign/probe)
         "source_fuzzy_pairs",     # 20-row distinct-key self-join, length-banded

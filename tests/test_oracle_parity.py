@@ -401,7 +401,7 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "embedding_centroids", "embedding_centroids_arrow", "embedding_quantize",
     "embedding_near_dups", "kmeans_lloyd_step", "hard_negative_mining",
     "trained_ivf_topk", "hybrid_rrf_fusion", "matryoshka_recall_audit",
-    "knn_label_accuracy",
+    "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
