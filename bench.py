@@ -151,6 +151,7 @@ EXTENDED_R3 = [
     "pr_curve_thresholds",    # operating-point table under the AUC
     "leaderboard_stream",     # complete-mode sorted top-10 on the stream
     "mmr_diversified_topk",   # greedy diversity re-rank, integer kernel
+    "seasonal_decompose_daily",  # trend/weekday-seasonal/residual split
 ]
 
 

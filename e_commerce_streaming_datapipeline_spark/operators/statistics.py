@@ -4094,3 +4094,90 @@ def q_pr_curve_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("f1"),
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), trended AS (
+    SELECT day_num, cents,
+           count(*) OVER w7 AS n7,
+           CAST(round(CAST(sum(cents) OVER w7 AS DOUBLE) / count(*) OVER w7
+                      * 1000) AS BIGINT) AS trend_milli
+    FROM daily
+    WINDOW w7 AS (ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detrended AS (
+    SELECT *, cents * 1000 - trend_milli AS det_milli,
+           day_num % 7 AS weekday
+    FROM trended WHERE n7 = 7
+), seasonal AS (
+    SELECT weekday,
+           CAST(round(CAST(sum(det_milli) AS DOUBLE) / count(*)) AS BIGINT)
+               AS seas_milli
+    FROM detrended GROUP BY 1
+)
+SELECT
+    d.day_num,
+    round(d.cents / 100.0, 2)                       AS revenue,
+    round(d.trend_milli / 100000.0, 4)              AS trend,
+    round(s.seas_milli / 100000.0, 4)               AS seasonal,
+    round((d.det_milli - s.seas_milli) / 100000.0, 4) AS residual,
+    CAST(d.weekday AS INT)                          AS weekday
+FROM detrended d JOIN seasonal s USING (weekday)
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series —
+    trend (centered 7-day moving average), weekday seasonal (mean of the
+    detrended series per day-of-week), residual (what anomaly detection
+    should actually run on; `revenue_anomaly_days` on raw values flags
+    every weekend) — the STL-shaped preprocessing every revenue
+    forecasting/monitoring pipeline applies first.  Edge days without a
+    full centered window are excluded (n7 = 7), so the trend is never a
+    biased partial mean.
+
+    Determinism: trend and seasonal means are single exact-integer-sum
+    divisions rounded to millicents before any subtraction, so every
+    derived column is integer arithmetic.  Scale: one hash agg to the
+    daily grain; the centered window, weekday means, and the final join
+    all run over #days rows."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    w7 = Window.orderBy("day_num").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day_num",
+        "cents",
+        F.count("*").over(w7).alias("n7"),
+        F.round(F.sum("cents").over(w7).cast("double") / F.count("*").over(w7) * 1000, 0)
+        .cast("long")
+        .alias("trend_milli"),
+    )
+    detrended = trended.where(F.col("n7") == 7).select(
+        "day_num",
+        "cents",
+        "trend_milli",
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("det_milli"),
+        (F.col("day_num") % 7).alias("weekday"),
+    )
+    seasonal = detrended.groupBy("weekday").agg(
+        F.round(F.sum("det_milli").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("seas_milli")
+    )
+    return detrended.join(F.broadcast(seasonal), "weekday").select(
+        "day_num",
+        fround(F.col("cents") / 100.0, 2).alias("revenue"),
+        fround(F.col("trend_milli") / 100000.0, 4).alias("trend"),
+        fround(F.col("seas_milli") / 100000.0, 4).alias("seasonal"),
+        fround((F.col("det_milli") - F.col("seas_milli")) / 100000.0, 4).alias(
+            "residual"
+        ),
+        F.col("weekday").cast("int").alias("weekday"),
+    )
