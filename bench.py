@@ -152,6 +152,7 @@ EXTENDED_R3 = [
     "leaderboard_stream",     # complete-mode sorted top-10 on the stream
     "mmr_diversified_topk",   # greedy diversity re-rank, integer kernel
     "seasonal_decompose_daily",  # trend/weekday-seasonal/residual split
+    "residual_anomaly_days",  # robust z on the decomposed residuals
 ]
 
 

@@ -4181,3 +4181,147 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("weekday").cast("int").alias("weekday"),
     )
+
+
+@query(
+    "residual_anomaly_days",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), trended AS (
+    SELECT day_num, cents,
+           count(*) OVER w7 AS n7,
+           CAST(round(CAST(sum(cents) OVER w7 AS DOUBLE) / count(*) OVER w7
+                      * 1000) AS BIGINT) AS trend_milli
+    FROM daily
+    WINDOW w7 AS (ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detrended AS (
+    SELECT day_num, cents, cents * 1000 - trend_milli AS det_milli,
+           day_num % 7 AS weekday
+    FROM trended WHERE n7 = 7
+), seasonal AS (
+    SELECT weekday,
+           CAST(round(CAST(sum(det_milli) AS DOUBLE) / count(*)) AS BIGINT)
+               AS seas_milli
+    FROM detrended GROUP BY 1
+), resid AS (
+    SELECT d.day_num, d.cents, d.det_milli - s.seas_milli AS r_milli
+    FROM detrended d JOIN seasonal s USING (weekday)
+), med AS (
+    SELECT r_milli AS med_milli FROM (
+        SELECT r_milli, row_number() OVER (ORDER BY r_milli, day_num) AS rn,
+               count(*) OVER () AS n
+        FROM resid
+    ) WHERE rn = (n + 1) // 2
+), absdev AS (
+    SELECT r.day_num, r.cents, r.r_milli,
+           abs(r.r_milli - m.med_milli) AS ad, m.med_milli
+    FROM resid r CROSS JOIN med m
+), mad AS (
+    SELECT ad AS mad_milli FROM (
+        SELECT ad, row_number() OVER (ORDER BY ad, day_num) AS rn,
+               count(*) OVER () AS n
+        FROM absdev
+    ) WHERE rn = (n + 1) // 2
+)
+SELECT
+    a.day_num,
+    round(a.cents / 100.0, 2)        AS revenue,
+    round(a.r_milli / 100000.0, 4)   AS residual,
+    round(a.med_milli / 100000.0, 4) AS resid_median,
+    round(m.mad_milli / 100000.0, 4) AS resid_mad,
+    round((a.r_milli - a.med_milli) / (1.4826 * m.mad_milli) * 1000000)
+        / 1000000                    AS robust_z,
+    abs(a.r_milli - a.med_milli) > 3 * 1.4826 * m.mad_milli AS is_anomaly
+FROM absdev a CROSS JOIN mad m
+ORDER BY a.day_num
+""",
+)
+def q_residual_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DECOMPOSED series — the operator
+    `seasonal_decompose_daily`'s docstring promises: robust z-scores
+    (median/MAD, both LOWER-MEDIAN order statistics — rank lookups, never
+    interpolation) over the trend-and-seasonality-removed residuals, every
+    day emitted with its |z| > 3 flag.  Running the same test on raw revenue flags
+    every weekend; on residuals only genuine irregularities surface.
+
+    Determinism: residuals are exact millicents integers end to end;
+    median and MAD are row_number lookups; the z-score is one IEEE
+    expression over integers with the conventional 1.4826 consistency
+    constant, micros-rounded for display.  Scale: everything after the
+    daily rollup runs on #days rows; the two order statistics are the
+    `conformal_interval` rank discipline."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    w7 = Window.orderBy("day_num").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day_num",
+        "cents",
+        F.count("*").over(w7).alias("n7"),
+        F.round(F.sum("cents").over(w7).cast("double") / F.count("*").over(w7) * 1000, 0)
+        .cast("long")
+        .alias("trend_milli"),
+    )
+    detrended = trended.where(F.col("n7") == 7).select(
+        "day_num",
+        "cents",
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("det_milli"),
+        (F.col("day_num") % 7).alias("weekday"),
+    )
+    seasonal = detrended.groupBy("weekday").agg(
+        F.round(F.sum("det_milli").cast("double") / F.count("*"), 0)
+        .cast("long")
+        .alias("seas_milli")
+    )
+    resid = detrended.join(F.broadcast(seasonal), "weekday").select(
+        "day_num", "cents", (F.col("det_milli") - F.col("seas_milli")).alias("r_milli")
+    )
+    wm = Window.orderBy("r_milli", "day_num")
+    med = (
+        resid.select(
+            "r_milli",
+            F.row_number().over(wm).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("r_milli").alias("med_milli"))
+    )
+    absdev = scalar_join(resid, med).select(
+        "day_num",
+        "cents",
+        "r_milli",
+        "med_milli",
+        F.abs(F.col("r_milli") - F.col("med_milli")).alias("ad"),
+    )
+    wa = Window.orderBy("ad", "day_num")
+    mad = (
+        absdev.select(
+            "ad",
+            F.row_number().over(wa).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("ad").alias("mad_milli"))
+    )
+    z = (F.col("r_milli") - F.col("med_milli")) / (F.lit(1.4826) * F.col("mad_milli"))
+    return (
+        scalar_join(absdev, mad)
+        .select(
+            "day_num",
+            fround(F.col("cents") / 100.0, 2).alias("revenue"),
+            fround(F.col("r_milli") / 100000.0, 4).alias("residual"),
+            fround(F.col("med_milli") / 100000.0, 4).alias("resid_median"),
+            fround(F.col("mad_milli") / 100000.0, 4).alias("resid_mad"),
+            fround(z, 6).alias("robust_z"),
+            (
+                F.abs(F.col("r_milli") - F.col("med_milli"))
+                > F.lit(3) * F.lit(1.4826) * F.col("mad_milli")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day_num")
+    )

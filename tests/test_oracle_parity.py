@@ -210,6 +210,7 @@ _EVENTS_EDGE_QUERIES = [
     # backtest scoring: NULL ts drops, NULL value defaults to 0 cents
     "forecast_backtest_snaive", "quantile_pinball_backtest",
     "holt_forecast_backtest", "seasonal_decompose_daily",
+    "residual_anomaly_days",
     # agg-state reader: NULL-ts purchases form a NULL-key state row that
     # must match the oracle's NULL group
     "agg_state_inspect",
