@@ -71,7 +71,19 @@ def correctness_delta(prev_path: str | None, cur_path: str) -> dict:
 def _load_bench(path: str) -> dict:
     data = json.load(open(path))
     # the driver wraps the bench JSON line under "parsed"
-    return data["parsed"] if isinstance(data.get("parsed"), dict) else data
+    out = data["parsed"] if isinstance(data.get("parsed"), dict) else data
+    # The printed line only carries the core32 per-query map (the driver's
+    # tail capture is 2000 chars); bench.py persists the complete map to
+    # BENCH_LOCAL.json.  When that file is from the same run (identical
+    # core32 total), overlay its full query map for the per-query diff.
+    local = os.path.join(REPO, "BENCH_LOCAL.json")
+    if isinstance(out, dict) and os.path.exists(local):
+        full = json.load(open(local))
+        if full.get("core32_total") == out.get("core32_total") and len(
+            full.get("queries", {})
+        ) > len(out.get("queries", {})):
+            out = {**out, "queries": full["queries"]}
+    return out
 
 
 def bench_delta(prev_path: str | None, cur_path: str) -> dict:
