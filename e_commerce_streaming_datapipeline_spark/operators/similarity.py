@@ -1378,6 +1378,12 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_map: dict[tuple[int, int], int] = {
         (r["i"], r["j"]): r["s"] for r in s_rel.collect()
     }
+    if not s_map:
+        # degenerate corpus (no valid embeddings): zero rows, same schema —
+        # matching the oracle's empty result instead of crashing on max()
+        return spark.createDataFrame(
+            [], "dim int, loading_q4 long, eigenvalue double"
+        )
     dims = max(i for i, _ in s_map) + 1
     v = [_PC_Q] * dims
     y = v

@@ -1317,9 +1317,10 @@ def q_unique_buyers_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 SELECT
     date_trunc('hour', ts)   AS window_start,
-    round(sum(value), 2)     AS gmv,
+    CAST(sum(round(coalesce(value, 0.0) * 100)::BIGINT) AS DOUBLE) / 100
+                             AS gmv,
     count(*)                 AS purchases
-FROM events WHERE event_type = 'purchase'
+FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -1344,13 +1345,15 @@ def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam); this one exercises the actual micro-batch engine on the tail."""
     from pyspark.sql import functions as F
 
-    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import cents_sum_double
     from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
     from e_commerce_streaming_datapipeline_spark.functions.windows import tumbling_window
     from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
+    # ts IS NOT NULL mirrors the window()/tumbling_window null-drop on both
+    # layers, so a NULL-ts purchase row cannot diverge from the oracle.
     events = load_table(spark, "events", sf_dir).where(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
     )
     cutoff = events.agg(
         F.date_trunc("day", F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("__cut")
@@ -1362,7 +1365,7 @@ def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("window_start")
         .agg(
-            fround(F.sum("value"), 2).alias("gmv"),
+            cents_sum_double(F.col("value")).alias("gmv"),
             F.count("*").alias("purchases"),
         )
     )
@@ -1379,7 +1382,7 @@ def q_lambda_unified_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed_layer_raw = _run_to_table(
         spark,
         stream.groupBy(w).agg(
-            fround(F.sum("value"), 2).alias("gmv"),
+            cents_sum_double(F.col("value")).alias("gmv"),
             F.count("*").alias("purchases"),
         ),
         "lambda_speed",

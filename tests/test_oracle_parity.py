@@ -240,6 +240,9 @@ _EVENTS_EDGE_QUERIES = [
     # complete-mode board: NULL users drop, NULL values count 0 cents,
     # NULL-ts purchases still count (no event-time involvement)
     "leaderboard_stream",
+    # lambda splice: both layers drop NULL-ts, sum scaled-long cents; the
+    # NULL-value purchase counts with 0 gmv on both engines
+    "lambda_unified_gmv",
 ]
 
 
