@@ -1,0 +1,125 @@
+"""Distributed global ranking without a single-partition sort.
+
+``row_number().over(Window.orderBy(...))`` — a global rank with no
+PARTITION BY — forces every row through one ``Exchange SinglePartition``
+and one task's sort: fine on 60k rows, fatal on a corpus-proportional
+relation at 100 TB (a web-scale vocabulary is 10^8-10^9 terms; converted
+users are user-proportional).  This module provides the classic two-phase
+decomposition used by every distributed sort-rank (TeraSort-style):
+
+1. **Range-repartition** on the sort key, so partition *i* holds only keys
+   ordered before partition *i+1*'s (Spark's ``repartitionByRange`` — the
+   same sampled range partitioner behind global ``orderBy``), and capture
+   ``spark_partition_id()`` as ``__rank_pid``.
+2. **Local rank** per partition: ``row_number() OVER (PARTITION BY
+   __rank_pid ORDER BY ...)`` — a parallel, spill-safe per-partition sort.
+3. **Offsets**: per-partition row counts (``max(local rank)`` — reuses the
+   ranked lineage, and the range Exchange is reused by Spark's
+   ReuseExchange so the expensive shuffle runs once) form a
+   #partitions-row relation; a prefix-sum window over it (bounded by
+   ``spark.sql.shuffle.partitions``, NOT by data size) yields each
+   partition's global offset.  Global rank = offset + local rank, attached
+   by a broadcast join on ``__rank_pid``.
+
+The only single-partition Window left in the plan sorts the bounded
+``__rank_pid`` relation — the plan lint (``plans/lint.py``) recognizes the
+column name as the documented carve-out, so any NEW unpartitioned window
+over real data still fails the registry-wide lint.
+
+Equivalent SQL semantics: ``row_number() OVER (ORDER BY <keys>)`` for a
+total order; under ties the assignment of consecutive ranks among equal
+keys is arbitrary on both engines (standard row_number nondeterminism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RANK_PID = "__rank_pid"
+_LOCAL_RN = "__rank_local_rn"
+_OFFSET = "__rank_offset"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "r",
+    *,
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global ``row_number() OVER (ORDER BY *order_by)`` column
+    computed with the two-phase distributed rank (module docstring).
+
+    ``order_by`` — sort-key Columns, directions included (``.desc()`` etc.).
+    ``total_col`` — also append the total row count (computed from the same
+    bounded offsets relation, replacing the ``count(*) OVER ()`` global
+    window the naive formulation needs).
+    ``num_partitions`` — range partitions for phase 1 (default: the
+    session's ``spark.sql.shuffle.partitions``).
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    ).withColumn(RANK_PID, F.spark_partition_id())
+    local = ranged.withColumn(
+        _LOCAL_RN,
+        F.row_number().over(Window.partitionBy(RANK_PID).orderBy(*order_by)),
+    )
+    # #partitions-row relation; its prefix-sum window is bounded by the
+    # shuffle-partition count, independent of |df|
+    counts = local.groupBy(RANK_PID).agg(F.max(_LOCAL_RN).alias("__rank_cnt"))
+    bounded_w = Window.orderBy(RANK_PID).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        RANK_PID,
+        F.coalesce(F.sum("__rank_cnt").over(bounded_w), F.lit(0)).alias(_OFFSET),
+        *(
+            [
+                F.sum("__rank_cnt")
+                .over(
+                    Window.orderBy(RANK_PID).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .alias(total_col)
+            ]
+            if total_col
+            else []
+        ),
+    )
+    out = (
+        local.join(F.broadcast(offsets), RANK_PID)
+        .withColumn(rank_col, F.col(_OFFSET) + F.col(_LOCAL_RN))
+        .drop(RANK_PID, _LOCAL_RN, _OFFSET)
+    )
+    return out
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for non-negative longs (no double rounding:
+    the numerator is made an exact multiple first)."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` reconstructed from a global rank and the total row
+    count — the distributed replacement for ``ntile(k) OVER (ORDER BY ...)``
+    (pair with :func:`global_row_number` and its ``total_col``).
+
+    Standard NTILE fill: with ``n = total`` rows, the first ``n % k``
+    buckets hold ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — identical
+    assignment to every SQL engine's NTILE over the same total order."""
+    n, r = total.cast("long"), rank.cast("long")
+    base = _idiv(n, F.lit(k))  # floor(n/k) rows in the small buckets
+    m = n % k  # number of big (base+1-row) buckets
+    big = base + 1
+    cut = m * big  # rows covered by the big buckets
+    return (
+        F.when(r <= cut, _idiv(r - 1, big))
+        .otherwise(m + _idiv(r - cut - 1, base))
+        + 1
+    ).cast("int")

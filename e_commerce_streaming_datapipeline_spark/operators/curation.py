@@ -1238,11 +1238,13 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the normalized value is a LOOKUP (equi-join on the global rank
     index), never interpolation — nothing to drift.
 
-    Scale note: the global rank here is an exact single-pass window
-    (fixture-sized corpus; same exactness choice as `equi_depth_histogram`);
-    at 100 TB the global distribution is summarized by the mergeable
-    histogram (`histogram_quantile_rollup`) and the lookup joins the
-    ~1000-point grid instead — same plan shape, bounded grid."""
+    Scale note: the global rank is the two-phase distributed rank
+    (`functions/ranks.py` — range-repartition + per-partition row_number +
+    broadcast offsets), so the doc-proportional relation is never sorted on
+    one task; at 100 TB the global distribution can further be summarized
+    by the mergeable histogram (`histogram_quantile_rollup`) and the lookup
+    joins the ~1000-point grid instead — same plan shape, bounded grid."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
     from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
 
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
@@ -1257,11 +1259,11 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(by_src).cast("long").alias("src_rank"),
         F.count("*").over(Window.partitionBy("source")).cast("long").alias("n_src"),
     )
-    g_w = Window.orderBy("quality_score", "doc_id")
-    globally = scored.select(
-        F.col("quality_score").alias("g_score"),
-        F.row_number().over(g_w).cast("long").alias("g_idx"),
-    )
+    globally = global_row_number(
+        scored.select(F.col("quality_score").alias("g_score"), "doc_id"),
+        [F.col("g_score"), F.col("doc_id")],
+        rank_col="__g_rn",
+    ).select("g_score", F.col("__g_rn").cast("long").alias("g_idx"))
     n_all = globally.agg(F.count("*").alias("n_all"))
     pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
         (F.col("src_rank") - 1).cast("double") / (F.col("n_src") - 1)

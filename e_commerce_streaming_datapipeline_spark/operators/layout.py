@@ -83,14 +83,18 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
     must open (a file is opened iff min <= 42 <= max).  A good multi-column
     layout shows materially smaller user-span at modest time-span cost.
 
-    Scale note: this diagnostic ranks rows with a global ``row_number`` (one
-    sort per layout) to make file membership exact and oracle-checkable.
-    The *production* path needs no global window: layout is applied with
-    ``df.repartitionByRange(n, "z").sortWithinPartitions("z").write...`` —
-    range partitioning samples boundaries instead of ranking, and the
-    min/max stats come from parquet footers, not a query.  The aggregation
-    shape here (groupBy(file) -> tiny groupBy(layout)) is scale-safe.
+    Scale note: this diagnostic ranks rows globally (one rank per layout)
+    to make file membership exact and oracle-checkable — realized as the
+    two-phase distributed rank (``functions/ranks.py``), the SAME
+    range-partition-then-local-sort mechanism
+    ``df.repartitionByRange(n, "z").sortWithinPartitions("z").write``
+    uses in the production layout path, so no single-partition sort touches
+    the fact relation.  The min/max stats come from parquet footers in
+    production; the aggregation shape here (groupBy(file) -> tiny
+    groupBy(layout)) is scale-safe.
     """
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
     base = events.select(
         F.col("event_id"),
         F.col("ts"),
@@ -100,17 +104,15 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
         .alias("t8"),
     ).withColumn("z", F.expr(_interleave_sql("u8", "t8", dialect="spark")))
 
-    n = F.count("*").over(Window.partitionBy(F.lit(1)))
-
     def layout(df: DataFrame, name: str, *order) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order))
         return (
-            # rn is IntegerType: widen BEFORE the *64 or the product wraps
-            # at ~33.5M rows (2^31/64) and file ids go negative — the oracle's
+            # __rn widened to long BEFORE the *64 or the product wraps at
+            # ~33.5M rows (2^31/64) and file ids go negative — the oracle's
             # BIGINT row_number would not, so parity would break exactly at
-            # the scale this diagnostic targets
-            df.withColumn("__rn", rn.cast("long"))
-            .withColumn("__n", n)
+            # the scale this diagnostic targets.  Rank + total both come
+            # from the two-phase distributed rank (no global window).
+            global_row_number(df, list(order), rank_col="__rn_raw", total_col="__n")
+            .withColumn("__rn", F.col("__rn_raw").cast("long"))
             .select(
                 F.lit(name).alias("layout"),
                 F.expr(f"(( __rn - 1) * {_ZFILES}) div __n").alias("file_id"),
@@ -120,8 +122,23 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
         )
 
     per_file = (
-        layout(base, "natural", F.col("ts").asc(), F.col("event_id").asc())
-        .unionByName(layout(base, "zorder", F.col("z").asc(), F.col("event_id").asc()))
+        # explicit NULLS LAST on every key: DuckDB's ORDER BY is NULLS LAST;
+        # Spark ASC is NULLS FIRST — NULL ts/event_id rows would otherwise
+        # occupy file 0 here and the last file in the oracle
+        layout(
+            base,
+            "natural",
+            F.col("ts").asc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        )
+        .unionByName(
+            layout(
+                base,
+                "zorder",
+                F.col("z").asc_nulls_last(),
+                F.col("event_id").asc_nulls_last(),
+            )
+        )
         .groupBy("layout", "file_id")
         .agg(
             F.min("u8").alias("min_u"),
@@ -339,16 +356,34 @@ def equi_depth_histogram(orders: DataFrame) -> DataFrame:
     fixed-point-cents pattern (see ``analytics.q_pricing_summary``) so the
     totals hash identically across engines.
 
-    Scale note: exact equi-depth requires a global ordering — fine for the
-    bounded relations this runs on (an optimizer samples anyway).  The
-    100 TB path is the approximate twin ``approx_value_percentiles``
-    (GK sketch: mergeable partials, no global sort); this exact version is
-    the ground truth it is audited against.
+    Scale note: exact equi-depth requires a global ordering — realized here
+    as the two-phase distributed rank (``functions/ranks.py``:
+    range-repartition + per-partition row_number + broadcast offsets +
+    ``ntile_from_rank``), so the fact-proportional orders relation is never
+    sorted on one task.  The sketch-based 100 TB alternative is
+    ``approx_value_percentiles`` (GK: mergeable partials, one pass); this
+    exact version is the ground truth it is audited against.
     """
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     cents = F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
     return (
-        orders.withColumn("bucket", F.ntile(_HIST_BUCKETS).over(w))
+        global_row_number(
+            orders,
+            # explicit NULLS LAST: Spark ASC defaults to NULLS FIRST while
+            # DuckDB's ORDER BY defaults NULLS LAST — NULL prices/keys would
+            # otherwise shift every bucket boundary by the NULL count
+            [
+                F.col("o_totalprice").asc_nulls_last(),
+                F.col("o_orderkey").asc_nulls_last(),
+            ],
+            rank_col="__rn",
+            total_col="__n",
+        )
+        .withColumn("bucket", ntile_from_rank(F.col("__rn"), F.col("__n"), _HIST_BUCKETS))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_orders"),

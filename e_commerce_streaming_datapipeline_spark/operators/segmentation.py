@@ -79,7 +79,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines assign identical buckets; revenue stays in scaled-long cents
     until the final divide; avg recency divides an exact integer sum, so
     the rounded double is bit-identical cross-engine.
+
+    Scale shape: the customer relation is user-proportional, so each axis's
+    quartile comes from the two-phase distributed rank
+    (`functions/ranks.py::global_row_number` + `ntile_from_rank`) — three
+    range-partitioned rank passes, zero single-partition sorts — instead
+    of three global NTILE windows.
     """
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     cust = _customer_value(spark, sf_dir)
     anchor = (
         load_table(spark, "orders", sf_dir)
@@ -92,20 +103,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIRST while DuckDB's is NULLS LAST — on a corpus with NULL custkeys or
     # all-NULL order dates the NTILE assignment would silently diverge
     # (DESC agrees between the engines already)
-    w_r = Window.orderBy(
-        F.col("recency_days").asc_nulls_last(), F.col("o_custkey").asc_nulls_last()
-    )
-    w_f = Window.orderBy(
-        F.col("n_orders").desc(), F.col("o_custkey").asc_nulls_last()
-    )
-    w_m = Window.orderBy(
-        F.col("revenue_cents").desc(), F.col("o_custkey").asc_nulls_last()
-    )
-    scored = (
-        scored.withColumn("r_score", F.ntile(4).over(w_r))
-        .withColumn("f_score", F.ntile(4).over(w_f))
-        .withColumn("m_score", F.ntile(4).over(w_m))
-    )
+    axes = {
+        "r_score": [
+            F.col("recency_days").asc_nulls_last(),
+            F.col("o_custkey").asc_nulls_last(),
+        ],
+        "f_score": [F.col("n_orders").desc(), F.col("o_custkey").asc_nulls_last()],
+        "m_score": [
+            F.col("revenue_cents").desc(),
+            F.col("o_custkey").asc_nulls_last(),
+        ],
+    }
+    for score_col, order in axes.items():
+        scored = global_row_number(
+            scored, order, rank_col="__rn", total_col="__n"
+        ).withColumn(
+            score_col, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
+        ).drop("__rn", "__n")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -153,14 +167,24 @@ def q_clv_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share and the cumulative share (decile 1 = highest spenders; the classic
     '80/20' audit).  All shares divide exact long cents by the exact total,
     so the doubles are bit-identical cross-engine; the cumulative window
-    runs over 10 rows.
+    runs over 10 rows.  Deciles come from the two-phase distributed rank +
+    `ntile_from_rank` (`functions/ranks.py`) — the customer relation is
+    user-proportional, so no global NTILE window may sort it on one task.
     """
-    cust = _customer_value(spark, sf_dir).select("o_custkey", "revenue_cents")
-    w_d = Window.orderBy(
-        F.col("revenue_cents").desc(), F.col("o_custkey").asc_nulls_last()
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+        ntile_from_rank,
     )
+
+    cust = _customer_value(spark, sf_dir).select("o_custkey", "revenue_cents")
     g = (
-        cust.withColumn("decile", F.ntile(10).over(w_d))
+        global_row_number(
+            cust,
+            [F.col("revenue_cents").desc(), F.col("o_custkey").asc_nulls_last()],
+            rank_col="__rn",
+            total_col="__n",
+        )
+        .withColumn("decile", ntile_from_rank(F.col("__rn"), F.col("__n"), 10))
         .groupBy("decile")
         .agg(F.count("*").alias("customers"), F.sum("revenue_cents").alias("cents"))
     )

@@ -119,16 +119,20 @@ def q_ngram_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviate).
 
     Plan: tokenize → hash-agg term counts (shuffle = distinct vocabulary,
-    not corpus size) → single global window to rank (vocabulary is orders
-    of magnitude smaller than the corpus; for web-scale vocabularies swap
-    in a two-phase rank: per-partition offsets + cumulative sum) → one
-    regr_* aggregation with constant state."""
+    not corpus size) → **two-phase distributed rank**
+    (`functions/ranks.py::global_row_number`: range-repartition on
+    (c desc, w), per-partition local row_number, broadcast cumulative
+    offsets) — a web-scale vocabulary is 10^8-10^9 terms, so no
+    single-partition Sort/Window anywhere over it — → one regr_*
+    aggregation with constant state."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
     counts = toks.groupBy("w").agg(F.count("*").alias("c"))
-    ranked = counts.select(
-        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))).alias("r")
-    )
+    ranked = global_row_number(
+        counts, [F.col("c").desc(), F.col("w")], rank_col="r"
+    ).select("c", "r")
     y, x = F.log(F.col("c")), F.log(F.col("r"))
     return ranked.agg(
         F.count("*").alias("n_terms"),
@@ -921,10 +925,15 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: conditional-min hash agg per user (one shuffle, constant state).
     The discrete percentile is the rank-ceil(q·n) element (exactly
     percentile_disc's cume_dist ≥ q rule — Spark's `percentile` would
-    interpolate), picked via one ordered window over the bounded
-    #converted-users relation; for corpus-sized inputs swap in
-    approx_percentile (GK sketch), as `approx_value_percentiles`
-    demonstrates."""
+    interpolate).  The rank AND the total count both come from the
+    **two-phase distributed rank** (`functions/ranks.py`): the
+    converted-users relation is user-proportional (unbounded), so neither
+    a global-sort window nor a `count(*) OVER ()` global window may touch
+    it — ranks are range-partition-local + broadcast offsets, and `n` is
+    the sum of the bounded per-partition counts.  The GK-sketch sibling
+    for when exactness is negotiable is `approx_value_percentiles`."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
     events = load_table(spark, "events", sf_dir)
     us = F.unix_micros("ts")
     per_user = events.groupBy("user_id").agg(
@@ -936,9 +945,9 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("first_purchase").isNotNull()
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select((F.col("first_purchase") - F.col("first_view")).alias("latency_us"))
-    ranked = lat.withColumn(
-        "rn", F.row_number().over(Window.orderBy("latency_us"))
-    ).withColumn("n", F.count("*").over(Window.partitionBy(F.lit(1))))
+    ranked = global_row_number(
+        lat, [F.col("latency_us")], rank_col="rn", total_col="n"
+    )
     disc = lambda q: F.min(  # noqa: E731 — rank-ceil(q*n) = percentile_disc
         F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")), F.col("latency_us"))
     )
@@ -2941,23 +2950,23 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast-to-double division at the edge.
 
     Scale shape: one groupBy to per-customer cents, then a global ascending
-    rank.  The rank here is a single-partition window over the #customers
-    relation (already 4 orders of magnitude smaller than orders); at 10⁹
-    customers the same ranks come from a distributed sort + per-partition
-    offset cumsum (two passes), with the Σrx/Σx aggregation unchanged —
-    the formula needs only (rank, value) pairs, not a resident sort."""
+    rank via the two-phase distributed rank (`functions/ranks.py`:
+    range-repartition + per-partition row_number + broadcast offsets) — no
+    single-partition sort even at 10⁹ customers — feeding the unchanged
+    Σrx/Σx aggregation (the formula needs only (rank, value) pairs, not a
+    resident sort).  Tie permutation among equal cents leaves Σrn·cents
+    invariant, so the rank's only nondeterminism cannot reach the output."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
     orders = load_table(spark, "orders", sf_dir).where(
         F.col("o_totalprice").isNotNull()
     )
     x = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
     )
-    r = x.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc_nulls_last()))
-        .alias("rn"),
-    )
+    r = global_row_number(
+        x, [F.col("cents").asc(), F.col("o_custkey").asc_nulls_last()], rank_col="rn"
+    ).select("cents", "rn")
     s = r.agg(
         F.count("*").alias("n"),
         F.sum(F.col("cents").cast("decimal(20,0)")).alias("sx"),

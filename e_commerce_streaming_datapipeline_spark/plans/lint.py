@@ -14,6 +14,15 @@ explodes at 100 TB):
   engine's convention is two-stage dedup-then-count (SCALE.md).
 * Unbounded per-group ``collect_list``/``collect_set`` without a bounding
   ``slice`` in the same plan.
+* **Global windows**: a ``Window`` fed by an ``Exchange SinglePartition``
+  — ``row_number()/count(*) OVER (ORDER BY ...)`` with no PARTITION BY
+  funnels the whole relation through one task's sort.  The sanctioned
+  replacement is the two-phase distributed rank
+  (``functions/ranks.py::global_row_number``); its own offsets window
+  sorts the ``__rank_pid`` relation (bounded by the shuffle-partition
+  count, not by data) and is recognized by column name.  Windows over
+  other provably bounded relations (a 50-bin histogram, a dim-sized
+  segment grid) opt out via ``allow_global_window``.
 """
 
 from __future__ import annotations
@@ -38,11 +47,49 @@ def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _global_window_findings(plan: str) -> list[Finding]:
+    """Single-partition windows: a ``Window`` node whose next
+    partition-establishing child (the first Exchange/Scan below it) is
+    ``Exchange SinglePartition``.  The two-phase rank's offsets window is
+    exempt by construction: it sorts the ``__rank_pid`` relation, whose
+    cardinality is the shuffle-partition count (functions/ranks.py)."""
+    lines = plan.splitlines()
+    findings: list[Finding] = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln):  # excludes WindowGroupLimit
+            continue
+        if "__rank_pid" in ln:
+            continue  # documented bounded offsets window (two-phase rank)
+        for nxt in lines[i + 1 : i + 12]:
+            if "WindowGroupLimit" in nxt:
+                # rank-filter top-k pushdown: each map partition pre-limits
+                # to k rows, so the single-partition exchange below carries
+                # k x #partitions rows, not the relation — bounded
+                break
+            if "Exchange SinglePartition" in nxt:
+                findings.append(
+                    Finding(
+                        "global-window",
+                        "unpartitioned Window over Exchange SinglePartition "
+                        "(global sort on one task; use the two-phase rank "
+                        "in functions/ranks.py or allow_global_window for "
+                        "bounded relations)",
+                    )
+                )
+                break
+            # any other exchange / scan / reuse establishes a different
+            # (parallel) partitioning for this window's input
+            if re.search(r"Exchange |Scan |ReusedExchange|BroadcastExchange", nxt):
+                break
+    return findings
+
+
 def lint_plan(
     df: DataFrame,
     *,
     allow_nested_loop: bool = False,
     allow_expand: bool = False,
+    allow_global_window: bool = False,
 ) -> list[Finding]:
     """Lint a DataFrame's physical plan for scale anti-patterns.
 
@@ -52,6 +99,10 @@ def lint_plan(
     ``allow_expand`` — set for intentional CUBE/ROLLUP/GROUPING SETS plans
     (their single Expand is the point); leave unset elsewhere so sneaky
     COUNT(DISTINCT) rewrites surface.
+    ``allow_global_window`` — set only when every unpartitioned window in
+    the plan runs over a relation whose size is bounded by something other
+    than the data (histogram bins, dim tables, spine days); document the
+    bound at the call site.
     """
     plan = physical_plan(df)
     findings: list[Finding] = []
@@ -88,4 +139,6 @@ def lint_plan(
                 "(unbounded per-group arrays)",
             )
         )
+    if not allow_global_window:
+        findings.extend(_global_window_findings(plan))
     return findings

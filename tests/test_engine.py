@@ -450,6 +450,43 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
                    "embedding_top_pc")
     from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
 
+    # Single-partition windows allowed ONLY over relations whose size is
+    # bounded by something other than the data (the round-4 global-window
+    # rule; unbounded ones were rewired onto functions/ranks.py —
+    # ngram_zipf_slope, conversion_latency_stats, revenue_gini,
+    # rfm_segments, clv (deciling), equi_depth_histogram,
+    # source_quantile_normalize, zorder_layout_stats).  Each entry names
+    # its bound:
+    bounded_global_window = {
+        "approx_topk_event_types",   # exploded approx_top_k sketch: <= 5 rows
+        "auc_quality_langid",        # 2dp score grid: <= ~10^4 distinct scores
+        "bootstrap_revenue_ci",      # 200 bootstrap replicate means
+        "calibration_bins",          # 10 reliability bins
+        "chi2_independence",         # lang x source contingency grid
+        "clv_pareto_deciles",        # cum-share window over the 10 deciles
+        "compaction_plan",           # file manifest (metadata, not rows)
+        "daily_revenue_ma",          # daily spine (#days)
+        "forecast_backtest_snaive",  # daily spine
+        "gmv_pattern_topk",          # minutely spine (#minutes in range)
+        "kfold_auc",                 # k=5 per-fold summary rows
+        "knn_label_accuracy",        # N_QUERIES query rows
+        "locf_value_15min",          # 15-min spine x |event types| grid
+        "markov_attribution",        # <= 51-row transition matrix
+        "matryoshka_recall_audit",   # N_QUERIES rows
+        "popularity_rec_hitrate",    # segment x top-5 recommendation grid
+        "psi_value_drift",           # fixed PSI bins
+        "quantile_pinball_backtest", # decile grid x daily spine
+        "residual_anomaly_days",     # daily spine
+        "retrieval_eval_mrr",        # N_QUERIES rows
+        "revenue_cusum_changepoints",  # daily spine
+        "revenue_dod",               # daily spine
+        "revenue_rolling_7d",        # daily spine
+        "revenue_theilsen_trend",    # daily-pair slopes (n_days^2/2)
+        "running_revenue",           # daily spine
+        "seasonal_decompose_daily",  # daily spine
+        "top_supplier",              # supplier-dim relation (one skinny row
+                                     # per supplier; see its docstring)
+    }
     checked = 0
     for name, q in sorted(all_queries().items()):
         if any(s in name for s in skip_substr):
@@ -458,6 +495,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
             q.builder(spark, sf_dir),
             allow_nested_loop=name in scalar_cross,
             allow_expand=True,  # cube/rollup/grouping-sets Expands are intended
+            allow_global_window=name in bounded_global_window,
         )
         findings = [f for f in findings if f.rule != "unbounded-collect"]
         assert not findings, f"{name}: {[str(f) for f in findings]}"
@@ -585,6 +623,114 @@ def test_lint_plan_flags_and_allows(spark, sf_dir):
         F.count("*"), F.count_distinct("user_id"), F.count_distinct("event_id")
     )
     assert any(f.rule == "distinct-expand" for f in lint_plan(distinct_mix))
+
+
+def test_lint_flags_global_window_and_spares_bounded_forms(spark, sf_dir):
+    """The round-4 global-window rule: an unpartitioned ranking window must
+    be flagged; a rank-filtered top-k (WindowGroupLimit pushdown bounds the
+    single-partition exchange), a partitioned window, and the two-phase
+    rank's own __rank_pid offsets window must not; allow_global_window
+    silences it for documented bounded relations."""
+    from pyspark.sql import Window
+
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+    from e_commerce_streaming_datapipeline_spark.plans.lint import lint_plan
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+
+    naive = docs.withColumn(
+        "r", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    )
+    assert any(f.rule == "global-window" for f in lint_plan(naive))
+    assert not any(
+        f.rule == "global-window"
+        for f in lint_plan(naive, allow_global_window=True)
+    )
+
+    topk = docs.withColumn(
+        "r", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    ).where(F.col("r") <= 5)
+    assert not any(f.rule == "global-window" for f in lint_plan(topk))
+
+    partitioned = docs.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(F.col("doc_id") % 7).orderBy("n_chars", "doc_id")
+        ),
+    )
+    assert not any(f.rule == "global-window" for f in lint_plan(partitioned))
+
+    two_phase = global_row_number(docs, [F.col("n_chars"), F.col("doc_id")])
+    assert not any(f.rule == "global-window" for f in lint_plan(two_phase))
+
+
+def test_two_phase_rank_matches_global_window(spark, sf_dir):
+    """global_row_number must assign exactly the ranks of
+    row_number() OVER (ORDER BY ...) under a total order, for ascending,
+    descending, and mixed keys, and its total_col must equal count(*);
+    ntile_from_rank must reproduce SQL NTILE for every (n, k) fill shape."""
+    from pyspark.sql import Window
+
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars", "lang")
+    for order in (
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        [F.col("n_chars").desc(), F.col("doc_id").asc_nulls_last()],
+        [F.col("lang").asc_nulls_last(), F.col("doc_id").desc()],
+    ):
+        expected = {
+            r["doc_id"]: r["r"]
+            for r in docs.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+            .select("doc_id", "r")
+            .collect()
+        }
+        got = {
+            r["doc_id"]: r["r"]
+            for r in global_row_number(docs, order, rank_col="r", total_col="n")
+            .select("doc_id", "r")
+            .collect()
+        }
+        assert got == expected
+    n_total = (
+        global_row_number(docs, [F.col("doc_id")], total_col="n")
+        .select("n")
+        .distinct()
+        .collect()
+    )
+    assert [r["n"] for r in n_total] == [docs.count()]
+
+    # NTILE parity across uneven fills: every (n, k) with n in 1..13, k in 1..5
+    import pandas as pd
+
+    for n in range(1, 14):
+        for k in range(1, 6):
+            pdf = spark.createDataFrame(
+                pd.DataFrame({"rank": list(range(1, n + 1)), "total": [n] * n})
+            )
+            got_tiles = [
+                r["t"]
+                for r in pdf.select(
+                    "rank",
+                    ntile_from_rank(F.col("rank"), F.col("total"), k).alias("t"),
+                )
+                .orderBy("rank")
+                .collect()
+            ]
+            sql_tiles = [
+                r["t"]
+                for r in spark.createDataFrame(
+                    pd.DataFrame({"v": list(range(1, n + 1))})
+                )
+                .select(F.ntile(k).over(Window.orderBy("v")).alias("t"), "v")
+                .orderBy("v")
+                .select("t")
+                .collect()
+            ]
+            assert got_tiles == sql_tiles, (n, k)
 
 
 def test_external_session_can_run_closure_pickling_queries(tmp_path):

@@ -77,7 +77,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # categories, counted into dof on both engines
                  "chi2_independence",
                  # threshold sweep: NULL text drops, NULL lang is negative
-                 "pr_curve_thresholds"]
+                 "pr_curve_thresholds",
+                 # two-phase distributed rank over the vocab relation: NULL
+                 # text drops before tokenize on both engines
+                 "ngram_zipf_slope"]
 
 
 @pytest.fixture(scope="module")
@@ -137,7 +140,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "conformal_interval", "revenue_gini",
                         # recommender eval: NULL orderdate/custkey orders
                         # are out of scope on both engines
-                        "popularity_rec_hitrate"]
+                        "popularity_rec_hitrate",
+                        # two-phase ntile: NULL totalprice/orderkey must land
+                        # in the same bucket as DuckDB's NTILE ordering
+                        "equi_depth_histogram"]
 
 
 @pytest.fixture(scope="module")
@@ -243,6 +249,9 @@ _EVENTS_EDGE_QUERIES = [
     # lambda splice: both layers drop NULL-ts, sum scaled-long cents; the
     # NULL-value purchase counts with 0 gmv on both engines
     "lambda_unified_gmv",
+    # two-phase rank paths over events: NULL ts/user must flow through the
+    # range-repartition + local-rank machinery as the oracle orders them
+    "conversion_latency_stats", "zorder_layout_stats",
 ]
 
 
