@@ -61,71 +61,111 @@ _OPERATOR_MODULES = [
 # registration order.  Round-2 verdict finding #1: appending modules rotated
 # views.py proof queries out of the driver window — this makes the window
 # content explicit and insertion-order-proof.
+# Rotation ledger: the driver hash-checks only the first 50 entries of
+# ``queries()``, so per-round the prefix rotates through the registry while
+# keeping one witness per SURVEY §2 / LLM-pipeline family.  Names witnessed
+# by a driver CORRECTNESS row in earlier rounds (r1-r3 windows; see
+# CORRECTNESS_r0{1,2,3}.json) — kept so each round's rotation can prove it
+# adds never-before-witnessed queries:
+_DRIVER_WITNESSED_R1_R3 = frozenset(
+    {
+        # r3 curated prefix (== r1/r2 union plus the restored views queries)
+        "gmv_minutely", "gmv_sliding", "funnel_hourly", "ordered_funnel",
+        "dropoff_hourly", "payment_hourly", "enrich_lineitem", "status_flags",
+        "payment_rollup", "active_alerts", "stats_rollup",
+        "latest_gmv_windows", "retention_filter", "complete_funnel",
+        "order_details", "orders_without_items", "dedup_events",
+        "approx_unique_users_hourly", "kafka_payload_roundtrip",
+        "csv_source_stats", "jdbc_upsert_roundtrip", "corrupt_record_drop",
+        "python_datasource_feed", "replay_rate_source", "bucketed_order_join",
+        "median_price_udaf", "variant_props_stats", "doc_chunks_udtf",
+        "dedup_docs_exact", "minhash_near_dups", "simhash_dup_groups",
+        "incremental_dedup", "embedding_topk", "embedding_topk_lsh",
+        "kmeans_lloyd_step", "text_stats", "lang_id", "token_count_estimates",
+        "doc_fingerprints", "pii_redaction", "benchmark_decontam",
+        "train_test_split", "stratified_doc_sample", "multimodal_decode",
+        "gmv_stream_minutely", "dedup_stream_counts", "metrics_merge_upsert",
+        "pricing_summary", "user_sessions", "heavy_hitters_cms",
+        # r1/r2 windows additionally witnessed (registration-order spill
+        # before the r3 curation): recorded in CORRECTNESS_r01/r02.json
+        "dedup_docs_bag", "embedding_topk_pandas", "gapfilled_minutely_gmv",
+        "asof_last_purchase", "user_activity_1h", "region_revenue",
+        "top_orders_per_customer", "shipping_priority",
+        "order_priority_check", "returned_item_ranking",
+        "large_volume_customers", "bracket_revenue", "sequence_packing",
+    }
+)
+
 _PROOF_PREFIX = (
-    # A1-A5 core reference processors (gmv/funnel/dropoff/payment)
+    # ---- round-4 window: 24 family keepers + 26 rotated-in queries that
+    # have never had a driver CORRECTNESS row (VERDICT r3 task #2).  The
+    # per-family keeper set is pinned by tests/test_round3_ops.py.
+    #
+    # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
-    "gmv_sliding",
     "funnel_hourly",
-    "ordered_funnel",
     "dropoff_hourly",
     "payment_hourly",
     # P row-level ops
     "enrich_lineitem",
-    # V views + A6 re-aggregation (the 4 queries round 2 silently dropped)
-    "status_flags",
+    # V views + A6 re-aggregation (family witness)
     "payment_rollup",
-    "active_alerts",
-    "stats_rollup",
-    "latest_gmv_windows",
-    "retention_filter",
     # J joins
     "complete_funnel",
     "order_details",
-    "orders_without_items",
-    # D dedup + approx
+    # D dedup + approx sketch
     "dedup_events",
     "approx_unique_users_hourly",
-    # S sources / K sinks
+    # S sources / K sinks (Kafka wire, CSV, live-Derby MERGE, DataSource)
     "kafka_payload_roundtrip",
     "csv_source_stats",
     "jdbc_upsert_roundtrip",
-    "corrupt_record_drop",
     "python_datasource_feed",
-    "replay_rate_source",
-    "bucketed_order_join",
     # UDF/UDAF/UDTF/Variant surface
-    "median_price_udaf",
     "variant_props_stats",
     "doc_chunks_udtf",
-    # LLM pipeline: dedup family
-    "dedup_docs_exact",
+    # LLM pipeline family witnesses
     "minhash_near_dups",
-    "simhash_dup_groups",
-    "incremental_dedup",
-    # LLM pipeline: ANN / clustering
     "embedding_topk",
-    "embedding_topk_lsh",
-    "kmeans_lloyd_step",
-    # LLM pipeline: text analysis
     "text_stats",
-    "lang_id",
-    "token_count_estimates",
-    "doc_fingerprints",
-    # LLM pipeline: curation + export + sampling
     "pii_redaction",
-    "benchmark_decontam",
-    "train_test_split",
-    "stratified_doc_sample",
-    # LLM pipeline: multimodal
     "multimodal_decode",
-    # Streaming (D2-D5, K1) incl. exactly-once MERGE sink
+    # Streaming (D2-D4)
     "gmv_stream_minutely",
-    "dedup_stream_counts",
-    "metrics_merge_upsert",
-    # TPC-H shapes / sessionization analytics / sketches
+    # TPC-H / sessionization
     "pricing_summary",
     "user_sessions",
-    "heavy_hitters_cms",
+    # ---- rotated in for round 4 (never driver-witnessed before) ----
+    # round-3 flagships named by the verdict
+    "trained_ivf_topk",
+    "scd2_stream_merge",
+    "bm25_topk",
+    "markov_attribution",
+    "mmr_diversified_topk",
+    "psi_drift_stream",
+    "calibration_bins",
+    "semantic_dedup",
+    "checkpoint_resume_stream",
+    "supplier_components",
+    # round-4 rewrites (two-phase distributed rank / cents-sum fixes) —
+    # plan or oracle changed this round, so the driver should witness them
+    "ngram_zipf_slope",
+    "conversion_latency_stats",
+    "revenue_gini",
+    "rfm_segments",
+    "clv_pareto_deciles",
+    "equi_depth_histogram",
+    "source_quantile_normalize",
+    "zorder_layout_stats",
+    "lambda_unified_gmv",
+    # additional never-witnessed coverage
+    "hybrid_rrf_fusion",
+    "retrieval_eval_ndcg",
+    "auc_quality_langid",
+    "dq_expectations",
+    "manifest_time_travel",
+    "attribution_linear_cents",
+    "t_closeness_audit",
 )
 
 

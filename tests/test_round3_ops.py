@@ -19,42 +19,40 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
+    # (round-4 rotation: one keeper per family; the freed slots rotate to
+    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_R1_R3)
     FAMILY_WITNESSES = {
-        "A_gmv": {"gmv_minutely", "gmv_sliding"},
+        "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
         "A_dropoff": {"dropoff_hourly"},
         "A_payment": {"payment_hourly"},
         "P_row_ops": {"enrich_lineitem"},
-        "V_views": {
-            "status_flags",
-            "payment_rollup",
-            "active_alerts",
-            "stats_rollup",
-            "latest_gmv_windows",
-            "retention_filter",
-        },
+        "V_views_A6": {"payment_rollup"},
         "J_joins": {"complete_funnel", "order_details"},
         "D_dedup": {"dedup_events"},
         "approx": {"approx_unique_users_hourly"},
-        "S_sources": {
-            "kafka_payload_roundtrip",
-            "csv_source_stats",
-            "corrupt_record_drop",
-            "python_datasource_feed",
-        },
+        "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
+                      "python_datasource_feed"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
-        "UDF_surface": {"median_price_udaf", "variant_props_stats", "doc_chunks_udtf"},
-        "llm_dedup": {"dedup_docs_exact", "minhash_near_dups", "simhash_dup_groups"},
-        "llm_ann": {"embedding_topk", "embedding_topk_lsh", "kmeans_lloyd_step"},
-        "llm_text": {"text_stats", "lang_id", "token_count_estimates", "doc_fingerprints"},
-        "llm_curation": {"pii_redaction", "benchmark_decontam", "train_test_split"},
-        "llm_sampling": {"stratified_doc_sample"},
+        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
+        "llm_dedup": {"minhash_near_dups", "semantic_dedup"},
+        "llm_ann": {"embedding_topk", "trained_ivf_topk", "mmr_diversified_topk"},
+        "llm_text": {"text_stats", "ngram_zipf_slope"},
+        "llm_curation": {"pii_redaction", "source_quantile_normalize"},
         "llm_multimodal": {"multimodal_decode"},
-        "streaming": {"gmv_stream_minutely", "dedup_stream_counts"},
-        "merge_sink": {"metrics_merge_upsert"},
+        "llm_retrieval": {"bm25_topk", "hybrid_rrf_fusion", "retrieval_eval_ndcg"},
+        "llm_eval": {"auc_quality_langid", "calibration_bins"},
+        "streaming": {"gmv_stream_minutely", "scd2_stream_merge",
+                      "checkpoint_resume_stream", "psi_drift_stream"},
         "tpch": {"pricing_summary"},
-        "analytics": {"user_sessions"},
-        "sketches": {"heavy_hitters_cms"},
+        "analytics": {"user_sessions", "markov_attribution"},
+        "graph": {"supplier_components"},
+        "privacy": {"t_closeness_audit"},
+        "lakehouse": {"manifest_time_travel", "dq_expectations"},
+        "rank_rewrites": {"conversion_latency_stats", "revenue_gini",
+                          "rfm_segments", "clv_pareto_deciles",
+                          "equi_depth_histogram", "zorder_layout_stats"},
+        "lambda": {"lambda_unified_gmv"},
     }
 
     def test_prefix_is_driver_window_sized(self):
@@ -69,6 +67,13 @@ class TestProofPrefix:
         window = set(list(registry.all_queries())[:50])
         for family, witnesses in self.FAMILY_WITNESSES.items():
             assert witnesses <= window, f"family {family} missing {witnesses - window}"
+
+    def test_rotation_adds_never_witnessed_queries(self):
+        """VERDICT r3 task #2: the round-4 window must witness >= 15 queries
+        that never had a driver CORRECTNESS row in rounds 1-3."""
+        window = set(registry._PROOF_PREFIX)
+        fresh = window - registry._DRIVER_WITNESSED_R1_R3
+        assert len(fresh) >= 15, sorted(fresh)
 
     def test_reorder_loses_no_queries(self):
         qs = registry.all_queries()
