@@ -132,6 +132,142 @@ def q_salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SJR_SALT = 16
+_SJR_SKEW_FACTOR = 3  # a key is "hot" when its row count > factor x mean
+
+
+def diagnosed_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    hot: DataFrame,
+    *,
+    buckets: int,
+    probe_salt,
+) -> DataFrame:
+    """Partial (diagnosed) salting: equi-join ``probe ⋈ build`` on ``key``
+    where ONLY the keys in ``hot`` are spread over ``buckets`` salt values.
+
+    ``hot`` is the diagnosed heavy-key relation (bounded: at most
+    n/threshold keys) and is broadcast twice — once to mark probe rows,
+    once to decide build-side replication.  ``probe_salt`` must be a
+    deterministic expression taking many distinct values WITHIN a hot key
+    (a row-unique hash; a low-cardinality column leaves the skew
+    half-fixed).  Cold keys keep salt 0 and the build side carries them
+    once, so build inflation is ``buckets x |hot|`` rows, not
+    ``buckets x |build|``.  Result-identical to the plain join: every probe
+    row matches exactly one build row.  The shuffle-hash hint keeps the
+    join on the shuffle path the salt exists to balance (a broadcast would
+    bypass it — and would also have been the right fix instead)."""
+    marked = hot.select(F.col(key), F.lit(1).alias("__hot"))
+    p = (
+        probe.join(F.broadcast(marked), key, "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__hot").isNotNull(), probe_salt).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    b = (
+        build.join(F.broadcast(marked), key, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+        .withColumnRenamed(key, "__build_key")
+    )
+    return (
+        p.join(
+            b.hint("shuffle_hash"),
+            (p[key] == b["__build_key"]) & (p["__salt"] == b["__salt"]),
+        )
+        .drop(b["__salt"])
+        .drop("__build_key")
+    )
+
+
+@query(
+    "salted_join_rewrite",
+    oracle="""
+WITH profile AS (
+    SELECT user_id,
+           min(epoch_us(ts)) AS first_us,
+           count(*)          AS n_user
+    FROM events
+    GROUP BY 1
+)
+SELECT
+    e.event_type                                     AS event_type,
+    count(*)                                         AS n_events,
+    CAST(sum(p.n_user) AS BIGINT)                    AS sum_user_activity,
+    CAST(sum(epoch_us(e.ts) - p.first_us) AS BIGINT) AS total_age_us
+FROM events e JOIN profile p ON e.user_id = p.user_id
+GROUP BY 1
+""",
+)
+def q_salted_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSED partial-salting rewrite — the production cure for the hot
+    keys `skew_key_diagnosis` measures (operators/layout.py), applied to
+    the events ⋈ per-user-profile enrichment join and hash-checked equal to
+    the plain-join oracle.
+
+    Unlike `salted_priority_revenue` (which salts EVERY key and replicates
+    the whole build side x buckets), this is the diagnose-then-salt form
+    used on real skew: (1) per-key counts find keys whose row count exceeds
+    _SJR_SKEW_FACTOR x the mean — a heavy-hitter relation, bounded by
+    definition (at most n/threshold keys) and broadcast; (2) probe rows of
+    hot keys get salt = pmod(hash(event_id), 16), cold rows salt 0; (3) the
+    build side replicates ONLY hot-key rows 16x (sequence + explode), cold
+    rows once — so build-side inflation is 16 x |hot keys|, not
+    16 x |build|; (4) the join key becomes (user_id, __salt) on the
+    shuffle-hash path (hinted: at test SF the build side is
+    broadcast-small, which would silently bypass the salt).  Every probe
+    row still matches exactly one build row, so the rewrite is
+    result-identical — the oracle has no salt at all.
+
+    AQE's skew-join split solves the same problem adaptively but ONLY for
+    sort-merge joins in batch; explicit diagnosed salting is the portable
+    form (shuffle-hash joins, streaming state, bucketed layouts).  Balance
+    evidence with AQE disabled: tests/test_engine.py::
+    test_diagnosed_salting_balances_hot_key and the measured
+    rows-per-reducer histograms in SCALE.md (scripts/skew_salting_probe.py).
+    At 100 TB: profile is one hash agg (shuffle = |users|); the hot set is
+    KBs; the fact shuffles once on the salted key."""
+    events = load_table(spark, "events", sf_dir)
+    profile = events.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.count("*").alias("n_user"),
+    )
+    thr = profile.agg(
+        (F.avg("n_user") * _SJR_SKEW_FACTOR).alias("__thr")
+    )
+    hot = (
+        scalar_join(profile, thr)
+        .where(F.col("n_user") > F.col("__thr"))
+        .select("user_id")
+    )
+
+    joined = diagnosed_salted_join(
+        events,
+        profile,
+        "user_id",
+        hot,
+        buckets=_SJR_SALT,
+        probe_salt=F.pmod(F.hash("event_id"), F.lit(_SJR_SALT)),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("n_user").cast("long").alias("sum_user_activity"),
+        F.sum(F.unix_micros("ts") - F.col("first_us")).cast("long").alias("total_age_us"),
+    )
+
+
 def merge_upsert(existing: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Idempotent MERGE: rows from ``updates`` replace same-key rows in
     ``existing``; unmatched rows of both survive (SURVEY §2.5 D5 — the

@@ -866,6 +866,63 @@ def test_salting_balances_skewed_join_reducers(spark):
         spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
 
 
+def test_diagnosed_salting_balances_hot_key(spark):
+    """salted_join_rewrite's mechanism (diagnosed_salted_join) on a
+    deliberately skewed key, with AQE fully disabled so nothing rebalances
+    behind the rewrite: the hot key's rows must spread across reducers
+    while the join result stays identical to the plain join — the
+    partial-salting twin of test_salting_balances_skewed_join_reducers
+    (which salts every key)."""
+    from e_commerce_streaming_datapipeline_spark.operators.setops import (
+        diagnosed_salted_join,
+    )
+    from tests.conftest import SF_DIR_T2
+
+    li = load_table(spark, "lineitem", SF_DIR_T2).select(
+        "l_orderkey", "l_linenumber"
+    )
+    was_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # ~75% of fact rows collapse onto key 1; the rest keep their key
+        fact = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        dim = fact.groupBy("k").agg(F.count("*").alias("n_k"))
+        # diagnose: mean-multiple threshold finds exactly the planted key
+        thr_row = dim.agg((F.avg("n_k") * 3).alias("t")).collect()[0]
+        hot = dim.where(F.col("n_k") > thr_row["t"]).select("k")
+        assert hot.count() == 1
+
+        plain = fact.join(dim.hint("shuffle_hash"), "k")
+        salted = diagnosed_salted_join(
+            fact,
+            dim,
+            "k",
+            hot,
+            buckets=32,
+            probe_salt=F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(32)),
+        )
+
+        def partition_counts(df):
+            return df.rdd.mapPartitions(
+                lambda it: iter([sum(1 for _ in it)])
+            ).collect()
+
+        total = fact.count()
+        assert salted.count() == plain.count() == total
+
+        plain_max = max(partition_counts(plain))
+        salted_max = max(partition_counts(salted))
+        assert plain_max >= 0.7 * total, (plain_max, total)
+        assert salted_max <= plain_max / 3, (salted_max, plain_max)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was_aqe)
+
+
 def test_aqe_replans_smj_to_broadcast_at_runtime(spark, sf_dir):
     """AQE evidence: a join whose build side only becomes broadcast-small
     AFTER a selective filter (stats unknown at plan time on the filtered
