@@ -196,6 +196,90 @@ def spark_variants(fix_dir: str, n_queries: int, n: int):
         got, wall, n_cands = run(name, builder)
         results[name] = {"got": got, "wall_sec": round(wall, 2), "n_candidates": n_cands}
 
+    # ---- trained IVF (VERDICT r3 task #5): k-means learned IN the engine
+    # (seed vec_id % K, 2 Lloyd iterations, double arithmetic — the
+    # oracle-checked integer-exact twin is operators/similarity.py::
+    # q_trained_ivf_topk; the probe measures the same plan shape at N) ----
+    K_TRAIN = 64
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c_arr"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+    def cents_of(assigned):
+        return (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy(F.col("cluster").alias("c_label"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda p: p["m"],
+                ).alias("c_arr")
+            )
+        )
+
+    def assign_nearest(vectors, cents):
+        # crossJoin(broadcast) then map-side min_by partial agg: the K-way
+        # fan-out collapses to one row per vector BEFORE any shuffle
+        return (
+            vectors.crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", "c_label", sq_dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("c_label", "d").alias("cluster"),
+                F.any_value("e").alias("e"),
+            )
+        )
+
+    t0 = time.perf_counter()
+    assigned = emb.select("vec_id", "e", (F.col("vec_id") % K_TRAIN).alias("cluster"))
+    cents = None
+    for _ in range(2):
+        cents = cents_of(assigned).localCheckpoint()
+        assigned = assign_nearest(emb, cents)
+    index = assigned.localCheckpoint()  # freeze the trained index
+    train_wall = time.perf_counter() - t0
+
+    from pyspark.sql import Window as _W
+
+    q_assign = (
+        queries.select("query_id", F.col("qe").alias("e"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "c_label", sq_dist.alias("d"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(_W.partitionBy("query_id").orderBy("d", "c_label")),
+        )
+        .localCheckpoint()
+    )
+    results["trained_ivf"] = {"train_wall_sec": round(train_wall, 2), "k": K_TRAIN}
+    for nprobe in (1, 2, 4):
+
+        def trained_cands(nprobe=nprobe):
+            return (
+                F.broadcast(
+                    q_assign.where(F.col("probe_rank") <= nprobe).select(
+                        "query_id", "c_label"
+                    )
+                )
+                .join(
+                    index.select("vec_id", "cluster"),
+                    F.col("c_label") == F.col("cluster"),
+                )
+                .where(F.col("query_id") != F.col("vec_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            )
+
+        got, wall, n_cands = run(f"trained_ivf_p{nprobe}", trained_cands)
+        results["trained_ivf"][f"nprobe{nprobe}"] = {
+            "got": got,
+            "wall_sec": round(wall, 2),
+            "n_candidates": n_cands,
+        }
+
     # brute force measured at a REDUCED query count purely to bound probe
     # runtime: per-query cost is what we report (it is query-independent)
     brute_q = min(8, n_queries)
@@ -256,6 +340,16 @@ def main() -> None:
         "candidate_ratio": 1.0,
         "n_queries_measured": res["brute"]["n_queries"],
     }
+    tiv = res["trained_ivf"]
+    report["trained_ivf"] = {"train_wall_sec": tiv["train_wall_sec"], "k": tiv["k"]}
+    for nprobe in (1, 2, 4):
+        r = tiv[f"nprobe{nprobe}"]
+        hits = sum(len(set(r["got"].get(q, [])) & set(t)) for q, t in truth.items())
+        report["trained_ivf"][f"nprobe{nprobe}"] = {
+            "recall_at_10": round(hits / (len(truth) * TOP_K), 4),
+            "candidate_ratio": round(r["n_candidates"] / (args.queries * args.n), 5),
+            "wall_sec": r["wall_sec"],
+        }
     line = json.dumps(report)
     print(line)
 
@@ -269,12 +363,22 @@ def main() -> None:
         m = pattern.search(text)
         n_label = f"{args.n // 1000}k" if args.n < 1_000_000 else f"{args.n // 1_000_000}M"
         lsh, ivf, brute = report["lsh"], report["ivf"], report["brute"]
+        tiv = report["trained_ivf"]
         new_rows = {
             n_label: [
                 f"| {n_label} | LSH (2x8-bit bands, equi-join) | "
                 f"{lsh['candidate_ratio']:.2%} | {lsh['recall_at_10']:.1%} | {lsh['wall_sec']} |",
                 f"| {n_label} | IVF (label clusters, equi-join) | "
                 f"{ivf['candidate_ratio']:.2%} | {ivf['recall_at_10']:.1%} | {ivf['wall_sec']} |",
+                *[
+                    f"| {n_label} | Trained IVF (k={tiv['k']} in-engine k-means, "
+                    f"nprobe={p}) | "
+                    f"{tiv[f'nprobe{p}']['candidate_ratio']:.2%} | "
+                    f"{tiv[f'nprobe{p}']['recall_at_10']:.1%} | "
+                    f"{tiv[f'nprobe{p}']['wall_sec']} "
+                    f"(+{tiv['train_wall_sec']} train) |"
+                    for p in (1, 2, 4)
+                ],
                 f"| {n_label} | Brute force (baseline, excluded from bench at this N) | "
                 f"100% | 100% | {brute['wall_sec_per_query']} /query |",
             ]
