@@ -155,6 +155,15 @@ EXTENDED_R3 = [
     "residual_anomaly_days",  # robust z on the decomposed residuals
 ]
 
+# Fourth section (round 4+): frozen like the others.  The rank-rewrite
+# queries stay in their original sections (their per-query deltas are the
+# round-4 regression story); this section holds queries REGISTERED in
+# round 4.
+EXTENDED_R4 = [
+    "salted_join_rewrite",    # diagnosed partial-salting join (hot-key cure)
+    "exact_price_percentiles",  # fact-grain exact percentile_disc (2-phase rank)
+]
+
 
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
@@ -178,7 +187,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3:
+    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4:
         registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -190,7 +199,7 @@ def main() -> None:
     # number against machine draw noise (round-3 showed +-10% whole-suite
     # drift between driver draws).
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENDED + EXTENDED_R3:
+    for name in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4:
         q = registry[name]
         best = float("inf")
         for _ in range(3):
@@ -209,6 +218,7 @@ def main() -> None:
         "core32_total": round(sum(timings[n] for n in HEADLINE), 3),
         "extended_total": round(sum(timings[n] for n in EXTENDED), 3),
         "r3_total": round(sum(timings[n] for n in EXTENDED_R3), 3),
+        "r4_total": round(sum(timings[n] for n in EXTENDED_R4), 3),
     }
     full = {
         "metric": "headline_queries_total_runtime",

@@ -960,6 +960,68 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "exact_price_percentiles",
+    oracle="""
+SELECT
+    count(*) AS n_items,
+    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+        AS p25,
+    CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+        AS p50,
+    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+        AS p75,
+    CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+        AS p90,
+    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE)
+        AS p99
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+""",
+)
+def q_exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentile_disc over the FACT relation — the two-phase
+    distributed rank (`functions/ranks.py`) applied at lineitem grain, where
+    a `Window.orderBy` formulation would funnel every fact row through one
+    task.  percentile_disc picks actual data values (no interpolation), so
+    rank-position selection is hash-identical cross-engine; ties don't
+    matter because position p holds the same VALUE under any permutation of
+    equal keys.
+
+    This is the exactness ladder's top rung: `approx_value_percentiles` is
+    the one-pass GK sketch (bounded error, mergeable), `equi_depth_histogram`
+    the bucketed profile, and this query the exact ground truth — now
+    scale-viable because the only global ordering is range-partitioned with
+    broadcast offsets (one extra shuffle vs the sketch, zero single-task
+    sorts).  `conversion_latency_stats` is the same shape on the
+    user-conversion relation."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    ranked = global_row_number(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        rank_col="rn",
+        total_col="n",
+    )
+    disc = lambda q: F.min(  # noqa: E731 — rank-ceil(q*n) = percentile_disc
+        F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")), F.col("l_extendedprice"))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_items"),
+        disc(0.25).alias("p25"),
+        disc(0.50).alias("p50"),
+        disc(0.75).alias("p75"),
+        disc(0.90).alias("p90"),
+        disc(0.99).alias("p99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Native frequent-items sketch (approx_top_k)
 # --------------------------------------------------------------------------

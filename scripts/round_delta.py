@@ -89,13 +89,13 @@ def _load_bench(path: str) -> dict:
 def bench_delta(prev_path: str | None, cur_path: str) -> dict:
     cur = _load_bench(cur_path)
     out: dict = {"total": cur.get("value")}
-    for section in ("core32_total", "extended_total", "r3_total"):
+    for section in ("core32_total", "extended_total", "r3_total", "r4_total"):
         if section in cur:
             out[section] = cur[section]
     if not prev_path:
         return out
     prev = _load_bench(prev_path)
-    for section in ("core32_total", "extended_total", "r3_total"):
+    for section in ("core32_total", "extended_total", "r3_total", "r4_total"):
         if section in prev:
             out[f"prev_{section}"] = prev[section]
     pq, cq = prev.get("queries", {}), cur.get("queries", {})

@@ -319,6 +319,9 @@ _LINEITEM_EDGE_QUERIES = [
     "promo_revenue", "scd2_pit_lookup",
     # the DQ gate: NULL keys/values must hit exactly one constraint each
     "dq_expectations",
+    # two-phase rank at fact grain: NULL prices filter identically before
+    # the range repartition on both engines
+    "exact_price_percentiles",
     # NULL supp/part keys must drop from edges but keep their NULL node
     "supplier_components",
 ]
