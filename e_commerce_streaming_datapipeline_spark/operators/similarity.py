@@ -2035,3 +2035,204 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + integer ADC search
+# --------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the fixture's 64)
+_PQ_K = 8        # codewords per subspace codebook
+_PQ_TOPK = 5
+
+# one per-subspace Lloyd stage in DuckDB: integer (rounded) centroids from
+# `{src}`'s {lab} labels, then the exact-integer argmin re-assignment of
+# every subvector
+_PQ_STAGE_SQL = """
+, cents{i} AS (
+    SELECT sub, lab, list(c ORDER BY dim) AS c_arr
+    FROM (
+        SELECT sub, {lab} AS lab, u.i AS dim,
+               CAST(round(CAST(sum(sv[u.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        FROM {src}, LATERAL unnest(generate_series(1, 16)) u(i)
+        GROUP BY 1, 2, 3
+    ) GROUP BY 1, 2
+), assign{i} AS (
+    SELECT vec_id, sub, sv, lab AS lab{i}
+    FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.lab,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.sub
+                   ORDER BY CAST(list_aggregate(
+                       list_transform(list_zip(s.sv, c.c_arr),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum') AS BIGINT), c.lab
+               ) AS rn
+        FROM subv s JOIN cents{i} c ON c.sub = s.sub
+    ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "embedding_topk_pq",
+    oracle=f"""
+WITH q4 AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 10000) AS BIGINT)) AS v
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+), subv AS (
+    SELECT vec_id, u.sub,
+           list_slice(v, u.sub * {_PQ_SUBDIM} + 1,
+                      u.sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+    FROM q4, LATERAL unnest(generate_series(0, {_PQ_M - 1})) u(sub)
+), seeded AS (
+    SELECT vec_id, sub, sv, vec_id % {_PQ_K} AS lab FROM subv
+)
+{_PQ_STAGE_SQL.format(i=1, src="seeded", lab="lab")}
+{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1")}
+, codes AS (
+    SELECT vec_id, sub, lab2 AS code FROM assign2
+), dtab AS (
+    SELECT s.vec_id AS query_id, c.sub, c.lab AS code,
+           CAST(list_aggregate(
+               list_transform(list_zip(s.sv, c.c_arr),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               'sum') AS BIGINT) AS d
+    FROM subv s JOIN cents2 c ON c.sub = s.sub
+    WHERE s.vec_id < {N_QUERIES}
+), adc AS (
+    SELECT t.query_id, co.vec_id AS neighbor_id,
+           CAST(sum(t.d) AS BIGINT) AS adc_dist_q8
+    FROM dtab t JOIN codes co ON co.sub = t.sub AND co.code = t.code
+    WHERE co.vec_id <> t.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist_q8, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist_q8, neighbor_id
+    ) AS rn FROM adc
+)
+WHERE rn <= {_PQ_TOPK}
+""",
+)
+def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): the 64-dim corpus
+    is split into 4 × 16-dim subspaces, a K=8 codebook is k-means-trained
+    PER SUBSPACE in the engine (deterministic ``vec_id % K`` seeding, two
+    Lloyd rounds), every vector is encoded as 4 small codes, and queries
+    rank the corpus by ASYMMETRIC DISTANCE COMPUTATION — a per-query
+    distance TABLE to the 32 centroids, then each document's approximate
+    distance is 4 table lookups summed.  Completes the ANN family's
+    memory-axis story: LSH/IVF prune WHICH vectors are scored;
+    int8-SQ/Matryoshka/PQ shrink WHAT is scored (PQ here: 64×4 bytes →
+    4 codes, a 64× compression before the rerank tier).
+
+    Everything is integer end-to-end, so the result is hash-exact across
+    engines with no float-summation-order risk: subvectors are q4-scaled
+    longs, centroids are ROUNDED to integers after each Lloyd average
+    (round-half-away parity Spark↔DuckDB), assignment/ADC distances are
+    Σ(x−c)² in int64 (≤ 16·(2·10⁴)² · 4 subspaces ≈ 2.6·10¹⁰, far inside
+    int64), ties break on (distance, code) / (distance, neighbor_id).
+
+    Scale shape: training is two O(N·K·D) broadcast-codebook maps + K×M×D
+    hash-aggregates (vectors never shuffle; codebook is 32 rows); encoding
+    is the same broadcast map; the ADC distance table is
+    queries × 32 rows, BROADCAST to the encoded corpus, so search is one
+    map-side join + partial-aggregated sum per (query, doc) — no shuffle
+    of the corpus at all until the final per-query top-k
+    (WindowGroupLimit).  At 10⁹ docs the encoded table is 4 bytes/vector
+    of code payload — the reason PQ is the standard billion-scale tier."""
+    emb = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            to_double_array("embedding"),
+            lambda x: F.round(x * 10000).cast("long"),
+        ).alias("v"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    subv = emb.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+    seeded = subv.withColumn("lab", F.col("vec_id") % _PQ_K)
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        dims = (
+            assigned.select("sub", "lab", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "lab", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        return (
+            dims.select(
+                "sub",
+                "lab",
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("sub", "lab")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda p: p["c"],
+                ).alias("c_arr")
+            )
+        )
+
+    int_dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c_arr"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("lab"))
+        return (
+            subv.join(F.broadcast(cents), "sub")
+            .select("vec_id", "sub", "sv", "lab", int_dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "sub", "sv", "lab")
+        )
+
+    a1 = assign(centroids(seeded))
+    cents2 = centroids(a1)
+    codes = assign(cents2).select(
+        "vec_id", "sub", F.col("lab").alias("code")
+    )
+    dtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents2), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("lab").alias("code"),
+            int_dist.alias("d"),
+        )
+    )
+    adc = (
+        F.broadcast(dtab)
+        .join(codes, ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist_q8"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_q8", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "adc_dist_q8", "rank")
+    )

@@ -1498,3 +1498,142 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(head, "term").select(
         "term", "df", F.col("total_tf").cast("long").alias("total_tf"), "posting_head"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge LEARNING: the full iterative trainer (N merge rounds)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 5
+
+# one BPE merge round in DuckDB: count adjacent symbol pairs over the
+# double-space-joined symbol strings, take the (count DESC, lhs, rhs) argmax,
+# apply it with one greedy left-to-right replace()
+_BPE_STAGE_SQL = """
+, pairs{i} AS (
+    SELECT syms[j] AS lhs, syms[j + 1] AS rhs, CAST(sum(f) AS BIGINT) AS n
+    FROM (SELECT string_split(trim(s), '  ') AS syms, f FROM w{prev}),
+         LATERAL unnest(generate_series(1, len(syms) - 1)) u(j)
+    GROUP BY 1, 2
+), best{i} AS (
+    SELECT CAST({i} AS INTEGER) AS step, lhs, rhs, lhs || rhs AS merged, n AS pair_count
+    FROM pairs{i} ORDER BY n DESC, lhs, rhs LIMIT 1
+), w{i} AS (
+    SELECT replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                   ' ' || b.merged || ' ') AS s, f
+    FROM w{prev}, best{i} b
+)
+"""
+
+
+@query(
+    "bpe_learn_merges",
+    oracle="""
+WITH wc AS (
+    SELECT w, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY 1
+), w0 AS (
+    SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s, f
+    FROM wc
+)
+"""
+    + "".join(
+        _BPE_STAGE_SQL.format(i=i, prev=i - 1) for i in range(1, _BPE_MERGES + 1)
+    )
+    + "SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(1, _BPE_MERGES + 1))
+    + ")",
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL byte-pair-encoding trainer loop — ``bpe_pair_counts`` is one
+    census pass; this learns an actual merge table: 5 rounds of
+    (count adjacent symbol pairs over the weighted vocabulary) → (argmax
+    with lexicographic tie-break) → (apply the merge greedily left-to-right
+    to every word), returning the learned merges with their counts — the
+    algorithm of Sennrich et al. (ACL'16), the core of GPT-2/Llama-style
+    tokenizer construction, distributed.
+
+    Symbol sequences are DOUBLE-SPACE-joined strings, so applying a merge
+    is ONE builtin ``replace(' lhs  rhs ', ' lhsrhs ')`` — each occurrence
+    consumes one space from each adjacent two-space gap, so adjacent
+    occurrences never share a character and a single greedy
+    left-to-right pass implements exactly the non-overlapping BPE merge
+    ("a a a" merges to ["aa","a"], never "aaa"); Spark's `replace` and
+    DuckDB's `replace` share these semantics, which is what the hash check
+    proves.  Zero Python in the loop — pair census and merge application
+    are codegen'd string/array builtins.
+
+    Scale shape: rounds run over the (word, freq) VOCABULARY relation —
+    corpus-frequency weights are folded in ONCE by the word-count
+    aggregation, exactly how production BPE trainers distribute.  Each
+    round = one explode+hash-agg (pair census), one TakeOrdered(1) (the
+    argmax — no global sort), one broadcast-scalar map (the replace).  The
+    1-row argmax is ``localCheckpoint``ed per round: it pins the chosen
+    merge so later rounds' lineage references a materialized 1-row
+    relation instead of re-deriving every earlier census (without it the
+    plan tree doubles per round — the same exponential-lineage pitfall
+    ``star_component_labels`` documents)."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import (
+        scalar_join,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    words = wc.select(
+        F.concat(
+            F.lit("  "),
+            F.array_join(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                "  ",
+            ),
+            F.lit("  "),
+        ).alias("s"),
+        "f",
+    )
+    merges: list[DataFrame] = []
+    for i in range(1, _BPE_MERGES + 1):
+        toks = words.select(F.split(F.trim("s"), "  ").alias("syms"), "f")
+        pairs = (
+            toks.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "j -> struct(syms[j - 1] AS lhs, syms[j] AS rhs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("f").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.col("n").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(i).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("n").cast("long").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        merges.append(best)
+        words = scalar_join(words, best).select(
+            F.expr(
+                "replace(s, concat(' ', lhs, '  ', rhs, ' '), "
+                "concat(' ', merged, ' '))"
+            ).alias("s"),
+            "f",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -37,3 +37,46 @@ def test_queries_md_appendix_is_current():
     block = text.split(BEGIN)[1].split(END)[0]
     # one row per mapped surface, no unmapped marker
     assert block.count("| `") >= 17
+
+
+class TestStarComponents:
+    """Large-star/small-star must label crafted graphs exactly: chains
+    (worst case for propagation — diameter n, log n star rounds), cliques,
+    isolated nodes, and two separated components in one edge list."""
+
+    def test_crafted_graphs(self, spark):
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.operators.graph import (
+            star_component_labels,
+        )
+
+        # chain 1-2-3-...-9, clique {20,21,22,23}, pair {30,31},
+        # isolated nodes 40 and 41
+        chain = [(i + 1, i) for i in range(1, 9)]
+        clique = [(b, a) for a in range(20, 24) for b in range(a + 1, 24)]
+        pair = [(31, 30)]
+        edges = spark.createDataFrame(chain + clique + pair, "u long, v long")
+        nodes = spark.createDataFrame(
+            [(n,) for n in list(range(1, 10)) + list(range(20, 24))
+             + [30, 31, 40, 41]],
+            "node long",
+        )
+        labels = {
+            r.node: r.label
+            for r in star_component_labels(edges, nodes).collect()
+        }
+        assert {labels[n] for n in range(1, 10)} == {1}
+        assert {labels[n] for n in range(20, 24)} == {20}
+        assert labels[30] == 30 and labels[31] == 30
+        assert labels[40] == 40 and labels[41] == 41
+
+    def test_matches_propagation_on_fixture(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.graph import (
+            q_supplier_components,
+            q_supplier_components_star,
+        )
+
+        prop = sorted(map(tuple, q_supplier_components(spark, sf_dir).collect()))
+        star = sorted(map(tuple, q_supplier_components_star(spark, sf_dir).collect()))
+        assert prop == star
