@@ -162,6 +162,9 @@ EXTENDED_R3 = [
 EXTENDED_R4 = [
     "salted_join_rewrite",    # diagnosed partial-salting join (hot-key cure)
     "exact_price_percentiles",  # fact-grain exact percentile_disc (2-phase rank)
+    "supplier_components_star",  # large-star/small-star CC (O(log n) rounds)
+    "embedding_topk_pq",      # product-quantization codebooks + integer ADC
+    "bpe_learn_merges",       # 5-round BPE merge-learning loop
 ]
 
 

@@ -509,7 +509,10 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def star_component_labels(
-    edges: DataFrame, nodes: DataFrame, max_rounds: int = 20
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Run alternating large-star/small-star to the fixed point and return
     ``(node, label)`` where label is the component's minimum node id.
@@ -533,10 +536,14 @@ def star_component_labels(
             unchanged = n_new == n_old and new_edges.exceptAll(edges).count() == 0
             edges.unpersist()
             edges = new_edges
+            if stats is not None:
+                stats["rounds"] = _round + 1
             if unchanged:
                 break
-        else:  # pragma: no cover - log2(fixture graph) << 20
-            raise AssertionError("star rewiring did not converge in 20 rounds")
+        else:  # pragma: no cover - log2(fixture graph) << max_rounds
+            raise AssertionError(
+                f"star rewiring did not converge in {max_rounds} rounds"
+            )
         # fixed point = stars: every non-root points at its component min
         return nodes.join(
             edges.select(F.col("u").alias("node"), F.col("v").alias("label")),

@@ -164,8 +164,12 @@ _PROOF_PREFIX = (
     "auc_quality_langid",
     "dq_expectations",
     "manifest_time_travel",
-    "attribution_linear_cents",
     "t_closeness_audit",
+    # registered THIS round (newest code ⇒ highest witness value): the PQ
+    # search takes the one unpinned slot; its round-4 siblings
+    # supplier_components_star and bpe_learn_merges are first in line for
+    # the round-5 rotation (their families are already witnessed above)
+    "embedding_topk_pq",
 )
 
 

@@ -280,6 +280,186 @@ def spark_variants(fix_dir: str, n_queries: int, n: int):
             "n_candidates": n_cands,
         }
 
+    # ---- PQ (product quantization, Jégou et al.): 8x256 codebooks trained
+    # with 2 Lloyd rounds, ADC scoring in an Arrow kernel — the oracle-checked
+    # integer-exact twin is operators/similarity.py::q_embedding_topk_pq; the
+    # probe measures the production shape (numpy codebook broadcast into
+    # mapInPandas, per-batch top-R shortlist, exact rerank) at N.
+    # Shortlist depth matters on THIS fixture: the corpus is jitter-replicated
+    # (near-dup heavy), so a query's true neighbors share its exact code word
+    # in every subspace — ADC ties at the replica depth and cannot rank inside
+    # a quantization cell.  That is the textbook reason deployed PQ always
+    # carries an exact-rerank tier; R must exceed the tie depth. ----
+    PQ_M, PQ_K, PQ_R = 8, 256, 500
+    DIM = 64
+    SUBDIM = DIM // PQ_M
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    # L2-normalize so ADC's Euclidean ranking matches the cosine truth
+    emb_norm = (
+        emb.withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("e", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, t: a + t,
+                )
+            ),
+        )
+        .select(
+            "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("e")
+        )
+        .localCheckpoint()
+    )
+
+    def _first_rows_np(k: int) -> np.ndarray:
+        tbl = _pq.read_table(os.path.join(fix_dir, "embeddings.parquet"))
+        dim = len(tbl["embedding"][0])
+        mat = np.asarray(
+            tbl["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(tbl.num_rows, dim)
+        ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        mat = mat[order][:k]
+        return mat / np.linalg.norm(mat, axis=1)[:, None]
+
+    def _assign_kernel(cent_np: np.ndarray):
+        # cent_np: (M, K, SUBDIM); emits one code per (row, subspace)
+        def fn(it):
+            for pdf in it:
+                X = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+                cols = {"vec_id": pdf["vec_id"].values}
+                for m in range(PQ_M):
+                    S = X[:, m * SUBDIM : (m + 1) * SUBDIM]
+                    C = cent_np[m]
+                    d = (
+                        (S * S).sum(1)[:, None]
+                        - 2.0 * (S @ C.T)
+                        + (C * C).sum(1)[None, :]
+                    )
+                    cols[f"c{m}"] = d.argmin(1).astype(np.int32)
+                yield pd.DataFrame(cols)
+
+        return fn
+
+    code_schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(PQ_M))
+
+    t0 = time.perf_counter()
+    cent_np = _first_rows_np(PQ_K).reshape(PQ_K, PQ_M, SUBDIM).transpose(1, 0, 2)
+    cent_np = np.ascontiguousarray(cent_np)
+    for _ in range(2):
+        codes_df = emb_norm.mapInPandas(_assign_kernel(cent_np), code_schema)
+        sub_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("sub"),
+                    F.col(f"c{m}").alias("code"),
+                    F.slice("e", m * SUBDIM + 1, SUBDIM).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+        cent_rows = (
+            emb_norm.join(codes_df, "vec_id")
+            .select(F.explode(sub_structs).alias("p"))
+            .select("p.*")
+            .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: M*K*SUBDIM = 16,384 rows regardless of N
+        )
+        for r in cent_rows:  # empty clusters keep their previous centroid
+            cent_np[r["sub"], r["code"], r["dim"]] = r["m"]
+    codes = emb_norm.mapInPandas(_assign_kernel(cent_np), code_schema).localCheckpoint()
+    pq_train_wall = time.perf_counter() - t0
+
+    q_np = _first_rows_np(n_queries)
+    # distance table: (Q, M, K)
+    dtab = np.empty((n_queries, PQ_M, PQ_K))
+    for m in range(PQ_M):
+        S = q_np[:, m * SUBDIM : (m + 1) * SUBDIM]
+        C = cent_np[m]
+        dtab[:, m, :] = (
+            (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+        )
+
+    def _adc_kernel(it):
+        # per-batch ADC scores for all queries + local top-R shortlist
+        for pdf in it:
+            ids = pdf["vec_id"].values
+            cmat = np.stack(
+                [pdf[f"c{m}"].values for m in range(PQ_M)], axis=1
+            )  # (b, M)
+            # scores: (Q, b) via table gathers
+            scores = np.zeros((n_queries, len(pdf)))
+            for m in range(PQ_M):
+                scores += dtab[:, m, cmat[:, m]]
+            r = min(PQ_R, len(pdf))
+            out_q, out_id, out_d = [], [], []
+            for qi in range(n_queries):
+                s = scores[qi]
+                top = np.argpartition(s, r - 1)[:r]
+                out_q.append(np.full(r, qi, dtype=np.int64))
+                out_id.append(ids[top])
+                out_d.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "adc_d": np.concatenate(out_d),
+                }
+            )
+
+    from pyspark.sql import Window as _W2
+
+    t0 = time.perf_counter()
+    shortlist = (
+        codes.mapInPandas(_adc_kernel, "query_id long, neighbor_id long, adc_d double")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                _W2.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+            ),
+        )
+        .where(F.col("arank") <= PQ_R)
+        .localCheckpoint()
+    )
+    adc_rows = shortlist.where(F.col("arank") <= TOP_K).collect()
+    pq_adc_got: dict[int, list[int]] = {}
+    for r in sorted(adc_rows, key=lambda r: (r["query_id"], r["arank"])):
+        pq_adc_got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    pq_adc_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rerank_scored = (
+        F.broadcast(shortlist.select("query_id", "neighbor_id"))
+        .join(queries.select("query_id", "qe"), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    pq_rerank_got = rank_and_collect(rerank_scored)
+    pq_rerank_wall = time.perf_counter() - t0
+
+    results["pq"] = {
+        "train_wall_sec": round(pq_train_wall, 2),
+        "m": PQ_M,
+        "k": PQ_K,
+        "shortlist": PQ_R,
+        "code_bytes_ratio": (PQ_M * 1.0) / (DIM * 4.0),  # 1-byte codes vs fp32
+        "adc": {"got": pq_adc_got, "wall_sec": round(pq_adc_wall, 2)},
+        "rerank": {"got": pq_rerank_got, "wall_sec": round(pq_rerank_wall, 2)},
+    }
+
     # brute force measured at a REDUCED query count purely to bound probe
     # runtime: per-query cost is what we report (it is query-independent)
     brute_q = min(8, n_queries)
@@ -350,6 +530,27 @@ def main() -> None:
             "candidate_ratio": round(r["n_candidates"] / (args.queries * args.n), 5),
             "wall_sec": r["wall_sec"],
         }
+    pqr = res["pq"]
+
+    def _recall(got) -> float:
+        hits = sum(len(set(got.get(q, [])) & set(t)) for q, t in truth.items())
+        return round(hits / (len(truth) * TOP_K), 4)
+
+    report["pq"] = {
+        "train_wall_sec": pqr["train_wall_sec"],
+        "m": pqr["m"],
+        "k": pqr["k"],
+        "code_bytes_ratio": round(pqr["code_bytes_ratio"], 4),
+        "adc": {
+            "recall_at_10": _recall(pqr["adc"]["got"]),
+            "wall_sec": pqr["adc"]["wall_sec"],
+        },
+        "rerank": {
+            "recall_at_10": _recall(pqr["rerank"]["got"]),
+            "wall_sec": pqr["rerank"]["wall_sec"],
+            "shortlist": pqr["shortlist"],
+        },
+    }
     line = json.dumps(report)
     print(line)
 
@@ -379,6 +580,15 @@ def main() -> None:
                     f"(+{tiv['train_wall_sec']} train) |"
                     for p in (1, 2, 4)
                 ],
+                f"| {n_label} | PQ 8x256 ADC (1-byte codes, "
+                f"{report['pq']['code_bytes_ratio']:.2%} of fp32 bytes scanned) | "
+                f"100% | {report['pq']['adc']['recall_at_10']:.1%} | "
+                f"{report['pq']['adc']['wall_sec']} "
+                f"(+{report['pq']['train_wall_sec']} train) |",
+                f"| {n_label} | PQ ADC + exact rerank of top-"
+                f"{report['pq']['rerank']['shortlist']} | 100% | "
+                f"{report['pq']['rerank']['recall_at_10']:.1%} | "
+                f"{report['pq']['rerank']['wall_sec']} |",
                 f"| {n_label} | Brute force (baseline, excluded from bench at this N) | "
                 f"100% | 100% | {brute['wall_sec_per_query']} /query |",
             ]

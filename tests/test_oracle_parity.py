@@ -57,6 +57,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "bm25_topk", "hybrid_rrf_fusion",
                  # polymorphic UDTF: NULL text yields no grams on both sides
                  "ngram_udtf_topk",
+                 # BPE trainer: NULL text yields no words, empty/1-char words
+                 # drop below the pair census on both engines
+                 "bpe_learn_merges",
                  # quantile normalization: NULL text drops, NULL source is
                  # its own rank partition on both engines
                  "source_quantile_normalize",
@@ -324,6 +327,7 @@ _LINEITEM_EDGE_QUERIES = [
     "exact_price_percentiles",
     # NULL supp/part keys must drop from edges but keep their NULL node
     "supplier_components",
+    "supplier_components_star",
 ]
 
 
@@ -419,6 +423,9 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "trained_ivf_topk", "hybrid_rrf_fusion", "matryoshka_recall_audit",
     "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
+    # PQ: the NULL/ragged rows must drop at the load gate in BOTH engines
+    # before subspace slicing ever sees them
+    "embedding_topk_pq",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
     "daily_revenue_ma",

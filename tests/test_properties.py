@@ -363,3 +363,68 @@ def test_integer_half_up_div_equals_engine_round(s):
         f"SELECT CAST(round({s} / 1000000.0) AS BIGINT)"
     ).fetchone()[0]
     assert py == duck, (s, py, duck)
+
+
+# -- BPE trainer: the shared-SQL merge semantics vs a pure-Python model ------
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bpe_reference(texts: list[str], n_merges: int = 5):
+    """Sennrich-style BPE on a word-frequency table: per round, count
+    adjacent symbol pairs weighted by word frequency, take the
+    (count DESC, lhs, rhs) argmax, merge greedily left-to-right
+    non-overlapping."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
+    seqs = [(list(w), f) for w, f in wc.items()]
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, f in seqs:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, l + r, n))
+        new_seqs = []
+        for syms, f in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs.append((out, f))
+        seqs = new_seqs
+    return merges
+
+
+@settings(max_examples=30, deadline=None)
+@given(words=_bpe_words)
+def test_bpe_oracle_sql_matches_python_model(words):
+    """bpe_learn_merges' SQL (the replace()-over-double-space-joined-symbols
+    encoding shared by both engines; the Spark twin is hash-checked against
+    this exact text at two SFs plus the documents edge fixture) must
+    reproduce a direct Python BPE trainer on arbitrary corpora — including
+    the overlapping-pair case ("aaa" -> ["aa","a"]) and merge exhaustion on
+    tiny alphabets."""
+    import duckdb
+    import pandas as pd
+
+    from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+    sql = get_query("bpe_learn_merges").oracle
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": [" ".join(words)]}))
+    got = sorted(map(tuple, con.execute(sql).fetchall()))
+    want = sorted(_bpe_reference([" ".join(words)]))
+    assert got == want
