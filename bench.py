@@ -165,6 +165,7 @@ EXTENDED_R4 = [
     "supplier_components_star",  # large-star/small-star CC (O(log n) rounds)
     "embedding_topk_pq",      # product-quantization codebooks + integer ADC
     "bpe_learn_merges",       # 5-round BPE merge-learning loop
+    "pq_encode_stream",       # streaming PQ index census (literal codebook)
 ]
 
 

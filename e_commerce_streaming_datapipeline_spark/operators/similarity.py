@@ -2075,10 +2075,90 @@ _PQ_STAGE_SQL = """
 """
 
 
-@query(
-    "embedding_topk_pq",
-    oracle=f"""
-WITH q4 AS (
+def pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): the q4-scaled integer subvectors of each valid
+    embedding — the PQ representation both the batch search and the
+    streaming encoder start from.  Row-local (slice + explode), no
+    shuffle."""
+    v = F.transform(
+        to_double_array("embedding"), lambda x: F.round(x * 10000).cast("long")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                F.slice(v, s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_centroids(assigned: DataFrame) -> DataFrame:
+    """Integer (rounded-mean) centroids per (sub, lab) — one posexplode +
+    two hash-aggregates; K*M*SUBDIM rows out regardless of corpus size."""
+    dims = (
+        assigned.select("sub", "lab", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("sub", "lab", "dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        dims.select(
+            "sub",
+            "lab",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+        )
+        .groupBy("sub", "lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda p: p["c"],
+            ).alias("c_arr")
+        )
+    )
+
+
+def _pq_int_dist():
+    """Exact-integer Σ(x−c)² between the row's subvector and a codeword —
+    built lazily (Column construction needs an active session)."""
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c_arr"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exact-integer argmin assignment of every subvector to its nearest
+    codeword (ties broken on the code id) via broadcast codebook join."""
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("lab"))
+    return (
+        subv.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "sv", "lab", _pq_int_dist().alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "sv", "lab")
+    )
+
+
+def pq_train_codebook(subv: DataFrame) -> DataFrame:
+    """The deterministic PQ codebook: ``vec_id % K`` seeding, two Lloyd
+    rounds of (integer centroids -> exact-integer argmin re-assignment).
+    Returns (sub, lab, c_arr) — K*M rows; hash-identical across engines
+    because every step is integer except the round-half-away centroid
+    mean (Spark/DuckDB parity pinned by fround property tests)."""
+    seeded = subv.withColumn("lab", F.col("vec_id") % _PQ_K)
+    return _pq_centroids(_pq_assign(subv, _pq_centroids(seeded)))
+
+
+# the shared training prefix: q4 scaling -> subspace slicing -> seeding ->
+# two Lloyd stages.  Reused verbatim by the streaming encoder's oracle so
+# batch search and stream encoding provably share one codebook definition.
+_PQ_TRAIN_CTES = f"""q4 AS (
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
                           x -> CAST(round(x * 10000) AS BIGINT)) AS v
@@ -2093,8 +2173,12 @@ WITH q4 AS (
     SELECT vec_id, sub, sv, vec_id % {_PQ_K} AS lab FROM subv
 )
 {_PQ_STAGE_SQL.format(i=1, src="seeded", lab="lab")}
-{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1")}
-, codes AS (
+{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1")}"""
+
+
+# the shared SEARCH middle: encode all vectors, per-query distance table,
+# ADC aggregation — reused by the exact-rerank variant's oracle
+_PQ_SEARCH_CTES = f"""codes AS (
     SELECT vec_id, sub, lab2 AS code FROM assign2
 ), dtab AS (
     SELECT s.vec_id AS query_id, c.sub, c.lab AS code,
@@ -2110,7 +2194,14 @@ WITH q4 AS (
     FROM dtab t JOIN codes co ON co.sub = t.sub AND co.code = t.code
     WHERE co.vec_id <> t.query_id
     GROUP BY 1, 2
-)
+)"""
+
+
+@query(
+    "embedding_topk_pq",
+    oracle=f"""
+WITH {_PQ_TRAIN_CTES}
+, {_PQ_SEARCH_CTES}
 SELECT query_id, neighbor_id, adc_dist_q8, CAST(rn AS INT) AS rank
 FROM (
     SELECT *, row_number() OVER (
@@ -2147,70 +2238,9 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus at all until the final per-query top-k
     (WindowGroupLimit).  At 10⁹ docs the encoded table is 4 bytes/vector
     of code payload — the reason PQ is the standard billion-scale tier."""
-    emb = load_valid_embeddings(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            to_double_array("embedding"),
-            lambda x: F.round(x * 10000).cast("long"),
-        ).alias("v"),
-    )
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("long").alias("sub"),
-                F.slice("v", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
-            )
-            for s in range(_PQ_M)
-        ]
-    )
-    subv = emb.select("vec_id", F.explode(subs).alias("p")).select(
-        "vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
-    )
-    seeded = subv.withColumn("lab", F.col("vec_id") % _PQ_K)
-
-    def centroids(assigned: DataFrame) -> DataFrame:
-        dims = (
-            assigned.select("sub", "lab", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("sub", "lab", "dim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        )
-        return (
-            dims.select(
-                "sub",
-                "lab",
-                "dim",
-                F.round(F.col("s").cast("double") / F.col("n"))
-                .cast("long")
-                .alias("c"),
-            )
-            .groupBy("sub", "lab")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                    lambda p: p["c"],
-                ).alias("c_arr")
-            )
-        )
-
-    int_dist = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("c_arr"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("lab"))
-        return (
-            subv.join(F.broadcast(cents), "sub")
-            .select("vec_id", "sub", "sv", "lab", int_dist.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "sub", "sv", "lab")
-        )
-
-    a1 = assign(centroids(seeded))
-    cents2 = centroids(a1)
-    codes = assign(cents2).select(
+    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
+    cents2 = pq_train_codebook(subv)
+    codes = _pq_assign(subv, cents2).select(
         "vec_id", "sub", F.col("lab").alias("code")
     )
     dtab = (
@@ -2220,7 +2250,7 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "sub",
             F.col("lab").alias("code"),
-            int_dist.alias("d"),
+            _pq_int_dist().alias("d"),
         )
     )
     adc = (
@@ -2236,3 +2266,108 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "adc_dist_q8", "rank")
     )
+
+
+_PQ_SHORTLIST = 20
+
+
+@query(
+    "embedding_topk_pq_rerank",
+    oracle=f"""
+WITH {_PQ_TRAIN_CTES}
+, {_PQ_SEARCH_CTES}
+, vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM (
+        SELECT * FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+), short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist_q8, neighbor_id
+        ) AS rn FROM adc
+    ) WHERE rn <= {_PQ_SHORTLIST}
+), pairs AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(
+               list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e))
+                  * sqrt(list_inner_product(c.e, c.e))),
+               6
+           ) AS cos_sim
+    FROM short s
+    JOIN vv q ON q.vec_id = s.query_id
+    JOIN vv c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn FROM pairs
+)
+WHERE rn <= {_PQ_TOPK}
+""",
+)
+def q_embedding_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-tier PQ search, oracle-checked end to end: the
+    integer ADC scan ranks the WHOLE corpus from 1-byte codes, a top-20
+    shortlist per query survives, and only the shortlist is re-scored with
+    exact double cosine — the deployment shape the ANN probe measures at
+    1M vectors (SCALE.md: ADC alone cannot rank inside a quantization
+    cell on a near-dup corpus; the rerank tier restores recall).
+
+    Plan shape: everything up to the shortlist is `embedding_topk_pq`'s
+    no-corpus-shuffle pipeline; the shortlist is queries × 20 rows, so the
+    rerank joins are broadcast lookups of exact vectors for a bounded
+    relation — full-precision floats are touched for 20 rows/query no
+    matter the corpus size.  Cross-engine determinism: the ADC tier is
+    exact int64 (tie-break neighbor_id), the rerank rounds cosine to 6dp
+    with fround parity."""
+    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
+    cents2 = pq_train_codebook(subv)
+    codes = _pq_assign(subv, cents2).select(
+        "vec_id", "sub", F.col("lab").alias("code")
+    )
+    dtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents2), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("lab").alias("code"),
+            _pq_int_dist().alias("d"),
+        )
+    )
+    adc = (
+        F.broadcast(dtab)
+        .join(codes, ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist_q8"))
+    )
+    aw = Window.partitionBy("query_id").orderBy("adc_dist_q8", "neighbor_id")
+    short = (
+        adc.withColumn("arank", F.row_number().over(aw))
+        .where(F.col("arank") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    vv = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    pairs = (
+        F.broadcast(short)
+        .join(
+            vv.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")),
+            "query_id",
+        )
+        .join(
+            vv.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _ranked_topk(pairs, top_k=_PQ_TOPK)

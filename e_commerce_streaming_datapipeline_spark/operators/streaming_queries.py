@@ -2094,3 +2094,110 @@ def q_leaderboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("cents") / 100.0, 2).alias("revenue"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming PQ encoder: index maintenance as a stream
+# --------------------------------------------------------------------------
+
+from e_commerce_streaming_datapipeline_spark.operators.similarity import (  # noqa: E402
+    _PQ_TRAIN_CTES,
+)
+
+
+@query(
+    "pq_encode_stream",
+    oracle=f"""
+WITH {_PQ_TRAIN_CTES}
+SELECT sub, lab2 AS code, CAST(count(*) AS BIGINT) AS n_vectors,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM assign2
+GROUP BY 1, 2
+""",
+)
+def q_pq_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index MAINTENANCE as a stream: vectors arrive on the file-stream
+    source, are encoded against a codebook trained batch-side (the exact
+    `embedding_topk_pq` codebook — shared helper, shared oracle CTEs), and
+    the query maintains the per-(subspace, codeword) census of the encoded
+    index — the bookkeeping a production vector store runs on its ingest
+    path (cell occupancy drives codebook-retraining and rebalancing
+    decisions).
+
+    The codebook rides INTO the stream as a 32-row literal (collected from
+    the batch trainer — bounded by K×M, never by data): assignment is then
+    a pure row-local expression — `transform` over the codeword array,
+    exact-integer Σ(x−c)² per candidate, `array_min` over (distance, code)
+    structs for the tie-broken argmin — so encoding needs NO join and NO
+    shuffle; the only stateful stage is the 32-group complete-mode count
+    (state bounded by the codebook, not the stream).
+
+    Hash-checked against the DuckDB oracle running the full shared
+    training + assignment CTEs (`similarity._PQ_TRAIN_CTES`) — i.e. the
+    stream's literal-codebook argmin provably equals the batch engine's
+    join-based argmin on every vector."""
+    from e_commerce_streaming_datapipeline_spark.operators.similarity import (
+        _PQ_M,
+        _PQ_SUBDIM,
+        pq_subvectors,
+        pq_train_codebook,
+    )
+    from e_commerce_streaming_datapipeline_spark.sources.batch import (
+        load_valid_embeddings,
+    )
+
+    # batch-side training; collect is K*M = 32 rows regardless of corpus
+    cents = (
+        pq_train_codebook(pq_subvectors(load_valid_embeddings(spark, sf_dir)))
+        .orderBy("sub", "lab")
+        .collect()
+    )
+    by_sub: dict[int, list] = {}
+    for r in cents:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["lab"]), [int(c) for c in r["c_arr"]])
+        )
+    codebook = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lab).cast("long").alias("lab"),
+                        F.array(*[F.lit(c).cast("long") for c in c_arr]).alias(
+                            "c_arr"
+                        ),
+                    )
+                    for lab, c_arr in sorted(by_sub.get(s, []))
+                ]
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+
+    stream = read_file_stream(spark, sf_dir, "embeddings.parquet").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _PQ_SUBDIM * _PQ_M)
+    )
+    subv = pq_subvectors(stream)
+    cands = F.element_at(codebook, (F.col("sub") + 1).cast("int"))
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), c["c_arr"], lambda x, cc: (x - cc) * (x - cc)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("d"),
+            c["lab"].alias("lab"),
+        ),
+    )
+    encoded = subv.select(
+        "vec_id", "sub", F.array_min(scored)["lab"].alias("code")
+    )
+    census = encoded.groupBy("sub", "code").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    return _run_to_table(spark, census, "pq_encode_stream")

@@ -424,8 +424,8 @@ _EMBEDDINGS_EDGE_QUERIES = [
     "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_top_pc", "semantic_dedup", "semantic_dedup_autoblock",
     # PQ: the NULL/ragged rows must drop at the load gate in BOTH engines
-    # before subspace slicing ever sees them
-    "embedding_topk_pq",
+    # before subspace slicing ever sees them (the stream twin gates inline)
+    "embedding_topk_pq", "embedding_topk_pq_rerank", "pq_encode_stream",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
     "daily_revenue_ma",
