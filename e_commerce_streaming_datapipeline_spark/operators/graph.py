@@ -447,8 +447,9 @@ def q_supplier_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every step is an equi-join or hash-aggregate keyed on a
     node id — no global sorts, no driver state beyond the loop counter;
-    per-round relations stay edge-sized and SHRINK monotonically after the
-    first large-star (each rewiring strictly lowers Σ parent pointers).
+    each round's relation is bounded by |E| + |V| (large-star emits at
+    most one edge per input edge; small-star adds at most one (u, min)
+    edge per node) and collapses toward |V| − #components as stars form.
     Rounds are O(log n) versus propagation's O(diameter) — on a 10⁹-node
     web graph with diameter ~500 that is ~30 jobs instead of ~500, which
     is exactly why this variant exists alongside the simpler loop."""
@@ -523,6 +524,7 @@ def star_component_labels(
     tests can drive crafted graphs (chains, cliques, isolated nodes)
     through the exact production loop."""
     edges = edges.persist()
+    n_old = edges.count()  # carried across rounds: one count job per round
     try:
         for _round in range(max_rounds):
             # localCheckpoint truncates lineage: one LS+SS round references
@@ -532,10 +534,13 @@ def star_component_labels(
             # A fault-tolerant cluster deployment uses reliable checkpoint()
             # to HDFS instead; same plan, durable blocks.
             new_edges = _small_star(_large_star(edges)).localCheckpoint()
-            n_new, n_old = new_edges.count(), edges.count()
+            n_new = new_edges.count()
+            # exceptAll (the exact set compare) runs only when the cheap
+            # cardinality check already matches — near convergence, not
+            # every round
             unchanged = n_new == n_old and new_edges.exceptAll(edges).count() == 0
             edges.unpersist()
-            edges = new_edges
+            edges, n_old = new_edges, n_new
             if stats is not None:
                 stats["rounds"] = _round + 1
             if unchanged:

@@ -2231,13 +2231,16 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64), ties break on (distance, code) / (distance, neighbor_id).
 
     Scale shape: training is two O(N·K·D) broadcast-codebook maps + K×M×D
-    hash-aggregates (vectors never shuffle; codebook is 32 rows); encoding
-    is the same broadcast map; the ADC distance table is
-    queries × 32 rows, BROADCAST to the encoded corpus, so search is one
-    map-side join + partial-aggregated sum per (query, doc) — no shuffle
-    of the corpus at all until the final per-query top-k
-    (WindowGroupLimit).  At 10⁹ docs the encoded table is 4 bytes/vector
-    of code payload — the reason PQ is the standard billion-scale tier."""
+    hash-aggregates (raw vectors never shuffle; codebook is 32 rows);
+    encoding is the same broadcast map; the ADC distance table is
+    queries × 32 rows, BROADCAST to the encoded corpus.  The one shuffle
+    is the per-(query, doc) sum — map-side combine collapses the M
+    matched rows per pair before the exchange, so Q×N skinny rows move,
+    never raw vectors; the kernel variant in scripts/ann_scale_probe.py
+    removes even that (dtable gathers + local top-R inside mapInPandas,
+    only Q×R shortlist rows leave each partition) and is the shape a
+    10⁹-doc deployment runs.  The encoded table is 4 bytes/vector of code
+    payload — the reason PQ is the standard billion-scale tier."""
     subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
     cents2 = pq_train_codebook(subv)
     codes = _pq_assign(subv, cents2).select(

@@ -460,6 +460,81 @@ def spark_variants(fix_dir: str, n_queries: int, n: int):
         "rerank": {"got": pq_rerank_got, "wall_sec": round(pq_rerank_wall, 2)},
     }
 
+    # ---- IVF-ADC: the composed billion-scale architecture (FAISS IVFADC):
+    # trained-IVF cluster pruning chooses WHICH vectors are scored, PQ codes
+    # choose WHAT is scored, exact cosine reranks the survivors.  Reuses the
+    # trained index (nprobe=2) and the PQ codes built above — search-phase
+    # wall only; the index builds are priced in their own sections. ----
+    IVFADC_NPROBE = 2
+
+    def _adc_pair_kernel(it):
+        # per-(query, candidate) ADC score via distance-table gathers —
+        # fully vectorized: query ids are 0..Q-1, directly indexable
+        for pdf in it:
+            q_arr = pdf["query_id"].values
+            acc = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                acc += dtab[q_arr, m, pdf[f"c{m}"].values]
+            yield pd.DataFrame(
+                {
+                    "query_id": q_arr,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "adc_d": acc,
+                }
+            )
+
+    t0 = time.perf_counter()
+    ivf_cand_codes = (
+        F.broadcast(
+            q_assign.where(F.col("probe_rank") <= IVFADC_NPROBE).select(
+                "query_id", "c_label"
+            )
+        )
+        .join(index.select("vec_id", "cluster"), F.col("c_label") == F.col("cluster"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(codes, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[f"c{m}" for m in range(PQ_M)],
+        )
+    )
+    n_ivfadc_cands = ivf_cand_codes.count()
+    ivfadc_short = (
+        ivf_cand_codes.mapInPandas(
+            _adc_pair_kernel, "query_id long, neighbor_id long, adc_d double"
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                _W2.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+            ),
+        )
+        .where(F.col("arank") <= PQ_R)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    ivfadc_scored = (
+        F.broadcast(ivfadc_short)
+        .join(queries.select("query_id", "qe"), "query_id")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    ivfadc_got = rank_and_collect(ivfadc_scored)
+    ivfadc_wall = time.perf_counter() - t0
+    results["ivfadc"] = {
+        "nprobe": IVFADC_NPROBE,
+        "got": ivfadc_got,
+        "wall_sec": round(ivfadc_wall, 2),
+        "n_candidates": n_ivfadc_cands,
+    }
+
     # brute force measured at a REDUCED query count purely to bound probe
     # runtime: per-query cost is what we report (it is query-independent)
     brute_q = min(8, n_queries)
@@ -551,6 +626,13 @@ def main() -> None:
             "shortlist": pqr["shortlist"],
         },
     }
+    iv = res["ivfadc"]
+    report["ivfadc"] = {
+        "nprobe": iv["nprobe"],
+        "recall_at_10": _recall(iv["got"]),
+        "candidate_ratio": round(iv["n_candidates"] / (args.queries * args.n), 5),
+        "wall_sec": iv["wall_sec"],
+    }
     line = json.dumps(report)
     print(line)
 
@@ -589,6 +671,11 @@ def main() -> None:
                 f"{report['pq']['rerank']['shortlist']} | 100% | "
                 f"{report['pq']['rerank']['recall_at_10']:.1%} | "
                 f"{report['pq']['rerank']['wall_sec']} |",
+                f"| {n_label} | IVF-ADC (nprobe={report['ivfadc']['nprobe']} "
+                f"pruning × PQ codes × rerank — the FAISS composition) | "
+                f"{report['ivfadc']['candidate_ratio']:.2%} | "
+                f"{report['ivfadc']['recall_at_10']:.1%} | "
+                f"{report['ivfadc']['wall_sec']} |",
                 f"| {n_label} | Brute force (baseline, excluded from bench at this N) | "
                 f"100% | 100% | {brute['wall_sec_per_query']} /query |",
             ]
