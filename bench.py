@@ -166,6 +166,9 @@ EXTENDED_R4 = [
     "embedding_topk_pq",      # product-quantization codebooks + integer ADC
     "bpe_learn_merges",       # 5-round BPE merge-learning loop
     "pq_encode_stream",       # streaming PQ index census (literal codebook)
+    "embedding_topk_pq_rerank",  # two-tier ADC shortlist + exact rerank
+    "dp_noisy_lang_counts",   # DP geometric-mechanism count release
+    "neyman_allocation_sample",  # variance-optimal stratified allocation
 ]
 
 

@@ -1429,3 +1429,69 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qi_hour", "qi_value_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private release: the geometric mechanism, integer-exact
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_lang_counts",
+    oracle="""
+SELECT lang,
+       greatest(
+           cnt + (52 - length(format('{:b}', u1)))
+               - (52 - length(format('{:b}', u2))),
+           0
+       ) AS noisy_count,
+       0.693147 AS epsilon
+FROM (
+    SELECT lang, count(*) AS cnt,
+           CAST(('0x' || substr(md5('dp-seed:' || lang), 1, 13)) AS BIGINT)  AS u1,
+           CAST(('0x' || substr(md5('dp-seed:' || lang), 14, 13)) AS BIGINT) AS u2
+    FROM documents
+    WHERE lang IS NOT NULL
+    GROUP BY lang
+)
+""",
+)
+def q_dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the GEOMETRIC mechanism
+    (Ghosh–Roughgarden–Sundararajan: the universally-optimal discrete
+    analogue of Laplace noise for sensitivity-1 counts): per-language
+    document counts plus two-sided-geometric noise Z = G₁ − G₂ with
+    Gᵢ ~ Geometric(1/2), giving ε = ln 2 ≈ 0.693.  Completes the privacy
+    tier's release stage — `k_anonymity_audit`/`l_diversity_audit`/
+    `t_closeness_audit` measure re-identification risk of row-level
+    releases; this is the aggregate-release alternative that needs no
+    row suppression at all.
+
+    Everything is INTEGER-exact, which is what makes a noise mechanism
+    hash-checkable cross-engine: Geometric(1/2) is the count of leading
+    zero bits of a uniform bitstring, so Gᵢ = 52 − bitlength(Uᵢ) where Uᵢ
+    is a 52-bit integer cut from md5 — no ln(), no float inverse-CDF, no
+    libm last-ulp divergence between engines.  The md5 seed makes this
+    run REPLAYABLE (the form used for pipeline tests and audit reruns); a
+    production release swaps the seed column for true randomness drawn
+    once per release, leaving the plan unchanged.  Post-processing clamp
+    to ≥ 0 preserves DP.
+
+    Scale shape: one hash-aggregate over the corpus (map-side partial
+    counts), then noise is a row-local expression on the GROUP-sized
+    relation — the privacy layer costs nothing at 100 TB beyond the count
+    itself."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("lang").isNotNull())
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    h = F.md5(F.concat(F.lit("dp-seed:"), F.col("lang")))
+    u1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    u2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long")
+    g1 = F.lit(52) - F.length(F.bin(u1))
+    g2 = F.lit(52) - F.length(F.bin(u2))
+    return counts.select(
+        "lang",
+        F.greatest(
+            (F.col("cnt") + g1 - g2).cast("long"), F.lit(0).cast("long")
+        ).alias("noisy_count"),
+        F.lit(0.693147).alias("epsilon"),
+    )

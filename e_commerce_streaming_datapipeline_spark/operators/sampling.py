@@ -206,3 +206,128 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _WEIGHTED_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman (optimal) allocation: variance-proportional stratified sampling
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 60
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle=f"""
+WITH strata AS (
+    SELECT lang,
+           count(*)        AS cnt,
+           sum(n_chars)    AS s1,
+           sum(n_chars * n_chars) AS s2
+    FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    GROUP BY lang
+), weighted AS (
+    SELECT lang, cnt,
+           CAST(round(
+               cnt * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (CAST(cnt AS DOUBLE) * cnt))
+               * 100) AS BIGINT) AS w_q
+    FROM strata
+), alloc0 AS (
+    SELECT w.lang, w.cnt, w.w_q,
+           ({_NEYMAN_BUDGET} * w.w_q) // t.w_tot AS base,
+           ({_NEYMAN_BUDGET} * w.w_q) %  t.w_tot AS rem
+    FROM weighted w, (SELECT CAST(sum(w_q) AS BIGINT) AS w_tot FROM weighted) t
+), alloc AS (
+    SELECT lang, cnt,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_h
+    FROM (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+               {_NEYMAN_BUDGET} - sum(base) OVER () AS leftover
+        FROM alloc0
+    )
+)
+SELECT d.lang, CAST(a.n_h AS BIGINT) AS stratum_alloc, d.doc_id
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+) d JOIN alloc a ON a.lang = d.lang
+WHERE d.rn <= a.n_h
+""",
+)
+def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) allocation stratified sampling: the fixed budget of
+    {budget} docs is split across language strata proportionally to
+    N_h·σ_h — strata with more internal variance (here: of doc length) get
+    more of the budget, the allocation that minimizes the variance of the
+    stratified estimator for a fixed sample size (Neyman 1934).
+    `stratified_doc_sample` is the proportional-allocation baseline; this
+    is the design a measurement pipeline upgrades to once per-stratum
+    variances are known.
+
+    Exactness discipline: stratum variance comes from the integer moments
+    (cnt·Σx² − (Σx)²) — exact int64 on this fixture, DECIMAL(38,0) at
+    corpus scale per the cents-sum rule — and the only float steps are one
+    IEEE-correctly-rounded sqrt and one round-to-int quantization
+    (weights → integer centi-units), after which the LARGEST-REMAINDER
+    apportionment runs in pure integer arithmetic (base = ⌊B·w/W⌋,
+    leftovers to the biggest remainders, ties on lang) — so the allocation
+    sums to exactly the budget and is hash-identical cross-engine with no
+    float-summation-order risk.  Within strata, membership is the
+    md5-ordered deterministic draw shared with the sampling family.
+
+    Scale shape: one corpus aggregate (map-side partial moments), all
+    allocation logic on the STRATA-sized relation (bounded by #languages —
+    the one global window here is over ≤ |langs| rows), then one
+    per-stratum top-n_h window (WindowGroupLimit-bounded)."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    strata = docs.groupBy("lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    var = (F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("cnt").cast("double") * F.col("cnt"))
+    weighted = strata.select(
+        "lang",
+        "cnt",
+        F.round(F.col("cnt") * F.sqrt(var) * 100).cast("long").alias("w_q"),
+    )
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+    tot = weighted.agg(F.sum("w_q").cast("long").alias("w_tot"))
+    alloc0 = scalar_join(weighted, tot).select(
+        "lang",
+        F.expr(f"({_NEYMAN_BUDGET} * w_q) div w_tot").alias("base"),
+        F.expr(f"({_NEYMAN_BUDGET} * w_q) % w_tot").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "lang")
+    leftover = scalar_join(
+        alloc0, alloc0.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("leftover"))
+    )
+    alloc = leftover.select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w_rank) <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_h"),
+    )
+    sw = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(sw).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rn") <= F.col("n_h"))
+        .select("lang", F.col("n_h").alias("stratum_alloc"), "doc_id")
+    )

@@ -472,6 +472,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "knn_label_accuracy",        # N_QUERIES query rows
         "locf_value_15min",          # 15-min spine x |event types| grid
         "markov_attribution",        # <= 51-row transition matrix
+        "neyman_allocation_sample",  # largest-remainder rank over <= |langs| strata
         "matryoshka_recall_audit",   # N_QUERIES rows
         "popularity_rec_hitrate",    # segment x top-5 recommendation grid
         "psi_value_drift",           # fixed PSI bins

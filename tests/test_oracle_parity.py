@@ -52,6 +52,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "dataset_profile", "corpus_quality_filter", "train_test_split",
                  "training_shard_assignment", "target_encoding_loo", "kfold_assignment",
                  "k_anonymity_audit",
+                 # DP release: NULL lang drops before counting on both sides
+                 "dp_noisy_lang_counts",
+                 # Neyman: NULL lang/n_chars drop from moments AND membership
+                 "neyman_allocation_sample",
                  # retrieval tier: NULL/empty/stopword-only text must not
                  # perturb postings, document length or the fused ranking
                  "bm25_topk", "hybrid_rrf_fusion",
