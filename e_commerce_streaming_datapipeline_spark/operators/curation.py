@@ -1263,8 +1263,16 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(F.col("quality_score").alias("g_score"), "doc_id"),
         [F.col("g_score"), F.col("doc_id")],
         rank_col="__g_rn",
-    ).select("g_score", F.col("__g_rn").cast("long").alias("g_idx"))
-    n_all = globally.agg(F.count("*").alias("n_all"))
+        total_col="__n_all",
+    ).select(
+        "g_score", F.col("__g_rn").cast("long").alias("g_idx"), "__n_all"
+    )
+    # the total rides out of the rank's bounded offsets relation (total_col)
+    # — no second corpus-sized count aggregate
+    n_all = globally.select(
+        F.col("__n_all").cast("long").alias("n_all")
+    ).limit(1)
+    globally = globally.drop("__n_all")
     pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
         (F.col("src_rank") - 1).cast("double") / (F.col("n_src") - 1)
     )

@@ -228,9 +228,9 @@ WITH strata AS (
     GROUP BY lang
 ), weighted AS (
     SELECT lang, cnt,
-           CAST(round(
+           greatest(CAST(round(
                cnt * sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (CAST(cnt AS DOUBLE) * cnt))
-               * 100) AS BIGINT) AS w_q
+               * 100) AS BIGINT), 1) AS w_q
     FROM strata
 ), alloc0 AS (
     SELECT w.lang, w.cnt, w.w_q,
@@ -260,7 +260,7 @@ WHERE d.rn <= a.n_h
 )
 def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEYMAN (optimal) allocation stratified sampling: the fixed budget of
-    {budget} docs is split across language strata proportionally to
+    60 docs is split across language strata proportionally to
     N_h·σ_h — strata with more internal variance (here: of doc length) get
     more of the budget, the allocation that minimizes the variance of the
     stratified estimator for a fixed sample size (Neyman 1934).
@@ -294,10 +294,16 @@ def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
         "double"
     ) / (F.col("cnt").cast("double") * F.col("cnt"))
+    # floor every weight at 1 centi-unit: a zero-variance stratum (all docs
+    # the same length — plausible on tiny/synthetic corpora) must degrade
+    # toward a uniform share, not divide the apportionment by w_tot = 0
     weighted = strata.select(
         "lang",
         "cnt",
-        F.round(F.col("cnt") * F.sqrt(var) * 100).cast("long").alias("w_q"),
+        F.greatest(
+            F.round(F.col("cnt") * F.sqrt(var) * 100).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("w_q"),
     )
     from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 

@@ -188,6 +188,9 @@ def diagnosed_salted_join(
             (p[key] == b["__build_key"]) & (p["__salt"] == b["__salt"]),
         )
         .drop(b["__salt"])
+        # drop the probe copy too: "result-identical to the plain join"
+        # means the salt scaffolding never reaches the caller's schema
+        .drop(p["__salt"])
         .drop("__build_key")
     )
 

@@ -2176,6 +2176,36 @@ _PQ_TRAIN_CTES = f"""q4 AS (
 {_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1")}"""
 
 
+def _pq_adc_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared ADC aggregation both PQ search tiers rank: train the
+    codebook, encode the corpus, build the per-query distance table, and
+    aggregate the per-(query, doc) integer ADC distance.  One definition —
+    the Python twin of the SQL side's ``_PQ_SEARCH_CTES`` — so the pure-ADC
+    ranking and the rerank tier can never diverge on what ADC means."""
+    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
+    cents2 = pq_train_codebook(subv)
+    codes = _pq_assign(subv, cents2).select(
+        "vec_id", "sub", F.col("lab").alias("code")
+    )
+    dtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents2), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("lab").alias("code"),
+            _pq_int_dist().alias("d"),
+        )
+    )
+    return (
+        F.broadcast(dtab)
+        .join(codes, ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist_q8"))
+    )
+
+
 # the shared SEARCH middle: encode all vectors, per-query distance table,
 # ADC aggregation — reused by the exact-rerank variant's oracle
 _PQ_SEARCH_CTES = f"""codes AS (
@@ -2241,28 +2271,7 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only Q×R shortlist rows leave each partition) and is the shape a
     10⁹-doc deployment runs.  The encoded table is 4 bytes/vector of code
     payload — the reason PQ is the standard billion-scale tier."""
-    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
-    cents2 = pq_train_codebook(subv)
-    codes = _pq_assign(subv, cents2).select(
-        "vec_id", "sub", F.col("lab").alias("code")
-    )
-    dtab = (
-        subv.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents2), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub",
-            F.col("lab").alias("code"),
-            _pq_int_dist().alias("d"),
-        )
-    )
-    adc = (
-        F.broadcast(dtab)
-        .join(codes, ["sub", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d").alias("adc_dist_q8"))
-    )
+    adc = _pq_adc_relation(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc_dist_q8", "neighbor_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -2325,28 +2334,7 @@ def q_embedding_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the corpus size.  Cross-engine determinism: the ADC tier is
     exact int64 (tie-break neighbor_id), the rerank rounds cosine to 6dp
     with fround parity."""
-    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
-    cents2 = pq_train_codebook(subv)
-    codes = _pq_assign(subv, cents2).select(
-        "vec_id", "sub", F.col("lab").alias("code")
-    )
-    dtab = (
-        subv.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents2), "sub")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "sub",
-            F.col("lab").alias("code"),
-            _pq_int_dist().alias("d"),
-        )
-    )
-    adc = (
-        F.broadcast(dtab)
-        .join(codes, ["sub", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d").alias("adc_dist_q8"))
-    )
+    adc = _pq_adc_relation(spark, sf_dir)
     aw = Window.partitionBy("query_id").orderBy("adc_dist_q8", "neighbor_id")
     short = (
         adc.withColumn("arank", F.row_number().over(aw))

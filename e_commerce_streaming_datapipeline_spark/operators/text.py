@@ -1599,7 +1599,14 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges: list[DataFrame] = []
     for i in range(1, _BPE_MERGES + 1):
-        toks = words.select(F.split(F.trim("s"), "  ").alias("syms"), "f")
+        # words already collapsed to ONE symbol contribute no pairs and must
+        # not reach the transform: Spark's sequence(1, 0) is the DESCENDING
+        # [1, 0] (not empty like DuckDB's generate_series), so a 1-symbol
+        # word would index syms[1]/syms[-1] — INVALID_ARRAY_INDEX under the
+        # session's ANSI mode, silent (NULL, sym) pairs without it
+        toks = words.select(F.split(F.trim("s"), "  ").alias("syms"), "f").where(
+            F.size("syms") >= 2
+        )
         pairs = (
             toks.select(
                 "f",

@@ -60,13 +60,20 @@ def _global_window_findings(plan: str) -> list[Finding]:
             continue
         if "__rank_pid" in ln:
             continue  # documented bounded offsets window (two-phase rank)
-        for nxt in lines[i + 1 : i + 12]:
+        # scan down to the window's first partition-establishing child —
+        # NO fixed lookahead cap (a deep Project/Filter/codegen chain must
+        # not hide the exchange), and a ReusedExchange that reuses a
+        # SinglePartition exchange counts as one (its toString inlines the
+        # reused child's description)
+        for nxt in lines[i + 1 :]:
             if "WindowGroupLimit" in nxt:
                 # rank-filter top-k pushdown: each map partition pre-limits
                 # to k rows, so the single-partition exchange below carries
                 # k x #partitions rows, not the relation — bounded
                 break
-            if "Exchange SinglePartition" in nxt:
+            if "SinglePartition" in nxt and (
+                "Exchange" in nxt or "ReusedExchange" in nxt
+            ):
                 findings.append(
                     Finding(
                         "global-window",

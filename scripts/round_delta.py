@@ -68,16 +68,19 @@ def correctness_delta(prev_path: str | None, cur_path: str) -> dict:
     }
 
 
-def _load_bench(path: str) -> dict:
+def _load_bench(path: str, overlay_local: bool = False) -> dict:
     data = json.load(open(path))
     # the driver wraps the bench JSON line under "parsed"
     out = data["parsed"] if isinstance(data.get("parsed"), dict) else data
     # The printed line only carries the core32 per-query map (the driver's
     # tail capture is 2000 chars); bench.py persists the complete map to
-    # BENCH_LOCAL.json.  When that file is from the same run (identical
-    # core32 total), overlay its full query map for the per-query diff.
+    # BENCH_LOCAL.json.  Overlay that full map ONLY for the CURRENT round's
+    # file (BENCH_LOCAL.json is overwritten per run, so it can never belong
+    # to a previous round — and a coincidental core32 match must not hand
+    # the previous round this round's numbers, zeroing every delta), and
+    # only when the totals agree (same-run sanity check).
     local = os.path.join(REPO, "BENCH_LOCAL.json")
-    if isinstance(out, dict) and os.path.exists(local):
+    if overlay_local and isinstance(out, dict) and os.path.exists(local):
         full = json.load(open(local))
         if full.get("core32_total") == out.get("core32_total") and len(
             full.get("queries", {})
@@ -87,7 +90,7 @@ def _load_bench(path: str) -> dict:
 
 
 def bench_delta(prev_path: str | None, cur_path: str) -> dict:
-    cur = _load_bench(cur_path)
+    cur = _load_bench(cur_path, overlay_local=True)
     out: dict = {"total": cur.get("value")}
     for section in ("core32_total", "extended_total", "r3_total", "r4_total"):
         if section in cur:

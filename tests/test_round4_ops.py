@@ -80,3 +80,38 @@ class TestStarComponents:
         prop = sorted(map(tuple, q_supplier_components(spark, sf_dir).collect()))
         star = sorted(map(tuple, q_supplier_components_star(spark, sf_dir).collect()))
         assert prop == star
+
+
+def test_bpe_survives_fully_collapsed_words(spark, sf_dir, tmp_path):
+    """A frequent 2-char word collapses to ONE symbol after its pair wins a
+    merge round; Spark's sequence(1, 0) is the descending [1, 0] (not empty
+    like DuckDB's generate_series), so the next round's pair census must
+    exclude collapsed words or it indexes past the array (ANSI
+    INVALID_ARRAY_INDEX) / emits NULL pairs that beat the argmax.  Pins the
+    round-4 review fix with a corpus built to collapse 'to' in round 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_compare import compare_query
+
+    tmp = tmp_path / "collapse_sf"
+    tmp.mkdir()
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    os.unlink(tmp / "documents.parquet")
+    texts = ["to to to to to be or not to be", "to be to be to", "or to"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    res = compare_query(spark, "bpe_learn_merges", str(tmp))
+    assert res.ok, f"{res.detail} spark={res.spark_rows} oracle={res.oracle_rows}"
