@@ -115,3 +115,38 @@ def test_bpe_survives_fully_collapsed_words(spark, sf_dir, tmp_path):
     )
     res = compare_query(spark, "bpe_learn_merges", str(tmp))
     assert res.ok, f"{res.detail} spark={res.spark_rows} oracle={res.oracle_rows}"
+
+
+def test_bpe_merge_exhaustion_emits_partial_table(spark, sf_dir, tmp_path):
+    """When every word fully collapses before the 5th round, later rounds
+    have an EMPTY argmax: the Spark loop's scalar_join against an empty
+    1-row relation must empty the corpus (and emit no further merges)
+    exactly like the oracle's cross join with an empty best CTE — both
+    engines return the same <5-row merge table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_compare import compare_query
+
+    tmp = tmp_path / "exhaust_sf"
+    tmp.mkdir()
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, f), tmp / f)
+    os.unlink(tmp / "documents.parquet")
+    texts = ["to to to", "to"]  # one 2-char word: exhausted after 1 merge
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    res = compare_query(spark, "bpe_learn_merges", str(tmp))
+    assert res.ok, f"{res.detail} spark={res.spark_rows} oracle={res.oracle_rows}"
+    assert res.spark_rows == 1  # only (t, o) is learnable from this corpus
