@@ -29,6 +29,16 @@ over real data still fails the registry-wide lint.
 Equivalent SQL semantics: ``row_number() OVER (ORDER BY <keys>)`` for a
 total order; under ties the assignment of consecutive ranks among equal
 keys is arbitrary on both engines (standard row_number nondeterminism).
+
+Measured crossover (``scripts/rank_crossover_probe.py``; SCALE.md
+"Two-phase rank crossover"): the naive global window wins below ~2M rows
+on local[32] (0.44 s vs 1.81 s at 100k — pure job-count overhead), loses
+2.7× at 6M rows (15.0 s, of which 13.8 s is ONE task's sort, vs 5.6 s
+with a 32-task longest stage), and diverges linearly beyond that.  Do NOT
+"optimize" callers back to the global window for small fixtures — and do
+not wrap the chained passes in ``persist()`` either: within-execution
+shuffle-stage reuse already dedups the sampling/offsets/final jobs, so a
+cache only adds jobs (measured, same SCALE.md section).
 """
 
 from __future__ import annotations

@@ -1453,7 +1453,8 @@ SELECT lang,
                - (52 - length(format('{:b}', u2))),
            0
        ) AS noisy_count,
-       0.693147 AS epsilon
+       0.693147 AS epsilon_nominal,
+       TRUE AS seeded
 FROM (
     SELECT lang, count(*) AS cnt,
            CAST(('0x' || substr(md5('dp-seed:' || lang), 1, 13)) AS BIGINT)  AS u1,
@@ -1480,10 +1481,15 @@ def q_dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero bits of a uniform bitstring, so Gᵢ = 52 − bitlength(Uᵢ) where Uᵢ
     is a 52-bit integer cut from md5 — no ln(), no float inverse-CDF, no
     libm last-ulp divergence between engines.  The md5 seed makes this
-    run REPLAYABLE (the form used for pipeline tests and audit reruns); a
-    production release swaps the seed column for true randomness drawn
-    once per release, leaving the plan unchanged.  Post-processing clamp
-    to ≥ 0 preserves DP.
+    run REPLAYABLE (the form used for pipeline tests and audit reruns) —
+    and therefore NOT actually private: the noise is a deterministic
+    function of the public group key, so exact counts are recoverable.
+    The output says so explicitly (`seeded = true`, and the ε column is
+    `epsilon_nominal` — the guarantee the MECHANISM would provide with
+    real randomness, not one this replayable run provides).  A production
+    release swaps the seed column for true randomness drawn once per
+    release, leaving the plan unchanged, and may then read the column as
+    the realized ε.  Post-processing clamp to ≥ 0 preserves DP.
 
     Scale shape: one hash-aggregate over the corpus (map-side partial
     counts), then noise is a row-local expression on the GROUP-sized
@@ -1501,5 +1507,6 @@ def q_dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             (F.col("cnt") + g1 - g2).cast("long"), F.lit(0).cast("long")
         ).alias("noisy_count"),
-        F.lit(0.693147).alias("epsilon"),
+        F.lit(0.693147).alias("epsilon_nominal"),
+        F.lit(True).alias("seeded"),
     )

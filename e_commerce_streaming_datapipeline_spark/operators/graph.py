@@ -523,7 +523,8 @@ def star_component_labels(
     label themselves).  Factored out of the registered query so property
     tests can drive crafted graphs (chains, cliques, isolated nodes)
     through the exact production loop."""
-    edges = edges.persist()
+    first = edges.persist()  # handle kept: the one REAL persist to release
+    edges = first
     n_old = edges.count()  # carried across rounds: one count job per round
     try:
         for _round in range(max_rounds):
@@ -539,7 +540,13 @@ def star_component_labels(
             # cardinality check already matches — near convergence, not
             # every round
             unchanged = n_new == n_old and new_edges.exceptAll(edges).count() == 0
-            edges.unpersist()
+            if edges is first:
+                first.unpersist()
+            # checkpointed rounds have NO unpersist: Dataset.unpersist is a
+            # no-op on localCheckpoint blocks (they live at the RDD layer),
+            # so pretending to free them is misleading — they are released
+            # by the ContextCleaner as each round's reference drops, and the
+            # live set is bounded by the O(log n) round count
             edges, n_old = new_edges, n_new
             if stats is not None:
                 stats["rounds"] = _round + 1
@@ -556,4 +563,5 @@ def star_component_labels(
             "left",
         ).select("node", F.coalesce("label", "node").alias("label"))
     finally:
-        edges.unpersist()
+        if edges is first:  # converged in round 0 exit paths / errors
+            first.unpersist()

@@ -152,8 +152,18 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
         per_file.groupBy("layout")
         .agg(
             F.count("*").alias("n_files"),
-            fround(F.avg(F.col("max_u") - F.col("min_u") + 1), 4).alias("avg_user_span"),
-            fround(F.avg(F.col("max_t") - F.col("min_t") + 1), 4).alias("avg_minute_span"),
+            # exact scaled integers, not rounded doubles: the span sums are
+            # exact longs and n_files is 64, so `sum*10000 div n` is the
+            # same BIGINT on every engine/canonicalization — the r4 driver
+            # hash mismatch was float-form skew, unreproducible locally
+            # (VERDICT r4 item 1); integers make the row canonicalization-
+            # proof, same discipline as revenue_gini / kmeans_lloyd_step.
+            F.expr("(sum(max_u - min_u + 1) * 10000) div count(*)")
+            .cast("long")
+            .alias("avg_user_span_x10000"),
+            F.expr("(sum(max_t - min_t + 1) * 10000) div count(*)")
+            .cast("long")
+            .alias("avg_minute_span_x10000"),
             F.sum(
                 ((F.col("min_u") <= probe) & (F.col("max_u") >= probe)).cast("long")
             ).alias("probe_user_files_hit"),
@@ -194,8 +204,10 @@ WITH base AS (
 SELECT
     layout,
     count(*) AS n_files,
-    round(avg(max_u - min_u + 1) * 10000) / 10000 AS avg_user_span,
-    round(avg(max_t - min_t + 1) * 10000) / 10000 AS avg_minute_span,
+    CAST((sum(max_u - min_u + 1) * 10000) // count(*) AS BIGINT)
+        AS avg_user_span_x10000,
+    CAST((sum(max_t - min_t + 1) * 10000) // count(*) AS BIGINT)
+        AS avg_minute_span_x10000,
     sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET} AND max_u >= {_PROBE_USER_BUCKET}
              THEN 1 ELSE 0 END) AS probe_user_files_hit
 FROM per_file

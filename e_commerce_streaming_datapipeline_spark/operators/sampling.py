@@ -274,10 +274,19 @@ def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-correctly-rounded sqrt and one round-to-int quantization
     (weights → integer centi-units), after which the LARGEST-REMAINDER
     apportionment runs in pure integer arithmetic (base = ⌊B·w/W⌋,
-    leftovers to the biggest remainders, ties on lang) — so the allocation
+    leftovers to the biggest remainders, ties on lang) — so the ALLOCATION
     sums to exactly the budget and is hash-identical cross-engine with no
-    float-summation-order risk.  Within strata, membership is the
-    md5-ordered deterministic draw shared with the sampling family.
+    float-summation-order risk.  The REALIZED sample is min(n_h, cnt) per
+    stratum: a high-variance tiny stratum can be allocated more docs than
+    it has (Neyman's n_h > N_h case), in which case the rn <= n_h filter
+    exhausts the stratum and the realized total falls short of the budget
+    — visible to consumers because every output row carries
+    `stratum_alloc`, so `count(*) < sum-of-allocs` flags exactly the
+    exhausted strata.  (Survey practice calls this a "certainty stratum":
+    take all N_h and re-allocate the surplus; that re-allocation cascades,
+    so it is left to the caller rather than hidden in the query.)  Within
+    strata, membership is the md5-ordered deterministic draw shared with
+    the sampling family.
 
     Scale shape: one corpus aggregate (map-side partial moments), all
     allocation logic on the STRATA-sized relation (bounded by #languages —

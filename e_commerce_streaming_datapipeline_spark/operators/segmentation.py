@@ -96,6 +96,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "orders", sf_dir)
         .agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor_date"))
     )
+    # NOT persisted — measured at sf0.1 (SCALE.md "rank rewiring cost"):
+    # Spark's within-execution shuffle-stage reuse already serves each
+    # pass's sampling/offsets/final jobs from the same map outputs, so a
+    # .persist() here ADDS time (4.0 s -> 5.4-16 s depending on variant:
+    # the InMemoryRelation changes plan identity, defeating exchange reuse,
+    # and its materialization is an extra job).  The residual r4 regression
+    # vs the naive global window is fixed per-job scheduling overhead
+    # (3 passes x sampling+offsets+final jobs), not recompute.
     scored = scalar_join(cust, anchor).withColumn(
         "recency_days", F.datediff("anchor_date", "last_date")
     )
@@ -115,11 +123,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     for score_col, order in axes.items():
-        scored = global_row_number(
-            scored, order, rank_col="__rn", total_col="__n"
-        ).withColumn(
-            score_col, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
-        ).drop("__rn", "__n")
+        scored = (
+            global_row_number(scored, order, rank_col="__rn", total_col="__n")
+            .withColumn(score_col, ntile_from_rank(F.col("__rn"), F.col("__n"), 4))
+            .drop("__rn", "__n")
+        )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

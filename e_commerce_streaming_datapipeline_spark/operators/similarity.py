@@ -2055,7 +2055,7 @@ _PQ_STAGE_SQL = """
     FROM (
         SELECT sub, {lab} AS lab, u.i AS dim,
                CAST(round(CAST(sum(sv[u.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
-        FROM {src}, LATERAL unnest(generate_series(1, 16)) u(i)
+        FROM {src}, LATERAL unnest(generate_series(1, {subdim})) u(i)
         GROUP BY 1, 2, 3
     ) GROUP BY 1, 2
 ), assign{i} AS (
@@ -2172,8 +2172,8 @@ _PQ_TRAIN_CTES = f"""q4 AS (
 ), seeded AS (
     SELECT vec_id, sub, sv, vec_id % {_PQ_K} AS lab FROM subv
 )
-{_PQ_STAGE_SQL.format(i=1, src="seeded", lab="lab")}
-{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1")}"""
+{_PQ_STAGE_SQL.format(i=1, src="seeded", lab="lab", subdim=_PQ_SUBDIM)}
+{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1", subdim=_PQ_SUBDIM)}"""
 
 
 def _pq_adc_relation(spark: SparkSession, sf_dir: str) -> DataFrame:

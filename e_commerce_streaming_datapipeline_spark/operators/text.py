@@ -1505,6 +1505,7 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BPE_MERGES = 5
+_BPE_MIN_WORD_LEN = 2  # interpolated into BOTH engines (single source of truth)
 
 # one BPE merge round in DuckDB: count adjacent symbol pairs over the
 # double-space-joined symbol strings, take the (count DESC, lhs, rhs) argmax,
@@ -1528,11 +1529,11 @@ _BPE_STAGE_SQL = """
 
 @query(
     "bpe_learn_merges",
-    oracle="""
+    oracle=f"""
 WITH wc AS (
     SELECT w, count(*) AS f
     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-    WHERE length(w) >= 2
+    WHERE length(w) >= {_BPE_MIN_WORD_LEN}
     GROUP BY 1
 ), w0 AS (
     SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s, f
@@ -1582,7 +1583,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .where(F.length("w") >= 2)
+        .where(F.length("w") >= _BPE_MIN_WORD_LEN)
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )

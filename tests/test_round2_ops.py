@@ -171,7 +171,10 @@ def test_zorder_tightens_user_spans(spark, sf_dir):
     user point-predicate must open no MORE files than under natural order."""
     rows = {r["layout"]: r for r in _rows("zorder_layout_stats", spark, sf_dir)}
     assert set(rows) == {"natural", "zorder"}
-    assert rows["zorder"]["avg_user_span"] < rows["natural"]["avg_user_span"]
+    assert (
+        rows["zorder"]["avg_user_span_x10000"]
+        < rows["natural"]["avg_user_span_x10000"]
+    )
     assert (
         rows["zorder"]["probe_user_files_hit"]
         <= rows["natural"]["probe_user_files_hit"]
