@@ -941,9 +941,14 @@ def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.select("*", F.row_number().over(w).alias("rn"))
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
     )
-    counts = log.groupBy("user_id").agg(F.count("*").alias("n_changes"))
+    counts = log.groupBy(F.col("user_id").alias("c_user_id")).agg(
+        F.count("*").alias("n_changes")
+    )
     return (
-        latest.join(counts, "user_id")
+        # null-safe equi-join: the NULL-user partition is a legal CDC key
+        # group in both engines' windows — a plain inner equi-join would
+        # silently drop it here while the oracle keeps it
+        latest.join(counts, latest["user_id"].eqNullSafe(counts["c_user_id"]))
         .select(
             "user_id",
             F.col("op").alias("last_op"),

@@ -47,19 +47,25 @@ WITH funnel AS (
         date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
         count(*)                                    AS total_events,
         CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
-    FROM events GROUP BY 1, 2
+    FROM events
+    -- Spark's window() silently drops NULL-ts rows; date_trunc(NULL) would
+    -- keep a NULL window group — drop unwindowable rows explicitly
+    -- (functions/windows.py policy)
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
 ), gmv AS (
     SELECT
         date_trunc('hour', ts) AS window_start,
         round(sum(value), 2)   AS gmv,
         count(*)               AS item_count
-    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    FROM events WHERE ts IS NOT NULL AND event_type = 'purchase' GROUP BY 1
 ), pay AS (
     SELECT
         date_trunc('hour', ts) AS window_start,
         round(sum(coalesce(value, 0.0)), 2) AS total_payment_value,
         count(DISTINCT user_id)             AS paying_users
-    FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IN ('purchase', 'signup') GROUP BY 1
 )
 SELECT
     f.window_start,

@@ -1412,6 +1412,80 @@ _IVF_K = 8
 _IVF_NPROBE = 2
 _IVF_TOPK = 3
 
+
+def ivf_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lab, v, e): q4-scaled integer vectors + exact doubles +
+    the deterministic ``vec_id % K`` seed labels — the row shape every IVF
+    training/search stage consumes.  Row-local projection, no shuffle."""
+    return load_valid_embeddings(spark, sf_dir).select(
+        "vec_id",
+        (F.col("vec_id") % _IVF_K).alias("lab"),
+        F.transform(
+            to_double_array("embedding"),
+            lambda x: F.round(x * 10000).cast("long"),
+        ).alias("v"),
+        to_double_array("embedding").alias("e"),
+    )
+
+
+def ivf_centroids(assigned: DataFrame) -> DataFrame:
+    """Rational centroids per cluster: (c_label, n, s_arr) where the
+    centroid is s_arr/n kept as exact integers — one posexplode + two
+    hash-aggregates, K rows out regardless of corpus size."""
+    dims = (
+        assigned.select("lab", F.posexplode("v").alias("dim", "x"))
+        .groupBy("lab", "dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    return dims.groupBy(F.col("lab").alias("c_label")).agg(
+        F.any_value("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda p: p["s"]
+        ).alias("s_arr"),
+    )
+
+
+def _ivf_rational_dist():
+    """Exact-integer rational distance Σ(n·x − S)² / n² between the row's
+    scaled vector and a rational centroid — built lazily (Column
+    construction needs an active session)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("s_arr"),
+            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    ).cast("double") / (F.col("n") * F.col("n"))
+
+
+def ivf_assign(vectors: DataFrame, cents: DataFrame, top: int = 1) -> DataFrame:
+    """Broadcast-codebook argmin assignment (ties on c_label); ``top`` > 1
+    yields the nprobe-nearest centroids per vector for query probing."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "e", "c_label", _ivf_rational_dist().alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top)
+    )
+
+
+def ivf_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic Lloyd rounds from the ``vec_id % K`` seeding:
+    returns (assignments as (vec_id, e, cluster), trained centroids) —
+    the shared index both `trained_ivf_topk` and the composed
+    `embedding_topk_ivf_adc` search against."""
+    a1 = ivf_assign(emb, ivf_centroids(emb)).select(
+        "vec_id", "v", "e", F.col("c_label").alias("lab")
+    )
+    cents2 = ivf_centroids(a1)
+    a2 = ivf_assign(a1, cents2).select(
+        "vec_id", "e", F.col("c_label").alias("cluster")
+    )
+    return a2, cents2
+
 # one Lloyd stage in DuckDB: centroids from `{src}`'s {lab} column, then the
 # integer-rational argmin assignment of every vector
 _IVF_STAGE_SQL = """
@@ -1512,56 +1586,11 @@ def q_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom: |n·x − S| ≤ 2·n·10⁴ ⇒ the 64-dim sum fits int64 to n ≈ 10⁸
     per cluster; beyond that the accumulator becomes DECIMAL(38,0) with
     the same plan."""
-    emb = load_valid_embeddings(spark, sf_dir).select(
-        "vec_id",
-        (F.col("vec_id") % _IVF_K).alias("lab"),
-        F.transform(
-            to_double_array("embedding"),
-            lambda x: F.round(x * 10000).cast("long"),
-        ).alias("v"),
-        to_double_array("embedding").alias("e"),
-    )
-
-    def centroids(assigned: DataFrame) -> DataFrame:
-        dims = (
-            assigned.select("lab", F.posexplode("v").alias("dim", "x"))
-            .groupBy("lab", "dim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        )
-        return dims.groupBy(F.col("lab").alias("c_label")).agg(
-            F.any_value("n").alias("n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda p: p["s"]
-            ).alias("s_arr"),
-        )
-
-    rational_dist = F.aggregate(
-        F.zip_with(
-            F.col("v"),
-            F.col("s_arr"),
-            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    ).cast("double") / (F.col("n") * F.col("n"))
-
-    def assign(vectors: DataFrame, cents: DataFrame, top: int = 1) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
-        return (
-            vectors.crossJoin(F.broadcast(cents))
-            .select("vec_id", "v", "e", "c_label", rational_dist.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= top)
-        )
-
-    a1 = assign(emb, centroids(emb)).select(
-        "vec_id", "v", "e", F.col("c_label").alias("lab")
-    )
-    cents2 = centroids(a1)
-    a2 = assign(a1, cents2).select(
-        "vec_id", "e", F.col("c_label").alias("cluster")
-    )
-    probes = assign(emb.where(F.col("vec_id") < 8), cents2, top=_IVF_NPROBE).select(
+    emb = ivf_input(spark, sf_dir)
+    a2, cents2 = ivf_train(emb)
+    probes = ivf_assign(
+        emb.where(F.col("vec_id") < 8), cents2, top=_IVF_NPROBE
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("c_label").alias("probe_label"),
@@ -2353,6 +2382,190 @@ def q_embedding_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             vv.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id"
         )
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_expr(F.col("qe"), F.col("e")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _ranked_topk(pairs, top_k=_PQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Composed IVF-ADC: trained-IVF pruning x PQ codes x exact rerank
+# --------------------------------------------------------------------------
+
+# the composed oracle re-derives BOTH indexes in one WITH: the PQ stages
+# keep their cents1/assign1/cents2/assign2 names, the IVF stages are
+# instantiated with i="i1"/"i2" (centsi1/assigni1/...), and one shared q4
+# carries (v: q4-scaled longs, e: exact doubles) for both
+_IVF_ADC_ORACLE = f"""
+WITH q4 AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 10000) AS BIGINT)) AS v,
+           embedding::DOUBLE[] AS e
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = 64) embeddings
+), subv AS (
+    SELECT vec_id, u.sub,
+           list_slice(v, u.sub * {_PQ_SUBDIM} + 1,
+                      u.sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sv
+    FROM q4, LATERAL unnest(generate_series(0, {_PQ_M - 1})) u(sub)
+), seeded AS (
+    SELECT vec_id, sub, sv, vec_id % {_PQ_K} AS lab FROM subv
+)
+{_PQ_STAGE_SQL.format(i=1, src="seeded", lab="lab", subdim=_PQ_SUBDIM)}
+{_PQ_STAGE_SQL.format(i=2, src="assign1", lab="lab1", subdim=_PQ_SUBDIM)}
+, iseeded AS (SELECT vec_id, vec_id % {_IVF_K} AS lab, v FROM q4)
+{_IVF_STAGE_SQL.format(i="i1", src="(SELECT vec_id, lab, v FROM iseeded)", lab="lab")}
+{_IVF_STAGE_SQL.format(
+    i="i2", src="(SELECT vec_id, labeli1 AS lab, v FROM assigni1)", lab="lab"
+)}
+, probes AS (
+    SELECT vec_id AS query_id, c_label AS probe_label
+    FROM (
+        SELECT q4.vec_id, c.c_label,
+               row_number() OVER (
+                   PARTITION BY q4.vec_id
+                   ORDER BY CAST(list_aggregate(
+                       list_transform(
+                           list_zip(q4.v, c.s_arr),
+                           p -> (c.n * p[1] - p[2]) * (c.n * p[1] - p[2])
+                       ), 'sum') AS DOUBLE) / (c.n * c.n), c.c_label
+               ) AS rn
+        FROM q4, centsi2 c
+        WHERE q4.vec_id < {N_QUERIES}
+    ) WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p
+    JOIN assigni2 a ON a.labeli2 = p.probe_label AND a.vec_id <> p.query_id
+), codes AS (
+    SELECT vec_id, sub, lab2 AS code FROM assign2
+), dtab AS (
+    SELECT s.vec_id AS query_id, c.sub, c.lab AS code,
+           CAST(list_aggregate(
+               list_transform(list_zip(s.sv, c.c_arr),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])),
+               'sum') AS BIGINT) AS d
+    FROM subv s JOIN cents2 c ON c.sub = s.sub
+    WHERE s.vec_id < {N_QUERIES}
+), adc AS (
+    SELECT ca.query_id, ca.neighbor_id, CAST(sum(t.d) AS BIGINT) AS adc_dist_q8
+    FROM cand ca
+    JOIN codes co ON co.vec_id = ca.neighbor_id
+    JOIN dtab t ON t.query_id = ca.query_id
+              AND t.sub = co.sub AND t.code = co.code
+    GROUP BY 1, 2
+), short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist_q8, neighbor_id
+        ) AS rn FROM adc
+    ) WHERE rn <= {_PQ_SHORTLIST}
+), pairs AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(
+               list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e))
+                  * sqrt(list_inner_product(c.e, c.e))),
+               6
+           ) AS cos_sim
+    FROM short s
+    JOIN q4 q ON q.vec_id = s.query_id
+    JOIN q4 c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rn FROM pairs
+)
+WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@query("embedding_topk_ivf_adc", oracle=_IVF_ADC_ORACLE)
+def q_embedding_topk_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN layout — IVF pruning x PQ compression x
+    exact rerank, the three tiers the registry proves separately
+    (`trained_ivf_topk`, `embedding_topk_pq`, `embedding_topk_pq_rerank`)
+    chained into the FAISS-style IVFADC index (Jegou et al., TPAMI'11):
+
+    1. **Prune** — queries probe their nprobe=2 nearest trained
+       IVF centroids; only vectors assigned to probed clusters become
+       candidates (candidate fraction ~ nprobe/K, measured scale-invariant
+       in SCALE.md "ANN at scale").
+    2. **Compress** — candidates are ranked by exact-integer ADC over the
+       4x16 PQ codes (4 table lookups + sum per candidate, no raw-vector
+       reads), shortlisting 20/query.
+    3. **Rerank** — only the shortlist touches full-precision vectors for
+       exact cosine; top-5 out.
+
+    Both codebooks are trained in-engine with the same deterministic
+    seeding/Lloyd helpers as the standalone tiers (`ivf_train`,
+    `pq_train_codebook`), so the composed result is hash-checked against
+    a DuckDB oracle that re-derives the identical indexes.
+
+    Scale shape: training aggregates are K-bounded; candidate generation is
+    an equi-join on cluster id; ADC joins are broadcast (codebook/dtab are
+    K*M rows, the shortlist Q x 20 rows); raw vectors shuffle
+    NOWHERE — SCALE.md's measured 1M-vector IVF-ADC probe row is exactly
+    this plan."""
+    emb = ivf_input(spark, sf_dir)
+    a2, icents = ivf_train(emb)
+    probes = ivf_assign(
+        emb.where(F.col("vec_id") < N_QUERIES), icents, top=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_label").alias("probe_label"),
+    )
+    cand = probes.join(
+        a2,
+        (F.col("probe_label") == F.col("cluster"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+    subv = pq_subvectors(load_valid_embeddings(spark, sf_dir))
+    cents2 = pq_train_codebook(subv)
+    codes = _pq_assign(subv, cents2).select(
+        "vec_id", "sub", F.col("lab").alias("code")
+    )
+    dtab = (
+        subv.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents2), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("lab").alias("code"),
+            _pq_int_dist().alias("d"),
+        )
+    )
+    adc = (
+        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist_q8"))
+    )
+    aw = Window.partitionBy("query_id").orderBy("adc_dist_q8", "neighbor_id")
+    short = (
+        adc.withColumn("arank", F.row_number().over(aw))
+        .where(F.col("arank") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    vv = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    pairs = (
+        F.broadcast(short)
+        .join(
+            vv.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")),
+            "query_id",
+        )
+        .join(vv.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

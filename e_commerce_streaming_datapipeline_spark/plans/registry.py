@@ -69,6 +69,22 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_R1_R3 = frozenset(
     {
+        # the round-4 window (CORRECTNESS_r04.json): every name below got a
+        # driver row in r4 — zorder_layout_stats is deliberately NOT listed
+        # (its r4 row was the one hash mismatch; it stays in the r5 window
+        # until driver-green, per the r4 verdict)
+        "trained_ivf_topk", "scd2_stream_merge", "bm25_topk",
+        "markov_attribution", "mmr_diversified_topk", "psi_drift_stream",
+        "calibration_bins", "semantic_dedup", "checkpoint_resume_stream",
+        "supplier_components", "ngram_zipf_slope", "conversion_latency_stats",
+        "revenue_gini", "rfm_segments", "clv_pareto_deciles",
+        "equi_depth_histogram", "source_quantile_normalize",
+        "lambda_unified_gmv", "hybrid_rrf_fusion", "retrieval_eval_ndcg",
+        "auc_quality_langid", "dq_expectations", "manifest_time_travel",
+        "t_closeness_audit", "embedding_topk_pq",
+    }
+) | frozenset(
+    {
         # r3 curated prefix (== r1/r2 union plus the restored views queries)
         "gmv_minutely", "gmv_sliding", "funnel_hourly", "ordered_funnel",
         "dropoff_hourly", "payment_hourly", "enrich_lineitem", "status_flags",
@@ -97,9 +113,11 @@ _DRIVER_WITNESSED_R1_R3 = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-4 window: 24 family keepers + 26 rotated-in queries that
-    # have never had a driver CORRECTNESS row (VERDICT r3 task #2).  The
-    # per-family keeper set is pinned by tests/test_round3_ops.py.
+    # ---- round-5 window: 24 family keepers + zorder_layout_stats (kept in
+    # the window against the rotation rule until a driver-green row lands —
+    # r4 verdict task 1) + 25 rotated-in queries that have never had a
+    # driver CORRECTNESS row.  The per-family keeper set is pinned by
+    # tests/test_round3_ops.py.
     #
     # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
@@ -135,41 +153,40 @@ _PROOF_PREFIX = (
     # TPC-H / sessionization
     "pricing_summary",
     "user_sessions",
-    # ---- rotated in for round 4 (never driver-witnessed before) ----
-    # round-3 flagships named by the verdict
-    "trained_ivf_topk",
-    "scd2_stream_merge",
-    "bm25_topk",
-    "markov_attribution",
-    "mmr_diversified_topk",
-    "psi_drift_stream",
-    "calibration_bins",
-    "semantic_dedup",
-    "checkpoint_resume_stream",
-    "supplier_components",
-    # round-4 rewrites (two-phase distributed rank / cents-sum fixes) —
-    # plan or oracle changed this round, so the driver should witness them
-    "ngram_zipf_slope",
-    "conversion_latency_stats",
-    "revenue_gini",
-    "rfm_segments",
-    "clv_pareto_deciles",
-    "equi_depth_histogram",
-    "source_quantile_normalize",
+    # the one keeper-by-exception: r4's hash mismatch, rewritten this round
+    # to exact scaled-BIGINT spans — stays until driver-green
     "zorder_layout_stats",
-    "lambda_unified_gmv",
-    # additional never-witnessed coverage
-    "hybrid_rrf_fusion",
-    "retrieval_eval_ndcg",
-    "auc_quality_langid",
-    "dq_expectations",
-    "manifest_time_travel",
-    "t_closeness_audit",
-    # registered THIS round (newest code ⇒ highest witness value): the PQ
-    # search takes the one unpinned slot; its round-4 siblings
-    # supplier_components_star and bpe_learn_merges are first in line for
-    # the round-5 rotation (their families are already witnessed above)
-    "embedding_topk_pq",
+    # ---- rotated in for round 5 (never driver-witnessed before) ----
+    # round-4 verdict's named candidates
+    "dup_clusters",
+    "dedup_rewrite_docs",
+    "bigram_perplexity",
+    "cdc_apply_latest",
+    "locf_value_15min",
+    "lateral_top_lineitems",
+    "supplier_components_star",
+    "embedding_topk_pq_rerank",
+    "pq_encode_stream",
+    "bpe_learn_merges",
+    "dp_noisy_lang_counts",
+    "neyman_allocation_sample",
+    "exact_price_percentiles",
+    "salted_join_rewrite",
+    "gmv_pattern_topk",
+    "holt_forecast_backtest",
+    # registered THIS round (newest code => highest witness value): the
+    # composed FAISS-style IVF-ADC layout (r4 verdict task 6)
+    "embedding_topk_ivf_adc",
+    # family coverage for slots the r4 window freed up: retrieval, eval,
+    # streaming, privacy, text/retrieval, analytics, lakehouse
+    "retrieval_eval_mrr",
+    "pr_curve_thresholds",
+    "journey_stream_join",
+    "leaderboard_stream",
+    "k_anonymity_audit",
+    "tfidf_top_terms",
+    "copurchase_pairs",
+    "scd2_pit_lookup",
 )
 
 

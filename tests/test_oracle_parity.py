@@ -87,7 +87,12 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "pr_curve_thresholds",
                  # two-phase distributed rank over the vocab relation: NULL
                  # text drops before tokenize on both engines
-                 "ngram_zipf_slope"]
+                 "ngram_zipf_slope",
+                 # r5 window pins: NULL text shingles nothing (minhash),
+                 # clusters nothing (dup_clusters), contributes no bigrams
+                 # (perplexity) and no tf-idf terms on either engine
+                 "minhash_near_dups", "dup_clusters", "bigram_perplexity",
+                 "tfidf_top_terms"]
 
 
 @pytest.fixture(scope="module")
@@ -259,6 +264,17 @@ _EVENTS_EDGE_QUERIES = [
     # two-phase rank paths over events: NULL ts/user must flow through the
     # range-repartition + local-rank machinery as the oracle orders them
     "conversion_latency_stats", "zorder_layout_stats",
+    # r5 window pins over events: the funnel join + payment re-rollup
+    # (NULL type/user/ts groups), the HLL sketch (rows-only: must not
+    # crash), the Derby MERGE roundtrip, the Variant JSON path (NULL
+    # props), the DataSource feed (reads no fixture table — invariance
+    # pin), CDC latest-per-key and LOCF gap fill (NULL ts/value), the
+    # three-way watermarked stream join, and the MATCH_RECOGNIZE-style
+    # pattern top-k (NULL ts/type rows leave every journey unchanged)
+    "payment_rollup", "complete_funnel", "approx_unique_users_hourly",
+    "jdbc_upsert_roundtrip", "python_datasource_feed", "variant_props_stats",
+    "cdc_apply_latest", "locf_value_15min", "journey_stream_join",
+    "gmv_pattern_topk",
 ]
 
 
@@ -332,6 +348,11 @@ _LINEITEM_EDGE_QUERIES = [
     # NULL supp/part keys must drop from edges but keep their NULL node
     "supplier_components",
     "supplier_components_star",
+    # r5 window pins: the lateral top-N per order (NULL keys/prices rank
+    # nulls-last identically) and the salted-join rewrite (NULL keys salt
+    # and group like any other key on both engines)
+    "lateral_top_lineitems",
+    "salted_join_rewrite",
 ]
 
 
@@ -430,6 +451,8 @@ _EMBEDDINGS_EDGE_QUERIES = [
     # PQ: the NULL/ragged rows must drop at the load gate in BOTH engines
     # before subspace slicing ever sees them (the stream twin gates inline)
     "embedding_topk_pq", "embedding_topk_pq_rerank", "pq_encode_stream",
+    # the composed IVF-ADC shares the same load gate for BOTH indexes
+    "embedding_topk_ivf_adc",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
     "daily_revenue_ma",

@@ -19,7 +19,7 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-4 rotation: one keeper per family; the freed slots rotate to
+    # (round-5 rotation: one keeper per family; the freed slots rotate to
     # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_R1_R3)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
@@ -34,25 +34,29 @@ class TestProofPrefix:
         "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
                       "python_datasource_feed"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
-        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
-        "llm_dedup": {"minhash_near_dups", "semantic_dedup"},
-        "llm_ann": {"embedding_topk", "trained_ivf_topk", "mmr_diversified_topk"},
-        "llm_text": {"text_stats", "ngram_zipf_slope"},
-        "llm_curation": {"pii_redaction", "source_quantile_normalize"},
+        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf",
+                        "lateral_top_lineitems"},
+        "llm_dedup": {"minhash_near_dups", "dup_clusters",
+                      "dedup_rewrite_docs"},
+        "llm_ann": {"embedding_topk", "embedding_topk_ivf_adc",
+                    "embedding_topk_pq_rerank"},
+        "llm_text": {"text_stats", "bpe_learn_merges", "bigram_perplexity",
+                     "tfidf_top_terms"},
+        "llm_curation": {"pii_redaction", "neyman_allocation_sample"},
         "llm_multimodal": {"multimodal_decode"},
-        "llm_retrieval": {"bm25_topk", "hybrid_rrf_fusion", "retrieval_eval_ndcg"},
-        "llm_eval": {"auc_quality_langid", "calibration_bins"},
-        "streaming": {"gmv_stream_minutely", "scd2_stream_merge",
-                      "checkpoint_resume_stream", "psi_drift_stream"},
+        "llm_retrieval": {"retrieval_eval_mrr"},
+        "llm_eval": {"pr_curve_thresholds"},
+        "streaming": {"gmv_stream_minutely", "pq_encode_stream",
+                      "journey_stream_join", "leaderboard_stream"},
         "tpch": {"pricing_summary"},
-        "analytics": {"user_sessions", "markov_attribution"},
-        "graph": {"supplier_components"},
-        "privacy": {"t_closeness_audit"},
-        "lakehouse": {"manifest_time_travel", "dq_expectations"},
-        "rank_rewrites": {"conversion_latency_stats", "revenue_gini",
-                          "rfm_segments", "clv_pareto_deciles",
-                          "equi_depth_histogram", "zorder_layout_stats"},
-        "lambda": {"lambda_unified_gmv"},
+        "analytics": {"user_sessions", "gmv_pattern_topk",
+                      "copurchase_pairs"},
+        "graph": {"supplier_components_star"},
+        "privacy": {"dp_noisy_lang_counts", "k_anonymity_audit"},
+        "lakehouse": {"cdc_apply_latest", "scd2_pit_lookup"},
+        "rank_rewrites": {"zorder_layout_stats", "exact_price_percentiles"},
+        "timeseries": {"locf_value_15min", "holt_forecast_backtest"},
+        "skew": {"salted_join_rewrite"},
     }
 
     def test_prefix_is_driver_window_sized(self):

@@ -575,7 +575,11 @@ def test_transform_with_state_probe():
     (``import google.protobuf`` fails).  When the probe starts passing, port
     ``streaming_cart_abandonment`` to a StatefulProcessor variant; until
     then ``applyInPandasWithState`` (tested above) is the supported CEP
-    path — same semantics, RDD-free, watermark-evicted state."""
+    path — same semantics, RDD-free, watermark-evicted state.
+
+    Probe history: rounds 3, 4 and 5 all re-probed (``import google``
+    still fails, 2026-08-15); the skip below is the suite's single
+    deliberate skip."""
     try:
         import google.protobuf  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
