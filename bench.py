@@ -171,6 +171,15 @@ EXTENDED_R4 = [
     "neyman_allocation_sample",  # variance-optimal stratified allocation
 ]
 
+# Fifth section (round 5+): queries REGISTERED in round 5.
+EXTENDED_R5 = [
+    "embedding_topk_ivf_adc",  # composed IVF-prune x PQ-ADC x exact rerank
+    "bpe_encode_tokens",       # learned merges applied: post-merge census
+    "dsir_importance_sample",  # DSIR unigram log-ratio data selection
+    "pipe_syntax_revenue",     # Spark 4 SQL pipe (|>) rollup
+    "ivf_probe_recall_audit",  # trained-IVF recall-vs-nprobe tuning curve
+]
+
 
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
@@ -194,7 +203,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4:
+    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4 + EXTENDED_R5:
         registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -206,7 +215,7 @@ def main() -> None:
     # number against machine draw noise (round-3 showed +-10% whole-suite
     # drift between driver draws).
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4:
+    for name in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4 + EXTENDED_R5:
         q = registry[name]
         best = float("inf")
         for _ in range(3):
@@ -226,6 +235,7 @@ def main() -> None:
         "extended_total": round(sum(timings[n] for n in EXTENDED), 3),
         "r3_total": round(sum(timings[n] for n in EXTENDED_R3), 3),
         "r4_total": round(sum(timings[n] for n in EXTENDED_R4), 3),
+        "r5_total": round(sum(timings[n] for n in EXTENDED_R5), 3),
     }
     full = {
         "metric": "headline_queries_total_runtime",

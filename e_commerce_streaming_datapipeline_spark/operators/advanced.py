@@ -524,3 +524,51 @@ def q_observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, null_values long, null_props long, n_purchases long, "
         "negative_values long, total_value double",
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operators) — API-surface proof
+# --------------------------------------------------------------------------
+
+@query(
+    "pipe_syntax_revenue",
+    oracle="""
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    count(*) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        AS revenue
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (SPARK-49555, the |> operator chain — the
+    GoogleSQL-style linear query form): the revenue rollup expressed as
+    ``FROM … |> WHERE … |> AGGREGATE … GROUP BY … |> ORDER BY``, proving
+    the engine accepts the full pipe surface end-to-end with the same
+    exact-cents discipline as everything else (scaled-long sum, one final
+    divide).  The DataFrame is handed to ``spark.sql`` via Spark 4's
+    df-templating kwargs, so no temp view registration leaks session
+    state.
+
+    Catalyst parses pipes into the SAME logical plan as the classic form —
+    pushdown/pruning/AQE all apply unchanged, so the scale story is
+    `region_revenue`'s: map-side partial aggregation, #groups-row
+    shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return spark.sql(
+        """
+FROM {orders}
+|> WHERE o_totalprice IS NOT NULL
+|> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+|> AGGREGATE count(*) AS n_orders,
+             CAST(sum(price_cents) AS DOUBLE) / 100 AS revenue
+   GROUP BY o_orderstatus, o_orderpriority
+|> ORDER BY o_orderstatus, o_orderpriority
+""",
+        orders=orders,
+    )

@@ -1510,3 +1510,99 @@ def q_dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.693147).alias("epsilon_nominal"),
         F.lit(True).alias("seeded"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (hashed-feature LM ratio)
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCE = "src1"  # the in-distribution exemplar corpus
+_DSIR_TOPK = 25
+
+
+@query(
+    "dsir_importance_sample",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           source IS NOT DISTINCT FROM '{_DSIR_TARGET_SOURCE}' AS is_tgt,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+), vocab AS (
+    SELECT w,
+           CAST(count_if(is_tgt) AS BIGINT)     AS t_c,
+           CAST(count_if(NOT is_tgt) AS BIGINT) AS r_c
+    FROM toks WHERE w <> '' GROUP BY w
+), totals AS (
+    SELECT sum(t_c) AS t_n, sum(r_c) AS r_n, count(*) AS v FROM vocab
+), scored AS (
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(
+               ln((vo.t_c + 1) / CAST(totals.t_n + totals.v AS DOUBLE))
+             - ln((vo.r_c + 1) / CAST(totals.r_n + totals.v AS DOUBLE))
+           ) * 10000) / 10000 AS importance_weight
+    FROM toks t JOIN vocab vo ON t.w = vo.w, totals
+    WHERE NOT t.is_tgt AND t.w <> ''
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, importance_weight
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY importance_weight DESC, doc_id
+    ) AS rn FROM scored
+)
+WHERE rn <= {_DSIR_TOPK}
+ORDER BY importance_weight DESC, doc_id
+""",
+)
+def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): score every RAW-pool
+    document by the mean unigram log-likelihood ratio between a TARGET
+    corpus LM (here the 'src1' source, standing in for the
+    in-distribution exemplar set) and the raw-pool LM — both add-one
+    smoothed — and keep the top-25 most target-like documents.  This is
+    the composed selection tier over the primitives the registry proves
+    separately (`unigram_logprob_scores` the LM scoring,
+    `source_unigram_divergence` the distribution distance,
+    `weighted_doc_sample` the weighted draw).
+
+    Target membership is NULL-safe (`IS NOT DISTINCT FROM` /
+    ``eqNullSafe``) so NULL-source docs land in the raw pool on both
+    engines, and only raw-pool docs are scored (the target's own docs are
+    already in-distribution).
+
+    Scale shape: one tokenize pass feeds a vocabulary-sized hash aggregate
+    (per-word target/raw counts via conditional sums — one shuffle keyed
+    on the word); totals join back as a broadcast scalar; scoring is the
+    token->vocab equi-join `unigram_logprob_scores` already audits (AQE
+    splits the head-word skew); per-doc reduce + TakeOrdered top-k — no
+    global window touches a corpus-proportional relation."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.col("source").eqNullSafe(F.lit(_DSIR_TARGET_SOURCE)).alias("is_tgt"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(
+        F.sum(F.col("is_tgt").cast("long")).cast("long").alias("t_c"),
+        F.sum((~F.col("is_tgt")).cast("long")).cast("long").alias("r_c"),
+    )
+    totals = vocab.agg(
+        F.sum("t_c").alias("t_n"), F.sum("r_c").alias("r_n"), F.count("*").alias("v")
+    )
+    lr = F.log((F.col("t_c") + 1) / (F.col("t_n") + F.col("v")).cast("double")) - F.log(
+        (F.col("r_c") + 1) / (F.col("r_n") + F.col("v")).cast("double")
+    )
+    scored = (
+        scalar_join(toks.where(~F.col("is_tgt")).join(vocab, "w"), totals)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            fround(F.avg(lr), 4).alias("importance_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.col("importance_weight").desc(), "doc_id"
+    ).limit(_DSIR_TOPK)

@@ -1576,6 +1576,19 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation instead of re-deriving every earlier census (without it the
     plan tree doubles per round — the same exponential-lineage pitfall
     ``star_component_labels`` documents)."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    """The shared BPE trainer loop: returns (one 1-row merge relation per
+    round, the final merged vocabulary as (s: double-space symbol string,
+    f: corpus frequency)).  ``bpe_learn_merges`` unions the merge table;
+    ``bpe_encode_tokens`` censuses the final vocabulary — both reuse this
+    one loop so the learned tokenizer and its application can't diverge."""
     from e_commerce_streaming_datapipeline_spark.functions.scalars import (
         scalar_join,
     )
@@ -1641,7 +1654,69 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "f",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return merges, words
+
+
+_BPE_ENCODE_TOPK = 20
+
+
+@query(
+    "bpe_encode_tokens",
+    oracle=f"""
+WITH wc AS (
+    SELECT w, count(*) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= {_BPE_MIN_WORD_LEN}
+    GROUP BY 1
+), w0 AS (
+    SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s, f
+    FROM wc
+)
+"""
+    + "".join(
+        _BPE_STAGE_SQL.format(i=i, prev=i - 1) for i in range(1, _BPE_MERGES + 1)
+    )
+    + f""", census AS (
+    SELECT u.t AS token,
+           CAST(sum(f) AS BIGINT)   AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_vocab_slots
+    FROM (SELECT string_split(trim(s), '  ') AS syms, f FROM w{_BPE_MERGES}),
+         LATERAL unnest(syms) u(t)
+    GROUP BY 1
+)
+SELECT token, n_occurrences, n_vocab_slots
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY n_occurrences DESC, token
+    ) AS rn FROM census
+)
+WHERE rn <= {_BPE_ENCODE_TOPK}
+ORDER BY n_occurrences DESC, token
+""",
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the learned tokenizer APPLIED: run the same 5-round
+    trainer as `bpe_learn_merges`, then census the resulting token stream
+    (each vocabulary word re-segmented under the learned merges, weighted
+    by corpus frequency) and report the top-20 tokens by corpus occurrence
+    count — the post-merge vocabulary head a tokenizer ships.  Pairs with
+    the trainer the way sentencepiece's encode pairs with train: same merge
+    table by construction (one shared loop, `_bpe_train`).
+
+    Scale shape: everything up to the final vocabulary is the trainer's
+    audited loop (vocabulary-relation rounds, zero Python); the census is
+    one explode + hash-agg over the merged vocabulary (shuffle = distinct
+    post-merge tokens) and the top-20 is TakeOrdered, not a global window
+    sort."""
+    _, words = _bpe_train(spark, sf_dir)
+    census = (
+        words.select(F.explode(F.split(F.trim("s"), "  ")).alias("token"), "f")
+        .groupBy("token")
+        .agg(
+            F.sum("f").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_vocab_slots"),
+        )
+    )
+    return census.orderBy(
+        F.col("n_occurrences").desc(), "token"
+    ).limit(_BPE_ENCODE_TOPK)

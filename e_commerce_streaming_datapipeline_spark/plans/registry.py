@@ -64,10 +64,10 @@ _OPERATOR_MODULES = [
 # Rotation ledger: the driver hash-checks only the first 50 entries of
 # ``queries()``, so per-round the prefix rotates through the registry while
 # keeping one witness per SURVEY §2 / LLM-pipeline family.  Names witnessed
-# by a driver CORRECTNESS row in earlier rounds (r1-r3 windows; see
-# CORRECTNESS_r0{1,2,3}.json) — kept so each round's rotation can prove it
+# by a driver CORRECTNESS row in any earlier round (r1-r4 windows; see
+# CORRECTNESS_r0{1,2,3,4}.json) — kept so each round's rotation can prove it
 # adds never-before-witnessed queries:
-_DRIVER_WITNESSED_R1_R3 = frozenset(
+_DRIVER_WITNESSED_PRIOR = frozenset(
     {
         # the round-4 window (CORRECTNESS_r04.json): every name below got a
         # driver row in r4 — zorder_layout_stats is deliberately NOT listed

@@ -435,6 +435,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "mmr_diversified_topk",   # query-vector fan-out feeding the MMR kernel
         "kmeans_lloyd_step",      # K-row centroid-table broadcast (Lloyd assignment)
         "trained_ivf_topk",       # same K-row centroid broadcast, x3 (train/assign/probe)
+        "embedding_topk_ivf_adc", # inherits the K-row centroid crossJoin (ivf_assign)
+        "ivf_probe_recall_audit", # ditto + 3-row nprobe-levels cross join
         "source_fuzzy_pairs",     # 20-row distinct-key self-join, length-banded
         "revenue_theilsen_trend", # daily-aggregate pair expansion (n_days^2/2)
         "locf_value_15min",       # spine x |event types| tiny-relation grid

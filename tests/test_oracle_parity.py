@@ -92,7 +92,11 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # clusters nothing (dup_clusters), contributes no bigrams
                  # (perplexity) and no tf-idf terms on either engine
                  "minhash_near_dups", "dup_clusters", "bigram_perplexity",
-                 "tfidf_top_terms"]
+                 "tfidf_top_terms",
+                 # r5 additions: NULL text adds no words to the BPE
+                 # vocabulary (train AND encode), and DSIR's NULL-source
+                 # doc lands in the raw pool (null-safe target membership)
+                 "bpe_encode_tokens", "dsir_importance_sample"]
 
 
 @pytest.fixture(scope="module")
@@ -451,8 +455,9 @@ _EMBEDDINGS_EDGE_QUERIES = [
     # PQ: the NULL/ragged rows must drop at the load gate in BOTH engines
     # before subspace slicing ever sees them (the stream twin gates inline)
     "embedding_topk_pq", "embedding_topk_pq_rerank", "pq_encode_stream",
-    # the composed IVF-ADC shares the same load gate for BOTH indexes
-    "embedding_topk_ivf_adc",
+    # the composed IVF-ADC + the probe audit share the load gate for BOTH
+    # indexes (NULL/ragged vectors must drop before either codebook trains)
+    "embedding_topk_ivf_adc", "ivf_probe_recall_audit",
     "training_record_export", "cogrouped_doc_vec_profile", "negative_samples",
     # NULL orderdate also rides this fixture (calendar-frame policy)
     "daily_revenue_ma",

@@ -20,7 +20,7 @@ class TestProofPrefix:
 
     # family -> representative queries that MUST sit inside the driver window
     # (round-5 rotation: one keeper per family; the freed slots rotate to
-    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_R1_R3)
+    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_PRIOR)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
@@ -73,10 +73,11 @@ class TestProofPrefix:
             assert witnesses <= window, f"family {family} missing {witnesses - window}"
 
     def test_rotation_adds_never_witnessed_queries(self):
-        """VERDICT r3 task #2: the round-4 window must witness >= 15 queries
-        that never had a driver CORRECTNESS row in rounds 1-3."""
+        """Rotation contract (VERDICT r3 task #2, renewed every round): the
+        current window must witness >= 15 queries that never had a driver
+        CORRECTNESS row in any earlier round."""
         window = set(registry._PROOF_PREFIX)
-        fresh = window - registry._DRIVER_WITNESSED_R1_R3
+        fresh = window - registry._DRIVER_WITNESSED_PRIOR
         assert len(fresh) >= 15, sorted(fresh)
 
     def test_reorder_loses_no_queries(self):
