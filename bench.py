@@ -178,6 +178,7 @@ EXTENDED_R5 = [
     "dsir_importance_sample",  # DSIR unigram log-ratio data selection
     "pipe_syntax_revenue",     # Spark 4 SQL pipe (|>) rollup
     "ivf_probe_recall_audit",  # trained-IVF recall-vs-nprobe tuning curve
+    "complete_funnel_stream",  # windowed agg -> windowed agg -> stream join
 ]
 
 

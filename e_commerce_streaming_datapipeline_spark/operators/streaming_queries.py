@@ -2201,3 +2201,92 @@ def q_pq_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("max_vec_id"),
     )
     return _run_to_table(spark, census, "pq_encode_stream")
+
+
+# --------------------------------------------------------------------------
+# v_complete_funnel as ONE streaming query: agg -> agg -> JOIN (multi-
+# stateful-operator chaining, Spark 4)
+# --------------------------------------------------------------------------
+
+@query(
+    "complete_funnel_stream",
+    oracle="""
+WITH wm AS (
+    SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
+    FROM events WHERE ts IS NOT NULL
+), f AS (
+    SELECT
+        date_trunc('hour', ts)                      AS window_start,
+        date_trunc('hour', ts) + INTERVAL '1 hour'  AS window_end,
+        count(*)                                    AS total_events,
+        CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchases
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+), g AS (
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS gmv,
+        count(*)               AS item_count
+    FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+    GROUP BY 1
+)
+SELECT f.window_start, f.window_end, f.total_events, f.purchases,
+       g.gmv, g.item_count
+FROM f JOIN g USING (window_start), wm
+WHERE f.window_end < wm.w
+""",
+)
+def q_complete_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``v_complete_funnel`` (init_metrics.sql:175-209) as
+    ONE true streaming query: TWO windowed streaming aggregations (the
+    funnel census over all events; the GMV rollup over purchases) JOINED on
+    their window inside the same plan — windowed agg → windowed agg → equi
+    join is exactly the multi-stateful-operator chaining Spark 4 allows and
+    the reference's architecture (4 independent queries re-reading each
+    topic, stitched back together in Postgres) could not express.  The
+    batch `complete_funnel` is the static twin; `journey_stream_join` is
+    the row-level (pre-aggregation) sibling.
+
+    One watermark on the shared source feeds both legs, so the global
+    watermark is max(ts) − 10 min over ALL events; append mode emits a
+    joined row once the watermark passes the hour's end on both finalized
+    sides — the oracle is the batch agg-join restricted to
+    ``window_end < floor_ms(max ts) − delay``, hash-checked (scaled-long
+    cents, NULL-ts rows dropped explicitly on both sides, NULL values
+    skipped by the cents sum in both engines).
+
+    Scale shape: each leg is a standard partial+final windowed hash agg
+    (state = #open windows); the join keys are the window structs, so the
+    join state holds only FINALIZED agg rows per window — bounded by the
+    watermark horizon, evicted as it advances.  No raw event ever reaches
+    the join."""
+    events = read_file_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    hour = F.window("ts", "1 hour")
+    funnel = events.groupBy(hour.alias("w")).agg(
+        F.count("*").alias("total_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+    gmv = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("w"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
+            ).alias("gmv"),
+            F.count("*").alias("item_count"),
+        )
+    )
+    joined = funnel.join(gmv, "w").select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "total_events",
+        "purchases",
+        "gmv",
+        "item_count",
+    )
+    return _run_to_table(
+        spark, joined, "complete_funnel_stream", output_mode="append"
+    )

@@ -279,6 +279,9 @@ _EVENTS_EDGE_QUERIES = [
     "jdbc_upsert_roundtrip", "python_datasource_feed", "variant_props_stats",
     "cdc_apply_latest", "locf_value_15min", "journey_stream_join",
     "gmv_pattern_topk",
+    # agg->agg->join streaming chain: NULL-ts rows drop before the window,
+    # NULL values skip the cents sum, on both engines
+    "complete_funnel_stream",
 ]
 
 
