@@ -2260,7 +2260,24 @@ def q_complete_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     join state holds only FINALIZED agg rows per window — bounded by the
     watermark horizon, evicted as it advances.  No raw event ever reaches
     the join."""
-    events = read_file_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    joined = build_complete_funnel_joined(spark, sf_dir)
+    return _run_to_table(
+        spark, joined, "complete_funnel_stream", output_mode="append"
+    )
+
+
+def build_complete_funnel_joined(
+    spark: SparkSession,
+    src_dir: str,
+    filename: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The agg→agg→join streaming plan, factored out so the multi-micro-
+    batch replay-equivalence test can drive the same construction over a
+    chunked source (``tests/test_streaming.py``)."""
+    events = read_file_stream(
+        spark, src_dir, filename, max_files_per_trigger
+    ).withWatermark("ts", "10 minutes")
     hour = F.window("ts", "1 hour")
     funnel = events.groupBy(hour.alias("w")).agg(
         F.count("*").alias("total_events"),
@@ -2279,14 +2296,11 @@ def q_complete_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("item_count"),
         )
     )
-    joined = funnel.join(gmv, "w").select(
+    return funnel.join(gmv, "w").select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         "total_events",
         "purchases",
         "gmv",
         "item_count",
-    )
-    return _run_to_table(
-        spark, joined, "complete_funnel_stream", output_mode="append"
     )

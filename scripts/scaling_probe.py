@@ -72,6 +72,11 @@ QUERIES = [
     "source_unigram_divergence",  # vocab-keyed pair join (counts scale, vocab doesn't)
     "bootstrap_revenue_ci",   # resamples the day-grain rollup (spine-sized)
     "dpp_partitioned_join",   # runtime-pruned partition scan
+    # round-5 additions
+    "dsir_importance_sample", # vocab-keyed LM-ratio scoring + TakeOrdered
+    "bpe_encode_tokens",      # trainer rounds on the vocab relation + census
+    "embedding_topk_ivf_adc", # IVF-pruned ADC: candidate set ~ nprobe/K * N
+    "complete_funnel_stream", # agg->agg->join streaming chain (state = windows)
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

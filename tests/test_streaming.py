@@ -1338,3 +1338,56 @@ def test_funnel_completion_fires_once_despite_second_sequence(spark, tmp_path):
     assert rows[0]["first_view"] == m(0)
     assert rows[0]["first_click"] == m(1)
     assert rows[0]["purchase_ts"] == m(2)
+
+
+def test_agg_join_chain_multi_batch_equals_single_batch(spark, sf_dir, tmp_path):
+    """complete_funnel_stream's agg→agg→join chain replayed over 4
+    time-sorted micro-batches (maxFilesPerTrigger=1) must emit the same
+    final set as the single-batch availableNow run: the watermark advances
+    BETWEEN batches, so both aggregation states and the window-equi join
+    state are finalized/evicted incrementally — the cross-batch correctness
+    property of the multi-stateful-operator chain that one batch cannot
+    exercise."""
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.operators.streaming_queries import (
+        build_complete_funnel_joined,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    chunk_dir = tmp_path / "funnel_chunks"
+    chunk_dir.mkdir()
+    n = tbl.num_rows
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            str(chunk_dir / f"events-{i}.parquet"),
+        )
+
+    def run(src_dir, filename, mfpt, name):
+        joined = build_complete_funnel_joined(
+            spark, str(src_dir), filename, max_files_per_trigger=mfpt
+        )
+        ckpt = tmp_path / f"ckpt_{name}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["window_start"], r["window_end"]): (
+                r["total_events"], r["purchases"], r["gmv"], r["item_count"]
+            )
+            for r in spark.table(name).collect()
+        }
+
+    single = run(sf_dir, "events.parquet", None, "cf_single")
+    multi = run(chunk_dir, "events-*.parquet", 1, "cf_multi")
+    assert single, "single-batch run emitted nothing"
+    assert multi == single
