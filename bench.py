@@ -179,6 +179,7 @@ EXTENDED_R5 = [
     "pipe_syntax_revenue",     # Spark 4 SQL pipe (|>) rollup
     "ivf_probe_recall_audit",  # trained-IVF recall-vs-nprobe tuning curve
     "complete_funnel_stream",  # windowed agg -> windowed agg -> stream join
+    "dsir_admission_stream",   # DSIR gate per micro-batch (foreachBatch)
 ]
 
 

@@ -1580,11 +1580,30 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits the head-word skew); per-doc reduce + TakeOrdered top-k — no
     global window touches a corpus-proportional relation."""
     docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
-    toks = docs.select(
+    vocab, totals = dsir_ratio_model(docs)
+    raw_toks = _dsir_tokens(docs).where(~F.col("is_tgt"))
+    scored = dsir_score(raw_toks, vocab, totals)
+    return scored.orderBy(
+        F.col("importance_weight").desc(), "doc_id"
+    ).limit(_DSIR_TOPK)
+
+
+def _dsir_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_tgt, w): one token row per word with NULL-safe target
+    membership — the shared tokenize/flag step of model fit and scoring."""
+    return docs.select(
         "doc_id",
         F.col("source").eqNullSafe(F.lit(_DSIR_TARGET_SOURCE)).alias("is_tgt"),
         F.explode(F.split("text", " ")).alias("w"),
     ).where(F.col("w") != "")
+
+
+def dsir_ratio_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit the DSIR unigram ratio model on ``docs``: returns the
+    vocabulary relation (w, t_c, r_c) and the 1-row totals (t_n, r_n, v).
+    Shared by the batch selection and the streaming admission gate so the
+    model both paths score against is one definition."""
+    toks = _dsir_tokens(docs)
     vocab = toks.groupBy("w").agg(
         F.sum(F.col("is_tgt").cast("long")).cast("long").alias("t_c"),
         F.sum((~F.col("is_tgt")).cast("long")).cast("long").alias("r_c"),
@@ -1592,17 +1611,24 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = vocab.agg(
         F.sum("t_c").alias("t_n"), F.sum("r_c").alias("r_n"), F.count("*").alias("v")
     )
+    return vocab, totals
+
+
+def dsir_score(
+    toks: DataFrame, vocab: DataFrame, totals: DataFrame
+) -> DataFrame:
+    """Score token rows against a fitted ratio model: per-doc mean add-one-
+    smoothed log-likelihood ratio — (doc_id, n_tokens, importance_weight).
+    Tokens absent from the model vocabulary drop (inner join), matching
+    the SQL oracle's join semantics."""
     lr = F.log((F.col("t_c") + 1) / (F.col("t_n") + F.col("v")).cast("double")) - F.log(
         (F.col("r_c") + 1) / (F.col("r_n") + F.col("v")).cast("double")
     )
-    scored = (
-        scalar_join(toks.where(~F.col("is_tgt")).join(vocab, "w"), totals)
+    return (
+        scalar_join(toks.join(vocab, "w"), totals)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             fround(F.avg(lr), 4).alias("importance_weight"),
         )
     )
-    return scored.orderBy(
-        F.col("importance_weight").desc(), "doc_id"
-    ).limit(_DSIR_TOPK)

@@ -2304,3 +2304,107 @@ def build_complete_funnel_joined(
         "gmv",
         "item_count",
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR admission ON A STREAM: ingest-time data selection (foreachBatch gate)
+# --------------------------------------------------------------------------
+
+@query(
+    "dsir_admission_stream",
+    oracle="""
+WITH hist AS (
+    SELECT * FROM documents
+    WHERE text IS NOT NULL AND doc_id % 10 <> 0
+), toks AS (
+    SELECT doc_id,
+           source IS NOT DISTINCT FROM 'src1' AS is_tgt,
+           unnest(string_split(text, ' ')) AS w
+    FROM hist
+), vocab AS (
+    SELECT w,
+           CAST(count_if(is_tgt) AS BIGINT)     AS t_c,
+           CAST(count_if(NOT is_tgt) AS BIGINT) AS r_c
+    FROM toks WHERE w <> '' GROUP BY w
+), totals AS (
+    SELECT sum(t_c) AS t_n, sum(r_c) AS r_n, count(*) AS v FROM vocab
+), feed AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 10 = 0
+      AND source IS DISTINCT FROM 'src1'
+), scored AS (
+    SELECT f.doc_id,
+           count(*) AS n_tokens,
+           round(avg(
+               ln((vo.t_c + 1) / CAST(totals.t_n + totals.v AS DOUBLE))
+             - ln((vo.r_c + 1) / CAST(totals.r_n + totals.v AS DOUBLE))
+           ) * 10000) / 10000 AS importance_weight
+    FROM feed f JOIN vocab vo ON f.w = vo.w, totals
+    WHERE f.w <> ''
+    GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, importance_weight
+FROM scored WHERE importance_weight > 0
+""",
+)
+def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR AT INGEST: the importance-ratio model is fitted ONCE on the
+    historical pool (doc_id % 10 != 0 plays the warehouse), and arriving
+    raw-pool documents (doc_id % 10 == 0 plays the live feed) are scored
+    per micro-batch inside ``foreachBatch`` — documents more target-like
+    than the raw average (weight > 0) are admitted.  The selection tier's
+    streaming twin, exactly as `minhash_admission_stream` twins the
+    near-dup gate: a STATELESS per-batch decision (each document's verdict
+    depends only on itself and the fitted model), sharing
+    `dsir_ratio_model`/`dsir_score` with the batch `dsir_importance_sample`
+    so the two paths cannot diverge on what the score means.
+
+    Scale shape: the model is vocabulary-sized and fitted offline (two
+    hash aggregates); per batch the only work is the batch's tokens joined
+    against it (AQE handles head-word skew) plus a batch-local per-doc
+    reduce — no streaming state at all, so a Kafka-fed deployment admits
+    at ingest throughput.  At scale admitted docs land in a sink table;
+    the driver-side list is test scaffolding."""
+    from e_commerce_streaming_datapipeline_spark.operators.curation import (
+        _dsir_tokens,
+        dsir_ratio_model,
+    )
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+    from e_commerce_streaming_datapipeline_spark.operators.curation import dsir_score
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    vocab, totals = dsir_ratio_model(docs.where(F.col("doc_id") % 10 != 0))
+    # the fitted model is reused by EVERY micro-batch: materialize it once
+    # (vocabulary-sized) instead of re-aggregating the history per batch
+    vocab = vocab.localCheckpoint(eager=True)
+    totals = totals.localCheckpoint(eager=True)
+
+    admitted: list = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        feed = batch_df.where(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 10 == 0)
+            & ~F.col("source").eqNullSafe(F.lit("src1"))
+        )
+        toks = _dsir_tokens(feed).drop("is_tgt")
+        scores = dsir_score(toks, vocab, totals).where(
+            F.col("importance_weight") > 0
+        )
+        admitted.extend(scores.collect())
+
+    stream = read_file_stream(spark, sf_dir, "documents.parquet")
+    with _stream_run(spark, "dsir_admission") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.createDataFrame(
+        admitted, schema="doc_id long, n_tokens long, importance_weight double"
+    )

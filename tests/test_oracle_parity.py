@@ -96,7 +96,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # r5 additions: NULL text adds no words to the BPE
                  # vocabulary (train AND encode), and DSIR's NULL-source
                  # doc lands in the raw pool (null-safe target membership)
-                 "bpe_encode_tokens", "dsir_importance_sample"]
+                 "bpe_encode_tokens", "dsir_importance_sample",
+                 # the ingest gate: NULL text/source rows flow through the
+                 # per-batch scorer with the same NULL-safe semantics
+                 "dsir_admission_stream"]
 
 
 @pytest.fixture(scope="module")
