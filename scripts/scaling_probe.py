@@ -77,6 +77,7 @@ QUERIES = [
     "bpe_encode_tokens",      # trainer rounds on the vocab relation + census
     "embedding_topk_ivf_adc", # IVF-pruned ADC: candidate set ~ nprobe/K * N
     "complete_funnel_stream", # agg->agg->join streaming chain (state = windows)
+    "dsir_admission_stream",  # stateless foreachBatch gate vs fitted model
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c
