@@ -35,16 +35,39 @@ Measured crossover (``scripts/rank_crossover_probe.py``; SCALE.md
 on local[32] (0.44 s vs 1.81 s at 100k — pure job-count overhead), loses
 2.7× at 6M rows (15.0 s, of which 13.8 s is ONE task's sort, vs 5.6 s
 with a 32-task longest stage), and diverges linearly beyond that.  Do NOT
-"optimize" callers back to the global window for small fixtures — and do
-not wrap the chained passes in ``persist()`` either: within-execution
-shuffle-stage reuse already dedups the sampling/offsets/final jobs, so a
-cache only adds jobs (measured, same SCALE.md section).
+"optimize" callers back to the global window for small fixtures.
+
+**Why the ranked relation is persisted (round-6 correctness fix).**  The
+offsets branch and the final-join branch both read the range-shuffled
+relation.  Spark does NOT reuse that exchange between them: join-side
+attribute deduplication re-aliases one branch, canonicalized-plan equality
+fails, and the executed plan carries TWO physically independent
+``Exchange rangepartitioning`` nodes per rank (verified: the
+``zorder_layout_stats`` plan showed 4 range exchanges, 0 ``ReusedExchange``).
+Each instance samples its own range boundaries (``RangePartitioner``
+seeds vary with RDD id), so the boundaries backing the COUNTS can differ
+from the boundaries backing the LOCAL RANKS — rows near a disputed
+boundary then get offset by the wrong partition census, corrupting a few
+global ranks.  That is environment-dependent (input splits, parallelism,
+session history) and was the driver-only ``zorder_layout_stats`` hash
+mismatch in rounds 4-5 (rows/schema matched; a boundary row moved one
+file and shifted the span averages).  ``persist(MEMORY_AND_DISK)`` on the
+ranked relation pins ONE materialized partitioning that both branches
+scan (``InMemoryTableScan`` ×2, range exchange ×1), making the rank
+deterministic by construction.  Eviction under memory pressure is safe:
+recompute re-reads the SAME shuffle dependency (the partitioner object is
+fixed in the RDD DAG), it never re-samples.  At 100 TB this is the
+documented cost of an EXACT global rank — one disk-backed materialization
+of the relation, the same order of bytes the range shuffle itself already
+wrote; the sketch-based alternative for rank-tolerant consumers is
+``approx_value_percentiles`` (GK).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 RANK_PID = "__rank_pid"
 _LOCAL_RN = "__rank_local_rn"
@@ -78,6 +101,11 @@ def global_row_number(
         _LOCAL_RN,
         F.row_number().over(Window.partitionBy(RANK_PID).orderBy(*order_by)),
     )
+    # pin ONE materialized range partitioning for BOTH consumers (offsets
+    # branch + final join) — without this the two branches each run their
+    # own independently-sampled range exchange and can disagree on boundary
+    # rows (module docstring, "Why the ranked relation is persisted")
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
     # #partitions-row relation; its prefix-sum window is bounded by the
     # shuffle-partition count, independent of |df|
     counts = local.groupBy(RANK_PID).agg(F.max(_LOCAL_RN).alias("__rank_cnt"))

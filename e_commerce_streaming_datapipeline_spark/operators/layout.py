@@ -152,12 +152,15 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
         per_file.groupBy("layout")
         .agg(
             F.count("*").alias("n_files"),
-            # exact scaled integers, not rounded doubles: the span sums are
-            # exact longs and n_files is 64, so `sum*10000 div n` is the
-            # same BIGINT on every engine/canonicalization — the r4 driver
-            # hash mismatch was float-form skew, unreproducible locally
-            # (VERDICT r4 item 1); integers make the row canonicalization-
-            # proof, same discipline as revenue_gini / kmeans_lloyd_step.
+            # exact scaled integers (`sum*10000 div n` BIGINT), same
+            # discipline as revenue_gini / kmeans_lloyd_step.  NOTE: the
+            # r4/r5 driver hash mismatches were NOT float canonicalization —
+            # the real cause was the two-phase rank's offsets branch and
+            # join branch each running their own independently-SAMPLED range
+            # exchange (no ReuseExchange after join-side re-aliasing), so
+            # boundary rows could land in different files per environment;
+            # fixed at the source in functions/ranks.py (the ranked relation
+            # is now persisted so both branches scan one partitioning).
             F.expr("(sum(max_u - min_u + 1) * 10000) div count(*)")
             .cast("long")
             .alias("avg_user_span_x10000"),

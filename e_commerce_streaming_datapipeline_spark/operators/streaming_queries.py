@@ -2053,7 +2053,7 @@ WITH totals AS (
     GROUP BY 1
 )
 SELECT user_id, cents,
-       round(cents / 100.0, 2) AS revenue,
+       cents / 100.0 AS revenue,
        CAST(rn AS INT) AS rank
 FROM (
     SELECT *, row_number() OVER (ORDER BY cents DESC, user_id) AS rn
@@ -2078,8 +2078,6 @@ def q_leaderboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch top-10 (streaming-vs-batch equivalence)."""
     from pyspark.sql import functions as F
 
-    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
-
     stream = read_file_stream(spark, sf_dir).where(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
     )
@@ -2091,7 +2089,11 @@ def q_leaderboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collected.select(
         "user_id",
         "cents",
-        fround(F.col("cents") / 100.0, 2).alias("revenue"),
+        # revenue = ONE exact IEEE division of the exact long cents —
+        # deliberately no round() on either engine (the r5 driver witness
+        # was red with rounded revenue; a bare division is bit-identical
+        # under every engine version's rounding implementation)
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
 
@@ -2365,8 +2367,11 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates); per batch the only work is the batch's tokens joined
     against it (AQE handles head-word skew) plus a batch-local per-doc
     reduce — no streaming state at all, so a Kafka-fed deployment admits
-    at ingest throughput.  At scale admitted docs land in a sink table;
-    the driver-side list is test scaffolding."""
+    at ingest throughput.  Admitted documents land in a parquet sink
+    table per batch (executor-side append — exactly how a production
+    admission gate feeds the curated pool) and the result is read back
+    FROM that sink, so nothing row-proportional ever touches the
+    driver."""
     from e_commerce_streaming_datapipeline_spark.operators.curation import (
         _dsir_tokens,
         dsir_ratio_model,
@@ -2381,7 +2386,13 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = vocab.localCheckpoint(eager=True)
     totals = totals.localCheckpoint(eager=True)
 
-    admitted: list = []
+    import os
+    import tempfile
+    import uuid
+
+    sink_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_dsir_admit", uuid.uuid4().hex
+    )
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         feed = batch_df.where(
@@ -2393,7 +2404,13 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores = dsir_score(toks, vocab, totals).where(
             F.col("importance_weight") > 0
         )
-        admitted.extend(scores.collect())
+        # admitted rows append straight into the curated-pool sink table —
+        # a distributed write per batch, zero rows on the driver
+        scores.select(
+            F.col("doc_id").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.col("importance_weight").cast("double"),
+        ).write.mode("append").parquet(sink_dir)
 
     stream = read_file_stream(spark, sf_dir, "documents.parquet")
     with _stream_run(spark, "dsir_admission") as (name, checkpoint):
@@ -2405,6 +2422,8 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    return spark.createDataFrame(
-        admitted, schema="doc_id long, n_tokens long, importance_weight double"
-    )
+    if not os.path.isdir(sink_dir):  # no batch admitted anything
+        return spark.createDataFrame(
+            [], schema="doc_id long, n_tokens long, importance_weight double"
+        )
+    return spark.read.parquet(sink_dir)

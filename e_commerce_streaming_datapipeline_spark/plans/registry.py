@@ -69,10 +69,25 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_PRIOR = frozenset(
     {
+        # the round-5 window (CORRECTNESS_r05.json): every name below got a
+        # green driver row in r5 — zorder_layout_stats AND leaderboard_stream
+        # are deliberately NOT listed (their r5 rows were the two hash
+        # mismatches; both stay in the r6 window until driver-green, per the
+        # rotation rule's keeper-by-exception clause)
+        "dup_clusters", "dedup_rewrite_docs", "bigram_perplexity",
+        "cdc_apply_latest", "locf_value_15min", "lateral_top_lineitems",
+        "supplier_components_star", "embedding_topk_pq_rerank",
+        "pq_encode_stream", "bpe_learn_merges", "dp_noisy_lang_counts",
+        "neyman_allocation_sample", "exact_price_percentiles",
+        "salted_join_rewrite", "gmv_pattern_topk", "holt_forecast_backtest",
+        "embedding_topk_ivf_adc", "retrieval_eval_mrr", "pr_curve_thresholds",
+        "journey_stream_join", "k_anonymity_audit", "tfidf_top_terms",
+        "copurchase_pairs", "scd2_pit_lookup",
+    }
+) | frozenset(
+    {
         # the round-4 window (CORRECTNESS_r04.json): every name below got a
-        # driver row in r4 — zorder_layout_stats is deliberately NOT listed
-        # (its r4 row was the one hash mismatch; it stays in the r5 window
-        # until driver-green, per the r4 verdict)
+        # driver row in r4
         "trained_ivf_topk", "scd2_stream_merge", "bm25_topk",
         "markov_attribution", "mmr_diversified_topk", "psi_drift_stream",
         "calibration_bins", "semantic_dedup", "checkpoint_resume_stream",
@@ -113,11 +128,14 @@ _DRIVER_WITNESSED_PRIOR = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-5 window: 24 family keepers + zorder_layout_stats (kept in
-    # the window against the rotation rule until a driver-green row lands —
-    # r4 verdict task 1) + 25 rotated-in queries that have never had a
-    # driver CORRECTNESS row.  The per-family keeper set is pinned by
-    # tests/test_round3_ops.py.
+    # ---- round-6 window: 24 family keepers + the two keeper-by-exception
+    # queries (zorder_layout_stats, leaderboard_stream — r5's two red rows,
+    # both root-caused and rewired this round: the two-phase rank now pins
+    # one materialized range partitioning in functions/ranks.py, and the
+    # leaderboard emits revenue as a bare exact division with no round()
+    # call on either engine; they stay in the window until driver-green)
+    # + 24 rotated-in queries that have never had a driver CORRECTNESS row.
+    # The per-family keeper set is pinned by tests/test_round3_ops.py.
     #
     # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
@@ -153,40 +171,47 @@ _PROOF_PREFIX = (
     # TPC-H / sessionization
     "pricing_summary",
     "user_sessions",
-    # the one keeper-by-exception: r4's hash mismatch, rewritten this round
-    # to exact scaled-BIGINT spans — stays until driver-green
+    # the two keepers-by-exception: r5's red rows, root-caused this round —
+    # stay in the window until driver-green
     "zorder_layout_stats",
-    # ---- rotated in for round 5 (never driver-witnessed before) ----
-    # round-4 verdict's named candidates
-    "dup_clusters",
-    "dedup_rewrite_docs",
-    "bigram_perplexity",
-    "cdc_apply_latest",
-    "locf_value_15min",
-    "lateral_top_lineitems",
-    "supplier_components_star",
-    "embedding_topk_pq_rerank",
-    "pq_encode_stream",
-    "bpe_learn_merges",
-    "dp_noisy_lang_counts",
-    "neyman_allocation_sample",
-    "exact_price_percentiles",
-    "salted_join_rewrite",
-    "gmv_pattern_topk",
-    "holt_forecast_backtest",
-    # registered THIS round (newest code => highest witness value): the
-    # composed FAISS-style IVF-ADC layout (r4 verdict task 6)
-    "embedding_topk_ivf_adc",
-    # family coverage for slots the r4 window freed up: retrieval, eval,
-    # streaming, privacy, text/retrieval, analytics, lakehouse
-    "retrieval_eval_mrr",
-    "pr_curve_thresholds",
-    "journey_stream_join",
     "leaderboard_stream",
-    "k_anonymity_audit",
-    "tfidf_top_terms",
-    "copurchase_pairs",
-    "scd2_pit_lookup",
+    # ---- rotated in for round 6 (never driver-witnessed before) ----
+    # streaming admission gate rewired this round (sink-table output
+    # replacing the driver-side collect): highest witness value first
+    "dsir_admission_stream",
+    # data-layout / scan-pruning family (no driver row yet for any of it)
+    "bloom_filter_prejoin",
+    "compaction_plan",
+    "skew_key_diagnosis",
+    # graph family beyond components
+    "supplier_triangles",
+    "recursive_reachability",
+    # curation / privacy / ML-features
+    "dsir_importance_sample",
+    "curation_pipeline",
+    "l_diversity_audit",
+    "target_encoding_loo",
+    # drift / eval / statistics
+    "psi_value_drift",
+    "event_transition_matrix",
+    "conformal_interval",
+    # ANN tiers not yet witnessed (static-grid IVF + probe-sweep audit +
+    # hard-negative mining on top of the topk kernel)
+    "embedding_topk_ivf",
+    "ivf_probe_recall_audit",
+    "hard_negative_mining",
+    # multimodal beyond decode
+    "multimodal_dedup",
+    "multimodal_features",
+    # text / tokenizer surface
+    "bpe_encode_tokens",
+    "bigram_pmi_topk",
+    # dedup tiers (blocked semantic + streaming minhash admission)
+    "semantic_dedup_autoblock",
+    "minhash_admission_stream",
+    # sources: ORC sibling + corrupt-record DLQ roundtrip
+    "orc_source_stats",
+    "corrupt_dlq_roundtrip",
 )
 
 

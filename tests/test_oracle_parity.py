@@ -99,7 +99,11 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "bpe_encode_tokens", "dsir_importance_sample",
                  # the ingest gate: NULL text/source rows flow through the
                  # per-batch scorer with the same NULL-safe semantics
-                 "dsir_admission_stream"]
+                 "dsir_admission_stream",
+                 # r6 window pins: the fused quality->pii->dedup pipeline and
+                 # the streaming minhash gate must treat NULL/empty/stopword
+                 # docs exactly as their batch oracles do
+                 "curation_pipeline", "minhash_admission_stream"]
 
 
 @pytest.fixture(scope="module")
@@ -157,6 +161,11 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         # order statistics: NULL totalprice drops on both
                         # sides; NULL custkey groups and sorts NULLS LAST
                         "conformal_interval", "revenue_gini",
+                        # r6 window pin: a NULL o_custkey probes NULL bloom
+                        # positions -> both hash hits NULL-coalesce to 0 and
+                        # the row counts as a filtered true-negative on both
+                        # engines
+                        "bloom_filter_prejoin",
                         # recommender eval: NULL orderdate/custkey orders
                         # are out of scope on both engines
                         "popularity_rec_hitrate",
@@ -285,6 +294,9 @@ _EVENTS_EDGE_QUERIES = [
     # agg->agg->join streaming chain: NULL-ts rows drop before the window,
     # NULL values skip the cents sum, on both engines
     "complete_funnel_stream",
+    # r6 window pin: the ORC roundtrip must carry NULL value/ts/type rows
+    # through the writer/reader pair byte-identically to the parquet oracle
+    "orc_source_stats",
 ]
 
 
@@ -358,6 +370,9 @@ _LINEITEM_EDGE_QUERIES = [
     # NULL supp/part keys must drop from edges but keep their NULL node
     "supplier_components",
     "supplier_components_star",
+    # r6 window pin: recursive CTE walk — NULL supp/part keys form no edge,
+    # so the frontier expansion is NULL-free on both engines
+    "recursive_reachability",
     # r5 window pins: the lateral top-N per order (NULL keys/prices rank
     # nulls-last identically) and the salted-join rewrite (NULL keys salt
     # and group like any other key on both engines)

@@ -19,7 +19,7 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-5 rotation: one keeper per family; the freed slots rotate to
+    # (round-6 rotation: one keeper per family; the freed slots rotate to
     # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_PRIOR)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
@@ -32,31 +32,29 @@ class TestProofPrefix:
         "D_dedup": {"dedup_events"},
         "approx": {"approx_unique_users_hourly"},
         "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
-                      "python_datasource_feed"},
+                      "python_datasource_feed", "orc_source_stats",
+                      "corrupt_dlq_roundtrip"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
-        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf",
-                        "lateral_top_lineitems"},
-        "llm_dedup": {"minhash_near_dups", "dup_clusters",
-                      "dedup_rewrite_docs"},
-        "llm_ann": {"embedding_topk", "embedding_topk_ivf_adc",
-                    "embedding_topk_pq_rerank"},
-        "llm_text": {"text_stats", "bpe_learn_merges", "bigram_perplexity",
-                     "tfidf_top_terms"},
-        "llm_curation": {"pii_redaction", "neyman_allocation_sample"},
-        "llm_multimodal": {"multimodal_decode"},
-        "llm_retrieval": {"retrieval_eval_mrr"},
-        "llm_eval": {"pr_curve_thresholds"},
-        "streaming": {"gmv_stream_minutely", "pq_encode_stream",
-                      "journey_stream_join", "leaderboard_stream"},
+        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
+        "llm_dedup": {"minhash_near_dups", "semantic_dedup_autoblock",
+                      "minhash_admission_stream"},
+        "llm_ann": {"embedding_topk", "embedding_topk_ivf",
+                    "ivf_probe_recall_audit", "hard_negative_mining"},
+        "llm_text": {"text_stats", "bpe_encode_tokens", "bigram_pmi_topk"},
+        "llm_curation": {"pii_redaction", "dsir_importance_sample",
+                         "curation_pipeline", "target_encoding_loo"},
+        "llm_multimodal": {"multimodal_decode", "multimodal_dedup",
+                           "multimodal_features"},
+        "streaming": {"gmv_stream_minutely", "leaderboard_stream",
+                      "dsir_admission_stream"},
         "tpch": {"pricing_summary"},
-        "analytics": {"user_sessions", "gmv_pattern_topk",
-                      "copurchase_pairs"},
-        "graph": {"supplier_components_star"},
-        "privacy": {"dp_noisy_lang_counts", "k_anonymity_audit"},
-        "lakehouse": {"cdc_apply_latest", "scd2_pit_lookup"},
-        "rank_rewrites": {"zorder_layout_stats", "exact_price_percentiles"},
-        "timeseries": {"locf_value_15min", "holt_forecast_backtest"},
-        "skew": {"salted_join_rewrite"},
+        "analytics": {"user_sessions"},
+        "graph": {"supplier_triangles", "recursive_reachability"},
+        "privacy": {"l_diversity_audit"},
+        "drift_eval": {"psi_value_drift", "event_transition_matrix",
+                       "conformal_interval"},
+        "layout": {"zorder_layout_stats", "bloom_filter_prejoin",
+                   "compaction_plan", "skew_key_diagnosis"},
     }
 
     def test_prefix_is_driver_window_sized(self):

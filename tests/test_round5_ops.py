@@ -66,8 +66,13 @@ def test_bpe_encode_census_conserves_tokens(spark, sf_dir):
     occ = [r["n_occurrences"] for r in census]
     assert occ == sorted(occ, reverse=True)
     assert all(r["token"] for r in census)
-    merges = {r["merged"]: r["pair_count"]
-              for r in _rows("bpe_learn_merges", spark, sf_dir)}
+    # two distinct merge rounds can yield the SAME surface token (e.g.
+    # 'a'+'bc' and 'ab'+'c' both produce 'abc'); occurrences of that token
+    # then come from BOTH merges, so sum the pair counts per surface form
+    # instead of letting a dict silently keep only the last one
+    merges: dict = {}
+    for r in _rows("bpe_learn_merges", spark, sf_dir):
+        merges[r["merged"]] = merges.get(r["merged"], 0) + r["pair_count"]
     for r in census:
         if r["token"] in merges:
             assert r["n_occurrences"] <= merges[r["token"]]
