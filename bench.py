@@ -182,6 +182,13 @@ EXTENDED_R5 = [
     "dsir_admission_stream",   # DSIR gate per micro-batch (foreachBatch)
 ]
 
+# Sixth section (round 6+): queries REGISTERED in round 6.
+EXTENDED_R6 = [
+    "hilbert_layout_stats",    # Hilbert vs Z-order span tightness (32-col curve)
+    "logreg_sgd_step",         # two exact fixed-point GD steps (2 corpus aggs)
+    "sql_udf_revenue",         # SQL UDF + table function, 4-row range join
+]
+
 
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
@@ -205,7 +212,8 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for warm_query in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4 + EXTENDED_R5:
+    for warm_query in (HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4
+                       + EXTENDED_R5 + EXTENDED_R6):
         registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -217,7 +225,8 @@ def main() -> None:
     # number against machine draw noise (round-3 showed +-10% whole-suite
     # drift between driver draws).
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4 + EXTENDED_R5:
+    for name in (HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4
+                 + EXTENDED_R5 + EXTENDED_R6):
         q = registry[name]
         best = float("inf")
         for _ in range(3):
@@ -238,6 +247,7 @@ def main() -> None:
         "r3_total": round(sum(timings[n] for n in EXTENDED_R3), 3),
         "r4_total": round(sum(timings[n] for n in EXTENDED_R4), 3),
         "r5_total": round(sum(timings[n] for n in EXTENDED_R5), 3),
+        "r6_total": round(sum(timings[n] for n in EXTENDED_R6), 3),
     }
     full = {
         "metric": "headline_queries_total_runtime",

@@ -572,3 +572,77 @@ FROM {orders}
 """,
         orders=orders,
     )
+
+
+# -- SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN) --------------------
+
+@query(
+    "sql_udf_revenue",
+    oracle="""
+WITH bands AS (
+    SELECT band, band * 0.03 AS lo, band * 0.03 + 0.03 AS hi
+    FROM (SELECT unnest(range(0, 4)) AS band)
+)
+SELECT
+    b.band                                   AS band,
+    count(*)                                 AS n_items,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS DOUBLE) / 100                    AS revenue
+FROM lineitem l JOIN bands b
+  ON l.l_discount >= b.lo AND l.l_discount < b.hi
+WHERE l.l_extendedprice IS NOT NULL AND l.l_discount IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN``, the
+    catalog-resident cousin of Python UDFs): a SCALAR SQL UDF computes the
+    exact discounted cents per item and a SQL TABLE FUNCTION generates the
+    discount-band dimension the facts range-join against — revenue per
+    discount band, grouped through both UDF kinds at once.
+
+    Why this matters at scale: a SQL UDF body is INLINED into the plan by
+    Catalyst (no serialization boundary, no Python worker, full codegen),
+    so unlike Python UDFs it costs nothing over writing the expression by
+    hand — it is the right tool for shared business logic (here the
+    exact-cents discount formula) reused across queries.  The band table
+    function emits 4 rows, so Catalyst broadcast-joins it; the range
+    predicate makes it a BroadcastNestedLoopJoin whose inner side is 4
+    rows — constant per-row work, zero shuffle of the fact side.
+
+    The reference has no UDF surface at all (SURVEY §2.8); this completes
+    the engine's set alongside pandas UDAFs, UDTFs, Variant and the Python
+    DataSource."""
+    lineitem = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_discount").isNotNull()
+    )
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(price DOUBLE, disc DOUBLE)
+RETURNS BIGINT
+RETURN CAST(round(price * (1 - disc) * 100) AS BIGINT)
+"""
+    )
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION discount_bands()
+RETURNS TABLE(band INT, lo DOUBLE, hi DOUBLE)
+RETURN SELECT band, band * 0.03 AS lo, band * 0.03 + 0.03 AS hi
+       FROM (SELECT explode(sequence(0, 3)) AS band)
+"""
+    )
+    return spark.sql(
+        """
+SELECT
+    b.band                                   AS band,
+    count(*)                                 AS n_items,
+    CAST(sum(disc_cents(l.l_extendedprice, l.l_discount)) AS DOUBLE) / 100
+                                             AS revenue
+FROM {lineitem} l JOIN discount_bands() b
+  ON l.l_discount >= b.lo AND l.l_discount < b.hi
+GROUP BY 1
+ORDER BY 1
+""",
+        lineitem=lineitem,
+    )

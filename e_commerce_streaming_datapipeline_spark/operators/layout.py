@@ -227,6 +227,217 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hilbert-curve clustering (the locality upgrade over Z-order)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_levels(x: str, y: str, *, dialect: str) -> list[tuple[str, str]]:
+    """Per-level column definitions for the Hilbert index of the 8-bit cell
+    ``(x, y)`` — the classic xy2d walk (one quadrant decision per bit level,
+    rotate/flip the frame, accumulate s²-sized strides), unrolled into
+    ``4 * _ZBITS`` plain integer columns so the SAME arithmetic runs on
+    both engines (property-tested bijection + unit-step adjacency in
+    tests/test_round6_ops.py).  The XOR in the stride term is replaced by
+    its arithmetic identity ``3*rx + ry - 2*rx*ry`` (DuckDB's ``^`` is
+    POWER, not XOR — a classic cross-dialect trap).
+
+    Returns ``[(col_name, expr_sql), ...]`` in dependency order; callers
+    chain them as withColumns (Spark) or one CTE per level (DuckDB).
+    """
+
+    def bit(col: str, k: int) -> str:
+        if dialect == "spark":
+            return f"(shiftright({col}, {k}) & 1)"
+        return f"(({col} >> {k}) & 1)"
+
+    cols: list[tuple[str, str]] = [
+        ("hx0", x),
+        ("hy0", y),
+        ("hd0", "CAST(0 AS BIGINT)"),
+    ]
+    lvl = 0
+    for k in range(_ZBITS - 1, -1, -1):
+        s = 1 << k
+        px, py, pd = f"hx{lvl}", f"hy{lvl}", f"hd{lvl}"
+        rx, ry = f"hrx{lvl + 1}", f"hry{lvl + 1}"
+        cols.append((rx, bit(px, k)))
+        cols.append((ry, bit(py, k)))
+        cols.append(
+            (f"hd{lvl + 1}", f"{pd} + {s * s} * (3*{rx} + {ry} - 2*{rx}*{ry})")
+        )
+        # rotate/flip the frame for the next level: when ry=0 the quadrant
+        # is entered sideways — flip both axes if rx=1, then swap x/y
+        cols.append(
+            (
+                f"hx{lvl + 1}",
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {s - 1} - {py} ELSE {py} END) "
+                f"ELSE {px} END",
+            )
+        )
+        cols.append(
+            (
+                f"hy{lvl + 1}",
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {s - 1} - {px} ELSE {px} END) "
+                f"ELSE {py} END",
+            )
+        )
+        lvl += 1
+    return cols
+
+
+def hilbert_layout_stats(events: DataFrame) -> DataFrame:
+    """Z-order vs HILBERT clustering quality, same instrumentation as
+    ``zorder_layout_stats`` (64 equal-count files, per-file min/max spans,
+    point-predicate file hits): the Hilbert curve never takes the long
+    diagonal jumps Morton order takes between quadrants, so at equal bit
+    budget its per-file spans are tighter — this query MEASURES that
+    standard claim (it is why Databricks liquid clustering and modern
+    Iceberg layouts prefer Hilbert) instead of asserting it.
+
+    Scale shape: identical to the Z-order diagnostic — the curve index is
+    pure map-side integer work (32 unrolled columns, fused by whole-stage
+    codegen), the global rank is the persisted two-phase rank, and the
+    stats aggregate by (layout, file).  In the production write path the
+    same index feeds ``repartitionByRange(h).sortWithinPartitions(h)``.
+    """
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
+
+    base = events.select(
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(1 << _ZBITS)).cast("long").alias("u8"),
+        F.pmod(F.floor(F.unix_timestamp("ts") / 60), F.lit(1 << _ZBITS))
+        .cast("long")
+        .alias("t8"),
+    ).withColumn("z", F.expr(_interleave_sql("u8", "t8", dialect="spark")))
+    for name, expr in _hilbert_levels("u8", "t8", dialect="spark"):
+        base = base.withColumn(name, F.expr(expr))
+    base = base.select(
+        "event_id", "u8", "t8", "z", F.col(f"hd{_ZBITS}").alias("h")
+    )
+
+    def layout(df: DataFrame, name: str, key: str) -> DataFrame:
+        return (
+            global_row_number(
+                df,
+                [F.col(key).asc_nulls_last(), F.col("event_id").asc_nulls_last()],
+                rank_col="__rn_raw",
+                total_col="__n",
+            )
+            .withColumn("__rn", F.col("__rn_raw").cast("long"))
+            .select(
+                F.lit(name).alias("layout"),
+                F.expr(f"(( __rn - 1) * {_ZFILES}) div __n").alias("file_id"),
+                "u8",
+                "t8",
+            )
+        )
+
+    per_file = (
+        layout(base, "hilbert", "h")
+        .unionByName(layout(base, "zorder", "z"))
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("u8").alias("min_u"),
+            F.max("u8").alias("max_u"),
+            F.min("t8").alias("min_t"),
+            F.max("t8").alias("max_t"),
+        )
+    )
+    probe = _PROBE_USER_BUCKET
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.expr("(sum(max_u - min_u + 1) * 10000) div count(*)")
+            .cast("long")
+            .alias("avg_user_span_x10000"),
+            F.expr("(sum(max_t - min_t + 1) * 10000) div count(*)")
+            .cast("long")
+            .alias("avg_minute_span_x10000"),
+            F.sum(
+                ((F.col("min_u") <= probe) & (F.col("max_u") >= probe)).cast("long")
+            ).alias("probe_user_files_hit"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _hilbert_oracle() -> str:
+    levels = _hilbert_levels("u8", "t8", dialect="duckdb")
+    # fold the dependency-ordered column defs into chained CTEs, one per
+    # Hilbert level (5 defs each after the 3 seeds; same-SELECT lateral
+    # alias references are legal in DuckDB)
+    seeds, rest = levels[:3], levels[3:]
+    ctes = [
+        "lvl0 AS (SELECT *, "
+        + ", ".join(f"{e} AS {n}" for n, e in seeds)
+        + " FROM z)"
+    ]
+    for i in range(0, len(rest), 5):
+        group = rest[i : i + 5]
+        n_lvl = i // 5 + 1
+        ctes.append(
+            f"lvl{n_lvl} AS (SELECT *, "
+            + ", ".join(f"{e} AS {n}" for n, e in group)
+            + f" FROM lvl{n_lvl - 1})"
+        )
+    return f"""
+WITH base AS (
+    SELECT
+        event_id,
+        user_id % {1 << _ZBITS} AS u8,
+        CAST(floor(epoch(ts) / 60) AS BIGINT) % {1 << _ZBITS} AS t8
+    FROM events
+), z AS (
+    SELECT *, {_interleave_sql("u8", "t8", dialect="duckdb")} AS zv FROM base
+), {", ".join(ctes)}, keyed AS (
+    SELECT event_id, u8, t8, zv, hd{_ZBITS} AS h FROM lvl{_ZBITS}
+), ranked AS (
+    SELECT
+        'hilbert' AS layout,
+        ((row_number() OVER (ORDER BY h, event_id) - 1) * {_ZFILES})
+            // count(*) OVER () AS file_id,
+        u8, t8
+    FROM keyed
+    UNION ALL
+    SELECT
+        'zorder' AS layout,
+        ((row_number() OVER (ORDER BY zv, event_id) - 1) * {_ZFILES})
+            // count(*) OVER () AS file_id,
+        u8, t8
+    FROM keyed
+), per_file AS (
+    SELECT layout, file_id,
+           min(u8) AS min_u, max(u8) AS max_u,
+           min(t8) AS min_t, max(t8) AS max_t
+    FROM ranked GROUP BY 1, 2
+)
+SELECT
+    layout,
+    count(*) AS n_files,
+    CAST((sum(max_u - min_u + 1) * 10000) // count(*) AS BIGINT)
+        AS avg_user_span_x10000,
+    CAST((sum(max_t - min_t + 1) * 10000) // count(*) AS BIGINT)
+        AS avg_minute_span_x10000,
+    sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET} AND max_u >= {_PROBE_USER_BUCKET}
+             THEN 1 ELSE 0 END) AS probe_user_files_hit
+FROM per_file
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("hilbert_layout_stats", oracle=_hilbert_oracle())
+def q_hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Z-order clustering quality under the same 64-file split:
+    per-file min/max span per dimension and point-predicate file hits —
+    the measured case for Hilbert layouts (liquid clustering)."""
+    return hilbert_layout_stats(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter runtime pre-join filter
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "e_commerce_streaming_datapipeline_spark.operators.segmentation",
     "e_commerce_streaming_datapipeline_spark.operators.retrieval",
     "e_commerce_streaming_datapipeline_spark.operators.quality",
+    "e_commerce_streaming_datapipeline_spark.operators.ml_training",
 ]
 
 

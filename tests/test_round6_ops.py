@@ -101,3 +101,130 @@ class TestRankSingleMaterializedPartitioning:
         assert set(out) == {"natural", "zorder"}
         for r in out.values():
             assert r["n_files"] == _ZFILES
+
+
+class TestHilbertCodegen:
+    """The unrolled Hilbert SQL must BE a Hilbert curve: evaluating the
+    generated DuckDB dialect over every (x, y) cell of the 256x256 grid
+    must give a bijection onto 0..65535 whose consecutive cells are
+    Manhattan-adjacent (the locality property the layout query sells)."""
+
+    def test_generated_sql_is_a_hilbert_bijection(self):
+        import duckdb
+
+        from e_commerce_streaming_datapipeline_spark.operators.layout import (
+            _ZBITS,
+            _hilbert_levels,
+        )
+
+        levels = _hilbert_levels("x", "y", dialect="duckdb")
+        seeds, rest = levels[:3], levels[3:]
+        ctes = [
+            "lvl0 AS (SELECT *, "
+            + ", ".join(f"{e} AS {n}" for n, e in seeds)
+            + " FROM grid)"
+        ]
+        for i in range(0, len(rest), 5):
+            group = rest[i : i + 5]
+            n_lvl = i // 5 + 1
+            ctes.append(
+                f"lvl{n_lvl} AS (SELECT *, "
+                + ", ".join(f"{e} AS {n}" for n, e in group)
+                + f" FROM lvl{n_lvl - 1})"
+            )
+        n = 1 << _ZBITS
+        sql = f"""
+WITH grid AS (
+    SELECT CAST(a.range AS BIGINT) AS x, CAST(b.range AS BIGINT) AS y
+    FROM range(0, {n}) a, range(0, {n}) b
+), {", ".join(ctes)}
+SELECT hd{_ZBITS} AS d, x, y FROM lvl{_ZBITS} ORDER BY d
+"""
+        rows = duckdb.sql(sql).fetchall()
+        assert [r[0] for r in rows] == list(range(n * n))  # bijection
+        non_adjacent = sum(
+            1
+            for (_, x1, y1), (_, x2, y2) in zip(rows, rows[1:])
+            if abs(x1 - x2) + abs(y1 - y2) != 1
+        )
+        assert non_adjacent == 0  # unit-step locality
+
+    def test_hilbert_beats_zorder_on_fixture(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.layout import (
+            hilbert_layout_stats,
+        )
+
+        out = {
+            r["layout"]: r
+            for r in hilbert_layout_stats(
+                load_table(spark, "events", sf_dir)
+            ).collect()
+        }
+        assert set(out) == {"hilbert", "zorder"}
+        # the whole point of the operator: Hilbert's span is no worse on
+        # either dimension at equal bit budget
+        assert (
+            out["hilbert"]["avg_minute_span_x10000"]
+            <= out["zorder"]["avg_minute_span_x10000"]
+        )
+        assert (
+            out["hilbert"]["avg_user_span_x10000"]
+            <= out["zorder"]["avg_user_span_x10000"]
+        )
+
+
+class TestLogregStep:
+    def test_separable_synthetic_learns_value_signal(self, spark):
+        """Purchases at $100 vs clicks at $1: after two hard-sigmoid GD
+        steps the dollars weight must be positive and dominate the hour
+        weight (hour carries no signal here)."""
+        from e_commerce_streaming_datapipeline_spark.operators.ml_training import (
+            logreg_sgd_step,
+        )
+
+        rows = []
+        for i in range(200):
+            rows.append((i, "2024-01-01 10:00:00", "purchase", 100.0))
+            rows.append((i + 1000, "2024-01-01 10:00:00", "click", 1.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        out = {r["feature"]: r for r in logreg_sgd_step(df).collect()}
+        assert set(out) == {"bias", "dollars", "hour"}
+        assert out["dollars"]["w1_x1e6"] > 0
+        # after step 1 the $100 purchases saturate the hard sigmoid (p=1,
+        # zero residual) while $1 clicks pull mildly down — w2 stays
+        # positive and within a few percent of w1, and dominates the
+        # signal-free hour weight
+        assert out["dollars"]["w2_x1e6"] > 0
+        assert abs(out["dollars"]["w2_x1e6"] - out["dollars"]["w1_x1e6"]) < (
+            out["dollars"]["w1_x1e6"] // 10
+        )
+        assert out["dollars"]["w2_x1e6"] > abs(out["hour"]["w2_x1e6"])
+
+    def test_fixture_step_is_all_bigint(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.ml_training import (
+            logreg_sgd_step,
+        )
+
+        df = logreg_sgd_step(load_table(spark, "events", sf_dir))
+        assert [f.dataType.simpleString() for f in df.schema.fields[1:]] == [
+            "bigint"
+        ] * 4
+
+
+class TestSqlUdfSurface:
+    def test_bands_partition_the_discount_domain(self, spark, sf_dir):
+        """Every non-null-discount lineitem in [0, 0.12) lands in exactly
+        one band — the table function's bands are disjoint and covering."""
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        out = get_query("sql_udf_revenue").builder(spark, sf_dir).collect()
+        li = load_table(spark, "lineitem", sf_dir).where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & (F.col("l_discount") >= 0)
+            & (F.col("l_discount") < F.lit(4) * 0.03)
+        )
+        assert sum(r["n_items"] for r in out) == li.count()
+        assert all(r["revenue"] > 0 for r in out)
