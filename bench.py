@@ -187,6 +187,8 @@ EXTENDED_R6 = [
     "hilbert_layout_stats",    # Hilbert vs Z-order span tightness (32-col curve)
     "logreg_sgd_step",         # two exact fixed-point GD steps (2 corpus aggs)
     "sql_udf_revenue",         # SQL UDF + table function, 4-row range join
+    "ivm_delta_merge",         # incremental view maintenance (delta + merge)
+    "dim_refresh_stream",      # per-micro-batch refreshed stream-static dim
 ]
 
 

@@ -31,11 +31,12 @@ total order; under ties the assignment of consecutive ranks among equal
 keys is arbitrary on both engines (standard row_number nondeterminism).
 
 Measured crossover (``scripts/rank_crossover_probe.py``; SCALE.md
-"Two-phase rank crossover"): the naive global window wins below ~2M rows
-on local[32] (0.44 s vs 1.81 s at 100k — pure job-count overhead), loses
-2.7× at 6M rows (15.0 s, of which 13.8 s is ONE task's sort, vs 5.6 s
-with a 32-task longest stage), and diverges linearly beyond that.  Do NOT
-"optimize" callers back to the global window for small fixtures.
+"Two-phase rank crossover", re-measured round 6 with the persist fix
+below): the naive global window wins below ~1M rows on local[32] (0.29 s
+vs 0.41 s at 100k — pure job-count overhead), loses 3.2× at 6M rows
+(9.34 s, of which 9.06 s is ONE task's sort, vs 2.96 s with a 32-task
+longest stage), and diverges linearly beyond that.  Do NOT "optimize"
+callers back to the global window for small fixtures.
 
 **Why the ranked relation is persisted (round-6 correctness fix).**  The
 offsets branch and the final-join branch both read the range-shuffled

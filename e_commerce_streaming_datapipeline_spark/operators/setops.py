@@ -408,3 +408,87 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("line_items"),
         fround(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+# -- incremental view maintenance (self-maintainable aggregate merge) ---------
+
+# mid-month on purpose: the June-1998 groups exist on BOTH sides of the
+# split, so the group-wise + merge is actually exercised (a day-grain view
+# would make the union trivially disjoint)
+_IVM_CUTOFF = "1998-06-15"
+
+
+@query(
+    "ivm_delta_merge",
+    oracle="""
+SELECT
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    o_orderstatus             AS status,
+    count(*)                  AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                              AS month_revenue
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the daily-revenue view is NOT
+    recomputed from scratch when new orders land — the already-materialized
+    aggregate over the historical partition merges with the aggregate of
+    the DELTA alone, exploiting that count/sum are self-maintainable under
+    inserts (merge = group-wise +).  Hash-checked against the full
+    recompute oracle: maintenance and recompute must be indistinguishable.
+
+    This is the pattern behind every streaming-materialized dashboard
+    table and Delta/Iceberg MERGE-based rollup refresh: at 100 TB the
+    historical side is read as the SMALL materialized view relation
+    (#groups rows, not #orders), so daily refresh cost is proportional to
+    the delta — the whole point of IVM.  AVG-style views store (sum,
+    count) and divide at read; MIN/MAX are NOT insert-self-maintainable
+    under deletes, which is why production IVM keeps them append-only or
+    falls back to recompute (docstring contract, test-pinned).
+
+    The month x status grain is deliberately COARSER than the daily split
+    key, so cutoff-straddling groups (June 1998) exist on both sides and
+    the merge genuinely adds partial aggregates rather than concatenating
+    disjoint ones.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+                "order_month"
+            ),
+            F.col("o_orderstatus").alias("status"),
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "__cents"
+            ),
+        )
+
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+    # the materialized historical view (in production: read back from the
+    # stored view table, #groups rows) and the newly-arrived delta
+    hist_view = rollup(orders.where(F.col("o_orderdate").cast("date") < cutoff))
+    delta_view = rollup(
+        orders.where(
+            F.col("o_orderdate").cast("date").isNull()
+            | (F.col("o_orderdate").cast("date") >= cutoff)
+        )
+    )
+    merged = (
+        hist_view.unionByName(delta_view)
+        .groupBy("order_month", "status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("__cents").alias("__cents"),
+        )
+    )
+    return merged.select(
+        "order_month",
+        "status",
+        "n_orders",
+        (F.col("__cents").cast("double") / 100).alias("month_revenue"),
+    )

@@ -2427,3 +2427,141 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], schema="doc_id long, n_tokens long, importance_weight double"
         )
     return spark.read.parquet(sink_dir)
+
+
+# --------------------------------------------------------------------------
+# Per-micro-batch dimension refresh: the time-varying stream-static join
+# --------------------------------------------------------------------------
+
+@query(
+    "dim_refresh_stream",
+    oracle="""
+WITH typed AS (
+    SELECT
+        event_type,
+        (day(ts) - 1) // 7                                   AS wk,
+        CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)    AS cents
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), rated AS (
+    SELECT event_type, cents,
+           100 + 10 * wk + (length(event_type) % 7) AS rate_x100
+    FROM typed
+)
+SELECT
+    event_type,
+    count(*)                                     AS n_events,
+    CAST(sum(cents) AS DOUBLE) / 100             AS revenue,
+    CAST(sum(cents * rate_x100) AS DOUBLE) / 10000 AS adjusted_revenue
+FROM rated
+GROUP BY 1
+""",
+)
+def q_dim_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join where the static side CHANGES between micro-
+    batches — the production "slowly-changing lookup" problem
+    (`segment_revenue_stream` is the frozen-dimension sibling): Spark
+    resolves a stream-static join's static side ONCE at query start, so a
+    dimension that updates mid-stream (fx rates, price books, model
+    versions) silently serves stale rows.  The standard fix, demonstrated
+    here, is joining inside ``foreachBatch`` where the dimension is
+    re-derived per batch — each micro-batch broadcast-joins the CURRENT
+    rate table (version = batch ordinal), so later events settle at later
+    rates.
+
+    Determinism scaffolding: events are replayed as week-chunk files with
+    pinned ascending mtimes (the ``scd2_stream_merge`` mechanism), so each
+    micro-batch carries exactly one event-week and the "current dimension
+    snapshot" is the rate table versioned by that week — re-derived inside
+    the callback per batch, exactly where a production job would re-read
+    the live lookup table.  The oracle reconstructs every event's rate
+    from its week, so the check also proves no batch was served a stale
+    (earlier-week) snapshot; NULL types drop at the inner join on both
+    sides.
+
+    Scale: per-batch work is the batch scan + a broadcast hash join
+    against a |event-types|-row dimension + one partial aggregate into an
+    append-only sink — no stream-stream state at all, and the dimension
+    re-read per batch is exactly how production refreshes lookup tables
+    without restarting the query.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_dimref", uuid.uuid4().hex
+    )
+    feed_dir = os.path.join(run_dir, "feed")
+    sink_dir = os.path.join(run_dir, "admitted")
+    os.makedirs(feed_dir)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    tbl = tbl.filter(pc.is_valid(tbl["ts"]))
+    weeks = pc.divide(pc.subtract(pc.day(tbl["ts"]), 1), 7)  # int division
+    base_mtime = os.stat(sf_dir).st_mtime
+    for i, w in enumerate(sorted(pc.unique(weeks).to_pylist())):
+        path = os.path.join(feed_dir, f"events-wk{i:02d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(weeks, w)), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        typed = batch_df.where(F.col("event_type").isNotNull()).select(
+            "event_type",
+            ((F.dayofmonth("ts") - 1).cast("long") / 7)
+            .cast("long")
+            .alias("wk"),
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        # the CURRENT dimension snapshot for this batch: in production this
+        # is a read of the live lookup table; the version key is the
+        # batch's event-week (single-valued by the chunking), so the
+        # oracle can reconstruct which snapshot served each event
+        dim = (
+            typed.select("event_type", "wk")
+            .distinct()
+            .select(
+                "event_type",
+                "wk",
+                (F.lit(100) + F.lit(10) * F.col("wk") + F.length("event_type") % 7)
+                .cast("long")
+                .alias("rate_x100"),
+            )
+        )
+        (
+            typed.join(F.broadcast(dim), ["event_type", "wk"])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+                F.sum(F.col("cents") * F.col("rate_x100")).alias("adj_x100"),
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    with _stream_run(spark, "dim_refresh") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    per_batch = spark.read.parquet(sink_dir)
+    return per_batch.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+        (F.sum("adj_x100").cast("double") / 10000).alias("adjusted_revenue"),
+    )

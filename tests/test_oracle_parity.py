@@ -161,6 +161,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         # order statistics: NULL totalprice drops on both
                         # sides; NULL custkey groups and sorts NULLS LAST
                         "conformal_interval", "revenue_gini",
+                        # IVM merge: NULL orderdate is its own view group,
+                        # NULL totalprice sums as NULL-skipped cents on both
+                        # sides of the delta split
+                        "ivm_delta_merge",
                         # r6 window pin: a NULL o_custkey probes NULL bloom
                         # positions -> both hash hits NULL-coalesce to 0 and
                         # the row counts as a filtered true-negative on both
@@ -297,6 +301,9 @@ _EVENTS_EDGE_QUERIES = [
     # r6 window pin: the ORC roundtrip must carry NULL value/ts/type rows
     # through the writer/reader pair byte-identically to the parquet oracle
     "orc_source_stats",
+    # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
+    # drops at the dim join, NULL value counts 0 cents on both engines
+    "dim_refresh_stream",
 ]
 
 
