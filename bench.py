@@ -189,6 +189,8 @@ EXTENDED_R6 = [
     "sql_udf_revenue",         # SQL UDF + table function, 4-row range join
     "ivm_delta_merge",         # incremental view maintenance (delta + merge)
     "dim_refresh_stream",      # per-micro-batch refreshed stream-static dim
+    "prefix_filter_simjoin",   # PPJoin exact all-pairs similarity join
+    "kmv_set_overlap",         # KMV/theta sketch: distincts + set algebra
 ]
 
 

@@ -129,11 +129,19 @@ def shingled_docs(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     boundary), which at 100 TB means re-tokenizing every document ~3x per
     shingle."""
     toks_df = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # the expression must be TOTAL, not merely guarded by the filter below:
+    # Catalyst merges/reorders predicates assuming expressions cannot fail,
+    # so under some plan shapes the transform runs on size<k docs BEFORE the
+    # size filter — where sequence(0, size-k) has stop < start, Spark infers
+    # step -1 and DESCENDS into negative i, and toks[i+1] throws under ANSI
+    # (caught by the edge-fixture pin on prefix_filter_simjoin).  The CASE
+    # makes short docs yield an empty array no matter when it is evaluated.
     shingle_expr = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
         f"array_distinct(transform(sequence(0, size(toks) - {k}), "
         "i -> concat_ws(' ', "
         + ", ".join(f"toks[i + {j}]" for j in range(k))
-        + ")))"
+        + "))) ELSE array() END"
     )
     return (
         toks_df.where(F.size("toks") >= k)
@@ -1328,4 +1336,137 @@ def q_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(""),
             ).alias("clean_text"),
         )
+    )
+
+
+# -- prefix-filtered exact similarity join (PPJoin-style) ---------------------
+
+# word-level Jaccard threshold tau = 3/5, kept as an exact integer ratio:
+# every threshold comparison below is integer arithmetic (inter*5 >= uni*3,
+# ceil(tau*n) = (3n+4) div 5), so no knife-edge float can flip a pair in or
+# out on either engine — and the prefix length can never be computed one
+# short (a FALSE NEGATIVE) by a ceil() over a binary 0.6
+_PFX_TAU_NUM, _PFX_TAU_DEN = 3, 5  # over 3-word shingles (the MinHash grain)
+
+
+@query(
+    "prefix_filter_simjoin",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2]
+           )) AS ws
+    FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+), sized AS (
+    SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.ws, b.ws)) AS inter,
+           a.n + b.n - len(list_intersect(a.ws, b.ws)) AS uni
+    FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS n_shared,
+       round((CAST(inter AS DOUBLE) / uni) * 10000) / 10000 AS jaccard
+FROM pairs
+WHERE inter * {_PFX_TAU_DEN} >= uni * {_PFX_TAU_NUM}
+ORDER BY doc_a, doc_b
+""",
+)
+def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs similarity join above a Jaccard threshold via PREFIX
+    FILTERING (PPJoin family, Xiao et al. 2008) — the deterministic
+    complement to MinHash: zero false negatives by construction, with the
+    O(n²) candidate space cut down by the prefix-filter theorem instead of
+    by probability.
+
+    Mechanism: order every token by ascending corpus document-frequency
+    (rarest first, vocabulary-sized two-phase rank), sort each document's
+    token-id set in that order, and index ONLY each document's first
+    ``|d| - ceil(tau*|d|) + 1`` ids — if J(x, y) >= tau the two prefixes
+    must share at least one id, so candidates = the equi-self-join on
+    prefix ids and everything else is provably below threshold unseen.
+    Candidates are then verified with the exact intersection, so the
+    output equals the brute-force all-pairs oracle bit-for-bit.
+
+    100 TB shape: the joined relation is (prefix id -> doc) — rare-first
+    ordering makes prefixes hit the df-ascending tail, so candidate lists
+    per id stay small and the join shuffles prefix postings, never the
+    corpus squared; verification touches only candidate pairs.  The same
+    skeleton carries PPJoin's tighter length/positional filters when
+    needed (the length filter ``n_b <= n_a/tau`` is applied below).
+    """
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    toks = shingled_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("w")
+    )
+    # rare-first total order over the vocabulary (df asc, token asc) —
+    # vocabulary-sized, the designed use of the two-phase rank
+    vocab = toks.groupBy("w").agg(F.count("*").alias("df"))
+    ranked_vocab = global_row_number(
+        vocab,
+        [F.col("df").asc_nulls_last(), F.col("w").asc_nulls_last()],
+        rank_col="tid",
+    ).select("w", "tid")
+    ids = (
+        toks.join(ranked_vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tid")).alias("tids"))
+        .withColumn("n", F.size("tids"))
+        .where(F.col("n") > 0)
+    )
+    # ceil(tau*n) in exact integers: (3n + 4) div 5
+    ceil_tau_n = F.expr(
+        f"(n * {_PFX_TAU_NUM} + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}"
+    )
+    prefix_len = (F.col("n") - ceil_tau_n + 1).cast("int")
+    prefixes = ids.select(
+        "doc_id",
+        "tids",
+        "n",
+        F.explode(F.slice("tids", F.lit(1), prefix_len)).alias("pid"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tids").alias("tids_a"),
+        F.col("n").alias("n_a"),
+        "pid",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tids").alias("tids_b"),
+        F.col("n").alias("n_b"),
+        "pid",
+    )
+    cands = (
+        a.join(b, "pid")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # PPJoin length filter: J >= tau forces tau <= n_b/n_a <= 1/tau
+            # (exact integers: 3*n_b <= 5*n_a and 3*n_a <= 5*n_b)
+            & (F.col("n_b") * _PFX_TAU_NUM <= F.col("n_a") * _PFX_TAU_DEN)
+            & (F.col("n_a") * _PFX_TAU_NUM <= F.col("n_b") * _PFX_TAU_DEN)
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("tids_a", "tids_b")).cast("long")
+    uni = F.col("n_a") + F.col("n_b") - inter
+    return (
+        cands.where(inter * _PFX_TAU_DEN >= uni * _PFX_TAU_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_shared"),
+            fround(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -4396,3 +4396,141 @@ def q_residual_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+# -- KMV (k-minimum-values / theta) sketch: distinct counts AND set overlap --
+
+_KMV_K = 64
+_KMV_P = 2147483647  # Mersenne prime 2^31 - 1 (shared with the Bloom filter)
+_KMV_A, _KMV_B = 2654435761, 97
+_KMV_SCALE = (_KMV_K - 1) * _KMV_P  # (k-1)*P as one BIGINT literal (int32 would overflow)
+
+
+def _kmv_hash(col):
+    """Universal hash onto [1, P]: ((u mod P) * a + b) mod P, then +1 so the
+    estimator's divisor can never be 0.  Every product stays below
+    (P-1)*a < 2^63 — exact BIGINT arithmetic on both engines."""
+    return F.pmod(
+        F.pmod(col, F.lit(_KMV_P)) * F.lit(_KMV_A) + F.lit(_KMV_B), F.lit(_KMV_P)
+    ) + 1
+
+
+_KMV_HASH_SQL = f"((((user_id % {_KMV_P}) * {_KMV_A} + {_KMV_B}) % {_KMV_P}) + 1)"
+
+
+@query(
+    "kmv_set_overlap",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_p,
+           max(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS is_c,
+           {_KMV_HASH_SQL} AS h
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'click')
+    GROUP BY user_id
+), exact AS (
+    SELECT
+        CAST(sum(is_p) AS BIGINT)                    AS n_purchasers_exact,
+        CAST(sum(is_c) AS BIGINT)                    AS n_clickers_exact,
+        CAST(count(*) AS BIGINT)                     AS n_union_exact,
+        CAST(sum(is_p * is_c) AS BIGINT)             AS n_inter_exact
+    FROM flagged
+), kp AS (
+    SELECT max(h) AS hk FROM (
+        SELECT h FROM flagged WHERE is_p = 1 ORDER BY h, user_id LIMIT {_KMV_K})
+), kc AS (
+    SELECT max(h) AS hk FROM (
+        SELECT h FROM flagged WHERE is_c = 1 ORDER BY h, user_id LIMIT {_KMV_K})
+), ku AS (
+    SELECT max(h) AS hk, CAST(sum(is_p * is_c) AS BIGINT) AS n_both FROM (
+        SELECT h, is_p, is_c FROM flagged ORDER BY h, user_id LIMIT {_KMV_K})
+)
+SELECT
+    CAST({_KMV_K} AS BIGINT)                                  AS k,
+    e.n_purchasers_exact, e.n_clickers_exact,
+    e.n_union_exact, e.n_inter_exact,
+    CAST({_KMV_SCALE} // kp.hk AS BIGINT)                     AS est_purchasers,
+    CAST({_KMV_SCALE} // kc.hk AS BIGINT)                     AS est_clickers,
+    CAST({_KMV_SCALE} // ku.hk AS BIGINT)                     AS est_union,
+    CAST(ku.n_both * 10000 // {_KMV_K} AS BIGINT)             AS est_jaccard_x10000,
+    CAST(({_KMV_SCALE} // ku.hk) * ku.n_both // {_KMV_K}
+         AS BIGINT)                                           AS est_intersection
+FROM exact e, kp, kc, ku
+""",
+)
+def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch from first principles: the k MINIMUM hash values
+    of a set are a fixed-size summary whose k-th value estimates the
+    distinct count (n_hat = (k-1)*P / h_k), and — unlike HLL — KMV
+    sketches support SET ALGEBRA: the union sketch is the k smallest of
+    the merged minima, and the fraction of them belonging to BOTH sets
+    estimates the Jaccard, hence the intersection (the DataSketches theta
+    framework).  Purchasers vs clickers here, with the EXACT distinct
+    counts computed alongside as the accuracy audit.
+
+    Everything the hash touches is integer (universal hash mod a Mersenne
+    prime, integer-div estimators, x10000 fixed-point Jaccard), so the
+    row is bit-identical on any engine — the deterministic-parity sibling
+    of the rows-only `approx_unique_users_hourly` (HLL is engine-private;
+    KMV is pure arithmetic).
+
+    100 TB shape: one hash-aggregate to per-user flags, then three
+    TakeOrdered(k) passes (Spark's `orderBy().limit(k)` plans
+    TakeOrderedAndProject — per-partition heaps, never a global sort) and
+    constant-size reductions.  The sketch state is k longs per set — the
+    mergeable summary you keep per partition/day and OR together at read,
+    exactly like the bitmap/CMS/HLL family queries."""
+    events = load_table(spark, "events", sf_dir)
+    flagged = (
+        events.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("is_p"),
+            F.max((F.col("event_type") == "click").cast("long")).alias("is_c"),
+        )
+        .withColumn("h", _kmv_hash(F.col("user_id")))
+    )
+    exact = flagged.agg(
+        F.sum("is_p").alias("n_purchasers_exact"),
+        F.sum("is_c").alias("n_clickers_exact"),
+        F.count("*").alias("n_union_exact"),
+        F.sum(F.col("is_p") * F.col("is_c")).alias("n_inter_exact"),
+    )
+
+    def kmv_hk(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.orderBy("h", "user_id")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias(alias))
+        )
+
+    kp = kmv_hk(flagged.where(F.col("is_p") == 1), "hk_p")
+    kc = kmv_hk(flagged.where(F.col("is_c") == 1), "hk_c")
+    ku = (
+        flagged.orderBy("h", "user_id")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("hk_u"),
+            F.sum(F.col("is_p") * F.col("is_c")).alias("n_both"),
+        )
+    )
+    one = scalar_join(scalar_join(scalar_join(exact, kp), kc), ku)
+    est = lambda hk: F.expr(f"{_KMV_SCALE} div {hk}")  # noqa: E731
+    return one.select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        "n_purchasers_exact",
+        "n_clickers_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        est("hk_p").alias("est_purchasers"),
+        est("hk_c").alias("est_clickers"),
+        est("hk_u").alias("est_union"),
+        F.expr(f"(n_both * 10000) div {_KMV_K}").alias("est_jaccard_x10000"),
+        F.expr(
+            f"({_KMV_SCALE} div hk_u) * n_both div {_KMV_K}"
+        ).alias("est_intersection"),
+    )

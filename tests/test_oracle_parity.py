@@ -103,7 +103,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # r6 window pins: the fused quality->pii->dedup pipeline and
                  # the streaming minhash gate must treat NULL/empty/stopword
                  # docs exactly as their batch oracles do
-                 "curation_pipeline", "minhash_admission_stream"]
+                 "curation_pipeline", "minhash_admission_stream",
+                 # PPJoin: NULL/short docs shingle nothing, so they index no
+                 # prefix and pair with nothing on either engine
+                 "prefix_filter_simjoin"]
 
 
 @pytest.fixture(scope="module")
@@ -301,6 +304,9 @@ _EVENTS_EDGE_QUERIES = [
     # r6 window pin: the ORC roundtrip must carry NULL value/ts/type rows
     # through the writer/reader pair byte-identically to the parquet oracle
     "orc_source_stats",
+    # KMV sketch: NULL users are out of every set; ties at the k-th hash
+    # break on user_id identically on both engines
+    "kmv_set_overlap",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
