@@ -191,6 +191,8 @@ EXTENDED_R6 = [
     "dim_refresh_stream",      # per-micro-batch refreshed stream-static dim
     "prefix_filter_simjoin",   # PPJoin exact all-pairs similarity join
     "kmv_set_overlap",         # KMV/theta sketch: distincts + set algebra
+    "lateness_watermark_profile",  # two-phase prefix-max lateness histogram
+    "dp_user_day_revenue",     # clipped user-level DP sum release
 ]
 
 

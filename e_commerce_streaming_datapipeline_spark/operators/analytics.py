@@ -1340,3 +1340,104 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Watermark advisor: out-of-orderness (lateness) profile of the ingest feed
+# --------------------------------------------------------------------------
+
+_LATE_BUCKET_W = 512  # ingest-ids per prefix-max bucket (two-phase scan)
+
+
+@query(
+    "lateness_watermark_profile",
+    oracle="""
+WITH arrivals AS (
+    SELECT event_id, ts,
+           max(ts) OVER (ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS high_water
+    FROM events
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL
+), late AS (
+    -- floor each side to whole seconds BEFORE subtracting: Spark's
+    -- unix_timestamp truncates per row, and fractional-second micros
+    -- would otherwise skew the difference by one
+    SELECT CAST(floor(epoch(high_water)) - floor(epoch(ts)) AS BIGINT)
+               AS late_s
+    FROM arrivals
+)
+SELECT
+    count(*)                                               AS n_events,
+    CAST(sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS BIGINT)     AS on_time,
+    CAST(sum(CASE WHEN late_s > 0 AND late_s <= 60 THEN 1 ELSE 0 END)
+         AS BIGINT)                                        AS late_1m,
+    CAST(sum(CASE WHEN late_s > 60 AND late_s <= 300 THEN 1 ELSE 0 END)
+         AS BIGINT)                                        AS late_5m,
+    CAST(sum(CASE WHEN late_s > 300 AND late_s <= 3600 THEN 1 ELSE 0 END)
+         AS BIGINT)                                        AS late_1h,
+    CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS late_over_1h,
+    max(late_s)                                            AS max_late_s
+FROM late
+""",
+)
+def q_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK ADVISOR: measure the feed's actual out-of-orderness before
+    choosing `withWatermark` delays — the input every streaming deployment
+    needs and almost none measures.  Per event, lateness = (running max of
+    event-time over ingest order) − own event-time; the histogram of that
+    lateness IS the watermark decision: the delay you pick drops exactly
+    the rows in the buckets beyond it.  Ingest order here is `event_id`
+    (the fixture's producer assigns ids monotonically — corr(id, ts) ≈
+    0.99998 with genuine local jitter, exactly a Kafka-offset shape).
+
+    Scale shape: the running high-water over a unique ingest key is a
+    TWO-PHASE prefix max (the rank decomposition applied to max): bucket
+    ids by fixed width, per-bucket max (hash agg), exclusive prefix max
+    over the bucket-summary relation (bounded: #buckets = id-range /
+    width, metadata-sized like `compaction_plan`'s manifest), then
+    within-bucket running max partitioned BY bucket — no single-partition
+    pass ever touches the event relation.  The final histogram is one
+    aggregate."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    keyed = events.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.expr(f"event_id div {_LATE_BUCKET_W}").alias("bkt"),
+    )
+    per_bucket = keyed.groupBy("bkt").agg(F.max("es").alias("bkt_max"))
+    # exclusive prefix max over the bucket-summary relation (bounded)
+    prev_w = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_prefix = per_bucket.select(
+        "bkt", F.max("bkt_max").over(prev_w).alias("prev_max")
+    )
+    in_bucket_w = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = (
+        keyed.join(broadcast(bucket_prefix), "bkt")
+        .withColumn("run_max", F.max("es").over(in_bucket_w))
+        .select(
+            (
+                F.greatest(F.coalesce(F.col("prev_max"), F.lit(0)), F.col("run_max"))
+                - F.col("es")
+            ).alias("late_s")
+        )
+    )
+    b = lambda lo, hi: (  # noqa: E731
+        (F.col("late_s") > lo) & (F.col("late_s") <= hi)
+    ).cast("long")
+    return late.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_s") == 0).cast("long")).alias("on_time"),
+        F.sum(b(0, 60)).alias("late_1m"),
+        F.sum(b(60, 300)).alias("late_5m"),
+        F.sum(b(300, 3600)).alias("late_1h"),
+        F.sum((F.col("late_s") > 3600).cast("long")).alias("late_over_1h"),
+        F.max("late_s").alias("max_late_s"),
+    )

@@ -1632,3 +1632,96 @@ def dsir_score(
             fround(F.avg(lr), 4).alias("importance_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# User-level DP sum release: contribution clipping + scaled geometric noise
+# --------------------------------------------------------------------------
+
+_DP_CLIP_CENTS = 100_000  # per-user-day contribution cap: $1000
+
+
+@query(
+    "dp_user_day_revenue",
+    oracle=f"""
+WITH per_user_day AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           user_id,
+           least(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)),
+                 {_DP_CLIP_CENTS}) AS clipped_cents
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2
+), per_day AS (
+    SELECT day, sum(clipped_cents) AS clipped_sum,
+           CAST(('0x' || substr(md5('dp-rev-seed:' || day), 1, 13)) AS BIGINT)
+               AS u1,
+           CAST(('0x' || substr(md5('dp-rev-seed:' || day), 14, 13)) AS BIGINT)
+               AS u2
+    FROM per_user_day GROUP BY day
+)
+SELECT day,
+       CAST(clipped_sum AS BIGINT) AS clipped_sum_cents,
+       CAST(clipped_sum
+            + {_DP_CLIP_CENTS} * ((52 - length(format('{{:b}}', u1)))
+                                  - (52 - length(format('{{:b}}', u2))))
+            AS BIGINT)             AS noisy_sum_cents,
+       0.693147 AS epsilon_nominal,
+       TRUE AS seeded
+FROM per_day
+ORDER BY day
+""",
+)
+def q_dp_user_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-LEVEL differentially-private SUM release (the BigQuery-DP /
+    PipelineDP shape, completing `dp_noisy_lang_counts`' sensitivity-1
+    count mechanism): daily revenue where (1) each user's per-day
+    contribution is CLIPPED to a cap C before aggregation — contribution
+    bounding is what turns row-level into user-day-level adjacency, the
+    step ad-hoc "just add noise" releases always miss — and (2) the
+    clipped sum gets two-sided geometric noise SCALED BY C (sensitivity
+    of the clipped sum is exactly C, so Z = C*(G1 - G2) preserves the
+    count mechanism's epsilon = ln 2 at user-day granularity).
+
+    Same integer-exact replayable-noise construction as the count release
+    (bit-length geometric from md5 bits; `seeded = true` says the run is
+    an audit replay, not a private release — swap the seed for one draw
+    of true randomness to make the epsilon real).  Full-timeline user
+    adjacency composes over the k days a user appears in (epsilon scales
+    with k); production either bounds days-per-user too or accounts the
+    composition — docstring contract, as in the DP literature.
+
+    Scale: the clip is a per-(user, day) hash aggregate (map-side
+    combinable), the release is day-grain — noise costs one expression on
+    a spine-sized relation."""
+    events = load_table(spark, "events", sf_dir).where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    per_user_day = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).agg(
+        F.least(
+            F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")),
+            F.lit(_DP_CLIP_CENTS).cast("long"),
+        ).alias("clipped_cents")
+    )
+    per_day = per_user_day.groupBy("day").agg(
+        F.sum("clipped_cents").alias("clipped_sum")
+    )
+    h = F.md5(F.concat(F.lit("dp-rev-seed:"), F.col("day").cast("string")))
+    u1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    u2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long")
+    g1 = F.lit(52) - F.length(F.bin(u1))
+    g2 = F.lit(52) - F.length(F.bin(u2))
+    return per_day.select(
+        "day",
+        F.col("clipped_sum").cast("long").alias("clipped_sum_cents"),
+        (F.col("clipped_sum") + F.lit(_DP_CLIP_CENTS) * (g1 - g2))
+        .cast("long")
+        .alias("noisy_sum_cents"),
+        F.lit(0.693147).alias("epsilon_nominal"),
+        F.lit(True).alias("seeded"),
+    ).orderBy("day")

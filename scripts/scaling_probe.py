@@ -78,6 +78,13 @@ QUERIES = [
     "embedding_topk_ivf_adc", # IVF-pruned ADC: candidate set ~ nprobe/K * N
     "complete_funnel_stream", # agg->agg->join streaming chain (state = windows)
     "dsir_admission_stream",  # stateless foreachBatch gate vs fitted model
+    # round-6 additions
+    "logreg_sgd_step",        # 2 corpus aggregates (data-parallel GD steps)
+    "prefix_filter_simjoin",  # prefix-posting join (replicas add no cross-
+                              # replica near-dups: pairs scale ~k, not k^2)
+    "kmv_set_overlap",        # hash-agg to per-user flags + TakeOrdered(k)
+    "ivm_delta_merge",        # two partial rollups + groups-sized merge
+    "hilbert_layout_stats",   # 2x two-phase rank + map-side curve columns
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

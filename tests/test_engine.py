@@ -473,6 +473,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "gmv_pattern_topk",          # minutely spine (#minutes in range)
         "kfold_auc",                 # k=5 per-fold summary rows
         "knn_label_accuracy",        # N_QUERIES query rows
+        "lateness_watermark_profile",  # bucket-summary relation (id-range/512)
         "locf_value_15min",          # 15-min spine x |event types| grid
         "markov_attribution",        # <= 51-row transition matrix
         "neyman_allocation_sample",  # largest-remainder rank over <= |langs| strata

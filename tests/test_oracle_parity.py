@@ -307,6 +307,11 @@ _EVENTS_EDGE_QUERIES = [
     # KMV sketch: NULL users are out of every set; ties at the k-th hash
     # break on user_id identically on both engines
     "kmv_set_overlap",
+    # watermark advisor: NULL ts/event_id rows are unprofileable and drop
+    # identically before the prefix-max on both engines
+    "lateness_watermark_profile",
+    # user-level DP: NULL users/ts are out of scope, NULL value clips as 0
+    "dp_user_day_revenue",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
