@@ -193,6 +193,7 @@ EXTENDED_R6 = [
     "kmv_set_overlap",         # KMV/theta sketch: distincts + set algebra
     "lateness_watermark_profile",  # two-phase prefix-max lateness histogram
     "dp_user_day_revenue",     # clipped user-level DP sum release
+    "temperature_mixture_weights",  # alpha=1/2 source sampling weights
 ]
 
 

@@ -346,3 +346,84 @@ def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("n_h"))
         .select("lang", F.col("n_h").alias("stratum_alloc"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixture weights (the mT5/XLM-R sampling formula)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+WITH per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT)                       AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                AS BIGINT)                                AS n_tokens
+    FROM documents
+    WHERE text IS NOT NULL AND source IS NOT NULL
+    GROUP BY source
+), scaled AS (
+    SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                  AS s_x1e6
+    FROM per_source
+), totals AS (
+    SELECT sum(n_tokens) AS tot_tokens, sum(s_x1e6) AS tot_s FROM scaled
+)
+SELECT
+    source, n_docs, n_tokens,
+    CAST(n_tokens * 1000000 // totals.tot_tokens AS BIGINT) AS raw_share_x1e6,
+    CAST(s_x1e6 * 1000000 // totals.tot_s AS BIGINT)        AS temp_share_x1e6
+FROM scaled, totals
+ORDER BY source
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixing formula (mT5, XLM-R: p_i ∝ n_i^alpha) at
+    alpha = 1/2: upsample small sources, damp head sources, the knob every
+    LLM data mixture tunes.  Output per source: raw token share vs the
+    temperature share actually sampled at (both in exact 1e-6 fixed
+    point) — `source_mixture_sample` is the applied sibling that DRAWS at
+    given weights; this query derives the weights.
+
+    alpha = 1/2 is chosen deliberately for cross-engine exactness: n^0.5
+    is `sqrt`, the one power IEEE 754 requires CORRECTLY ROUNDED (unlike
+    `pow(x, 0.7)`, whose last ulp is libm-private).  The rounded sqrt is
+    then fixed to a scaled long BEFORE summing, so the normalizing total
+    is an exact integer — no float accumulation order anywhere.
+
+    Scale: one hash-aggregate over the corpus to source grain (map-side
+    combinable token counts), then pure arithmetic on the |sources|-row
+    relation.  At 100 TB this is the same single pass the dataset profile
+    already makes."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).cast("long").alias("n_tokens"),
+    )
+    scaled = per_source.withColumn(
+        "s_x1e6",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0).cast("long"),
+    )
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+    totals = scaled.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s_x1e6").alias("tot_s")
+    )
+    return (
+        scalar_join(scaled, totals)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div tot_tokens").alias("raw_share_x1e6"),
+            F.expr("(s_x1e6 * 1000000) div tot_s").alias("temp_share_x1e6"),
+        )
+        .orderBy("source")
+    )

@@ -106,7 +106,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "curation_pipeline", "minhash_admission_stream",
                  # PPJoin: NULL/short docs shingle nothing, so they index no
                  # prefix and pair with nothing on either engine
-                 "prefix_filter_simjoin"]
+                 "prefix_filter_simjoin",
+                 # mixture weights: NULL text/source rows are out of the
+                 # census; empty-token docs count 0 tokens on both engines
+                 "temperature_mixture_weights"]
 
 
 @pytest.fixture(scope="module")
