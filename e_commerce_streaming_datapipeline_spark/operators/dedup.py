@@ -1410,7 +1410,11 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("w")
     )
     # rare-first total order over the vocabulary (df asc, token asc) —
-    # vocabulary-sized, the designed use of the two-phase rank
+    # vocabulary-sized, the designed use of the two-phase rank.  Dense
+    # integer ids are deliberate: a struct/string ordering key was measured
+    # 3x SLOWER end-to-end at sf0.1 (30.5 s vs 9.1 s) because every array
+    # sort, posting shuffle, and verify intersection then carries string
+    # payloads instead of longs.
     vocab = toks.groupBy("w").agg(F.count("*").alias("df"))
     ranked_vocab = global_row_number(
         vocab,
@@ -1433,19 +1437,35 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tids",
         "n",
-        F.explode(F.slice("tids", F.lit(1), prefix_len)).alias("pid"),
+        F.posexplode(F.slice("tids", F.lit(1), prefix_len)).alias("pos", "pid"),
     )
     a = prefixes.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tids").alias("tids_a"),
         F.col("n").alias("n_a"),
+        F.col("pos").alias("pos_a"),
         "pid",
     )
     b = prefixes.select(
         F.col("doc_id").alias("doc_b"),
         F.col("tids").alias("tids_b"),
         F.col("n").alias("n_b"),
+        F.col("pos").alias("pos_b"),
         "pid",
+    )
+    # PPJoin positional filter: a true pair's FIRST shared token occurrence
+    # still leaves >= ceil(tau*(n_a+n_b)/(1+tau)) overlap in the two
+    # suffixes, so occurrences violating the bound can be dropped BEFORE
+    # pair dedup (exact integers: required*8 uses tau/(1+tau) = 3/8)
+    required_o = F.expr(
+        f"((n_a + n_b) * {_PFX_TAU_NUM} "
+        f"+ {_PFX_TAU_NUM + _PFX_TAU_DEN - 1}) div {_PFX_TAU_NUM + _PFX_TAU_DEN}"
+    )
+    max_possible_o = (
+        F.lit(1)
+        + F.least(
+            F.col("n_a") - F.col("pos_a") - 1, F.col("n_b") - F.col("pos_b") - 1
+        )
     )
     cands = (
         a.join(b, "pid")
@@ -1455,6 +1475,7 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (exact integers: 3*n_b <= 5*n_a and 3*n_a <= 5*n_b)
             & (F.col("n_b") * _PFX_TAU_NUM <= F.col("n_a") * _PFX_TAU_DEN)
             & (F.col("n_a") * _PFX_TAU_NUM <= F.col("n_b") * _PFX_TAU_DEN)
+            & (max_possible_o >= required_o)
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

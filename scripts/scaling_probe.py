@@ -80,8 +80,12 @@ QUERIES = [
     "dsir_admission_stream",  # stateless foreachBatch gate vs fitted model
     # round-6 additions
     "logreg_sgd_step",        # 2 corpus aggregates (data-parallel GD steps)
-    "prefix_filter_simjoin",  # prefix-posting join (replicas add no cross-
-                              # replica near-dups: pairs scale ~k, not k^2)
+    "prefix_filter_simjoin",  # prefix-posting join; NOTE replication keeps
+                              # text identical across replicas, so every doc
+                              # gains k-1 exact clones and TRUE pairs grow
+                              # ~k^2 — the measured super-linearity is the
+                              # output's, not the algorithm's (same effect
+                              # as semantic_dedup's block-growth note)
     "kmv_set_overlap",        # hash-agg to per-user flags + TakeOrdered(k)
     "ivm_delta_merge",        # two partial rollups + groups-sized merge
     "hilbert_layout_stats",   # 2x two-phase rank + map-side curve columns
