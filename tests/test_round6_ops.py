@@ -228,3 +228,145 @@ class TestSqlUdfSurface:
         )
         assert sum(r["n_items"] for r in out) == li.count()
         assert all(r["revenue"] > 0 for r in out)
+
+
+class TestPrefixFilterSimjoin:
+    def test_matches_bruteforce_allpairs(self, spark, sf_dir):
+        """Zero false negatives, zero false positives: the prefix-filtered
+        join must equal the brute-force all-pairs join bit-for-bit."""
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import (
+            _PFX_TAU_DEN,
+            _PFX_TAU_NUM,
+            shingled_docs,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        out = {
+            (r["doc_a"], r["doc_b"]): (r["n_shared"], r["jaccard"])
+            for r in get_query("prefix_filter_simjoin")
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        sets = {
+            r["doc_id"]: set(r["shingles"])
+            for r in shingled_docs(
+                load_table(spark, "documents", sf_dir).where(
+                    F.col("text").isNotNull()
+                )
+            ).collect()
+            if r["shingles"]
+        }
+        brute = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a]) + len(sets[b]) - inter
+                if inter * _PFX_TAU_DEN >= uni * _PFX_TAU_NUM:
+                    brute[(a, b)] = inter
+        assert set(out) == set(brute)
+        for k, (n_shared, _) in out.items():
+            assert n_shared == brute[k]
+
+
+class TestKmvSetOverlap:
+    def test_estimates_within_tolerance(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        r = get_query("kmv_set_overlap").builder(spark, sf_dir).collect()[0]
+        # k=64 KMV has relative std ~ 1/sqrt(k-2) ~ 13%; allow 3 sigma
+        for est, exact in (
+            (r["est_purchasers"], r["n_purchasers_exact"]),
+            (r["est_clickers"], r["n_clickers_exact"]),
+            (r["est_union"], r["n_union_exact"]),
+        ):
+            if exact > 64:  # below k the sketch is exact-ish anyway
+                assert abs(est - exact) <= 0.4 * exact, (est, exact)
+        assert 0 <= r["est_jaccard_x10000"] <= 10_000
+
+
+class TestTemperatureMixture:
+    def test_shares_normalize_and_flatten(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        rows = get_query("temperature_mixture_weights").builder(
+            spark, sf_dir
+        ).collect()
+        n = len(rows)
+        assert abs(sum(r["raw_share_x1e6"] for r in rows) - 1_000_000) <= n
+        assert abs(sum(r["temp_share_x1e6"] for r in rows) - 1_000_000) <= n
+        smallest = min(rows, key=lambda r: r["n_tokens"])
+        largest = max(rows, key=lambda r: r["n_tokens"])
+        # alpha < 1 upweights the tail and damps the head
+        assert smallest["temp_share_x1e6"] >= smallest["raw_share_x1e6"]
+        assert largest["temp_share_x1e6"] <= largest["raw_share_x1e6"]
+
+
+class TestDpUserDayRevenue:
+    def test_noise_is_clip_scaled_and_clipping_binds(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.operators.curation import (
+            _DP_CLIP_CENTS,
+        )
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        rows = get_query("dp_user_day_revenue").builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # noise is an integer multiple of the sensitivity C
+            assert (r["noisy_sum_cents"] - r["clipped_sum_cents"]) % _DP_CLIP_CENTS == 0
+        raw = (
+            load_table(spark, "events", sf_dir)
+            .where(
+                (F.col("event_type") == "purchase")
+                & F.col("ts").isNotNull()
+                & F.col("user_id").isNotNull()
+            )
+            .agg(
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                        "long"
+                    )
+                )
+            )
+            .collect()[0][0]
+        )
+        assert sum(r["clipped_sum_cents"] for r in rows) <= raw
+
+
+class TestIvmDeltaMerge:
+    def test_cutoff_straddling_groups_exist(self, spark, sf_dir):
+        """The month x status grain must produce groups fed by BOTH the
+        historical view and the delta (otherwise the merge degenerates to
+        concatenation and the operator proves nothing)."""
+        from e_commerce_streaming_datapipeline_spark.operators.setops import (
+            _IVM_CUTOFF,
+        )
+
+        orders = load_table(spark, "orders", sf_dir)
+        cutoff = F.lit(_IVM_CUTOFF).cast("date")
+        month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        sides = orders.groupBy(month.alias("m")).agg(
+            F.sum((F.col("o_orderdate").cast("date") < cutoff).cast("long")).alias(
+                "hist"
+            ),
+            F.sum((F.col("o_orderdate").cast("date") >= cutoff).cast("long")).alias(
+                "delta"
+            ),
+        )
+        straddling = sides.where(
+            (F.col("hist") > 0) & (F.col("delta") > 0)
+        ).count()
+        assert straddling >= 1
+
+
+class TestLatenessProfile:
+    def test_buckets_partition_the_feed(self, spark, sf_dir):
+        from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
+
+        r = get_query("lateness_watermark_profile").builder(spark, sf_dir).collect()[0]
+        assert (
+            r["on_time"] + r["late_1m"] + r["late_5m"] + r["late_1h"]
+            + r["late_over_1h"]
+            == r["n_events"]
+        )
+        assert r["max_late_s"] >= 0
