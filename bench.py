@@ -194,6 +194,8 @@ EXTENDED_R6 = [
     "lateness_watermark_profile",  # two-phase prefix-max lateness histogram
     "dp_user_day_revenue",     # clipped user-level DP sum release
     "temperature_mixture_weights",  # alpha=1/2 source sampling weights
+    "embedding_drift_centroid",  # exact fixed-point centroid drift monitor
+    "group_by_all_revenue",    # shared-dialect GROUP BY ALL inference
 ]
 
 

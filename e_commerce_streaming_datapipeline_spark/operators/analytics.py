@@ -1441,3 +1441,39 @@ def q_lateness_watermark_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("late_s") > 3600).cast("long")).alias("late_over_1h"),
         F.max("late_s").alias("max_late_s"),
     )
+
+
+# One SQL text, two engines — the GROUP BY ALL / ORDER BY ALL dialect
+# extension both Spark 4 and DuckDB adopted (DuckDB originated it): every
+# non-aggregate select item becomes a grouping key implicitly.
+_SHARED_GROUP_BY_ALL_SQL = """
+SELECT
+    o_orderstatus  AS status,
+    o_orderpriority AS priority,
+    count(*)       AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS revenue
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("group_by_all_revenue", oracle=_SHARED_GROUP_BY_ALL_SQL)
+def q_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` / `ORDER BY ALL` — the analyst-ergonomics dialect
+    extension (DuckDB-originated, adopted by Spark 4) proven under the
+    shared-SQL discipline: the SAME query text runs unmodified on both
+    engines (`ansi_shared_sql_revenue`'s byte-identical pattern), so the
+    implicit grouping-key inference itself is what is being parity-checked
+    — both engines must infer {status, priority} as the keys and the full
+    column list as the sort.  Exact-cents money discipline as everywhere.
+
+    Scale: identical plan to the explicit GROUP BY (Catalyst resolves ALL
+    during analysis — map-side partial aggregation, #groups-row shuffle);
+    the feature is purely front-end."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_GROUP_BY_ALL_SQL)

@@ -2689,3 +2689,131 @@ def q_ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.count(hit) / F.count("*"), 4).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitor: centroid shift between reference and current halves
+# --------------------------------------------------------------------------
+
+_DRIFT_SCALE = 1000  # per-component fixed point (1e-3): keeps the 64-dim
+# dot product of summed vectors inside BIGINT at 10^9 rows (see docstring)
+
+
+@query(
+    "embedding_drift_centroid",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, embedding,
+           CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS half
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), dims AS (
+    SELECT half, u.pos AS d,
+           CAST(sum(CAST(round(u.v * {_DRIFT_SCALE}) AS BIGINT)) AS BIGINT) AS s
+    FROM base,
+         LATERAL unnest(list_transform(embedding,
+             (x, i) -> {{'pos': i, 'v': CAST(x AS DOUBLE)}})) AS t(u)
+    GROUP BY 1, 2
+), halves AS (
+    SELECT
+        (SELECT count(*) FROM base WHERE half = 'ref') AS n_ref,
+        (SELECT count(*) FROM base WHERE half = 'cur') AS n_cur
+), paired AS (
+    SELECT r.d, r.s AS sr, c.s AS sc
+    FROM (SELECT d, s FROM dims WHERE half = 'ref') r
+    JOIN (SELECT d, s FROM dims WHERE half = 'cur') c USING (d)
+), sums AS (
+    SELECT
+        CAST(sum(sr * sc) AS BIGINT)                 AS dot,
+        CAST(sum(sr * sr) AS BIGINT)                 AS nr2,
+        CAST(sum(sc * sc) AS BIGINT)                 AS nc2,
+        CAST(sum(abs(sr * h.n_cur - sc * h.n_ref)) AS BIGINT) AS cross_l1,
+        CAST(max(abs(sr * h.n_cur - sc * h.n_ref)) AS BIGINT) AS cross_max
+    FROM paired, halves h
+)
+SELECT
+    h.n_ref, h.n_cur,
+    round(CAST(s.dot AS DOUBLE) / (sqrt(CAST(s.nr2 AS DOUBLE))
+                                   * sqrt(CAST(s.nc2 AS DOUBLE))) * 1000000)
+        / 1000000                                   AS centroid_cosine,
+    s.cross_l1                                      AS l1_shift_scaled,
+    s.cross_max                                     AS max_dim_shift_scaled
+FROM sums s, halves h
+""",
+)
+def q_embedding_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING drift monitor — `psi_value_drift`'s vector sibling: split
+    the corpus into a reference and a current half (vec_id parity plays
+    the time axis), reduce each half to its per-dimension SUM vector, and
+    report (1) the cosine between the two centroid directions — the "did
+    the embedding distribution rotate?" alarm retraining pipelines key on
+    — plus (2) the exact L1 and max per-dimension mean shift
+    (cross-multiplied by the opposite half's count so the comparison is
+    pure BIGINT arithmetic, no mean division anywhere).
+
+    Exactness: components are fixed to 1e-3 longs at the scan, so each
+    half's sum vector is an exact integer vector; dot/norms over 64 dims
+    of |v|<=~3 stay under 2^63 past 10^9 rows per half, and the single
+    cosine division + the two IEEE sqrts run on identical integers in
+    both engines — bit-identical output (the deterministic-parity answer
+    to PSI's fixed bins).
+
+    Scale: one explode + 64-group hash aggregate (map-side partial sums
+    reduce each partition to 64 rows before the shuffle); everything
+    after runs on a 64-row relation.  The same sum-vector relation is the
+    building block for per-SOURCE centroids, k-means seeding and
+    Matryoshka audits."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+    from e_commerce_streaming_datapipeline_spark.sources.batch import (
+        load_valid_embeddings,
+    )
+
+    base = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        F.when(F.pmod("vec_id", F.lit(2)) == 0, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+    )
+    dims = (
+        base.select("half", F.posexplode("embedding").alias("d", "v"))
+        .groupBy("half", "d")
+        .agg(
+            F.sum(F.round(F.col("v").cast("double") * _DRIFT_SCALE, 0).cast("long"))
+            .alias("s")
+        )
+    )
+    halves = base.agg(
+        F.sum((F.col("half") == "ref").cast("long")).alias("n_ref"),
+        F.sum((F.col("half") == "cur").cast("long")).alias("n_cur"),
+    )
+    paired = (
+        dims.where(F.col("half") == "ref")
+        .select("d", F.col("s").alias("sr"))
+        .join(
+            dims.where(F.col("half") == "cur").select("d", F.col("s").alias("sc")),
+            "d",
+        )
+    )
+    shift = F.abs(F.col("sr") * F.col("n_cur") - F.col("sc") * F.col("n_ref"))
+    sums = scalar_join(paired, halves).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.sum(F.col("sr") * F.col("sc")).alias("dot"),
+        F.sum(F.col("sr") * F.col("sr")).alias("nr2"),
+        F.sum(F.col("sc") * F.col("sc")).alias("nc2"),
+        F.sum(shift).alias("cross_l1"),
+        F.max(shift).alias("cross_max"),
+    )
+    return sums.select(
+        "n_ref",
+        "n_cur",
+        fround(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nr2").cast("double")) * F.sqrt(F.col("nc2").cast("double"))),
+            6,
+        ).alias("centroid_cosine"),
+        F.col("cross_l1").cast("long").alias("l1_shift_scaled"),
+        F.col("cross_max").cast("long").alias("max_dim_shift_scaled"),
+    )

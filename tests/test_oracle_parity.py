@@ -171,6 +171,9 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         # NULL totalprice sums as NULL-skipped cents on both
                         # sides of the delta split
                         "ivm_delta_merge",
+                        # shared-dialect GROUP BY ALL: NULL status/priority
+                        # are their own inferred groups on both engines
+                        "group_by_all_revenue",
                         # r6 window pin: a NULL o_custkey probes NULL bloom
                         # positions -> both hash hits NULL-coalesce to 0 and
                         # the row counts as a filtered true-negative on both
@@ -486,6 +489,8 @@ def test_null_lineitem_rows_keep_oracle_parity(spark, edge_lineitem_sf_dir, name
 
 
 _EMBEDDINGS_EDGE_QUERIES = [
+    # drift monitor: NULL/ragged vectors drop at the shared gate
+    "embedding_drift_centroid",
     "embedding_topk", "embedding_topk_pandas", "embedding_topk_ivf",
     "embedding_topk_lsh", "embedding_topk_lsh_multiprobe", "embedding_topk_sq",
     "lsh_recall_audit", "lsh_multiprobe_recall_audit", "embedding_norms_arrow",
