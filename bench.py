@@ -196,6 +196,7 @@ EXTENDED_R6 = [
     "temperature_mixture_weights",  # alpha=1/2 source sampling weights
     "embedding_drift_centroid",  # exact fixed-point centroid drift monitor
     "group_by_all_revenue",    # shared-dialect GROUP BY ALL inference
+    "pit_feature_assembly",    # point-in-time feature export (1 user shuffle)
 ]
 
 

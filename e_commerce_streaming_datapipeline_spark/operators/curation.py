@@ -1725,3 +1725,109 @@ def q_dp_user_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.693147).alias("epsilon_nominal"),
         F.lit(True).alias("seeded"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Point-in-time feature assembly (the feature-store training-set export)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pit_feature_assembly",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), feat AS (
+    SELECT *,
+        CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            OVER w, 0) AS BIGINT)                             AS clicks_so_far,
+        CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            OVER w, 0) AS BIGINT)                             AS views_so_far,
+        CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents
+                               ELSE 0 END) OVER w, 0) AS BIGINT)
+                                                              AS revenue_so_far_cents,
+        es - lag(es) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)             AS secs_since_prev
+    FROM ordered
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       clicks_so_far, views_so_far, revenue_so_far_cents,
+       secs_since_prev,
+       cents AS label_value_cents
+FROM feat
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+""",
+)
+def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature assembly — the feature-store training-set
+    export (Feast/Tecton shape, generalizing `leakage_safe_labels`' single
+    global cutoff): every purchase becomes a training example whose
+    features are computed as-of STRICTLY BEFORE its own event time for
+    the same user — prior click/view counts, prior purchase revenue, and
+    recency — so no example can see its own label or its future.  The
+    per-example cutoff is what a global-split builder cannot express and
+    what makes backfills leak when done naively.
+
+    Exactness: the 1-PRECEDING frame boundary IS the leakage guard (the
+    current row never feeds its own features); order is the total
+    (ts, event_id); all features are exact integers (cents, counts,
+    whole-second recency — per-row floored epochs, the
+    `lateness_watermark_profile` discipline).
+
+    Scale: ONE shuffle on user_id serves all four windows (same partition
+    + order), each a streaming frame — no self-joins, no per-example scan.
+    At 100 TB this is the canonical "assemble features along the entity
+    timeline in one pass" plan, and adding features = adding aggregates to
+    the same window."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ordered = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("es"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = ordered.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.coalesce(
+            F.sum((F.col("event_type") == "click").cast("long")).over(w), F.lit(0)
+        ).alias("clicks_so_far"),
+        F.coalesce(
+            F.sum((F.col("event_type") == "view").cast("long")).over(w), F.lit(0)
+        ).alias("views_so_far"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                    0
+                )
+            ).over(w),
+            F.lit(0),
+        ).alias("revenue_so_far_cents"),
+        (F.col("es") - F.lag("es").over(lag_w)).alias("secs_since_prev"),
+        F.col("cents").alias("label_value_cents"),
+    )
+    return (
+        feat.where(F.col("event_type") == "purchase")
+        .drop("event_type")
+        .orderBy("user_id", "event_id")
+    )

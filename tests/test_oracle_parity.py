@@ -318,6 +318,9 @@ _EVENTS_EDGE_QUERIES = [
     "lateness_watermark_profile",
     # user-level DP: NULL users/ts are out of scope, NULL value clips as 0
     "dp_user_day_revenue",
+    # PIT assembly: NULL user/ts rows are unassemblable and drop; a NULL
+    # value purchase labels 0 cents and feeds 0 into later revenue frames
+    "pit_feature_assembly",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
