@@ -197,6 +197,7 @@ EXTENDED_R6 = [
     "embedding_drift_centroid",  # exact fixed-point centroid drift monitor
     "group_by_all_revenue",    # shared-dialect GROUP BY ALL inference
     "pit_feature_assembly",    # point-in-time feature export (1 user shuffle)
+    "deletion_vector_scan",    # merge-on-read position deletes (anti-join DV)
 ]
 
 

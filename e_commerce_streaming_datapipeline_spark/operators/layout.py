@@ -884,3 +884,130 @@ def q_skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read deletion vectors (the lakehouse DELETE without rewrites)
+# --------------------------------------------------------------------------
+
+_DV_ERASE_MOD = 37  # users with user_id % 37 == 0 request erasure
+
+
+@query(
+    "deletion_vector_scan",
+    oracle=f"""
+WITH filed AS (
+    SELECT *,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS file_id,
+           row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+               -- explicit NULLS LAST + user tiebreak: Spark ASC is NULLS
+               -- FIRST, DuckDB NULLS LAST, and the edge fixture's NULL
+               -- event_ids would otherwise occupy different positions
+               ORDER BY ts, event_id NULLS LAST, user_id NULLS LAST
+           ) AS pos
+    FROM events
+    WHERE ts IS NOT NULL
+), dv AS (
+    SELECT file_id, pos FROM filed
+    WHERE user_id IS NOT NULL AND user_id % {_DV_ERASE_MOD} = 0
+), live AS (
+    SELECT f.* FROM filed f
+    ANTI JOIN dv ON f.file_id = dv.file_id AND f.pos = dv.pos
+)
+SELECT
+    filed.file_id,
+    CAST(count(*) AS BIGINT)                 AS n_rows,
+    -- count the never-null join key, NOT event_id: a live row with a NULL
+    -- event_id must still count as live
+    CAST(count(*) - count(l.pos) AS BIGINT)  AS n_deleted,
+    CAST(count(l.pos) AS BIGINT)             AS n_live,
+    CAST(sum(CASE WHEN l.pos IS NOT NULL AND l.event_type = 'purchase'
+                  THEN CAST(round(coalesce(l.value, 0.0) * 100) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) / 100 AS live_revenue
+FROM filed LEFT JOIN live l
+  ON filed.file_id = l.file_id AND filed.pos = l.pos
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion vectors — how Delta/Iceberg v2 serve DELETE
+    without rewriting data files: the erasure request (every user with
+    ``user_id % {_DV_ERASE_MOD} == 0``) is materialized as a DELETION
+    VECTOR — (file, position) pairs, the relational form of the per-file
+    roaring bitmap — and the read path anti-joins the immutable base
+    against it.  Files are simulated as hour buckets with positions
+    assigned by the in-file sort (a PARTITIONED window — per-file, never
+    global), matching how position deletes are defined against a frozen
+    file layout.  Output per file: rows, deleted, live, and live revenue
+    — hash-checked against the direct-predicate oracle, proving the DV
+    indirection is lossless.
+
+    Why it matters at 100 TB: copy-on-write DELETE rewrites every touched
+    file (an erasure wave over a petabyte table rewrites the table);
+    merge-on-read writes only the KB-sized vectors and defers the rewrite
+    to the next compaction (`compaction_plan`), trading a per-scan
+    anti-join — exactly this plan — for write amplification.  The DV
+    anti-join shuffles only (file, pos) pairs of DELETED rows; the base
+    side stays partition-local to its file, and in a real format the
+    bitmap is applied inside the scan with zero shuffle at all.  With
+    `user_erasure` (mark-and-audit) this completes the GDPR story:
+    logical erasure immediately, physical erasure at compaction."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    filed = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("file_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+            ).orderBy(
+                F.col("ts").asc_nulls_last(),
+                F.col("event_id").asc_nulls_last(),
+                F.col("user_id").asc_nulls_last(),
+            )
+        )
+        .alias("pos"),
+    )
+    dv = filed.where(
+        F.col("user_id").isNotNull()
+        & (F.pmod("user_id", F.lit(_DV_ERASE_MOD)) == 0)
+    ).select("file_id", "pos")
+    live = filed.join(dv, ["file_id", "pos"], "left_anti")
+    tagged = filed.alias("f").join(
+        live.select(
+            F.col("file_id").alias("lf"),
+            F.col("pos").alias("lp"),
+            F.lit(1).alias("is_live"),
+            F.col("event_type").alias("l_type"),
+            F.col("value").alias("l_value"),
+        ),
+        (F.col("f.file_id") == F.col("lf")) & (F.col("f.pos") == F.col("lp")),
+        "left",
+    )
+    return (
+        tagged.groupBy(F.col("f.file_id").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("is_live").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_deleted"),
+            F.sum(F.coalesce(F.col("is_live"), F.lit(0))).cast("long").alias("n_live"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("is_live").isNotNull()
+                        & (F.col("l_type") == "purchase"),
+                        F.round(F.coalesce(F.col("l_value"), F.lit(0.0)) * 100, 0)
+                        .cast("long"),
+                    ).otherwise(0)
+                ).cast("double")
+                / 100
+            ).alias("live_revenue"),
+        )
+        .orderBy("file_id")
+    )

@@ -321,6 +321,9 @@ _EVENTS_EDGE_QUERIES = [
     # PIT assembly: NULL user/ts rows are unassemblable and drop; a NULL
     # value purchase labels 0 cents and feeds 0 into later revenue frames
     "pit_feature_assembly",
+    # deletion vectors: NULL-ts rows belong to no file; NULL users never
+    # request erasure; positions stay dense per file on both engines
+    "deletion_vector_scan",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
