@@ -198,6 +198,7 @@ EXTENDED_R6 = [
     "group_by_all_revenue",    # shared-dialect GROUP BY ALL inference
     "pit_feature_assembly",    # point-in-time feature export (1 user shuffle)
     "deletion_vector_scan",    # merge-on-read position deletes (anti-join DV)
+    "fisher_discriminative_dims",  # exact-integer class-separation audit
 ]
 
 

@@ -2817,3 +2817,133 @@ def q_embedding_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cross_l1").cast("long").alias("l1_shift_scaled"),
         F.col("cross_max").cast("long").alias("max_dim_shift_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fisher discriminability audit: which embedding dimensions separate classes
+# --------------------------------------------------------------------------
+
+_FISHER_SCALE = 100  # 1e-2 component fixed point keeps squared sums in BIGINT
+_FISHER_TOPK = 5
+
+
+@query(
+    "fisher_discriminative_dims",
+    oracle=f"""
+WITH base AS (
+    SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS cls, embedding
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64 AND label IS NOT NULL
+), dims AS (
+    -- u.pos is 1-based in DuckDB's list_transform; Spark's posexplode is
+    -- 0-based, and d is an OUTPUT column here
+    SELECT cls, u.pos - 1 AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(u.v * {_FISHER_SCALE}) AS BIGINT)) AS BIGINT) AS s,
+           CAST(sum(CAST(round(u.v * {_FISHER_SCALE}) AS BIGINT)
+                    * CAST(round(u.v * {_FISHER_SCALE}) AS BIGINT)) AS BIGINT) AS q
+    FROM base,
+         LATERAL unnest(list_transform(embedding,
+             (x, i) -> {{'pos': i, 'v': CAST(x AS DOUBLE)}})) AS t(u)
+    GROUP BY 1, 2
+), paired AS (
+    SELECT a.d,
+           a.n AS n1, a.s AS s1, a.q AS q1,
+           b.n AS n2, b.s AS s2, b.q AS q2
+    FROM (SELECT * FROM dims WHERE cls = 0) a
+    JOIN (SELECT * FROM dims WHERE cls = 1) b USING (d)
+), scored AS (
+    SELECT d, n1, n2,
+           (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)          AS between_num,
+           (n1 + n2) * ((n1 * q1 - s1 * s1) * n2
+                        + (n2 * q2 - s2 * s2) * n1)            AS within_den
+    FROM paired
+)
+SELECT d, n1, n2,
+       CAST(between_num AS BIGINT) AS between_num,
+       CAST(within_den AS BIGINT)  AS within_den,
+       round(CAST(between_num AS DOUBLE) / within_den * 1000000) / 1000000
+           AS fisher_ratio
+FROM scored
+ORDER BY CAST(between_num AS DOUBLE) / within_den DESC, d
+LIMIT {_FISHER_TOPK}
+""",
+)
+def q_fisher_discriminative_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER discriminability audit of the embedding space: for the binary
+    split label<5 vs label>=5, score every dimension by the Fisher ratio
+    (between-class separation over pooled within-class variance) and
+    return the top-{_FISHER_TOPK} most discriminative dimensions — the
+    diagnostic behind feature selection, Matryoshka-style dimension
+    pruning (`matryoshka_recall_audit` measures recall after truncation;
+    this explains WHICH dims carried the signal), and probing whether an
+    embedding column encodes a label at all.
+
+    Exactness: components fix to 1e-2 longs at the scan; per (class, dim)
+    the count/sum/sum-of-squares are exact BIGINTs, and the Fisher ratio
+    reduces to ONE division of two exact integers
+    ((s1*n2 - s2*n1)^2 over (n1+n2)*((n1*q1 - s1^2)*n2 + (n2*q2 - s2^2)*n1))
+    — cross-multiplied so no mean or variance is ever computed in floats;
+    the ranking compares those identical doubles on both engines.
+
+    Scale: one explode + (2 x 64)-group hash aggregate with map-side
+    partial sums; everything downstream is a 64-row relation.  BIGINT
+    headroom: |s| <= 3e2-scaled * n, so s^2-terms stay under 2^63 up to
+    ~1e7 rows per class at this scale; beyond that, raise the aggregate to
+    DECIMAL(38,0) (exactness preserved) — docstring contract."""
+    from e_commerce_streaming_datapipeline_spark.sources.batch import (
+        load_valid_embeddings,
+    )
+
+    base = load_valid_embeddings(spark, sf_dir).where(
+        F.col("label").isNotNull()
+    ).select(
+        F.when(F.col("label") < 5, F.lit(0)).otherwise(F.lit(1)).alias("cls"),
+        "embedding",
+    )
+    comp = F.round(F.col("v").cast("double") * _FISHER_SCALE, 0).cast("long")
+    dims = (
+        base.select("cls", F.posexplode("embedding").alias("d", "v"))
+        .groupBy("cls", "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(comp).alias("s"),
+            F.sum(comp * comp).alias("q"),
+        )
+    )
+    paired = (
+        dims.where(F.col("cls") == 0)
+        .select("d", F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1"))
+        .join(
+            dims.where(F.col("cls") == 1).select(
+                "d", F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("q").alias("q2")
+            ),
+            "d",
+        )
+    )
+    between = (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")) ** 2
+    # ** on columns is pow (double); keep it integer: multiply explicitly
+    diff = F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    between = diff * diff
+    within = (F.col("n1") + F.col("n2")) * (
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")) * F.col("n2")
+        + (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")) * F.col("n1")
+    )
+    scored = paired.select(
+        "d",
+        "n1",
+        "n2",
+        between.cast("long").alias("between_num"),
+        within.cast("long").alias("within_den"),
+    )
+    ratio = F.col("between_num").cast("double") / F.col("within_den")
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    return (
+        scored.select(
+            "d", "n1", "n2", "between_num", "within_den",
+            fround(ratio, 6).alias("fisher_ratio"),
+        )
+        .orderBy(ratio.desc(), "d")
+        .limit(_FISHER_TOPK)
+    )

@@ -497,6 +497,8 @@ def test_null_lineitem_rows_keep_oracle_parity(spark, edge_lineitem_sf_dir, name
 _EMBEDDINGS_EDGE_QUERIES = [
     # drift monitor: NULL/ragged vectors drop at the shared gate
     "embedding_drift_centroid",
+    # Fisher audit: NULL/ragged vectors and NULL labels drop identically
+    "fisher_discriminative_dims",
     "embedding_topk", "embedding_topk_pandas", "embedding_topk_ivf",
     "embedding_topk_lsh", "embedding_topk_lsh_multiprobe", "embedding_topk_sq",
     "lsh_recall_audit", "lsh_multiprobe_recall_audit", "embedding_norms_arrow",
