@@ -199,6 +199,7 @@ EXTENDED_R6 = [
     "pit_feature_assembly",    # point-in-time feature export (1 user shuffle)
     "deletion_vector_scan",    # merge-on-read position deletes (anti-join DV)
     "fisher_discriminative_dims",  # exact-integer class-separation audit
+    "compaction_rewrite_roundtrip",  # OPTIMIZE executed: small files -> bins
 ]
 
 

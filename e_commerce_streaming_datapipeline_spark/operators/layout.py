@@ -1011,3 +1011,119 @@ def q_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction EXECUTED: rewrite the small files into bins and prove lossless
+# --------------------------------------------------------------------------
+
+
+@query(
+    "compaction_rewrite_roundtrip",
+    oracle=f"""
+WITH src AS (
+    SELECT * FROM events WHERE ts IS NOT NULL
+), files AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS file_id,
+           count(*) AS size_kb
+    FROM src GROUP BY 1
+), target AS (
+    SELECT CAST(ceil(CAST(sum(size_kb) AS DOUBLE) / {_COMPACT_TARGET_BINS})
+                AS BIGINT) AS t
+    FROM files
+), filled AS (
+    SELECT file_id, size_kb, t,
+           sum(size_kb) OVER (
+               ORDER BY size_kb DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS fill
+    FROM files CROSS JOIN target
+), binned AS (
+    SELECT file_id, (fill - 1) // t AS bin FROM filled
+)
+SELECT
+    CAST((SELECT count(*) FROM files) AS BIGINT)              AS n_source_files,
+    CAST((SELECT count(DISTINCT bin) FROM binned) AS BIGINT)  AS n_bins,
+    CAST(count(*) AS BIGINT)                                  AS n_rows,
+    CAST(count(DISTINCT event_id) AS BIGINT)                  AS n_distinct_events,
+    CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) AS DOUBLE) / 100
+                                                              AS total_value
+FROM src
+""",
+)
+def q_compaction_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction EXECUTED, not just planned: the events feed is first
+    landed as per-hour small files (``partitionBy(file_id)`` — the
+    streaming-ingest fragmentation `compaction_plan` diagnoses), then the
+    planner's cumulative-fill bin assignment REWRITES them into
+    {_COMPACT_TARGET_BINS} merge groups (`repartition(bin) +
+    partitionBy(bin)` — one output file per bin), and the compacted copy
+    is read back and aggregated.  The hash check against the source-table
+    oracle proves the rewrite lost and duplicated nothing — the OPTIMIZE
+    invariant — while n_source_files/n_bins quantify the open()-call
+    reduction the maintenance job buys.
+
+    Scale: the rewrite is ONE shuffle keyed by bin (each output task
+    streams its bin's rows to one file); the bin assignment itself runs on
+    the metadata-sized file inventory and reaches the data as a broadcast
+    (file_id -> bin) map join, exactly like a table format's
+    manifest-driven OPTIMIZE.  Source files stay immutable — in a real
+    format the swap is a manifest commit (`manifest_time_travel`) and the
+    old files become VACUUM candidates."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    run_dir = _os.path.join(
+        _tf.gettempdir(), "e_commerce_streaming_datapipeline_compact", _uuid.uuid4().hex
+    )
+    small_dir = _os.path.join(run_dir, "small")
+    compact_dir = _os.path.join(run_dir, "compacted")
+
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    with_file = events.withColumn(
+        "file_id", F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    )
+    # land the fragmented layout: one directory (≈one small file) per hour
+    with_file.write.partitionBy("file_id").parquet(small_dir)
+
+    small = spark.read.parquet(small_dir)
+    inventory = small.groupBy("file_id").agg(F.count("*").alias("size_kb"))
+    target = inventory.agg(
+        F.ceil(F.sum("size_kb").cast("double") / _COMPACT_TARGET_BINS)
+        .cast("long")
+        .alias("t")
+    )
+    w = Window.orderBy(F.col("size_kb").desc(), F.col("file_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assignment = (
+        scalar_join(inventory, target)
+        .withColumn("fill", F.sum("size_kb").over(w))
+        .select("file_id", F.expr("(fill - 1) DIV t").alias("bin"))
+    )
+    # the rewrite: metadata-sized broadcast of (file_id -> bin), one shuffle
+    # keyed by bin, one output file per bin
+    (
+        small.join(F.broadcast(assignment), "file_id")
+        .repartition("bin")
+        .write.partitionBy("bin")
+        .parquet(compact_dir)
+    )
+
+    back = spark.read.parquet(compact_dir)
+    n_src = inventory.agg(F.count("*").cast("long").alias("n_source_files"))
+    stats = back.agg(
+        F.count_distinct("bin").cast("long").alias("n_bins"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct_events"),
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total_value"),
+    )
+    return scalar_join(stats, n_src).select(
+        "n_source_files", "n_bins", "n_rows", "n_distinct_events", "total_value"
+    )

@@ -468,6 +468,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "chi2_independence",         # lang x source contingency grid
         "clv_pareto_deciles",        # cum-share window over the 10 deciles
         "compaction_plan",           # file manifest (metadata, not rows)
+        "compaction_rewrite_roundtrip",  # same manifest-sized inventory window
         "daily_revenue_ma",          # daily spine (#days)
         "forecast_backtest_snaive",  # daily spine
         "gmv_pattern_topk",          # minutely spine (#minutes in range)

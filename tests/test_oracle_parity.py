@@ -324,6 +324,9 @@ _EVENTS_EDGE_QUERIES = [
     # deletion vectors: NULL-ts rows belong to no file; NULL users never
     # request erasure; positions stay dense per file on both engines
     "deletion_vector_scan",
+    # executed compaction: NULL-ts rows never land in a source file, NULL
+    # event_ids skip the distinct census, NULL values compact as 0 cents
+    "compaction_rewrite_roundtrip",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
