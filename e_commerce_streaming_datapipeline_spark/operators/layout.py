@@ -1024,7 +1024,9 @@ def q_deletion_vector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH src AS (
     SELECT * FROM events WHERE ts IS NOT NULL
 ), files AS (
-    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS file_id,
+    -- 6-hour ingest chunks: enough fragmentation to make the rewrite real
+    -- without paying 720 physical directory writes in the harness
+    SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS file_id,
            count(*) AS size_kb
     FROM src GROUP BY 1
 ), target AS (
@@ -1082,9 +1084,10 @@ def q_compaction_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     with_file = events.withColumn(
-        "file_id", F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+        "file_id", F.floor(F.unix_timestamp("ts") / 21600).cast("long")
     )
-    # land the fragmented layout: one directory (≈one small file) per hour
+    # land the fragmented layout: one directory (≈one small file) per
+    # 6-hour ingest chunk
     with_file.write.partitionBy("file_id").parquet(small_dir)
 
     small = spark.read.parquet(small_dir)
