@@ -200,6 +200,7 @@ EXTENDED_R6 = [
     "deletion_vector_scan",    # merge-on-read position deletes (anti-join DV)
     "fisher_discriminative_dims",  # exact-integer class-separation audit
     "compaction_rewrite_roundtrip",  # OPTIMIZE executed: small files -> bins
+    "index_delta_merge",       # inverted-index stats merged, not rebuilt
 ]
 
 

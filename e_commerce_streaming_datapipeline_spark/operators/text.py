@@ -1720,3 +1720,74 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.orderBy(
         F.col("n_occurrences").desc(), "token"
     ).limit(_BPE_ENCODE_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Incremental index maintenance: base + delta postings merged, not rebuilt
+# --------------------------------------------------------------------------
+
+
+@query(
+    "index_delta_merge",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf
+FROM stats
+ORDER BY df DESC, term
+LIMIT 25
+""",
+)
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INDEX maintenance — `ivm_delta_merge`'s retrieval
+    sibling: the inverted-index statistics (per-term df and total tf, the
+    inputs BM25 scoring needs) are NOT rebuilt when new documents land.
+    The already-materialized base index (docs with ``doc_id % 10 != 0``)
+    merges group-wise with the index of the DELTA alone — df and tf are
+    insert-self-maintainable counts, so merge = per-term + — and the top
+    terms of the merged index are hash-checked against the full-rebuild
+    oracle: maintenance and rebuild must be indistinguishable.
+
+    Why it matters: a production search tier refreshes its index every
+    few minutes; rebuilding term stats over the whole corpus per refresh
+    is O(corpus), merging the delta is O(delta + touched terms).  Same
+    self-maintainability caveat as the view case: deletes need tombstone
+    subtraction or segment-level rebuild (how Lucene actually handles it —
+    per-segment stats merged at read).
+
+    Scale: each side is one explode + two hash aggregations over ITS OWN
+    rows; the merge shuffles the vocabulary-sized stat relations, never
+    (doc, term) pairs across sides."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def index_stats(df: DataFrame) -> DataFrame:
+        tf = (
+            df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        return tf.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+        )
+
+    base_idx = index_stats(docs.where(F.col("doc_id") % 10 != 0))
+    delta_idx = index_stats(docs.where(F.col("doc_id") % 10 == 0))
+    merged = (
+        base_idx.unionByName(delta_idx)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+    )
+    return (
+        merged.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(25)
+    )

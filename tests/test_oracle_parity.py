@@ -109,7 +109,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "prefix_filter_simjoin",
                  # mixture weights: NULL text/source rows are out of the
                  # census; empty-token docs count 0 tokens on both engines
-                 "temperature_mixture_weights"]
+                 "temperature_mixture_weights",
+                 # index IVM: NULL text posts nothing on either side of the
+                 # base/delta split; merge stays pure term arithmetic
+                 "index_delta_merge"]
 
 
 @pytest.fixture(scope="module")
