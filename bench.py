@@ -201,6 +201,7 @@ EXTENDED_R6 = [
     "fisher_discriminative_dims",  # exact-integer class-separation audit
     "compaction_rewrite_roundtrip",  # OPTIMIZE executed: small files -> bins
     "index_delta_merge",       # inverted-index stats merged, not rebuilt
+    "shuffle_sizing_advisor",  # partition/file sizing from exact row widths
 ]
 
 

@@ -1130,3 +1130,81 @@ def q_compaction_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return scalar_join(stats, n_src).select(
         "n_source_files", "n_bins", "n_rows", "n_distinct_events", "total_value"
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle/file sizing advisor (the spark.sql.shuffle.partitions homework)
+# --------------------------------------------------------------------------
+
+_ADVISOR_SHUFFLE_TARGET = 128 * 1024 * 1024  # bytes per shuffle partition
+_ADVISOR_FILE_TARGET = 256 * 1024 * 1024     # bytes per output file
+
+
+@query(
+    "shuffle_sizing_advisor",
+    oracle=f"""
+WITH sized AS (
+    SELECT
+        -- fixed-width columns: event_id, user_id, value (8B each) + ts (8B)
+        -- strlen() is DuckDB's BYTE length for VARCHAR (length() is
+        -- characters); Spark's octet_length is the byte-width twin
+        32
+        + strlen(coalesce(event_type, ''))
+        + strlen(coalesce(props, '')) AS row_bytes
+    FROM events
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(row_bytes) AS BIGINT) AS est_bytes
+    FROM sized
+)
+SELECT
+    n_rows,
+    est_bytes,
+    CAST((est_bytes * 10) // n_rows AS BIGINT)       AS avg_row_bytes_x10,
+    CAST((est_bytes + {_ADVISOR_SHUFFLE_TARGET - 1}) // {_ADVISOR_SHUFFLE_TARGET}
+         AS BIGINT)                                  AS recommended_shuffle_partitions,
+    CAST((est_bytes + {_ADVISOR_FILE_TARGET - 1}) // {_ADVISOR_FILE_TARGET}
+         AS BIGINT)                                  AS recommended_output_files
+FROM agg
+""",
+)
+def q_shuffle_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZING advisor — the fourth tuning advisor (with `compaction_plan`,
+    `skew_key_diagnosis`, `lateness_watermark_profile`): estimate the fact
+    relation's in-flight bytes from exact per-row column widths
+    (fixed-width 8 B fields + actual string octet lengths — the UnsafeRow
+    order of magnitude) and derive the two numbers every deployment tunes
+    by hand: shuffle partition count at a {_ADVISOR_SHUFFLE_TARGET >> 20}
+    MiB-per-partition target (the "partitions sized so sorts don't spill"
+    rule SCALE.md's worksheet applies) and output file count at a
+    {_ADVISOR_FILE_TARGET >> 20} MiB file target (the anti-small-files
+    setting `compaction_plan` cleans up after when ignored).
+
+    Everything is exact integer arithmetic over ONE aggregate (map-side
+    partial sums of row widths), so the advisor costs a scan — in
+    production you run it on one partition's sample or read the sizes
+    straight from parquet footers; the recommendation formula is the
+    point.  At the fixture's sf0.01 this recommends 1 partition — correct:
+    a 3 MB relation should not be 200-way shuffled, which is exactly the
+    argument for AQE coalescing or this advisor at any scale."""
+    events = load_table(spark, "events", sf_dir)
+    row_bytes = (
+        F.lit(32)
+        + F.octet_length(F.coalesce(F.col("event_type"), F.lit("")))
+        + F.octet_length(F.coalesce(F.col("props"), F.lit("")))
+    )
+    agg = events.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_bytes).cast("long").alias("est_bytes"),
+    )
+    return agg.select(
+        "n_rows",
+        "est_bytes",
+        F.expr("(est_bytes * 10) div n_rows").alias("avg_row_bytes_x10"),
+        F.expr(
+            f"(est_bytes + {_ADVISOR_SHUFFLE_TARGET - 1}) div {_ADVISOR_SHUFFLE_TARGET}"
+        ).alias("recommended_shuffle_partitions"),
+        F.expr(
+            f"(est_bytes + {_ADVISOR_FILE_TARGET - 1}) div {_ADVISOR_FILE_TARGET}"
+        ).alias("recommended_output_files"),
+    )

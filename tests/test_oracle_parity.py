@@ -330,6 +330,8 @@ _EVENTS_EDGE_QUERIES = [
     # executed compaction: NULL-ts rows never land in a source file, NULL
     # event_ids skip the distinct census, NULL values compact as 0 cents
     "compaction_rewrite_roundtrip",
+    # sizing advisor: NULL strings size as 0 bytes on both engines
+    "shuffle_sizing_advisor",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
