@@ -202,6 +202,7 @@ EXTENDED_R6 = [
     "compaction_rewrite_roundtrip",  # OPTIMIZE executed: small files -> bins
     "index_delta_merge",       # inverted-index stats merged, not rebuilt
     "shuffle_sizing_advisor",  # partition/file sizing from exact row widths
+    "vacuum_orphan_files",     # manifest-referenced vacuum, snapshots intact
 ]
 
 

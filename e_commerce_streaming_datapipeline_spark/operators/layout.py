@@ -1208,3 +1208,108 @@ def q_shuffle_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(est_bytes + {_ADVISOR_FILE_TARGET - 1}) div {_ADVISOR_FILE_TARGET}"
         ).alias("recommended_output_files"),
     )
+
+
+# --------------------------------------------------------------------------
+# VACUUM: remove orphan files no manifest references (the cleanup half of
+# the manifest commit protocol)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vacuum_orphan_files",
+    oracle="""
+WITH v1 AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus AS s
+    FROM orders GROUP BY 1, 2
+), v2 AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus AS s
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
+)
+SELECT
+    CAST(3 AS BIGINT) AS files_before,
+    CAST(2 AS BIGINT) AS files_referenced,
+    CAST(1 AS BIGINT) AS orphans_removed,
+    CAST((SELECT count(*) FROM v1) AS BIGINT) AS v1_rows_after_vacuum,
+    CAST((SELECT count(*) FROM v2) AS BIGINT) AS v2_rows_after_vacuum
+""",
+)
+def q_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the cleanup half of the manifest commit protocol
+    (`manifest_time_travel` is the write/read half): data files that NO
+    manifest references are orphans (the debris of failed or abandoned
+    commits, which the immutable-files + atomic-manifest-swap protocol
+    guarantees are invisible to readers but still cost storage), and
+    vacuum deletes exactly those.  The builder stages two committed
+    snapshot versions plus one deliberately orphaned file (a "failed
+    commit"), vacuums, and re-reads BOTH committed versions afterwards —
+    the hash check proves vacuum removed only the orphan and neither
+    snapshot lost a row (the invariant a buggy vacuum that trusts
+    directory listings over manifests violates).
+
+    Scale: vacuum is pure METADATA work — the referenced-file set is the
+    union of live manifests (O(#files)), the candidate set is one storage
+    listing, and the delete never reads data bytes; this is why table
+    formats can reclaim petabytes in minutes.  Retention interacts with
+    time travel: vacuuming only unreferenced files (as here) keeps every
+    committed version readable; age-based retention that drops OLD
+    manifests first is the production knob layered on top."""
+    import json as _json
+
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_vacuum", uuid.uuid4().hex
+    )
+    data_dir = os.path.join(run_dir, "data")
+    os.makedirs(data_dir)
+
+    orders = load_table(spark, "orders", sf_dir)
+    v1_df = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count("*").alias("n"))
+    v2_df = v1_df.where(F.col("s") == "F")
+
+    def commit(version: int, df: DataFrame) -> None:
+        vdir = os.path.join(data_dir, f"v{version}")
+        df.coalesce(1).write.parquet(vdir)  # exactly one data file
+        files = sorted(
+            os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        staged = os.path.join(run_dir, f".manifest_v{version}.json.tmp")
+        with open(staged, "w") as fh:
+            _json.dump({"version": version, "files": files}, fh)
+        os.replace(staged, os.path.join(run_dir, f"manifest_v{version}.json"))
+
+    commit(1, v1_df)
+    commit(2, v2_df)
+    # the failed commit: data landed, manifest swap never happened
+    orphan_dir = os.path.join(data_dir, "orphan")
+    v2_df.coalesce(1).write.parquet(orphan_dir)
+
+    def parquet_files() -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(data_dir):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return sorted(out)
+
+    referenced: set[str] = set()
+    for v in (1, 2):
+        with open(os.path.join(run_dir, f"manifest_v{v}.json")) as fh:
+            referenced |= set(_json.load(fh)["files"])
+
+    before = parquet_files()
+    orphans = [f for f in before if f not in referenced]
+    for f in orphans:  # the vacuum: delete ONLY unreferenced data files
+        os.remove(f)
+
+    def read_version(version: int) -> DataFrame:
+        with open(os.path.join(run_dir, f"manifest_v{version}.json")) as fh:
+            return spark.read.parquet(*_json.load(fh)["files"])
+
+    v1_rows = read_version(1).count()
+    v2_rows = read_version(2).count()
+    return spark.createDataFrame(
+        [(len(before), len(referenced), len(orphans), v1_rows, v2_rows)],
+        "files_before long, files_referenced long, orphans_removed long, "
+        "v1_rows_after_vacuum long, v2_rows_after_vacuum long",
+    )

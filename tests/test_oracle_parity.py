@@ -170,6 +170,9 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         # order statistics: NULL totalprice drops on both
                         # sides; NULL custkey groups and sorts NULLS LAST
                         "conformal_interval", "revenue_gini",
+                        # vacuum: NULL orderdate groups ride inside both
+                        # committed snapshots and must survive the cleanup
+                        "vacuum_orphan_files",
                         # IVM merge: NULL orderdate is its own view group,
                         # NULL totalprice sums as NULL-skipped cents on both
                         # sides of the delta split
