@@ -203,6 +203,7 @@ EXTENDED_R6 = [
     "index_delta_merge",       # inverted-index stats merged, not rebuilt
     "shuffle_sizing_advisor",  # partition/file sizing from exact row widths
     "vacuum_orphan_files",     # manifest-referenced vacuum, snapshots intact
+    "index_tombstone_merge",   # index deletes by per-term subtraction
 ]
 
 

@@ -1791,3 +1791,71 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(25)
     )
+
+
+@query(
+    "index_tombstone_merge",
+    oracle=f"""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id % 10 <> 0)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf
+FROM stats
+ORDER BY df DESC, term
+LIMIT 25
+""",
+)
+def q_index_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under DELETES — the caveat `index_delta_merge`
+    documents, implemented: when documents are erased (``doc_id % 10 = 0``
+    plays the GDPR batch), the materialized index is NOT rebuilt; the
+    TOMBSTONED documents' own term statistics are indexed (delta-sized
+    work) and SUBTRACTED per term — df/tf are counts, so deletion is
+    group-wise minus, with terms whose df reaches 0 dropped from the
+    vocabulary.  The maintained index's top terms hash-match the
+    rebuild-on-survivors oracle: subtraction and rebuild must be
+    indistinguishable.
+
+    Together with `index_delta_merge` (inserts) this is the full Lucene
+    segment lifecycle relationally: add segments merge by +, deletes
+    apply by tombstone, and physical purge happens at the next merge —
+    the same logical/physical split as `user_erasure` +
+    `deletion_vector_scan` on the data side.
+
+    Scale: tombstone-side work is O(deleted docs); the subtraction
+    shuffles two vocabulary-sized stat relations."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def index_stats(df: DataFrame, sign: int) -> DataFrame:
+        tf = (
+            df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        return tf.groupBy("term").agg(
+            (F.lit(sign) * F.count("*")).alias("df"),
+            (F.lit(sign) * F.sum("tf")).alias("total_tf"),
+        )
+
+    base_idx = index_stats(docs, 1)  # the already-materialized full index
+    tombstone_idx = index_stats(docs.where(F.col("doc_id") % 10 == 0), -1)
+    maintained = (
+        base_idx.unionByName(tombstone_idx)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("total_tf").alias("total_tf"))
+        .where(F.col("df") > 0)  # fully-erased terms leave the vocabulary
+    )
+    return (
+        maintained.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("total_tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(25)
+    )

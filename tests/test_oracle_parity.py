@@ -112,7 +112,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "temperature_mixture_weights",
                  # index IVM: NULL text posts nothing on either side of the
                  # base/delta split; merge stays pure term arithmetic
-                 "index_delta_merge"]
+                 "index_delta_merge",
+                 # tombstone subtraction: an erased NULL-text doc subtracts
+                 # nothing; zero-df terms leave the vocabulary identically
+                 "index_tombstone_merge"]
 
 
 @pytest.fixture(scope="module")
