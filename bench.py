@@ -204,6 +204,7 @@ EXTENDED_R6 = [
     "shuffle_sizing_advisor",  # partition/file sizing from exact row widths
     "vacuum_orphan_files",     # manifest-referenced vacuum, snapshots intact
     "index_tombstone_merge",   # index deletes by per-term subtraction
+    "decontam_threshold_sweep",  # contamination-cutoff tuning curve
 ]
 
 

@@ -1831,3 +1831,93 @@ def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("event_type")
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination threshold sweep: the policy tuning curve
+# --------------------------------------------------------------------------
+
+_DECON_SWEEP_MAX = 4
+
+
+@query(
+    "decontam_threshold_sweep",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, md5(array_to_string(t[i:i+{_NGRAM - 1}], ' ')) AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS u(i)
+    WHERE len(t) >= {_NGRAM}
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), hits AS (
+    SELECT grams.doc_id, count(DISTINCT grams.g) AS n_shared
+    FROM grams JOIN bench USING (g)
+    WHERE grams.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY grams.doc_id
+), pool AS (
+    SELECT count(DISTINCT doc_id) AS n_train
+    FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+)
+SELECT
+    t.k                                                  AS min_shared_ngrams,
+    CAST(count(h.doc_id) AS BIGINT)                      AS n_flagged,
+    CAST(p.n_train AS BIGINT)                            AS n_train_docs,
+    CAST(count(h.doc_id) * 1000000 // p.n_train AS BIGINT)
+                                                         AS flagged_share_x1e6
+FROM (SELECT unnest(generate_series(1, {_DECON_SWEEP_MAX})) AS k) t
+CROSS JOIN pool p
+LEFT JOIN hits h ON h.n_shared >= t.k
+GROUP BY t.k, p.n_train
+ORDER BY t.k
+""",
+)
+def q_decontam_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination POLICY tuning curve — `benchmark_decontam` flags at
+    "any shared {_NGRAM}-gram"; this sweep reports how many training
+    documents each stricter threshold (>= k distinct leaked n-grams,
+    k = 1..{_DECON_SWEEP_MAX}) would remove, and the corpus share lost —
+    the precision/recall style curve (`lsh_recall_audit` genre) a data
+    lead reads before choosing the cutoff, because over-aggressive
+    decontamination silently deletes legitimately-common phrases along
+    with true leaks.
+
+    Exact integers end to end (counts and a x1e6 fixed-point share).
+    Scale: the contamination hit relation is computed ONCE (the broadcast
+    n-gram join `benchmark_decontam` uses); the sweep is a
+    {_DECON_SWEEP_MAX}-row threshold grid joined against the per-doc hit
+    counts — adding thresholds costs nothing corpus-sized."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = _ngram_hash_explode(toks)
+    bench = grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("g").distinct()
+    train_grams = grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        train_grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    pool = train_grams.agg(
+        F.count_distinct("doc_id").alias("n_train")
+    )
+    thresholds = spark.range(1, _DECON_SWEEP_MAX + 1).select(
+        F.col("id").cast("long").alias("min_shared_ngrams")
+    )
+    swept = (
+        scalar_join(thresholds, pool)
+        .join(
+            hits,
+            hits.n_shared >= F.col("min_shared_ngrams"),
+            "left",
+        )
+        .groupBy("min_shared_ngrams", "n_train")
+        .agg(F.count("doc_id").alias("n_flagged"))
+    )
+    return swept.select(
+        "min_shared_ngrams",
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        F.col("n_train").cast("long").alias("n_train_docs"),
+        F.expr("(n_flagged * 1000000) div n_train").alias("flagged_share_x1e6"),
+    ).orderBy("min_shared_ngrams")

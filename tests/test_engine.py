@@ -441,6 +441,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "revenue_theilsen_trend", # daily-aggregate pair expansion (n_days^2/2)
         "locf_value_15min",       # spine x |event types| tiny-relation grid
         "sql_udf_revenue",        # 4-row discount-band table function, range-joined
+        "decontam_threshold_sweep",  # 4-row threshold grid x per-doc hit counts
     }
     # builders with side effects or streaming runs — not pure explain targets:
     skip_substr = ("_stream", "bucketed", "partitioned_scan", "csv_source", "orc_source",

@@ -115,7 +115,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "index_delta_merge",
                  # tombstone subtraction: an erased NULL-text doc subtracts
                  # nothing; zero-df terms leave the vocabulary identically
-                 "index_tombstone_merge"]
+                 "index_tombstone_merge",
+                 # threshold sweep: NULL/short docs emit no n-grams, so they
+                 # are out of the training pool denominator on both engines
+                 "decontam_threshold_sweep"]
 
 
 @pytest.fixture(scope="module")
