@@ -205,6 +205,7 @@ EXTENDED_R6 = [
     "vacuum_orphan_files",     # manifest-referenced vacuum, snapshots intact
     "index_tombstone_merge",   # index deletes by per-term subtraction
     "decontam_threshold_sweep",  # contamination-cutoff tuning curve
+    "telemetry_double_fire_audit",  # near-dup EVENTS via 2-bucket range join
 ]
 
 

@@ -1491,3 +1491,112 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# -- telemetry double-fire audit (near-duplicate EVENTS, not documents) ------
+
+_DOUBLE_FIRE_US = 1_000_000  # pairs within one second
+
+
+@query(
+    "telemetry_double_fire_audit",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+    FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL AND ts IS NOT NULL
+), pairs AS (
+    SELECT a.event_type, a.event_id AS id_a, b.event_id AS id_b
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(a.us - b.us) <= {_DOUBLE_FIRE_US}
+), totals AS (
+    SELECT event_type, count(*) AS n_events FROM e GROUP BY 1
+)
+SELECT
+    t.event_type,
+    t.n_events,
+    CAST(coalesce(p.n_pairs, 0) AS BIGINT)                AS n_double_fire_pairs,
+    CAST(coalesce(p.n_pairs, 0) * 1000000 // t.n_events AS BIGINT)
+                                                          AS pairs_per_event_x1e6
+FROM totals t
+LEFT JOIN (SELECT event_type, count(*) AS n_pairs FROM pairs GROUP BY 1) p
+  USING (event_type)
+ORDER BY t.event_type
+""",
+)
+def q_telemetry_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry DOUBLE-FIRE audit — the near-duplicate problem for EVENTS:
+    two records from the same user with the same type within one second
+    but DIFFERENT event_ids are client retries / double-taps / SDK races
+    that `dedup_events`' key dedup cannot see (the ids differ), yet they
+    inflate every downstream count.  Reports pairs per type and the
+    per-event rate — the measurement that decides whether the ingest
+    pipeline needs a semantic dedup window on (user, type, ~1 s).
+
+    Plan shape: the |Δt| <= 1 s predicate is an interval self-join,
+    bucketized on whole seconds so each row joins only its own and the
+    NEXT bucket on an equi-key (user, type, bucket) — the
+    `user_activity_1h` 2-bucket rewrite; Catalyst plans a hash join with
+    blow-up factor exactly 2, never a nested loop.  Microsecond
+    arithmetic is exact integers (`unix_micros` = `epoch_us`)."""
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {_DOUBLE_FIRE_US}").alias("bkt"),
+    )
+    a = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.col("bkt").alias("bkt_a"),
+    )
+    # each left row probes its own and the next second-bucket: any pair
+    # within 1s lands in one of the two (b_right - b_left is 0 or 1 when
+    # us_b >= us_a; symmetric pairs are generated once via id ordering
+    # after expanding BOTH directions through the bucket offset)
+    b = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(F.col("bkt"), F.col("bkt") - 1, F.col("bkt") + 1)
+        ).alias("bkt_a"),
+    )
+    pairs = (
+        a.join(b, ["u", "t", "bkt_a"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= _DOUBLE_FIRE_US)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    pair_counts = pairs.groupBy(F.col("t").alias("event_type")).agg(
+        F.count("*").alias("n_pairs")
+    )
+    return (
+        totals.join(pair_counts, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_double_fire_pairs"),
+            F.expr("(coalesce(n_pairs, 0) * 1000000) div n_events").alias(
+                "pairs_per_event_x1e6"
+            ),
+        )
+        .orderBy("event_type")
+    )

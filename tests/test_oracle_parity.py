@@ -341,6 +341,9 @@ _EVENTS_EDGE_QUERIES = [
     "compaction_rewrite_roundtrip",
     # sizing advisor: NULL strings size as 0 bytes on both engines
     "shuffle_sizing_advisor",
+    # double-fire audit: NULL id/user/type/ts rows are unpairable and drop
+    # identically before the bucketed self-join
+    "telemetry_double_fire_audit",
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
