@@ -209,6 +209,18 @@ EXTENDED_R6 = [
 ]
 
 
+# Seventh section (round 7+): queries REGISTERED in round 7.
+EXTENDED_R7 = [
+    "jaccard_threshold_sweep",     # dedup-cutoff tuning curve over LSH pairs
+    "packing_efficiency_sweep",    # context-length budget tuning curve
+    "cross_source_leakage_matrix", # pairwise source n-gram contamination
+    "kanon_generalization_ladder", # QI coarsening ladder to reach k-anon
+    "benford_revenue_audit",       # first-digit forensic data-quality test
+    "conversion_window_sweep",     # attribution-window tuning curve
+    "schema_drift_audit",          # batch-over-batch column stats drift
+]
+
+
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
     from e_commerce_streaming_datapipeline_spark.session import get_spark
@@ -231,11 +243,17 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import release_rank_caches
+
     for warm_query in (HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4
-                       + EXTENDED_R5 + EXTENDED_R6):
+                       + EXTENDED_R5 + EXTENDED_R6 + EXTENDED_R7):
         registry[warm_query].builder(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # each rank-family builder pins a MEMORY_AND_DISK cache (the
+        # determinism persist in functions/ranks.py); release between
+        # queries so the suite doesn't accumulate hundreds of pinned copies
+        release_rank_caches()
 
     # Three timed iterations per query, report the min (steady state): AQE
     # picks size-dependent physical plans, so the first run at SF_DIR still
@@ -245,7 +263,7 @@ def main() -> None:
     # drift between driver draws).
     timings: dict[str, float] = {}
     for name in (HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4
-                 + EXTENDED_R5 + EXTENDED_R6):
+                 + EXTENDED_R5 + EXTENDED_R6 + EXTENDED_R7):
         q = registry[name]
         best = float("inf")
         for _ in range(3):
@@ -253,6 +271,7 @@ def main() -> None:
             df = q.builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            release_rank_caches()
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -267,6 +286,7 @@ def main() -> None:
         "r4_total": round(sum(timings[n] for n in EXTENDED_R4), 3),
         "r5_total": round(sum(timings[n] for n in EXTENDED_R5), 3),
         "r6_total": round(sum(timings[n] for n in EXTENDED_R6), 3),
+        "r7_total": round(sum(timings[n] for n in EXTENDED_R7), 3),
     }
     full = {
         "metric": "headline_queries_total_runtime",

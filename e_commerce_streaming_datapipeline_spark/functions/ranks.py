@@ -74,6 +74,37 @@ RANK_PID = "__rank_pid"
 _LOCAL_RN = "__rank_local_rn"
 _OFFSET = "__rank_offset"
 
+# Every persist() below is registered here so harnesses can release the
+# blocks once the consuming action has run.  Without this, each
+# global_row_number call (2x per hilbert/zorder query, plus the simjoin and
+# percentile family) pins a full copy of its input in the session
+# CacheManager for the session's lifetime — across a 326-query suite and 4x
+# bench invocations that accumulates unbounded storage, a real leak at the
+# 100 TB framing (r6 ADVICE finding #2).  The cache must stay alive until
+# the caller's ACTION has executed (the persist pins the one materialized
+# range partitioning both plan branches scan — see module docstring), so
+# release points are between queries: bench.py releases after each timed
+# run, tests/oracle_compare.py after each compare.  A driver session that
+# never calls release is bounded by its 50-query window.
+_LIVE_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches(blocking: bool = False) -> int:
+    """Unpersist every rank cache registered since the last release.
+
+    Safe to call once the consuming DataFrame's action has run; recompute
+    after release re-reads the SAME shuffle dependency (the partitioner is
+    fixed in the RDD DAG), so determinism is preserved even if a released
+    plan is re-executed.  Returns the number of caches released."""
+    n = len(_LIVE_RANK_CACHES)
+    for df in _LIVE_RANK_CACHES:
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped
+    _LIVE_RANK_CACHES.clear()
+    return n
+
 
 def global_row_number(
     df: DataFrame,
@@ -107,6 +138,7 @@ def global_row_number(
     # own independently-sampled range exchange and can disagree on boundary
     # rows (module docstring, "Why the ranked relation is persisted")
     local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_RANK_CACHES.append(local)
     # #partitions-row relation; its prefix-sum window is bounded by the
     # shuffle-partition count, independent of |df|
     counts = local.groupBy(RANK_PID).agg(F.max(_LOCAL_RN).alias("__rank_cnt"))

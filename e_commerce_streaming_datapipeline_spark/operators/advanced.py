@@ -646,3 +646,122 @@ ORDER BY 1
 """,
         lineitem=lineitem,
     )
+
+
+# -- attribution-window tuning curve ------------------------------------------
+
+_CONV_WINDOWS_S = (3600, 21600, 86400)  # 1h / 6h / 24h
+
+
+@query(
+    "conversion_window_sweep",
+    oracle=f"""
+WITH u AS (
+    SELECT event_id, user_id, ts, 0 AS is_p
+    FROM events
+    WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+    UNION ALL
+    SELECT NULL AS event_id, user_id, ts, 1 AS is_p
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+), nxt AS (
+    SELECT event_id, user_id, ts, is_p,
+        min(CASE WHEN is_p = 1 THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+            OVER (PARTITION BY user_id ORDER BY ts DESC, is_p DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS next_p_es
+    FROM u
+), views AS (
+    SELECT next_p_es - CAST(floor(epoch(ts)) AS BIGINT) AS delta_s
+    FROM nxt WHERE is_p = 0
+), th AS (
+    SELECT unnest([{", ".join(str(w) for w in _CONV_WINDOWS_S)}]) AS window_s
+)
+SELECT
+    CAST(th.window_s AS INT) AS window_s,
+    CAST(count(*) AS BIGINT) AS n_views,
+    CAST(sum(CASE WHEN v.delta_s IS NOT NULL AND v.delta_s <= th.window_s
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+    CAST(sum(CASE WHEN v.delta_s IS NOT NULL AND v.delta_s <= th.window_s
+                  THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        AS conv_x1e6
+FROM th CROSS JOIN views v
+GROUP BY th.window_s
+ORDER BY th.window_s
+""",
+)
+def q_conversion_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-WINDOW tuning curve — the sweep sibling of
+    `asof_last_purchase` pointed forward: every view is annotated with the
+    time to the SAME user's next purchase (at-or-after, ties convert), and
+    the conversion rate is reported per candidate attribution window
+    (1h / 6h / 24h) — the table that decides how long a view may claim
+    credit before the claim is noise.  Windows too short undercount slow
+    converters; too long attribute unrelated purchases.
+
+    Exactness: deltas are whole epoch seconds (per-row floored, the
+    `lateness_watermark_profile` discipline); the window comparison and the
+    rate are pure integer arithmetic.  NULL user/ts rows are excluded
+    explicitly on BOTH engines (unattributable).
+
+    Scale: the reverse as-of runs as union-both-sides + ONE running
+    ``min(purchase ts)`` window per user ordered descending — one shuffle on
+    user_id, linear work, no view x purchase candidate-pair explosion (the
+    same no-join as-of composition `asof_last_purchase` uses, reversed).
+    The sweep is a 3-row broadcast grid over the view-grain relation and a
+    3-cell hash aggregate."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join
+
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+    )
+    unioned = views.unionByName(purchases).withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_grain = (
+        unioned.withColumn(
+            "next_p_es",
+            F.min(F.when(F.col("is_p") == 1, F.col("es"))).over(w),
+        )
+        .where(F.col("is_p") == 0)
+        .select((F.col("next_p_es") - F.col("es")).alias("delta_s"))
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _CONV_WINDOWS_S])).alias("window_s")
+    )
+    converted = F.when(
+        F.col("delta_s").isNotNull() & (F.col("delta_s") <= F.col("window_s")), 1
+    ).otherwise(0)
+    return (
+        bounded_cross_join(view_grain, th)
+        .groupBy("window_s")
+        .agg(
+            F.count("*").cast("long").alias("n_views"),
+            F.sum(converted).cast("long").alias("n_converted"),
+            F.expr(
+                f"(sum(CASE WHEN delta_s IS NOT NULL AND delta_s <= window_s "
+                f"THEN 1 ELSE 0 END) * 1000000) div count(*)"
+            ).alias("conv_x1e6"),
+        )
+        .select(
+            F.col("window_s").cast("int").alias("window_s"),
+            "n_views",
+            "n_converted",
+            "conv_x1e6",
+        )
+        .orderBy("window_s")
+    )

@@ -331,7 +331,7 @@ WITH minutely AS (
 SELECT
     CAST(date_trunc('hour', m) AS TIMESTAMP)   AS window_start,
     CAST(sum(cents) AS DOUBLE) / 100           AS gmv,
-    sum(n)                                     AS purchases,
+    CAST(sum(n) AS BIGINT)                     AS purchases,
     count(*)                                   AS minutes_active
 FROM minutely
 GROUP BY 1
@@ -995,7 +995,11 @@ WITH bounds AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, bucket_start, is_observed, value_locf,
-       CAST(date_diff('minute', last_obs, bucket_start) AS BIGINT)
+       -- DOUBLE, not BIGINT: NULL before the first observation makes this
+       -- column nullable-integral, which pandas widens to float64 on ONE
+       -- side only when the other side happens to be NULL-free — double on
+       -- both engines is representation-stable (r7 dtype-kind gate)
+       CAST(date_diff('minute', last_obs, bucket_start) AS DOUBLE)
            AS staleness_min
 FROM filled
 ORDER BY event_type, bucket_start
@@ -1065,7 +1069,10 @@ def q_locf_value_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 60
         )
+        # double, not long: nullable-integral outputs are representation-
+        # unstable through the driver's pandas canonicalizer (see oracle)
         .cast("long")
+        .cast("double")
         .alias("staleness_min"),
         # no output orderBy: rows already leave the LOCF window sorted within
         # each type partition and the compare is order-insensitive — a global

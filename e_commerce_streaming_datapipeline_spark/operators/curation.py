@@ -760,12 +760,13 @@ WITH assigned AS (
         length(text) - length(replace(text, ' ', '')) + 1 AS tokens
     FROM documents
 ), per_shard AS (
-    SELECT shard, count(*) AS n_docs, sum(tokens) AS n_tokens
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens
     FROM assigned GROUP BY shard
 )
 SELECT
     count(*) AS n_shards,
-    sum(n_docs) AS total_docs,
+    CAST(sum(n_docs) AS BIGINT) AS total_docs,
     min(n_docs) AS min_docs,
     max(n_docs) AS max_docs,
     round(CAST(max(n_docs) AS DOUBLE) * count(*) / sum(n_docs) * 10000)
@@ -1453,7 +1454,7 @@ SELECT lang,
                - (52 - length(format('{:b}', u2))),
            0
        ) AS noisy_count,
-       0.693147 AS epsilon_nominal,
+       CAST(0.693147 AS DOUBLE) AS epsilon_nominal,
        TRUE AS seeded
 FROM (
     SELECT lang, count(*) AS cnt,
@@ -1666,7 +1667,7 @@ SELECT day,
             + {_DP_CLIP_CENTS} * ((52 - length(format('{{:b}}', u1)))
                                   - (52 - length(format('{{:b}}', u2))))
             AS BIGINT)             AS noisy_sum_cents,
-       0.693147 AS epsilon_nominal,
+       CAST(0.693147 AS DOUBLE) AS epsilon_nominal,
        TRUE AS seeded
 FROM per_day
 ORDER BY day
@@ -1750,10 +1751,11 @@ WITH ordered AS (
         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents
                                ELSE 0 END) OVER w, 0) AS BIGINT)
                                                               AS revenue_so_far_cents,
-        es - lag(es) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id)             AS secs_since_prev
+        CAST(es - lag(es) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id NULLS LAST)
+             AS DOUBLE)                                       AS secs_since_prev
     FROM ordered
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT user_id, event_id,
@@ -1799,12 +1801,18 @@ def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # NULLS LAST on the event_id tiebreak in BOTH engines: Spark's default
+    # ASC is NULLS FIRST, DuckDB's is NULLS LAST, and a NULL-event_id row
+    # tied on ts flips cumulative features between engines otherwise (same
+    # cross-engine trap deletion_vector_scan pins explicitly)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     feat = ordered.select(
         "user_id",
         "event_id",
@@ -1823,7 +1831,11 @@ def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
             F.lit(0),
         ).alias("revenue_so_far_cents"),
-        (F.col("es") - F.lag("es").over(lag_w)).alias("secs_since_prev"),
+        # double: NULL on each user's first event — nullable-integral
+        # outputs are representation-unstable through pandas (see oracle)
+        (F.col("es") - F.lag("es").over(lag_w))
+        .cast("double")
+        .alias("secs_since_prev"),
         F.col("cents").alias("label_value_cents"),
     )
     return (
@@ -1921,3 +1933,321 @@ def q_decontam_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_train").cast("long").alias("n_train_docs"),
         F.expr("(n_flagged * 1000000) div n_train").alias("flagged_share_x1e6"),
     ).orderBy("min_shared_ngrams")
+
+
+# --------------------------------------------------------------------------
+# Packing-budget sweep: the context-length policy tuning curve
+# --------------------------------------------------------------------------
+
+_PACK_SWEEP_BUDGETS = (128, 256, 512, 1024)
+
+
+@query(
+    "packing_efficiency_sweep",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), th AS (
+    SELECT unnest([{", ".join(str(b) for b in _PACK_SWEEP_BUDGETS)}]) AS budget
+), binned AS (
+    SELECT th.budget, s.lang, s.n_tokens,
+        (sum(s.n_tokens) OVER (
+            PARTITION BY th.budget, s.lang ORDER BY s.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - s.n_tokens) // th.budget AS bin_id
+    FROM sized s CROSS JOIN th
+), bins AS (
+    SELECT budget, lang, bin_id,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY 1, 2, 3
+)
+SELECT
+    CAST(budget AS INT)                        AS budget,
+    CAST(count(*) AS BIGINT)                   AS n_bins,
+    CAST(sum(bin_tokens) AS BIGINT)            AS total_tokens,
+    CAST(sum(CASE WHEN bin_tokens > budget THEN 1 ELSE 0 END) AS BIGINT)
+                                               AS n_overfull_bins,
+    CAST(sum(bin_tokens) * 1000000 // (count(*) * budget) AS BIGINT)
+                                               AS fill_x1e6
+FROM bins
+GROUP BY budget
+ORDER BY budget
+""",
+)
+def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length POLICY tuning curve — `sequence_packing`'s sweep
+    sibling: the same deterministic cumulative-sum packer is priced at four
+    token budgets ({", ".join(str(b) for b in _PACK_SWEEP_BUDGETS)}), reporting bins
+    produced, aggregate fill, and how many bins a boundary-straddling doc
+    overflows — the table that decides a training run's sequence length
+    (small budgets waste capacity on fragmentation, large budgets waste it
+    on the final partial bin per stream and inflate attention cost).
+
+    Exactness: all-integer outputs — ``fill_x1e6`` is an exact scaled
+    integer division and the overfull test compares exact token sums, so no
+    float appears in the hashed relation.
+
+    Scale: the budget grid is a 4-row broadcast (`bounded_cross_join` — a
+    constant-key broadcast hash join, not a CartesianProduct), so the doc
+    relation is scanned once and expanded 4x into ONE window shuffle
+    partitioned by (budget, lang) — same single-shuffle shape as
+    `sequence_packing`, with the same shard-the-partition-key move at
+    100 TB.  The per-bin and per-budget rollups are hash aggregates over
+    bin grain (corpus_tokens/budget rows) and 4 rows respectively."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join
+
+    sized = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(b) for b in _PACK_SWEEP_BUDGETS])).alias("budget")
+    )
+    w = Window.partitionBy("budget", "lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = bounded_cross_join(sized, th).select(
+        "budget",
+        "lang",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.col("budget"))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    bins = binned.groupBy("budget", "lang", "bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("budget")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("bin_tokens") > F.col("budget"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overfull_bins"),
+            F.expr(
+                "(sum(bin_tokens) * 1000000) div (count(*) * any_value(budget))"
+            ).alias("fill_x1e6"),
+        )
+        .select(
+            F.col("budget").cast("int").alias("budget"),
+            "n_bins",
+            "total_tokens",
+            "n_overfull_bins",
+            "fill_x1e6",
+        )
+        .orderBy("budget")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source leakage matrix: which sources share content with which
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_leakage_matrix",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    WHERE source IS NOT NULL
+), grams AS (
+    SELECT DISTINCT source,
+           md5(array_to_string(t[i:i+{_NGRAM - 1}], ' ')) AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_NGRAM - 1})) AS u(i)
+    WHERE len(t) >= {_NGRAM}
+), sizes AS (
+    SELECT source, count(*) AS n_grams FROM grams GROUP BY 1
+), shared AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT
+    s.src_a, s.src_b,
+    CAST(s.n_shared AS BIGINT) AS n_shared_grams,
+    CAST(sa.n_grams AS BIGINT) AS n_grams_a,
+    CAST(sb.n_grams AS BIGINT) AS n_grams_b,
+    CAST(s.n_shared * 1000000
+         // (sa.n_grams + sb.n_grams - s.n_shared) AS BIGINT)
+        AS jaccard_x1e6
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+""",
+)
+def q_cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source contamination MATRIX — `benchmark_decontam`
+    generalized from "corpus vs one benchmark" to every pair of sources:
+    distinct {_NGRAM}-gram sets per source, pairwise overlap counts and
+    exact scaled Jaccard.  This is the governance table a training-data
+    owner reads to find mirror sites, syndicated feeds, and scraped
+    re-posts BETWEEN ingest sources before they inflate dedup pressure
+    downstream — per-pair numbers name which source pair to investigate.
+
+    Exactness: counts and an exact integer-scaled Jaccard
+    (``shared*1e6 div union``) — no floats in the hashed relation.  NULL
+    source is excluded explicitly on both engines (a NULL source cannot be
+    investigated).
+
+    Scale: the gram relation is reduced to DISTINCT (source, gram) first —
+    one hash aggregate — so the self-join on gram expands each gram by at
+    most (#sources per gram choose 2) <= (20 choose 2), never by document
+    frequency; the output is bounded by the source-pair grid.  At 100 TB
+    add a gram-df cap (drop grams present in ALL sources — they carry no
+    pair signal) to bound the hot-gram expansion; at fixture source
+    cardinality the expansion is already grid-bounded."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("source").isNotNull())
+        .select("doc_id", "source", F.split(F.col("text"), " ").alias("t"))
+    )
+    grams = (
+        _ngram_hash_explode(toks, "source")
+        .select("source", "g")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_grams").alias("n_grams_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n_grams").alias("n_grams_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared_grams"),
+            F.col("n_grams_a").cast("long").alias("n_grams_a"),
+            F.col("n_grams_b").cast("long").alias("n_grams_b"),
+            F.expr(
+                "(n_shared * 1000000) div (n_grams_a + n_grams_b - n_shared)"
+            ).alias("jaccard_x1e6"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity generalization ladder: coarsen QIs until the release passes
+# --------------------------------------------------------------------------
+
+# (level, hour divisor, value-bucket width); level 3 drops the hour QI
+_KANON_LADDER = ((0, 1, 100), (1, 4, 100), (2, 4, 500), (3, 24, 500))
+
+
+def _kanon_ladder_oracle() -> str:
+    levels = " UNION ALL ".join(
+        f"""SELECT {lvl} AS level, {hd} AS hour_div, {vw} AS value_width,
+        event_type AS qi_event_type,
+        CAST(extract(hour FROM ts) AS INTEGER) // {hd} AS qi_hour_bucket,
+        CAST(floor(coalesce(value, 0) / {vw}) AS BIGINT) AS qi_value_bucket,
+        user_id
+    FROM events"""
+        for lvl, hd, vw in _KANON_LADDER
+    )
+    return f"""
+WITH leveled AS ({levels}),
+cells AS (
+    SELECT level, any_value(hour_div) AS hour_div,
+           any_value(value_width) AS value_width,
+           qi_event_type, qi_hour_bucket, qi_value_bucket,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_rows
+    FROM leveled
+    GROUP BY level, qi_event_type, qi_hour_bucket, qi_value_bucket
+)
+SELECT
+    CAST(level AS INT)                       AS level,
+    CAST(any_value(hour_div) AS INT)         AS hour_div,
+    CAST(any_value(value_width) AS INT)      AS value_width,
+    CAST(count(*) AS BIGINT)                 AS n_cells,
+    CAST(sum(CASE WHEN n_users < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+                                             AS n_violating_cells,
+    CAST(sum(CASE WHEN n_users < {_KANON_K} THEN n_rows ELSE 0 END) AS BIGINT)
+                                             AS n_rows_at_risk,
+    CAST(min(n_users) AS BIGINT)             AS k_achieved
+FROM cells
+GROUP BY level
+ORDER BY level
+"""
+
+
+@query("kanon_generalization_ladder", oracle=_kanon_ladder_oracle())
+def q_kanon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity GENERALIZATION ladder — `k_anonymity_audit` lists the
+    violating cells at one QI resolution; this ladder prices the standard
+    remediation (coarsen the quasi-identifiers) level by level: hour →
+    4-hour block → wider value buckets → drop the hour QI entirely.  Per
+    level: cell count, violating cells, rows sitting in violating cells,
+    and the k actually achieved (min distinct users per cell) — the first
+    level with ``k_achieved >= {_KANON_K}`` is the cheapest release that
+    passes, and ``n_cells`` quantifies the utility lost to get there.
+
+    Scale: each level is one hash aggregation over its QI grid; the four
+    levels share one scan via the unioned level expansion (4x map-side
+    expansion, no joins), and every per-level rollup runs on cell grain —
+    grid-bounded, never row-bounded.  count(DISTINCT user_id) per cell is
+    the one per-cell distinct; at 100 TB swap it for a per-cell HLL sketch
+    when the audit can tolerate approximation (`approx_unique_users_hourly`
+    shows the bracket-test pattern)."""
+    events = load_table(spark, "events", sf_dir)
+    leveled = None
+    for lvl, hd, vw in _KANON_LADDER:
+        part = events.select(
+            F.lit(lvl).alias("level"),
+            F.lit(hd).alias("hour_div"),
+            F.lit(vw).alias("value_width"),
+            F.col("event_type").alias("qi_event_type"),
+            (F.hour("ts") / hd).cast("int").alias("qi_hour_bucket"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / vw).alias(
+                "qi_value_bucket"
+            ),
+            "user_id",
+        )
+        leveled = part if leveled is None else leveled.unionByName(part)
+    cells = leveled.groupBy(
+        "level", "qi_event_type", "qi_hour_bucket", "qi_value_bucket"
+    ).agg(
+        F.any_value("hour_div").alias("hour_div"),
+        F.any_value("value_width").alias("value_width"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        cells.groupBy("level")
+        .agg(
+            F.any_value("hour_div").cast("int").alias("hour_div"),
+            F.any_value("value_width").cast("int").alias("value_width"),
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(F.when(F.col("n_users") < _KANON_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_cells"),
+            F.sum(F.when(F.col("n_users") < _KANON_K, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("n_users").cast("long").alias("k_achieved"),
+        )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "hour_div", "value_width", "n_cells",
+            "n_violating_cells", "n_rows_at_risk", "k_achieved",
+        )
+        .orderBy("level")
+    )

@@ -1600,3 +1600,124 @@ def q_telemetry_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sweep: the similarity-cutoff policy tuning curve
+# --------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS_X100 = (50, 60, 70, 80, 90)
+
+
+@query(
+    "jaccard_threshold_sweep",
+    oracle=f"""
+WITH {_MINHASH_VERIFIED_CTES},
+ipairs AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)) AS un
+    FROM candidates c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+), corpus AS (
+    SELECT count(*) AS n FROM shingled
+), th AS (
+    SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS_X100)}]) AS t
+)
+SELECT
+    CAST(th.t AS INT) AS threshold_x100,
+    CAST(count(p.doc_a) AS BIGINT) AS n_dup_pairs,
+    CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_removed,
+    CAST(count(DISTINCT p.doc_b) * 1000000 // max(c.n) AS BIGINT)
+        AS removed_share_x1e6
+FROM th
+CROSS JOIN corpus c
+LEFT JOIN ipairs p ON 100 * p.inter >= th.t * p.un
+GROUP BY th.t
+ORDER BY th.t
+""",
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup POLICY tuning curve — `decontam_threshold_sweep`'s dedup
+    sibling: for each Jaccard cutoff (0.50 … 0.90) report how many verified
+    near-dup pairs survive the MinHash-LSH candidate gate, how many
+    documents a keep-lowest-id policy would remove, and the corpus share
+    lost — the table a data owner reads before choosing the production
+    dedup threshold (too low removes legitimate boilerplate-sharing docs,
+    too high ships training set duplicates).
+
+    Exactness: the cutoff comparison is pure integer arithmetic —
+    ``100*|A∩B| >= t*|A∪B|`` — so a pair sitting exactly ON a threshold
+    (e.g. J = 3/5 at t = 60) classifies identically on both engines; no
+    float division appears anywhere in the hashed relation.  Removal policy
+    is per-PAIR (the higher doc_id of every flagged pair), not transitive
+    closure — the closure variant is `dup_clusters`; this sweep prices the
+    cheap policy.
+
+    Scale: candidates come from the banded LSH equi-join
+    (`_band_candidates` — one pass over band signatures, never the O(n²)
+    pair space); the sweep itself is a 5-row broadcast threshold grid
+    against the candidate-pair relation, and the per-threshold distinct is
+    a two-phase aggregate on (threshold, doc) grain.  Reference analog:
+    the reference dedups nothing (SURVEY §2 D1 covers only event-id dedup);
+    this is the scale-up policy layer over the same MinHash machinery as
+    `minhash_near_dups` (same signatures, same bands, same verification).
+    """
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    sets = shingled_docs(docs)
+    bands = minhash_bands(docs, shingled=sets)
+    cand = _band_candidates(bands)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            (F.size("sh_a") + F.size("sh_b") - inter).cast("long").alias("un"),
+        )
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS_X100])
+        ).alias("threshold_x100")
+    )
+    flagged = bounded_cross_join(pairs, th).where(
+        F.lit(100) * F.col("inter") >= F.col("threshold_x100") * F.col("un")
+    )
+    pair_counts = flagged.groupBy("threshold_x100").agg(
+        F.count("*").alias("n_dup_pairs")
+    )
+    # two-phase distinct (dedupe then count) keeps the plan Expand-free
+    doc_counts = (
+        flagged.select("threshold_x100", "doc_b")
+        .distinct()
+        .groupBy("threshold_x100")
+        .agg(F.count("*").alias("n_docs_removed"))
+    )
+    corpus = sets.groupBy().agg(F.count("*").alias("__n_corpus"))
+    return (
+        scalar_join(th, corpus)
+        .join(pair_counts, "threshold_x100", "left")
+        .join(doc_counts, "threshold_x100", "left")
+        .select(
+            F.col("threshold_x100").cast("int").alias("threshold_x100"),
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce(F.col("n_docs_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            F.expr(
+                "(coalesce(n_docs_removed, 0) * 1000000) div __n_corpus"
+            ).alias("removed_share_x1e6"),
+        )
+        .orderBy("threshold_x100")
+    )

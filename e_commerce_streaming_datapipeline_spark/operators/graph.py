@@ -152,7 +152,7 @@ WITH ps AS (
 SELECT
     (SELECT count(*) FROM deg) AS n_nodes,
     (SELECT count(*) FROM edges) AS n_edges,
-    (SELECT sum(deg * (deg - 1) // 2) FROM deg) AS n_wedges,
+    (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
     n_triangles,
     round(3.0 * n_triangles / (SELECT sum(deg * (deg - 1) // 2) FROM deg)
           * 1000000) / 1000000 AS global_clustering

@@ -31,14 +31,13 @@ Scale notes per operator in the docstrings below.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+from e_commerce_streaming_datapipeline_spark.functions.scratch import scratch_dir
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
 
@@ -153,14 +152,16 @@ def zorder_layout_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             # exact scaled integers (`sum*10000 div n` BIGINT), same
-            # discipline as revenue_gini / kmeans_lloyd_step.  NOTE: the
-            # r4/r5 driver hash mismatches were NOT float canonicalization —
-            # the real cause was the two-phase rank's offsets branch and
-            # join branch each running their own independently-SAMPLED range
-            # exchange (no ReuseExchange after join-side re-aliasing), so
-            # boundary rows could land in different files per environment;
-            # fixed at the source in functions/ranks.py (the ranked relation
-            # is now persisted so both branches scan one partitioning).
+            # discipline as revenue_gini / kmeans_lloyd_step.  HISTORY: the
+            # r4-r6 driver hash mismatches on this query were ORACLE RESULT
+            # TYPING — the oracle's uncast integer sum() came back as DuckDB
+            # HUGEINT, which the driver's pandas canonicalizer widens to
+            # float64 ("3.0" vs Spark's "3"); fixed r7 by CAST(... AS
+            # BIGINT) in the oracle + the registry-wide dtype gate
+            # (tests/test_oracle_dtypes.py).  The r6 rank-persist change in
+            # functions/ranks.py was NOT the correctness fix — it is a
+            # performance fix (eliminates a duplicate range exchange) and a
+            # determinism hardening, and stays on its own merits.
             F.expr("(sum(max_u - min_u + 1) * 10000) div count(*)")
             .cast("long")
             .alias("avg_user_span_x10000"),
@@ -211,8 +212,9 @@ SELECT
         AS avg_user_span_x10000,
     CAST((sum(max_t - min_t + 1) * 10000) // count(*) AS BIGINT)
         AS avg_minute_span_x10000,
-    sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET} AND max_u >= {_PROBE_USER_BUCKET}
-             THEN 1 ELSE 0 END) AS probe_user_files_hit
+    CAST(sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET}
+                   AND max_u >= {_PROBE_USER_BUCKET}
+             THEN 1 ELSE 0 END) AS BIGINT) AS probe_user_files_hit
 FROM per_file
 GROUP BY layout
 ORDER BY layout
@@ -421,8 +423,9 @@ SELECT
         AS avg_user_span_x10000,
     CAST((sum(max_t - min_t + 1) * 10000) // count(*) AS BIGINT)
         AS avg_minute_span_x10000,
-    sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET} AND max_u >= {_PROBE_USER_BUCKET}
-             THEN 1 ELSE 0 END) AS probe_user_files_hit
+    CAST(sum(CASE WHEN min_u <= {_PROBE_USER_BUCKET}
+                   AND max_u >= {_PROBE_USER_BUCKET}
+             THEN 1 ELSE 0 END) AS BIGINT) AS probe_user_files_hit
 FROM per_file
 GROUP BY layout
 ORDER BY layout
@@ -547,9 +550,9 @@ WITH keys AS (
 )
 SELECT
     count(*) AS n_facts,
-    sum(passed) AS n_candidates,
-    sum(matched) AS n_true,
-    sum(passed) - sum(matched) AS n_false_pos,
+    CAST(sum(passed) AS BIGINT) AS n_candidates,
+    CAST(sum(matched) AS BIGINT) AS n_true,
+    CAST(sum(passed) - sum(matched) AS BIGINT) AS n_false_pos,
     round(CAST(sum(passed) - sum(matched) AS DOUBLE)
           / (count(*) - sum(matched)) * 1000000) / 1000000 AS false_pos_rate,
     (SELECT count(*) FROM keys) AS n_build_keys
@@ -687,9 +690,7 @@ def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import json
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_manifest", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("manifest")
     data_dir = os.path.join(run_dir, "data")
     os.makedirs(data_dir)
 
@@ -767,7 +768,7 @@ WITH files AS (
 SELECT
     CAST(bin AS BIGINT)      AS bin,
     CAST(count(*) AS BIGINT) AS n_files,
-    sum(size_kb)             AS total_kb,
+    CAST(sum(size_kb) AS BIGINT) AS total_kb,
     round(CAST(sum(size_kb) AS DOUBLE) / max(t), 4) AS fill_ratio
 FROM binned
 GROUP BY 1
@@ -1073,12 +1074,8 @@ def q_compaction_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     format the swap is a manifest commit (`manifest_time_travel`) and the
     old files become VACUUM candidates."""
     import os as _os
-    import tempfile as _tf
-    import uuid as _uuid
 
-    run_dir = _os.path.join(
-        _tf.gettempdir(), "e_commerce_streaming_datapipeline_compact", _uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("compact")
     small_dir = _os.path.join(run_dir, "small")
     compact_dir = _os.path.join(run_dir, "compacted")
 
@@ -1256,9 +1253,7 @@ def q_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests first is the production knob layered on top."""
     import json as _json
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_vacuum", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("vacuum")
     data_dir = os.path.join(run_dir, "data")
     os.makedirs(data_dir)
 

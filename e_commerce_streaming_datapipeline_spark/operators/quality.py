@@ -162,3 +162,148 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("checked") - F.col("violations")) / F.col("checked"), 6
         ).alias("pass_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema / distribution drift audit between ingest batches
+# --------------------------------------------------------------------------
+
+# column -> engine-identical string rendering (ints/strings verbatim; the
+# double `value` through exact cents so no float-to-string formatting drift).
+# {S} is the engine's string type name (Spark STRING / DuckDB VARCHAR).
+_DRIFT_COLS = (
+    ("event_id", "CAST(event_id AS {S})"),
+    ("user_id", "CAST(user_id AS {S})"),
+    ("event_type", "event_type"),
+    ("value", "CAST(CAST(round(value * 100) AS BIGINT) AS {S})"),
+    ("props", "props"),
+)
+
+
+def _schema_drift_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"""SELECT CAST(extract(day FROM ts) <= 15 AS INT) AS batch_a,
+        '{name}' AS col_name, {expr.format(S="VARCHAR")} AS cell
+    FROM events WHERE ts IS NOT NULL"""
+        for name, expr in _DRIFT_COLS
+    )
+    return f"""
+WITH cells AS ({cells}),
+m AS (
+    SELECT batch_a, col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN cell IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null
+    FROM cells GROUP BY 1, 2
+), d AS (
+    SELECT batch_a, col_name, count(*) AS ndv
+    FROM (SELECT DISTINCT batch_a, col_name, cell FROM cells
+          WHERE cell IS NOT NULL)
+    GROUP BY 1, 2
+)
+SELECT
+    a.col_name,
+    CAST(a.n_rows AS BIGINT)  AS n_rows_a,
+    CAST(b.n_rows AS BIGINT)  AS n_rows_b,
+    CAST(a.n_null * 1000000 // a.n_rows AS BIGINT) AS null_x1e6_a,
+    CAST(b.n_null * 1000000 // b.n_rows AS BIGINT) AS null_x1e6_b,
+    CAST(b.n_null * 1000000 // b.n_rows
+         - a.n_null * 1000000 // a.n_rows AS BIGINT) AS null_delta_x1e6,
+    CAST(da.ndv AS BIGINT) AS ndv_a,
+    CAST(db.ndv AS BIGINT) AS ndv_b,
+    CAST(db.ndv * 1000000 // da.ndv AS BIGINT) AS ndv_ratio_x1e6
+FROM m a
+JOIN m b  ON b.col_name = a.col_name AND b.batch_a = 0
+JOIN d da ON da.col_name = a.col_name AND da.batch_a = 1
+JOIN d db ON db.col_name = a.col_name AND db.batch_a = 0
+WHERE a.batch_a = 1
+ORDER BY a.col_name
+"""
+
+
+@query("schema_drift_audit", oracle=_schema_drift_oracle())
+def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch SCHEMA/DISTRIBUTION drift audit — the ingest
+    regression test `dq_expectations` cannot express: per column, compare
+    null rate and exact distinct-value count between the month's first half
+    (batch A, day <= 15) and second half (batch B) of the event feed.  A
+    null-rate jump flags an upstream field going dark; an NDV collapse
+    flags a producer suddenly emitting a constant; an NDV explosion flags
+    an id-format change — the three upstream-contract breaks that silently
+    poison training data long before a hard schema change would fail a
+    reader.
+
+    Exactness: every audited column is rendered through an
+    engine-identical string (ints/strings verbatim; the double `value`
+    via exact cents — float-to-string FORMATTING differs across engines,
+    integer-to-string does not), and all rates are exact scaled-integer
+    divisions.
+
+    Scale: the column unpivot is a 5x map-side expansion of one scan
+    (stack, no joins); null counts are one hash aggregate on (batch, col)
+    grain and NDV is the two-phase distinct (dedupe (batch,col,cell), then
+    count) — no COUNT-DISTINCT Expand, one shuffle each.  The final joins
+    run on the #columns-sized metric relation.  At 100 TB swap exact NDV
+    for per-column HLL sketches when approximate suffices."""
+    stack_expr = ", ".join(
+        f"'{name}', {expr.format(S='STRING')}" for name, expr in _DRIFT_COLS
+    )
+    cells = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            (F.dayofmonth("ts") <= 15).cast("int").alias("batch_a"),
+            F.expr(
+                f"stack({len(_DRIFT_COLS)}, {stack_expr}) AS (col_name, cell)"
+            ),
+        )
+    )
+    m = cells.groupBy("batch_a", "col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+    )
+    d = (
+        cells.where(F.col("cell").isNotNull())
+        .select("batch_a", "col_name", "cell")
+        .distinct()
+        .groupBy("batch_a", "col_name")
+        .agg(F.count("*").alias("ndv"))
+    )
+    a = m.where(F.col("batch_a") == 1).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_null").alias("n_null_a"),
+    )
+    b = m.where(F.col("batch_a") == 0).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_null").alias("n_null_b"),
+    )
+    da = d.where(F.col("batch_a") == 1).select(
+        "col_name", F.col("ndv").alias("ndv_a")
+    )
+    db = d.where(F.col("batch_a") == 0).select(
+        "col_name", F.col("ndv").alias("ndv_b")
+    )
+    return (
+        a.join(b, "col_name")
+        .join(da, "col_name")
+        .join(db, "col_name")
+        .select(
+            "col_name",
+            F.col("n_rows_a").cast("long").alias("n_rows_a"),
+            F.col("n_rows_b").cast("long").alias("n_rows_b"),
+            F.expr("(n_null_a * 1000000) div n_rows_a").alias("null_x1e6_a"),
+            F.expr("(n_null_b * 1000000) div n_rows_b").alias("null_x1e6_b"),
+            F.expr(
+                "(n_null_b * 1000000) div n_rows_b"
+                " - (n_null_a * 1000000) div n_rows_a"
+            ).alias("null_delta_x1e6"),
+            F.col("ndv_a").cast("long").alias("ndv_a"),
+            F.col("ndv_b").cast("long").alias("ndv_b"),
+            F.expr("(ndv_b * 1000000) div ndv_a").alias("ndv_ratio_x1e6"),
+        )
+        .orderBy("col_name")
+    )

@@ -192,7 +192,13 @@ WITH lex AS (
         ) AS rrf
     FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.neighbor_id
 )
-SELECT doc_id, rank_lex, rank_vec, rrf, CAST(rn AS INT) AS rank
+SELECT doc_id,
+       -- DOUBLE at the output: each rank is NULL for docs found by only one
+       -- ranker, and nullable-integral columns are representation-unstable
+       -- through the driver's pandas canonicalizer (r7 dtype-kind gate)
+       CAST(rank_lex AS DOUBLE) AS rank_lex,
+       CAST(rank_vec AS DOUBLE) AS rank_vec,
+       rrf, CAST(rn AS INT) AS rank
 FROM (
     SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused
 )
@@ -246,8 +252,10 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lex.join(vec, lex["doc_id"] == vec["neighbor_id"], "full_outer")
         .select(
             F.coalesce(lex["doc_id"], vec["neighbor_id"]).alias("doc_id"),
-            "rank_lex",
-            "rank_vec",
+            # double at the output (NULL when only one ranker found the
+            # doc); see the oracle comment
+            F.col("rank_lex").cast("double").alias("rank_lex"),
+            F.col("rank_vec").cast("double").alias("rank_vec"),
             fround(
                 F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
                 + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),

@@ -833,7 +833,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
     SELECT user_id, event_type AS from_type,
            lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id NULLS LAST
            ) AS to_type
     FROM events
     -- event-time policy: NULL-ts rows cannot be sequenced
@@ -867,7 +868,14 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type")
         .over(
-            Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+            # NULLS LAST on the id tie-break: Spark ASC defaults NULLS
+            # FIRST, DuckDB NULLS LAST — a NULL-event_id row tied on ts
+            # flips the sequencing otherwise (same class as
+            # pit_feature_assembly / deletion_vector_scan; caught by the
+            # tied-NULL-purchase edge row added r7)
+            Window.partitionBy("user_id").orderBy(
+                F.unix_micros("ts"), F.col("event_id").asc_nulls_last()
+            )
         )
         .alias("to_type"),
     )
@@ -1510,7 +1518,7 @@ WITH params AS (
     FROM lineitem l, params p GROUP BY 1, 2
 ), est AS (
     SELECT min(dot) AS cms_estimate FROM (
-        SELECT co.j, sum(co.c * cl.c) AS dot
+        SELECT co.j, CAST(sum(co.c * cl.c) AS BIGINT) AS dot
         FROM cells_o co JOIN cells_l cl ON co.j = cl.j AND co.bkt = cl.bkt
         GROUP BY co.j
     )
@@ -1521,7 +1529,7 @@ WITH params AS (
 SELECT
     exact_join_rows,
     cms_estimate,
-    cms_estimate - exact_join_rows AS overestimate,
+    CAST(cms_estimate - exact_join_rows AS BIGINT) AS overestimate,
     round(CAST(cms_estimate - exact_join_rows AS DOUBLE)
           / exact_join_rows * 1000000) / 1000000 AS rel_error
 FROM exact, est
@@ -2887,7 +2895,7 @@ SELECT
     median_cents,
     q90_cents,
     count(*)               AS n_test,
-    sum(covered)           AS n_covered,
+    CAST(sum(covered) AS BIGINT) AS n_covered,
     round(CAST(sum(covered) AS DOUBLE) / count(*), 6) AS coverage
 FROM scored
 GROUP BY 1, 2, 3, 4
@@ -4533,4 +4541,105 @@ def q_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"({_KMV_SCALE} div hk_u) * n_both div {_KMV_K}"
         ).alias("est_intersection"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: the digit-distribution fraud/data-quality test
+# --------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — precomputed literals so NO
+# engine evaluates a logarithm (the PMI discipline: transcendental functions
+# are not guaranteed correctly rounded across engines; literals are)
+_BENFORD_X1E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+                 45757)
+
+
+def _benford_oracle() -> str:
+    expected = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {p} AS benford_x1e6"
+        for d, p in enumerate(_BENFORD_X1E6, start=1)
+    )
+    return f"""
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), digits AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+           count(*) AS n_orders
+    FROM cents GROUP BY 1
+), total AS (
+    SELECT sum(n_orders) AS n FROM digits
+), expected AS ({expected})
+SELECT
+    e.digit,
+    CAST(coalesce(d.n_orders, 0) AS BIGINT)          AS n_orders,
+    CAST(coalesce(d.n_orders, 0) * 1000000 // t.n AS BIGINT)
+                                                     AS observed_x1e6,
+    CAST(e.benford_x1e6 AS BIGINT)                   AS benford_x1e6,
+    CAST(coalesce(d.n_orders, 0) * 1000000 // t.n
+         - e.benford_x1e6 AS BIGINT)                 AS excess_x1e6
+FROM expected e
+CROSS JOIN total t
+LEFT JOIN digits d ON d.digit = e.digit
+ORDER BY e.digit
+"""
+
+
+@query("benford_revenue_audit", oracle=_benford_oracle())
+def q_benford_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic forensic data-quality test: naturally-generated multi-scale
+    monetary amounts follow log10(1 + 1/d) leading-digit frequencies, and a
+    per-digit excess flags fabricated, clipped, or unit-mangled feeds
+    (a synthetic uniform price generator shows up instantly as a flat
+    digit histogram).  One row per digit 1-9 with observed count, exact
+    scaled observed and expected shares, and the signed excess.
+
+    Exactness: the leading digit is taken from the DECIMAL STRING of exact
+    cents (integer-to-string is engine-identical; no log10 anywhere — the
+    expected shares are precomputed literals, the PMI discipline), and all
+    shares are exact scaled-integer divisions.
+
+    Scale: one scan projecting a leading digit (map-side string op on an
+    exact long), one 9-cell hash aggregate, and a broadcast join against
+    the 9-row literal expectation table.  This is the cheapest audit in
+    the quality family — at 100 TB it rides along any existing pass over
+    the fact table via multi-aggregate pushdown."""
+    cents = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("c")
+        )
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n_orders"))
+    total = digits.groupBy().agg(F.sum("n_orders").alias("__n"))
+    expected = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("digit"), F.lit(p).alias("benford_x1e6"))
+                for d, p in enumerate(_BENFORD_X1E6, start=1)
+            ])
+        ).alias("e")
+    ).select(F.col("e.digit").alias("digit"), F.col("e.benford_x1e6").alias("benford_x1e6"))
+    return (
+        scalar_join(expected, total)
+        .join(digits, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("(coalesce(n_orders, 0) * 1000000) div __n").alias(
+                "observed_x1e6"
+            ),
+            F.col("benford_x1e6").cast("long").alias("benford_x1e6"),
+            F.expr(
+                "(coalesce(n_orders, 0) * 1000000) div __n - benford_x1e6"
+            ).alias("excess_x1e6"),
+        )
+        .orderBy("digit")
     )

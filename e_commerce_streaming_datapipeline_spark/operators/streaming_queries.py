@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.scratch import scratch_dir
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
 from e_commerce_streaming_datapipeline_spark.sources.streaming import read_file_stream
 from e_commerce_streaming_datapipeline_spark.streaming.processors import (
@@ -1605,9 +1606,7 @@ def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from e_commerce_streaming_datapipeline_spark.operators.analytics import scd2_history
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_scd2", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("scd2")
     cdc_dir = os.path.join(run_dir, "cdc")
     os.makedirs(cdc_dir)
     tbl = pq.read_table(
@@ -1710,9 +1709,7 @@ def q_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     run dir kept for the returned lazy plan, like the other roundtrip
     queries.
     """
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_state", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("state")
     checkpoint = os.path.join(run_dir, "ckpt")
     out_dir = os.path.join(run_dir, "out")
     # keyless (NULL event_id) messages cannot be deduped by key — the same
@@ -1775,9 +1772,7 @@ def q_checkpoint_resume_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pyarrow.parquet as pq
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_resume", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("resume")
     feed_dir = os.path.join(run_dir, "feed")
     checkpoint = os.path.join(run_dir, "ckpt")
     out_dir = os.path.join(run_dir, "out")
@@ -1866,9 +1861,7 @@ def q_changelog_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_changelog", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("changelog")
     feed_dir = os.path.join(run_dir, "feed")
     changelog_dir = os.path.join(run_dir, "changelog")
     os.makedirs(feed_dir)
@@ -1953,9 +1946,7 @@ def q_agg_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     The checkpoint lives in a /tmp-scoped run dir kept for the returned
     lazy plan, like the other roundtrip queries.
     """
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_aggstate", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("aggstate")
     checkpoint = os.path.join(run_dir, "ckpt")
     agg = (
         read_file_stream(spark, sf_dir, "events.parquet")
@@ -2047,7 +2038,8 @@ def q_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH totals AS (
     SELECT user_id,
-           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS cents
     FROM events
     WHERE event_type = 'purchase' AND user_id IS NOT NULL
     GROUP BY 1
@@ -2386,13 +2378,7 @@ def q_dsir_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = vocab.localCheckpoint(eager=True)
     totals = totals.localCheckpoint(eager=True)
 
-    import os
-    import tempfile
-    import uuid
-
-    sink_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_dsir_admit", uuid.uuid4().hex
-    )
+    sink_dir = scratch_dir("dsir_admit")
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         feed = batch_df.where(
@@ -2488,9 +2474,7 @@ def q_dim_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "e_commerce_streaming_datapipeline_dimref", uuid.uuid4().hex
-    )
+    run_dir = scratch_dir("dimref")
     feed_dir = os.path.join(run_dir, "feed")
     sink_dir = os.path.join(run_dir, "admitted")
     os.makedirs(feed_dir)

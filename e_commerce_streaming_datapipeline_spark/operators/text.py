@@ -1732,7 +1732,8 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH tf AS (
     SELECT doc_id, term, count(*) AS tf
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id IS NOT NULL)
     GROUP BY 1, 2
 ), stats AS (
     SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
@@ -1763,7 +1764,13 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each side is one explode + two hash aggregations over ITS OWN
     rows; the merge shuffles the vocabulary-sized stat relations, never
     (doc, term) pairs across sides."""
-    docs = load_table(spark, "documents", sf_dir)
+    # NULL doc_id pinned out on BOTH engines: the % 10 split predicates are
+    # NULL for a NULL doc_id (silently dropping such docs from both sides)
+    # while a filterless oracle would keep them — the policy must be
+    # explicit and identical (r6 ADVICE finding #5)
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id").isNotNull()
+    )
 
     def index_stats(df: DataFrame) -> DataFrame:
         tf = (
@@ -1799,7 +1806,8 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tf AS (
     SELECT doc_id, term, count(*) AS tf
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-          FROM documents WHERE doc_id % 10 <> 0)
+          FROM documents
+          WHERE doc_id IS NOT NULL AND doc_id % 10 <> 0)
     GROUP BY 1, 2
 ), stats AS (
     SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
@@ -1829,7 +1837,12 @@ def q_index_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tombstone-side work is O(deleted docs); the subtraction
     shuffles two vocabulary-sized stat relations."""
-    docs = load_table(spark, "documents", sf_dir)
+    # NULL doc_id pinned out on BOTH engines: Spark's maintained index would
+    # keep NULL-doc terms (the % 10 tombstone predicate is NULL) while the
+    # survivors-only oracle drops them (r6 ADVICE finding #5)
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id").isNotNull()
+    )
 
     def index_stats(df: DataFrame, sign: int) -> DataFrame:
         tf = (

@@ -382,8 +382,8 @@ WITH daily AS (
 )
 SELECT m.month,
        m.exact_monthly_users,
-       sum(d.day_users) AS sum_daily_users,
-       sum(d.events)    AS events
+       CAST(sum(d.day_users) AS BIGINT) AS sum_daily_users,
+       CAST(sum(d.events) AS BIGINT)    AS events
 FROM monthly m
 JOIN daily d ON CAST(date_trunc('month', d.day) AS TIMESTAMP) = m.month
 GROUP BY 1, 2

@@ -70,6 +70,25 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_PRIOR = frozenset(
     {
+        # the round-6 window (CORRECTNESS_r06.json): every name below got a
+        # GREEN driver row in r6.  The six r6 hash-mismatch rows
+        # (zorder_layout_stats, leaderboard_stream, bloom_filter_prejoin,
+        # compaction_plan, supplier_triangles, conformal_interval) are
+        # deliberately NOT listed — all six were the uncast-integer-sum
+        # oracle typing bug (fixed r7, gated by tests/test_oracle_dtypes.py)
+        # and stay in the r7 window as keepers-by-exception until
+        # driver-green
+        "dsir_admission_stream", "skew_key_diagnosis",
+        "recursive_reachability", "dsir_importance_sample",
+        "curation_pipeline", "l_diversity_audit", "target_encoding_loo",
+        "psi_value_drift", "event_transition_matrix", "embedding_topk_ivf",
+        "ivf_probe_recall_audit", "hard_negative_mining", "multimodal_dedup",
+        "multimodal_features", "bpe_encode_tokens", "bigram_pmi_topk",
+        "semantic_dedup_autoblock", "minhash_admission_stream",
+        "orc_source_stats", "corrupt_dlq_roundtrip",
+    }
+) | frozenset(
+    {
         # the round-5 window (CORRECTNESS_r05.json): every name below got a
         # green driver row in r5 — zorder_layout_stats AND leaderboard_stream
         # are deliberately NOT listed (their r5 rows were the two hash
@@ -129,14 +148,19 @@ _DRIVER_WITNESSED_PRIOR = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-6 window: 24 family keepers + the two keeper-by-exception
-    # queries (zorder_layout_stats, leaderboard_stream — r5's two red rows,
-    # both root-caused and rewired this round: the two-phase rank now pins
-    # one materialized range partitioning in functions/ranks.py, and the
-    # leaderboard emits revenue as a bare exact division with no round()
-    # call on either engine; they stay in the window until driver-green)
-    # + 24 rotated-in queries that have never had a driver CORRECTNESS row.
-    # The per-family keeper set is pinned by tests/test_round3_ops.py.
+    # ---- round-7 window: 24 family keepers + SIX keepers-by-exception
+    # (the r6 hash-mismatch rows: zorder_layout_stats, leaderboard_stream,
+    # bloom_filter_prejoin, compaction_plan, supplier_triangles,
+    # conformal_interval — all six were ONE bug, the uncast integer sum()
+    # in their oracle SQL returning DuckDB HUGEINT which the driver's
+    # pandas canonicalizer widens to float64; fixed r7 with CAST(... AS
+    # BIGINT) + the registry-wide DESCRIBE dtype gate in
+    # tests/test_oracle_dtypes.py.  They stay in the window until
+    # driver-green, per the rotation rule's keeper-by-exception clause)
+    # + 20 rotated-in queries that have never had a driver CORRECTNESS row
+    # (lakehouse lifecycle, ML/training-data, similarity join, advisors —
+    # the r6-registered families).  The per-family keeper set is pinned by
+    # tests/test_round3_ops.py.
     #
     # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
@@ -172,47 +196,42 @@ _PROOF_PREFIX = (
     # TPC-H / sessionization
     "pricing_summary",
     "user_sessions",
-    # the two keepers-by-exception: r5's red rows, root-caused this round —
-    # stay in the window until driver-green
+    # the six keepers-by-exception: r6's red rows, root-caused and fixed
+    # this round (oracle result typing) — stay in the window until
+    # driver-green
     "zorder_layout_stats",
     "leaderboard_stream",
-    # ---- rotated in for round 6 (never driver-witnessed before) ----
-    # streaming admission gate rewired this round (sink-table output
-    # replacing the driver-side collect): highest witness value first
-    "dsir_admission_stream",
-    # data-layout / scan-pruning family (no driver row yet for any of it)
     "bloom_filter_prejoin",
     "compaction_plan",
-    "skew_key_diagnosis",
-    # graph family beyond components
     "supplier_triangles",
-    "recursive_reachability",
-    # curation / privacy / ML-features
-    "dsir_importance_sample",
-    "curation_pipeline",
-    "l_diversity_audit",
-    "target_encoding_loo",
-    # drift / eval / statistics
-    "psi_value_drift",
-    "event_transition_matrix",
     "conformal_interval",
-    # ANN tiers not yet witnessed (static-grid IVF + probe-sweep audit +
-    # hard-negative mining on top of the topk kernel)
-    "embedding_topk_ivf",
-    "ivf_probe_recall_audit",
-    "hard_negative_mining",
-    # multimodal beyond decode
-    "multimodal_dedup",
-    "multimodal_features",
-    # text / tokenizer surface
-    "bpe_encode_tokens",
-    "bigram_pmi_topk",
-    # dedup tiers (blocked semantic + streaming minhash admission)
-    "semantic_dedup_autoblock",
-    "minhash_admission_stream",
-    # sources: ORC sibling + corrupt-record DLQ roundtrip
-    "orc_source_stats",
-    "corrupt_dlq_roundtrip",
+    # ---- rotated in for round 7 (never driver-witnessed before) ----
+    # lakehouse lifecycle (commit/maintain/clean — none witnessed yet)
+    "ivm_delta_merge",
+    "deletion_vector_scan",
+    "compaction_rewrite_roundtrip",
+    "vacuum_orphan_files",
+    "index_delta_merge",
+    "index_tombstone_merge",
+    # ML / training-data export
+    "pit_feature_assembly",
+    "logreg_sgd_step",
+    "fisher_discriminative_dims",
+    "temperature_mixture_weights",
+    "decontam_threshold_sweep",
+    "embedding_drift_centroid",
+    "dp_user_day_revenue",
+    # exact similarity join + telemetry dedup audit
+    "prefix_filter_simjoin",
+    "telemetry_double_fire_audit",
+    # tuning advisors + layout sibling
+    "shuffle_sizing_advisor",
+    "lateness_watermark_profile",
+    "hilbert_layout_stats",
+    # streaming: per-micro-batch refreshed dimension
+    "dim_refresh_stream",
+    # KMV/theta sketch set algebra
+    "kmv_set_overlap",
 )
 
 

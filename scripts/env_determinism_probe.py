@@ -2,14 +2,16 @@
 under deliberately DIVERGENT Spark session configurations and assert the
 order-insensitive value hash of every query is identical across them.
 
-Motivation (round 6): the `zorder_layout_stats` driver hash mismatch of
-rounds 4-5 was invisible locally because it required two independently-
-sampled range exchanges to disagree on a boundary row — an environment-
-dependent event (input splits, parallelism, session history).  A probe
-that sweeps environments catches that CLASS of bug before the driver
-does: anything whose result depends on partitioning, sampling, AQE
-re-planning, evaluation order, or the session timezone will hash
-differently in at least one of these configs.
+Motivation (written round 6, record corrected round 7): the probe was
+built chasing the `zorder_layout_stats` driver mismatches on the theory of
+environment-dependent range-exchange sampling.  The r7 root-cause proved
+those mismatches were ORACLE RESULT TYPING (uncast integer sum() ->
+DuckDB HUGEINT -> the driver's pandas canonicalizer renders float64), now
+gated by tests/test_oracle_dtypes.py — a class this probe can never see
+because it only compares Spark against Spark.  The probe remains useful
+for what it actually tests: anything whose result depends on partitioning,
+sampling, AQE re-planning, evaluation order, or the session timezone will
+hash differently in at least one of these configs.
 
 Configs swept (each a fresh SparkSession in the same process):
   * bench-like:  local[32], shuffle=32, AQE on
@@ -97,15 +99,31 @@ def main() -> None:
         names = [n for n in names if n in wanted]
 
     results: dict[str, dict[str, tuple[int, str] | str]] = {n: {} for n in names}
+    resets: dict[str, dict[str, list[str]]] = {n: {} for n in names}
     for cfg_name, cfg in CONFIGS.items():
         spark = _fresh_session(cfg["master"], cfg["conf"])
         spark.sparkContext.setLogLevel("ERROR")
         registry = all_queries()
         for n in names:
+            # RE-APPLY the divergent confs before EVERY query: load_table ->
+            # ensure_session_conf (sources/batch.py) pins UTC/AQE-on/shuffle
+            # as part of the engine contract, so after the first query the
+            # session no longer carries this config's divergence — without
+            # this re-set the tz/AQE/shuffle legs silently tested nothing
+            # from query #2 on (r6 ADVICE finding #4).  A query that resets
+            # the conf during its own build is fine (that IS the contract);
+            # a query that bypasses load_table now genuinely runs under the
+            # divergent conf and must still hash identically.
+            for k, v in cfg["conf"].items():
+                spark.conf.set(k, v)
             try:
                 results[n][cfg_name] = _value_hash(registry[n].builder(spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001 — full sweep wanted
                 results[n][cfg_name] = f"ERROR: {type(exc).__name__}: {exc}"[:200]
+            resets[n][cfg_name] = [
+                k for k, v in cfg["conf"].items()
+                if spark.conf.get(k, None) != v
+            ]
         spark.stop()
 
     divergent = []
@@ -114,8 +132,11 @@ def main() -> None:
         status = "ok" if len(vals) == 1 else "DIVERGENT"
         if status == "DIVERGENT":
             divergent.append(n)
+        reset_note = {f"{c}_conf_reset_by_build": v
+                      for c, v in resets[n].items() if v}
         print(json.dumps({"query": n, "status": status,
-                          **{k: str(v) for k, v in per_cfg.items()}}))
+                          **{k: str(v) for k, v in per_cfg.items()},
+                          **reset_note}))
 
     print(f"\n{len(names) - len(divergent)}/{len(names)} environment-stable "
           f"across {len(CONFIGS)} configs at {SF_DIR}")

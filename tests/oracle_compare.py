@@ -30,6 +30,13 @@ def _norm_cell(v) -> str:
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # widen DATE to midnight-timestamp form: DuckDB DATE materializes as
+        # pandas datetime64 (midnight) through the driver's .df() path while
+        # Spark returns datetime.date — empirically the driver hashes these
+        # equal (manifest_time_travel, spark date vs oracle DATE, was
+        # driver-green in r4), so the local harness must too
+        return v.isoformat() + "T00:00:00"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
@@ -49,6 +56,82 @@ class CompareResult:
     detail: str = ""
 
 
+_SPARK_INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long", "integer",
+                   "short", "byte")
+
+
+def _oracle_df_rows(con, sql: str):
+    """Materialize the oracle the way the DRIVER does: ``con.execute(sql)
+    .df()`` (pandas).  The r4-r6 driver hash mismatches were all caused by
+    this path — DuckDB HUGEINT/DECIMAL outputs become pandas float64, so an
+    uncast integer ``sum()`` hashes ``"3.0"`` where Spark hashes ``"3"``.
+    ``fetchall()`` (the pre-r7 local path) hid the class because HUGEINT
+    becomes a Python int there.  Returns (columns, rows, dtypes)."""
+    import numpy as np
+
+    import pandas as pd
+
+    df = con.execute(sql).df()
+    cols = list(df.columns)
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            elif isinstance(v, np.generic):
+                # np.bool_ is NOT a bool subclass; unwrap every numpy
+                # scalar so _norm_cell's isinstance dispatch works
+                v = v.item()
+            if v is not None and not isinstance(v, (list, dict, str, bytes)):
+                try:
+                    if pd.isna(v):
+                        # NULL ints materialize as NaN in pandas; map back
+                        # to SQL NULL (the dtype-kind gate separately flags
+                        # the int->float64 widening itself)
+                        v = None
+                except (TypeError, ValueError):
+                    pass
+            row.append(v)
+        rows.append(tuple(row))
+    dtypes = {c: str(df[c].dtype) for c in cols}
+    has_null = {c: bool(df[c].isna().any()) for c in cols}
+    return cols, rows, dtypes, has_null
+
+
+def _dtype_kind_mismatches(
+    sdf, oracle_dtypes: dict[str, str], oracle_has_null: dict[str, bool] | None = None
+) -> list[str]:
+    """Columns whose representation would DIVERGE between the two sides of
+    the driver's pandas canonicalizer.  Our hash normalization renders 3.0
+    and 3 identically, so without this check a HUGEINT->float64 oracle
+    column passes locally yet hash-mismatches at the driver (the whole
+    r4-r6 red-row class).
+
+    A float64 oracle column that CONTAINS NULLs is NOT flagged when Spark
+    is integral: NULL-able integer columns widen to float64 on BOTH sides
+    of the driver's materialization (values match, so null positions
+    match), and driver history proves the pair hashes equal
+    (hybrid_rrf_fusion was r4-green with NULL int ranks at sf0.01).  The
+    dangerous shape is INTRINSIC widening — float64 with no NULL in sight
+    means DuckDB returned HUGEINT/DECIMAL, which widens the oracle side
+    only."""
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    oracle_has_null = oracle_has_null or {}
+    bad = []
+    for col, odt in oracle_dtypes.items():
+        st = spark_types.get(col, "")
+        if (
+            odt.startswith("float")
+            and st in _SPARK_INTEGRAL
+            and not oracle_has_null.get(col, False)
+        ):
+            bad.append(f"{col}: oracle={odt} spark={st}")
+        if odt.startswith(("int", "uint")) and st in ("float", "double"):
+            bad.append(f"{col}: oracle={odt} spark={st}")
+    return bad
+
+
 def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     from e_commerce_streaming_datapipeline_spark.plans.registry import get_query
 
@@ -56,6 +139,14 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     sdf = q.builder(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
+    # the action has run; release any determinism persists the rank family
+    # pinned during the build (functions/ranks.py) so a full-registry sweep
+    # doesn't accumulate hundreds of cached copies
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        release_rank_caches,
+    )
+
+    release_rank_caches()
 
     if q.oracle is None:
         return CompareResult(name, True, len(spark_rows), -1, "rows-only (no oracle)")
@@ -66,10 +157,17 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    cur = con.execute(q.oracle)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    oracle_cols, oracle_rows, oracle_dtypes, oracle_has_null = _oracle_df_rows(
+        con, q.oracle
+    )
 
+    kind_bad = _dtype_kind_mismatches(sdf, oracle_dtypes, oracle_has_null)
+    if kind_bad:
+        return CompareResult(
+            name, False, len(spark_rows), len(oracle_rows),
+            f"dtype-kind mismatch (driver canonicalizer would hash-break): "
+            f"{kind_bad}",
+        )
     if sorted(spark_cols) != sorted(oracle_cols):
         return CompareResult(
             name, False, len(spark_rows), len(oracle_rows),

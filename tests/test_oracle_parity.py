@@ -304,7 +304,11 @@ _EVENTS_EDGE_QUERIES = [
     "lambda_unified_gmv",
     # two-phase rank paths over events: NULL ts/user must flow through the
     # range-repartition + local-rank machinery as the oracle orders them
-    "conversion_latency_stats", "zorder_layout_stats",
+    # (hilbert shares zorder's NULLS LAST layout-ordering discipline)
+    "conversion_latency_stats", "zorder_layout_stats", "hilbert_layout_stats",
+    # r7 window pin: GD steps — NULL user/ts/value rows leave the feature
+    # matrix and the label identically on both engines
+    "logreg_sgd_step",
     # r5 window pins over events: the funnel join + payment re-rollup
     # (NULL type/user/ts groups), the HLL sketch (rows-only: must not
     # crash), the Derby MERGE roundtrip, the Variant JSON path (NULL
@@ -369,7 +373,7 @@ def edge_events_sf_dir(sf_dir, tmp_path_factory):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(sf_dir, f), tmp / f)
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    base = ev.slice(0, 7).to_pylist()
+    base = ev.slice(0, 8).to_pylist()
     edits = [
         {"event_id": 900001, "value": None},
         {"event_id": 900002, "user_id": None},
@@ -380,6 +384,13 @@ def edge_events_sf_dir(sf_dir, tmp_path_factory):
         # drops them on BOTH sides; everything else groups NULL ids
         {"event_id": None},
         {"event_id": None, "user_id": None},
+        # a keyless PURCHASE tied on (user, ts) with a real row: Spark's
+        # default ASC is NULLS FIRST, DuckDB's NULLS LAST, so any window
+        # ordered by (ts, event_id) that feeds cumulative features/lags
+        # diverges on exactly this row unless both engines pin NULLS LAST
+        # (r6 ADVICE #1 — pit_feature_assembly's tie was previously
+        # untriggered because no tied NULL-id row was a purchase)
+        {"event_id": None, "event_type": "purchase", "value": 37.5},
     ]
     rows = []
     for b, e in zip(base, edits):

@@ -19,8 +19,11 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-6 rotation: one keeper per family; the freed slots rotate to
-    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_PRIOR)
+    # (round-7 rotation: one keeper per family; the freed slots rotate to
+    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_PRIOR.
+    # The six r6 hash-mismatch queries are keepers-by-exception until
+    # driver-green — their oracles carried the uncast-integer-sum typing
+    # bug, fixed r7)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
@@ -32,29 +35,32 @@ class TestProofPrefix:
         "D_dedup": {"dedup_events"},
         "approx": {"approx_unique_users_hourly"},
         "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
-                      "python_datasource_feed", "orc_source_stats",
-                      "corrupt_dlq_roundtrip"},
+                      "python_datasource_feed"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
         "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
-        "llm_dedup": {"minhash_near_dups", "semantic_dedup_autoblock",
-                      "minhash_admission_stream"},
-        "llm_ann": {"embedding_topk", "embedding_topk_ivf",
-                    "ivf_probe_recall_audit", "hard_negative_mining"},
-        "llm_text": {"text_stats", "bpe_encode_tokens", "bigram_pmi_topk"},
-        "llm_curation": {"pii_redaction", "dsir_importance_sample",
-                         "curation_pipeline", "target_encoding_loo"},
-        "llm_multimodal": {"multimodal_decode", "multimodal_dedup",
-                           "multimodal_features"},
+        "llm_dedup": {"minhash_near_dups", "prefix_filter_simjoin"},
+        "llm_ann": {"embedding_topk"},
+        "llm_text": {"text_stats", "index_delta_merge",
+                     "index_tombstone_merge"},
+        "llm_curation": {"pii_redaction", "decontam_threshold_sweep",
+                         "pit_feature_assembly"},
+        "llm_multimodal": {"multimodal_decode"},
         "streaming": {"gmv_stream_minutely", "leaderboard_stream",
-                      "dsir_admission_stream"},
+                      "dim_refresh_stream"},
         "tpch": {"pricing_summary"},
         "analytics": {"user_sessions"},
-        "graph": {"supplier_triangles", "recursive_reachability"},
-        "privacy": {"l_diversity_audit"},
-        "drift_eval": {"psi_value_drift", "event_transition_matrix",
-                       "conformal_interval"},
-        "layout": {"zorder_layout_stats", "bloom_filter_prejoin",
-                   "compaction_plan", "skew_key_diagnosis"},
+        "graph": {"supplier_triangles"},
+        "privacy": {"dp_user_day_revenue"},
+        "drift_eval": {"conformal_interval", "embedding_drift_centroid"},
+        "layout": {"zorder_layout_stats", "hilbert_layout_stats",
+                   "bloom_filter_prejoin", "compaction_plan"},
+        "lakehouse": {"ivm_delta_merge", "deletion_vector_scan",
+                      "compaction_rewrite_roundtrip", "vacuum_orphan_files"},
+        "ml_training": {"logreg_sgd_step", "fisher_discriminative_dims",
+                        "temperature_mixture_weights"},
+        "sketches": {"kmv_set_overlap"},
+        "advisors": {"shuffle_sizing_advisor", "lateness_watermark_profile"},
+        "telemetry_quality": {"telemetry_double_fire_audit"},
     }
 
     def test_prefix_is_driver_window_sized(self):
