@@ -89,6 +89,16 @@ _OFFSET = "__rank_offset"
 _LIVE_RANK_CACHES: list[DataFrame] = []
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame in the shared release list
+    (same lifecycle as the rank caches: alive until the consuming action
+    has run, dropped by the harnesses' ``release_rank_caches`` between
+    queries).  For operators whose plan fans out over one expensive
+    relation (e.g. the simjoin's token-id sets, read by three branches)."""
+    _LIVE_RANK_CACHES.append(df)
+    return df
+
+
 def release_rank_caches(blocking: bool = False) -> int:
     """Unpersist every rank cache registered since the last release.
 

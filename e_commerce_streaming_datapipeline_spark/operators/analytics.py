@@ -1484,3 +1484,139 @@ def q_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# In-session ordered funnel conversion
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_funnel_conversion",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id NULLS LAST)
+                  > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             OR lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id NULLS LAST) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), numbered AS (
+    SELECT *, CAST(sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq
+    FROM ordered
+), l1 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        OVER (PARTITION BY user_id, session_seq) AS fv
+    FROM numbered
+), l2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END)
+        OVER (PARTITION BY user_id, session_seq) AS fc
+    FROM l1
+), l3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+        OVER (PARTITION BY user_id, session_seq) AS fp
+    FROM l2
+), sessions AS (
+    SELECT user_id, session_seq,
+           max(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS has_v,
+           max(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS has_vc,
+           max(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS has_vcp
+    FROM l3 GROUP BY 1, 2
+)
+SELECT
+    CAST(count(*) AS BIGINT)     AS n_sessions,
+    CAST(sum(has_v) AS BIGINT)   AS n_with_view,
+    CAST(sum(has_vc) AS BIGINT)  AS n_view_click,
+    CAST(sum(has_vcp) AS BIGINT) AS n_view_click_purchase,
+    CAST(sum(has_vc) * 1000000 // sum(has_v) AS BIGINT)   AS click_rate_x1e6,
+    CAST(sum(has_vcp) * 1000000 // sum(has_vc) AS BIGINT) AS purchase_rate_x1e6
+FROM sessions
+""",
+)
+def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel measured INSIDE session boundaries — the product
+    metric `funnel_hourly` (wall-clock buckets) and `ordered_funnel`
+    (whole-history ordering) both approximate: a conversion only counts if
+    view → click → purchase happen in order within ONE session
+    ({SESSION_GAP_MINUTES}-minute inactivity gap), which is how funnel
+    numbers are actually quoted (cross-session purchases are re-engagement,
+    not funnel completion).  Same-instant progression counts (>= bounds,
+    identical on both engines).
+
+    Plan: ONE shuffle on user_id serves the sessionization lag/cumsum AND,
+    after the (user, session) key extends it, the three chained
+    first-milestone windows (each layer's min() reuses the same partition;
+    Catalyst collapses them into one sort) — then a session-grain hash agg
+    and a 1-row rollup.  No joins, no per-stage re-scans; at 100 TB this is
+    the canonical "derive milestones along the entity timeline in one
+    pass" shape, the same discipline as `pit_feature_assembly`."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id").asc_nulls_last()
+    )
+    prev_ts = F.lag(F.col("ts")).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            (F.col("ts") - prev_ts)
+            > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    numbered = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sw = Window.partitionBy("user_id", "session_seq")
+    l1 = numbered.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(sw),
+    )
+    l2 = l1.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("fv")),
+                F.col("ts"),
+            )
+        ).over(sw),
+    )
+    l3 = l2.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(sw),
+    )
+    sessions = l3.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("fv").isNotNull(), 1).otherwise(0)).alias("has_v"),
+        F.max(F.when(F.col("fc").isNotNull(), 1).otherwise(0)).alias("has_vc"),
+        F.max(F.when(F.col("fp").isNotNull(), 1).otherwise(0)).alias("has_vcp"),
+    )
+    return sessions.groupBy().agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("has_v").cast("long").alias("n_with_view"),
+        F.sum("has_vc").cast("long").alias("n_view_click"),
+        F.sum("has_vcp").cast("long").alias("n_view_click_purchase"),
+        F.expr("(sum(has_vc) * 1000000) div sum(has_v)").alias(
+            "click_rate_x1e6"
+        ),
+        F.expr("(sum(has_vcp) * 1000000) div sum(has_vc)").alias(
+            "purchase_rate_x1e6"
+        ),
+    )

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
+from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -1428,27 +1430,36 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("tids"))
         .where(F.col("n") > 0)
     )
+    # THREE consumers read `ids` (the posting explode + both verify-side
+    # array lookups below); without a pin each branch would recompute the
+    # tokenize+rank+collect lineage.  Registered in the shared release list
+    # so harnesses drop the blocks after the consuming action (r6 ADVICE #2
+    # lifecycle).
+    ids = register_cache(ids.persist(StorageLevel.MEMORY_AND_DISK))
     # ceil(tau*n) in exact integers: (3n + 4) div 5
     ceil_tau_n = F.expr(
         f"(n * {_PFX_TAU_NUM} + {_PFX_TAU_DEN - 1}) div {_PFX_TAU_DEN}"
     )
     prefix_len = (F.col("n") - ceil_tau_n + 1).cast("int")
-    prefixes = ids.select(
+    # postings carry NO arrays: the pid equi-join below shuffles only
+    # (doc, n, pos, pid) longs.  The r6 version attached each side's full
+    # tids array to every prefix occurrence, multiplying the shuffle
+    # payload by the mean document length (~25x byte volume measured at
+    # sf0.1: 12.7 s -> see SCALE.md); arrays are re-attached per DOC, per
+    # side, only for the deduped candidate pairs.
+    postings = ids.select(
         "doc_id",
-        "tids",
         "n",
         F.posexplode(F.slice("tids", F.lit(1), prefix_len)).alias("pos", "pid"),
     )
-    a = prefixes.select(
+    a = postings.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("tids").alias("tids_a"),
         F.col("n").alias("n_a"),
         F.col("pos").alias("pos_a"),
         "pid",
     )
-    b = prefixes.select(
+    b = postings.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("tids").alias("tids_b"),
         F.col("n").alias("n_b"),
         F.col("pos").alias("pos_b"),
         "pid",
@@ -1479,10 +1490,20 @@ def q_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # verification re-attaches the two token-id arrays BY DOC on the
+    # candidate-pair relation (small after the prefix/length/positional
+    # filters), not on the posting join
+    verif = cands.join(
+        ids.select(F.col("doc_id").alias("doc_a"), F.col("tids").alias("tids_a")),
+        "doc_a",
+    ).join(
+        ids.select(F.col("doc_id").alias("doc_b"), F.col("tids").alias("tids_b")),
+        "doc_b",
+    )
     inter = F.size(F.array_intersect("tids_a", "tids_b")).cast("long")
     uni = F.col("n_a") + F.col("n_b") - inter
     return (
-        cands.where(inter * _PFX_TAU_DEN >= uni * _PFX_TAU_NUM)
+        verif.where(inter * _PFX_TAU_DEN >= uni * _PFX_TAU_NUM)
         .select(
             "doc_a",
             "doc_b",

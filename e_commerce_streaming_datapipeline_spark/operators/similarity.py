@@ -2947,3 +2947,121 @@ def q_fisher_discriminative_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(ratio.desc(), "d")
         .limit(_FISHER_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-vector outlier audit: diagonal Mahalanobis distance to the corpus
+# --------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 12
+_OUTLIER_SCALE = 10000  # y = round(x * 1e4): exact integer per-dim sums
+
+
+@query(
+    "embedding_outlier_topk",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * {_OUTLIER_SCALE}) AS BIGINT)) AS y
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+), dims AS (
+    SELECT u.i AS dim,
+           CAST(count(*) AS BIGINT)        AS n,
+           CAST(sum(u.y) AS BIGINT)        AS s,
+           CAST(sum(u.y * u.y) AS BIGINT)  AS q
+    FROM v, LATERAL unnest(list_transform(y, (e, i) -> {{'i': i, 'y': e}})) t(u)
+    GROUP BY 1
+), st AS (
+    SELECT list({{'mean': CAST(s AS DOUBLE) / n,
+                 'var': CAST(q AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)}}
+                ORDER BY dim) AS stats
+    FROM dims
+), scored AS (
+    SELECT v.vec_id, v.label,
+           round(list_reduce(
+               list_transform(v.y, (a, i) ->
+                   CASE WHEN st.stats[i].var > 0
+                        THEN (a - st.stats[i].mean) * (a - st.stats[i].mean)
+                             / st.stats[i].var
+                        ELSE 0.0 END),
+               (acc, x) -> acc + x), 6) AS maha2
+    FROM v CROSS JOIN st
+)
+SELECT vec_id, label, maha2, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY maha2 DESC, vec_id) AS rn FROM scored
+)
+WHERE rn <= {_OUTLIER_TOPK}
+""",
+)
+def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VECTOR outlier audit — squared diagonal-Mahalanobis distance to
+    the corpus (per-dimension z-scores, summed): the embedding-quality gate
+    that flags corrupt encodes, wrong-model vectors, and genuine semantic
+    outliers BEFORE they poison ANN shortlists and centroid training.
+    Complements the family's other audits (`embedding_drift_centroid`
+    watches the population move; `fisher_discriminative_dims` scores
+    dimensions; this scores individual vectors).
+
+    Determinism: per-dim moments come from EXACT integer sums of
+    y = round(x·1e4) (order-free), means/variances are derived from those
+    integers through identical expression trees on both engines, and the
+    64-term score folds LEFT-TO-RIGHT (Spark ``aggregate`` / DuckDB
+    ``list_reduce``) so the float chain is bit-identical before the 6dp
+    round.  Zero-variance dimensions contribute 0 by the same CASE on both
+    engines (no divide-by-zero).
+
+    Scale: one explode pass for the 64-row moment relation (map-side
+    partial aggregation collapses it), the stats ride back as a broadcast
+    scalar row, and scoring is row-local expression work inside codegen —
+    the same O(N·D) map shape as `kmeans_lloyd_step`; top-k is a
+    TakeOrdered, never a global sort."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
+
+    v = load_valid_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"x -> CAST(round(x * {_OUTLIER_SCALE}) AS BIGINT))"
+        ).alias("y"),
+    )
+    dims = (
+        v.select(F.posexplode("y").alias("dim", "yv"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("yv").alias("s"),
+            F.sum(F.col("yv") * F.col("yv")).alias("q"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    stats = dims.select(
+        "dim",
+        F.struct(
+            mean.alias("mean"),
+            (F.col("q").cast("double") / F.col("n") - mean * mean).alias("var"),
+        ).alias("st"),
+    )
+    stats_arr = stats.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, st))), p -> p.st)"
+        ).alias("__stats")
+    )
+    score = F.expr(
+        "aggregate(zip_with(y, __stats, (a, s) -> "
+        "CASE WHEN s.var > 0D THEN (a - s.mean) * (a - s.mean) / s.var "
+        "ELSE 0D END), 0D, (acc, x) -> acc + x)"
+    )
+    scored = scalar_join(v, stats_arr).select(
+        "vec_id", "label", fround(score, 6).alias("maha2")
+    )
+    w = Window.orderBy(F.col("maha2").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("maha2").desc(), "vec_id")
+        .limit(_OUTLIER_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

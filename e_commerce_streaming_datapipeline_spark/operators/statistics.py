@@ -4643,3 +4643,113 @@ def q_benford_revenue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV triangle (revenue sibling of the retention triangle)
+# --------------------------------------------------------------------------
+
+@query(
+    "cohort_ltv_triangle",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY user_id
+), purchases AS (
+    SELECT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day,
+                     CAST(date_trunc('day', e.ts) AS TIMESTAMP)) // 7
+               AS week_offset,
+           CAST(round(coalesce(e.value, 0) * 100) AS BIGINT) AS cents
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+), sizes AS (
+    SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1
+), cells AS (
+    SELECT cohort_day, week_offset,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           count(*) AS n_purchases
+    FROM purchases GROUP BY 1, 2
+), buyers AS (
+    SELECT cohort_day, week_offset, count(*) AS n_buyers
+    FROM (SELECT DISTINCT cohort_day, week_offset, user_id FROM purchases)
+    GROUP BY 1, 2
+)
+SELECT
+    c.cohort_day,
+    CAST(c.week_offset AS INT)       AS week_offset,
+    CAST(b.n_buyers AS BIGINT)       AS n_buyers,
+    CAST(c.n_purchases AS BIGINT)    AS n_purchases,
+    c.revenue_cents,
+    CAST(s.cohort_size AS BIGINT)    AS cohort_size,
+    CAST(c.revenue_cents * 100 // s.cohort_size AS BIGINT)
+        AS ltv_cents_per_100_users
+FROM cells c
+JOIN buyers b USING (cohort_day, week_offset)
+JOIN sizes s USING (cohort_day)
+""",
+)
+def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV (lifetime-value) triangle — `cohort_retention`'s revenue
+    sibling and the other half of every growth dashboard: users cohort by
+    first-seen day, purchases accrue to (cohort, week-of-life) cells, and
+    each cell reports buyers, purchase count, exact-cents revenue, and
+    revenue per 100 cohort members — the table that prices acquisition
+    (how much a cohort has paid back by week N of its life).
+
+    Exactness: revenue in exact scaled cents; the per-100-users rate is an
+    exact integer division; buyer counts come from a two-phase distinct
+    (dedupe, then count) — no COUNT-DISTINCT Expand.
+
+    Plan: the same user-grain shapes as the retention triangle — per-user
+    first-seen hash agg, a user-key join that reuses the partitioning,
+    purchase-cell hash aggs, and broadcast joins on the #days-sized
+    cohort dimension.  All rollups run on (cohort x week) grain."""
+    events = load_table(spark, "events", sf_dir)
+    valid = events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    firsts = valid.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    purchases = (
+        valid.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr(
+                "datediff(CAST(date_trunc('day', ts) AS DATE), "
+                "CAST(cohort_day AS DATE)) div 7"
+            ).alias("week_offset"),
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    cells = purchases.groupBy("cohort_day", "week_offset").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_purchases"),
+    )
+    buyers = (
+        purchases.select("cohort_day", "week_offset", "user_id")
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_buyers"))
+    )
+    return (
+        cells.join(buyers, ["cohort_day", "week_offset"])
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_buyers",
+            "n_purchases",
+            "revenue_cents",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("(revenue_cents * 100) div cohort_size").alias(
+                "ltv_cents_per_100_users"
+            ),
+        )
+    )

@@ -2474,6 +2474,16 @@ def q_dim_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # this builder bypasses load_table (it re-chunks events via pyarrow and
+    # streams the chunks), so pin the session contract explicitly: UTC
+    # session tz (F.dayofmonth below must agree with the oracle's naive
+    # day()) and the ns-timestamp legacy fallback (a VANILLA session would
+    # otherwise throw PARQUET_TYPE_ILLEGAL on the rewritten chunks) —
+    # r6 ADVICE #4 named exactly this query as the tz-sensitivity escape
+    from e_commerce_streaming_datapipeline_spark.sources.batch import ensure_session_conf
+
+    ensure_session_conf(spark)
+
     run_dir = scratch_dir("dimref")
     feed_dir = os.path.join(run_dir, "feed")
     sink_dir = os.path.join(run_dir, "admitted")

@@ -89,6 +89,21 @@ QUERIES = [
     "kmv_set_overlap",        # hash-agg to per-user flags + TakeOrdered(k)
     "ivm_delta_merge",        # two partial rollups + groups-sized merge
     "hilbert_layout_stats",   # 2x two-phase rank + map-side curve columns
+    # round-7 additions
+    "jaccard_threshold_sweep",  # LSH candidates + 5-row threshold grid;
+                                # same clone-pair ~k^2 output note as
+                                # prefix_filter_simjoin
+    "packing_efficiency_sweep",  # 4x map expansion into one (budget, lang)
+                                 # window shuffle
+    "conversion_window_sweep",   # union + one reverse as-of window pass
+    "cross_source_leakage_matrix",  # distinct (source, gram) + gram join
+                                    # (pair expansion <= sources per gram)
+    "kanon_generalization_ladder",  # 4x level expansion, QI-grid aggs
+    "benford_revenue_audit",     # map-side digit + 9-cell agg
+    "schema_drift_audit",        # 5x stack + two-phase NDV distinct
+    "embedding_outlier_topk",    # 64-row moments + row-local scoring fold
+    "session_funnel_conversion", # one user shuffle: sessionize + 3 windows
+    "cohort_ltv_triangle",       # user-grain aggs + broadcast cohort dim
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

@@ -351,6 +351,10 @@ _EVENTS_EDGE_QUERIES = [
     # per-batch refreshed dimension: NULL ts drops at chunking, NULL type
     # drops at the dim join, NULL value counts 0 cents on both engines
     "dim_refresh_stream",
+    # r7 additions: in-session funnel (NULL user/ts unsessionizable; the
+    # tied NULL-event_id purchase must sequence NULLS LAST) and the LTV
+    # triangle (NULL user/ts out of cohort scope, NULL value = 0 cents)
+    "session_funnel_conversion", "cohort_ltv_triangle",
 ]
 
 
