@@ -221,6 +221,9 @@ EXTENDED_R7 = [
     "embedding_outlier_topk",      # diagonal-Mahalanobis vector audit
     "session_funnel_conversion",   # ordered funnel inside session bounds
     "cohort_ltv_triangle",         # cohort x week-of-life exact revenue
+    "partition_evolution_scan",    # two partition specs, one logical scan
+    "intra_doc_repetition_audit",  # within-doc n-gram looping detector
+    "column_stats_stream",         # per-micro-batch column-stats monitor
 ]
 
 

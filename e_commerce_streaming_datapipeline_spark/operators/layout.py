@@ -1308,3 +1308,79 @@ def q_vacuum_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before long, files_referenced long, orphans_removed long, "
         "v1_rows_after_vacuum long, v2_rows_after_vacuum long",
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-spec evolution: two physical layouts, one logical table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "partition_evolution_scan",
+    oracle="""
+SELECT CAST(extract(day FROM ts) AS INT) AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events
+WHERE ts IS NOT NULL AND event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION — the table-format feature
+    `manifest_time_travel` (commits) and `compaction_rewrite_roundtrip`
+    (maintenance) don't cover: a table's physical partitioning changes
+    mid-life WITHOUT rewriting history.  The month's first half commits
+    under spec-1 (partitioned by day); the table then evolves and the
+    second half commits under spec-2 (day, event_type).  One logical query
+    (purchases per day) reads BOTH layouts: the spec-2 scan prunes on both
+    partition keys (`event_type=purchase` directories only — visible as
+    `PartitionFilters` in the plan), the spec-1 scan prunes on day alone
+    and filters the rest row-wise — exactly how Iceberg serves a query
+    across partition-spec generations.  The unioned result is hash-checked
+    against the raw-events oracle, proving evolution is lossless.
+
+    Scale: this is THE migration story at 100 TB — re-partitioning
+    history costs a full rewrite, spec evolution costs zero bytes; new
+    data gets the better pruning immediately and old data keeps its
+    (coarser) pruning.  Per-spec scan work: spec-2 opens only the matching
+    leaf dirs; spec-1 reads its day dirs and pays a row filter.  NULL ts
+    rows are dropped explicitly on both engines (unpartitionable); NULL
+    event_type lands in the Hive default partition and is excluded by the
+    equality predicate, matching the oracle's NULL semantics."""
+    run_dir = scratch_dir("partevo")
+    v1_dir = os.path.join(run_dir, "spec1")
+    v2_dir = os.path.join(run_dir, "spec2")
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    with_day = ev.select(
+        F.dayofmonth("ts").alias("day"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    with_day.where(F.col("day") <= 15).write.partitionBy("day").parquet(v1_dir)
+    with_day.where(F.col("day") > 15).write.partitionBy(
+        "day", "event_type"
+    ).parquet(v2_dir)
+
+    # the evolved table: one logical relation over both physical specs.
+    # The same predicate becomes a PartitionFilter on spec-2 and a row
+    # filter on spec-1 — Catalyst plans each scan by its own layout.
+    spec1 = spark.read.parquet(v1_dir).where(F.col("event_type") == "purchase")
+    spec2 = spark.read.parquet(v2_dir).where(F.col("event_type") == "purchase")
+    unioned = spec1.select("day", "cents").unionByName(
+        spec2.select("day", "cents")
+    )
+    return (
+        unioned.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(F.col("day").cast("int").alias("day"), "n_purchases", "cents")
+        .orderBy("day")
+    )

@@ -2559,3 +2559,149 @@ def q_dim_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").cast("double") / 100).alias("revenue"),
         (F.sum("adj_x100").cast("double") / 10000).alias("adjusted_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-micro-batch column-stats monitor (streaming data-quality telemetry)
+# ---------------------------------------------------------------------------
+
+# (column, engine-identical string rendering) — schema_drift_audit's
+# discipline: ints/strings verbatim, the double `value` via exact cents
+_COLSTATS_COLS = (
+    ("user_id", "CAST(user_id AS {S})"),
+    ("event_type", "event_type"),
+    ("value", "CAST(CAST(round(value * 100) AS BIGINT) AS {S})"),
+)
+
+
+def _colstats_oracle() -> str:
+    cells = " UNION ALL ".join(
+        f"""SELECT (extract(day FROM ts) - 1) // 7 AS wk,
+        '{name}' AS col_name, {expr.format(S="VARCHAR")} AS cell
+    FROM events WHERE ts IS NOT NULL"""
+        for name, expr in _COLSTATS_COLS
+    )
+    return f"""
+WITH cells AS ({cells}),
+m AS (
+    SELECT wk, col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN cell IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null
+    FROM cells GROUP BY 1, 2
+), d AS (
+    SELECT wk, col_name, CAST(count(*) AS BIGINT) AS ndv
+    FROM (SELECT DISTINCT wk, col_name, cell FROM cells
+          WHERE cell IS NOT NULL)
+    GROUP BY 1, 2
+)
+SELECT CAST(m.wk AS BIGINT) AS wk, m.col_name, m.n_rows, m.n_null,
+       coalesce(d.ndv, 0) AS ndv
+FROM m LEFT JOIN d USING (wk, col_name)
+ORDER BY wk, col_name
+"""
+
+
+@query("column_stats_stream", oracle=_colstats_oracle())
+def q_column_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch COLUMN-STATS telemetry — `schema_drift_audit`'s
+    streaming twin and the monitoring half of a production ingest: every
+    micro-batch appends its own per-column row count, null count, and
+    exact distinct-value count to a stats sink, so an upstream field going
+    dark or collapsing to a constant is visible IN the batch that did it,
+    not at the next nightly audit.  Events replay as week-chunk files with
+    pinned ascending mtimes (the `scd2_stream_merge` mechanism), so each
+    batch is one event-week and the oracle reconstructs every batch's
+    stats from the week column — proving the per-batch monitor equals a
+    batch recomputation.
+
+    Scale: per-batch work is a 3x column stack of the batch (map-side),
+    one (week, col) hash agg and one two-phase distinct — no streaming
+    state at all (the sink table IS the state), which is why this pattern
+    deploys on any stream without watermark tuning.  The final read
+    aggregates the batch-grain sink."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import ensure_session_conf
+
+    ensure_session_conf(spark)
+
+    run_dir = scratch_dir("colstats")
+    feed_dir = os.path.join(run_dir, "feed")
+    sink_dir = os.path.join(run_dir, "stats")
+    os.makedirs(feed_dir)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+    tbl = tbl.filter(pc.is_valid(tbl["ts"]))
+    weeks = pc.divide(pc.subtract(pc.day(tbl["ts"]), 1), 7)
+    base_mtime = os.stat(sf_dir).st_mtime
+    for i, w in enumerate(sorted(pc.unique(weeks).to_pylist())):
+        path = os.path.join(feed_dir, f"events-wk{i:02d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(weeks, w)), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+    stack_expr = ", ".join(
+        f"'{name}', {expr.format(S='STRING')}" for name, expr in _COLSTATS_COLS
+    )
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        cells = batch_df.select(
+            ((F.dayofmonth("ts") - 1).cast("long") / 7).cast("long").alias("wk"),
+            F.expr(
+                f"stack({len(_COLSTATS_COLS)}, {stack_expr}) AS (col_name, cell)"
+            ),
+        )
+        m = cells.groupBy("wk", "col_name").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+        )
+        d = (
+            cells.where(F.col("cell").isNotNull())
+            .select("wk", "col_name", "cell")
+            .distinct()
+            .groupBy("wk", "col_name")
+            .agg(F.count("*").cast("long").alias("ndv"))
+        )
+        (
+            m.join(d, ["wk", "col_name"], "left")
+            .select(
+                "wk", "col_name", "n_rows", "n_null",
+                F.coalesce(F.col("ndv"), F.lit(0)).cast("long").alias("ndv"),
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    with _stream_run(spark, "column_stats") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(monitor)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batches are week-exact by construction, so the sink is already at
+    # (wk, col) grain; the max-merge makes a replayed batch idempotent
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("wk", "col_name")
+        .agg(
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.max("n_null").cast("long").alias("n_null"),
+            F.max("ndv").cast("long").alias("ndv"),
+        )
+        .orderBy("wk", "col_name")
+    )

@@ -1872,3 +1872,99 @@ def q_index_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition audit (degenerate / looping text detector)
+# --------------------------------------------------------------------------
+
+_REP_N = 3  # trigrams: the shortest n-gram that distinguishes loops from
+            # ordinary word reuse
+_REP_TOPK = 20
+
+
+@query(
+    "intra_doc_repetition_audit",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= {_REP_N}
+), grams AS (
+    SELECT doc_id, array_to_string(t[i:i+{_REP_N - 1}], ' ') AS g
+    FROM toks, LATERAL unnest(generate_series(1, len(t) - {_REP_N - 1})) AS u(i)
+), counts AS (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), per_doc AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)      AS n_grams,
+           CAST(count(*) AS BIGINT)    AS n_distinct,
+           CAST(max(c) AS BIGINT)      AS max_gram_count
+    FROM counts GROUP BY 1
+)
+SELECT doc_id, n_grams, n_distinct, max_gram_count,
+       CAST((n_grams - n_distinct) * 1000000 // n_grams AS BIGINT)
+           AS dup_share_x1e6,
+       CAST(max_gram_count * 1000000 // n_grams AS BIGINT)
+           AS top_gram_share_x1e6
+FROM per_doc
+ORDER BY dup_share_x1e6 DESC, doc_id
+LIMIT {_REP_TOPK}
+""",
+)
+def q_intra_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition audit — the degenerate-text detector a
+    synthetic-data pipeline needs that cross-document dedup cannot provide:
+    model-generated text that falls into a loop repeats the SAME few
+    {_REP_N}-grams inside one document, so per doc we report total vs
+    distinct {_REP_N}-gram occurrences (``dup_share``) and the single most
+    repeated gram's share (``top_gram_share``), top-{_REP_TOPK} worst
+    offenders.  `dup_ngram_coverage` measures copying BETWEEN documents;
+    this measures looping WITHIN one — the two signals gate different
+    failure modes (plagiarized corpus vs collapsed generator).
+
+    Exactness: occurrence counts and exact scaled-integer shares; ORDER/
+    LIMIT ties break on doc_id.  Docs shorter than {_REP_N} tokens emit no
+    grams on either engine (the `shingled_docs` guard class).
+
+    Scale: gram expansion is row-local (sequence + transform + explode, no
+    joins), the (doc, gram) count is one hash aggregate with map-side
+    combine, the per-doc rollup a second — both partition on doc-grain
+    keys; top-k is a TakeOrdered.  The gram space is corpus-token-sized,
+    never pairwise."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .where(F.size("t") >= _REP_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_REP_N - 1)),
+                lambda i: F.array_join(F.slice(F.col("t"), i, _REP_N), " "),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_gram_count"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "max_gram_count",
+            F.expr("((n_grams - n_distinct) * 1000000) div n_grams").alias(
+                "dup_share_x1e6"
+            ),
+            F.expr("(max_gram_count * 1000000) div n_grams").alias(
+                "top_gram_share_x1e6"
+            ),
+        )
+        .orderBy(F.col("dup_share_x1e6").desc(), "doc_id")
+        .limit(_REP_TOPK)
+    )

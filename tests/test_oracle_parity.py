@@ -118,7 +118,15 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  "index_tombstone_merge",
                  # threshold sweep: NULL/short docs emit no n-grams, so they
                  # are out of the training pool denominator on both engines
-                 "decontam_threshold_sweep"]
+                 "decontam_threshold_sweep",
+                 # r7: NULL/short docs emit no trigrams; the all-stopword
+                 # doc's repeated 'the a the' grams must count identically
+                 "intra_doc_repetition_audit",
+                 # r7 policy curves over documents: NULL text shingles/
+                 # tokenizes to nothing on both engines; NULL source is out
+                 # of the leakage matrix
+                 "jaccard_threshold_sweep", "packing_efficiency_sweep",
+                 "cross_source_leakage_matrix"]
 
 
 @pytest.fixture(scope="module")
@@ -196,7 +204,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "popularity_rec_hitrate",
                         # two-phase ntile: NULL totalprice/orderkey must land
                         # in the same bucket as DuckDB's NTILE ordering
-                        "equi_depth_histogram"]
+                        "equi_depth_histogram",
+                        # r7: NULL totalprice is excluded from the digit
+                        # census by the explicit IS NOT NULL on both engines
+                        "benford_revenue_audit"]
 
 
 @pytest.fixture(scope="module")
@@ -355,6 +366,15 @@ _EVENTS_EDGE_QUERIES = [
     # tied NULL-event_id purchase must sequence NULLS LAST) and the LTV
     # triangle (NULL user/ts out of cohort scope, NULL value = 0 cents)
     "session_funnel_conversion", "cohort_ltv_triangle",
+    # r7 events-table policy/audit queries: NULL ts drops before windows/
+    # partitions; NULL event_type is its own QI cell (kanon) and the Hive
+    # default partition excluded by the purchase predicate (evolution);
+    # NULL value clips to 0 cents; NULL user drops from conversion scope
+    "kanon_generalization_ladder", "conversion_window_sweep",
+    "partition_evolution_scan", "schema_drift_audit",
+    # per-batch monitor: NULL ts drops at the chunker; NULL user/type/value
+    # count into the right batch's null tallies on both engines
+    "column_stats_stream",
 ]
 
 
@@ -532,6 +552,9 @@ def test_null_lineitem_rows_keep_oracle_parity(spark, edge_lineitem_sf_dir, name
 _EMBEDDINGS_EDGE_QUERIES = [
     # drift monitor: NULL/ragged vectors drop at the shared gate
     "embedding_drift_centroid",
+    # r7 outlier audit: NULL/ragged vectors drop at the same gate before
+    # the per-dim moments or the scoring fold ever see them
+    "embedding_outlier_topk",
     # Fisher audit: NULL/ragged vectors and NULL labels drop identically
     "fisher_discriminative_dims",
     "embedding_topk", "embedding_topk_pandas", "embedding_topk_ivf",
