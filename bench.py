@@ -224,6 +224,8 @@ EXTENDED_R7 = [
     "partition_evolution_scan",    # two partition specs, one logical scan
     "intra_doc_repetition_audit",  # within-doc n-gram looping detector
     "column_stats_stream",         # per-micro-batch column-stats monitor
+    "props_schema_census",         # JSON payload key-set fingerprints
+    "experiment_power_advisor",    # MDE -> required-sample-size table
 ]
 
 

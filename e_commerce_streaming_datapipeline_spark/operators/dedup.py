@@ -1689,6 +1689,10 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
 
     docs = load_table(spark, "documents", sf_dir)
+    # deliberately NOT persisted: shingling is cheap map-side HOF work and
+    # a MEMORY_AND_DISK pin of the array column measured SLOWER end-to-end
+    # (2.52 s vs 2.19 s at sf0.1) — unlike the simjoin's token-id sets,
+    # whose lineage includes a rank and a corpus join worth pinning
     sets = shingled_docs(docs)
     bands = minhash_bands(docs, shingled=sets)
     cand = _band_candidates(bands)

@@ -307,3 +307,70 @@ def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured schema census over the JSON payload column
+# --------------------------------------------------------------------------
+
+
+@query(
+    "props_schema_census",
+    oracle="""
+WITH shapes AS (
+    SELECT event_type,
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN array_to_string(list_sort(json_keys(props)), ',')
+           END AS key_set
+    FROM events
+), census AS (
+    SELECT event_type, key_set,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM shapes GROUP BY 1, 2
+), totals AS (
+    SELECT event_type, sum(n_events) AS total FROM census GROUP BY 1
+)
+SELECT c.event_type, c.key_set, c.n_events,
+       CAST(c.n_events * 1000000 // t.total AS BIGINT) AS share_x1e6
+FROM census c JOIN totals t USING (event_type)
+ORDER BY c.event_type, c.key_set
+""",
+)
+def q_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured SCHEMA CENSUS over the JSON payload — what actual
+    key sets arrive per event type: each event's ``props`` is reduced to
+    its sorted key-list fingerprint and counted per (event_type,
+    fingerprint), with per-type shares.  This is the first question an
+    ingest owner asks of a schemaless column ("how many payload shapes are
+    live, and which producer added a field last week"), and the
+    prerequisite for choosing a typed extraction (`variant_props_stats`
+    extracts known paths; this discovers the unknown ones).  Malformed and
+    NULL payloads fingerprint as the NULL shape on BOTH engines (Spark's
+    `json_object_keys` returns NULL for either; the oracle pins the same
+    via `json_valid`).
+
+    Scale: fingerprinting is map-side string/JSON work inside codegen, the
+    census is one hash aggregate on (type, fingerprint) — the output is
+    bounded by the live-shape count, not rows.  Shares come from a
+    fingerprint-grain rollup joined back — all post-aggregation, exact
+    scaled integers."""
+    shapes = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.array_join(
+            F.array_sort(F.expr("json_object_keys(props)")), ","
+        ).alias("key_set"),
+    )
+    census = shapes.groupBy("event_type", "key_set").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    totals = census.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return (
+        census.join(totals, "event_type")
+        .select(
+            "event_type",
+            "key_set",
+            "n_events",
+            F.expr("(n_events * 1000000) div total").alias("share_x1e6"),
+        )
+        .orderBy("event_type", "key_set")
+    )

@@ -4753,3 +4753,111 @@ def q_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment power / sample-size advisor
+# --------------------------------------------------------------------------
+
+# z constants as LITERALS (the Benford/PMI discipline — no inverse-normal
+# evaluated by either engine): two-sided alpha=0.05 -> 1.959964;
+# power 0.80 -> z_beta = 0.841621
+_Z_ALPHA2 = 1.959964
+_Z_POWER80 = 0.841621
+# minimum detectable effects swept, in ABSOLUTE conversion points x1e4
+_MDE_X1E4 = (50, 100, 200, 400)
+
+
+def _power_advisor_oracle() -> str:
+    mdes = ", ".join(str(m) for m in _MDE_X1E4)
+    return f"""
+WITH assigned AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(count_if(event_type = 'purchase') > 0 AS INT) AS converted
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+), base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(converted) AS BIGINT) AS k,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS p
+    FROM assigned
+), th AS (
+    SELECT unnest([{mdes}]) AS mde_x1e4
+)
+SELECT
+    CAST(th.mde_x1e4 AS INT) AS mde_x1e4,
+    b.n_units,
+    round(b.p * 1000000) / 1000000 AS baseline_rate,
+    CAST(ceil(
+        ({_Z_ALPHA2} + {_Z_POWER80}) * ({_Z_ALPHA2} + {_Z_POWER80})
+        * 2.0 * b.p * (1.0 - b.p)
+        / ((CAST(th.mde_x1e4 AS DOUBLE) / 10000.0)
+           * (CAST(th.mde_x1e4 AS DOUBLE) / 10000.0))
+    ) AS BIGINT) AS n_required_per_arm,
+    b.n_units / 2 >= CAST(ceil(
+        ({_Z_ALPHA2} + {_Z_POWER80}) * ({_Z_ALPHA2} + {_Z_POWER80})
+        * 2.0 * b.p * (1.0 - b.p)
+        / ((CAST(th.mde_x1e4 AS DOUBLE) / 10000.0)
+           * (CAST(th.mde_x1e4 AS DOUBLE) / 10000.0))
+    ) AS BIGINT) AS powered_today
+FROM th CROSS JOIN base b
+ORDER BY th.mde_x1e4
+"""
+
+
+@query("experiment_power_advisor", oracle=_power_advisor_oracle())
+def q_experiment_power_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER / sample-size advisor — the table a team reads
+    BEFORE launching the A/B test `ab_test_zscore` reads out: for each
+    candidate minimum-detectable-effect (absolute conversion points), the
+    per-arm sample size a two-proportion test needs at alpha=0.05 /
+    power=0.80 given the corpus's own baseline rate, and whether today's
+    traffic already covers it.  Classic formula
+    n = (z_a/2 + z_b)^2 * 2 p (1-p) / mde^2 with the z constants as
+    LITERALS (the PMI/Benford discipline — neither engine evaluates an
+    inverse normal), so the float chain is identical cross-engine.
+
+    Unit = user-day with the arm-stable hash-split semantics of
+    `ab_test_zscore` / `conversion_rate_ci` (the baseline p is measured on
+    the same unit the test will randomize).
+
+    Scale: one user-day hash aggregate (map-side combine) folds the corpus
+    to ONE row; the MDE grid is a 4-row broadcast against it.  The advisor
+    costs what a conversion count costs, regardless of fact size."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join
+
+    assigned = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            (F.count_if(F.col("event_type") == "purchase") > 0)
+            .cast("int")
+            .alias("converted")
+        )
+    )
+    base = assigned.groupBy().agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("converted").cast("long").alias("k"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("p"),
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _MDE_X1E4])).alias("mde_x1e4")
+    )
+    z2 = (_Z_ALPHA2 + _Z_POWER80) * (_Z_ALPHA2 + _Z_POWER80)
+    mde = F.col("mde_x1e4").cast("double") / 10000.0
+    n_req = F.ceil(
+        F.lit(z2) * 2.0 * F.col("p") * (F.lit(1.0) - F.col("p")) / (mde * mde)
+    ).cast("long")
+    return (
+        bounded_cross_join(th, base)
+        .select(
+            F.col("mde_x1e4").cast("int").alias("mde_x1e4"),
+            "n_units",
+            fround(F.col("p"), 6).alias("baseline_rate"),
+            n_req.alias("n_required_per_arm"),
+            (F.expr("n_units div 2") >= n_req).alias("powered_today"),
+        )
+        .orderBy("mde_x1e4")
+    )

@@ -104,6 +104,11 @@ QUERIES = [
     "embedding_outlier_topk",    # 64-row moments + row-local scoring fold
     "session_funnel_conversion", # one user shuffle: sessionize + 3 windows
     "cohort_ltv_triangle",       # user-grain aggs + broadcast cohort dim
+    "partition_evolution_scan",  # two-spec write + pruned union scan
+    "intra_doc_repetition_audit",  # row-local gram explode + 2 hash aggs
+    "column_stats_stream",       # per-batch stats sink (batch-count bound)
+    "props_schema_census",       # map-side JSON keys + shape-grain agg
+    "experiment_power_advisor",  # user-day agg folded to 1 row + 4-row grid
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

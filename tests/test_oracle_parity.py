@@ -375,6 +375,12 @@ _EVENTS_EDGE_QUERIES = [
     # per-batch monitor: NULL ts drops at the chunker; NULL user/type/value
     # count into the right batch's null tallies on both engines
     "column_stats_stream",
+    # schema census: NULL props fingerprint as the NULL shape; NULL
+    # event_type is its own census group on both engines
+    "props_schema_census",
+    # power advisor: NULL user/ts units are out of the randomization
+    # population on both engines (same gate as conversion_rate_ci)
+    "experiment_power_advisor",
 ]
 
 
