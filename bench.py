@@ -226,6 +226,8 @@ EXTENDED_R7 = [
     "column_stats_stream",         # per-micro-batch column-stats monitor
     "props_schema_census",         # JSON payload key-set fingerprints
     "experiment_power_advisor",    # MDE -> required-sample-size table
+    "vocabulary_growth_curve",     # Heaps'-law corpus-health diagnostic
+    "revenue_concentration_hhi",   # per-day buyer-concentration monitor
 ]
 
 

@@ -4861,3 +4861,99 @@ def q_experiment_power_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_x1e4")
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration (Herfindahl-Hirschman index per day)
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_concentration_hhi",
+    oracle="""
+WITH per_user AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+), per_day AS (
+    SELECT day,
+           CAST(count(*) AS BIGINT)        AS n_buyers,
+           CAST(sum(cents) AS BIGINT)      AS total_cents,
+           CAST(max(cents) AS BIGINT)      AS top_buyer_cents,
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq
+    FROM per_user
+    WHERE cents > 0
+    GROUP BY 1
+)
+SELECT day, n_buyers, total_cents,
+       CAST(top_buyer_cents * 1000000 // total_cents AS BIGINT)
+           AS top_share_x1e6,
+       round(CAST(sumsq AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             * 1000000) / 1000000 AS hhi
+FROM per_day
+ORDER BY day
+""",
+)
+def q_revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION per day — the Herfindahl-Hirschman index over
+    buyer revenue shares (sum of squared shares; 1/n_buyers = perfectly
+    even, 1.0 = one whale), plus the top buyer's exact share.
+    `revenue_gini`'s operational sibling: Gini summarizes the whole-corpus
+    inequality once, HHI-per-day is the monitorable series that flags the
+    day one account started dominating GMV (fraud, bot, or enterprise
+    onboarding — all need a look).
+
+    Exactness: per-buyer cents are exact scaled longs; sum-of-squares and
+    totals are exact BIGINT aggregates (order-free), and the single HHI
+    division runs the identical double expression on both engines before
+    the 6dp round.  Top share is a pure integer division.  Zero-cent
+    buyers are excluded on both engines (they hold no share).  BIGINT
+    bound: sum(cents^2) overflows past ~3e9 cents on one (day, buyer) —
+    at that scale move the squares to DECIMAL(38,0), same plan shape.
+
+    Scale: two hash aggregations — (day, user) grain then day grain — both
+    with map-side combine; no windows, no joins; output is day-sized."""
+    per_user = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .where(F.col("cents") > 0)
+    )
+    per_day = per_user.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_buyers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.max("cents").cast("long").alias("top_buyer_cents"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sumsq"),
+    )
+    return per_day.select(
+        "day",
+        "n_buyers",
+        "total_cents",
+        F.expr("(top_buyer_cents * 1000000) div total_cents").alias(
+            "top_share_x1e6"
+        ),
+        fround(
+            F.col("sumsq").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("day")

@@ -1968,3 +1968,115 @@ def q_intra_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_share_x1e6").desc(), "doc_id")
         .limit(_REP_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law diagnostic)
+# --------------------------------------------------------------------------
+
+_HEAPS_SHARES_X100 = (10, 25, 50, 75, 100)
+
+
+@query(
+    "vocabulary_growth_curve",
+    oracle=f"""
+WITH bounds AS (
+    SELECT max(doc_id) AS max_id FROM documents
+    WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), firsts AS (
+    SELECT token, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+    GROUP BY 1
+), toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), th(share) AS (
+    VALUES {", ".join(f"({s})" for s in _HEAPS_SHARES_X100)}
+), dstats AS (
+    SELECT th.share,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n) AS BIGINT) AS n_tokens
+    FROM th, toks t, bounds b
+    WHERE t.doc_id * 100 <= b.max_id * th.share
+    GROUP BY 1
+), vstats AS (
+    SELECT th.share, CAST(count(*) AS BIGINT) AS vocab_size
+    FROM th, firsts f, bounds b
+    WHERE f.first_doc * 100 <= b.max_id * th.share
+    GROUP BY 1
+)
+SELECT
+    CAST(d.share AS INT) AS corpus_share_x100,
+    d.n_docs, d.n_tokens, v.vocab_size
+FROM dstats d JOIN vstats v ON v.share = d.share
+ORDER BY 1
+""",
+)
+def q_vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH curve (Heaps' law) — `ngram_zipf_slope`'s
+    companion diagnostic: distinct-token count as the corpus grows through
+    doc_id-ordered prefixes ({", ".join(str(s) for s in _HEAPS_SHARES_X100)}% of the id
+    range).  A natural corpus grows vocabulary ~ tokens^beta (beta≈0.5);
+    a vocabulary that PLATEAUS flags template/synthetic text, one that
+    grows LINEARLY flags id-like garbage tokens — both are corpus-health
+    signals a tokenizer-training pipeline checks before spending a BPE
+    run.
+
+    Exactness: the whole curve derives from one integer fact per token —
+    its FIRST document (min doc_id) — so prefix membership is the exact
+    integer comparison ``first_doc*100 <= max_id*share``; counts only, no
+    floats.
+
+    Scale: ONE tokenize+aggregate pass builds the (token, first_doc)
+    relation (vocabulary-sized, map-side combine), one pass sizes the doc
+    prefixes, and the 5-point grid aggregates those two small relations —
+    the curve costs one corpus scan regardless of how many prefix points
+    are requested (vs the naive per-prefix re-scan, 5x the work)."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    )
+    bounds = docs.groupBy().agg(F.max("doc_id").alias("max_id"))
+    firsts = (
+        docs.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    toks = docs.select("doc_id", F.size("t").alias("n"))
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _HEAPS_SHARES_X100])).alias(
+            "corpus_share_x100"
+        )
+    )
+    doc_cells = (
+        bounded_cross_join(scalar_join(toks, bounds), th)
+        .where(F.col("doc_id") * 100 <= F.col("max_id") * F.col("corpus_share_x100"))
+        .groupBy("corpus_share_x100")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab_cells = (
+        bounded_cross_join(scalar_join(firsts, bounds), th)
+        .where(
+            F.col("first_doc") * 100 <= F.col("max_id") * F.col("corpus_share_x100")
+        )
+        .groupBy("corpus_share_x100")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    return (
+        doc_cells.join(vocab_cells, "corpus_share_x100")
+        .select(
+            F.col("corpus_share_x100").cast("int").alias("corpus_share_x100"),
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+        )
+        .orderBy("corpus_share_x100")
+    )

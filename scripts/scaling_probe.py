@@ -109,6 +109,8 @@ QUERIES = [
     "column_stats_stream",       # per-batch stats sink (batch-count bound)
     "props_schema_census",       # map-side JSON keys + shape-grain agg
     "experiment_power_advisor",  # user-day agg folded to 1 row + 4-row grid
+    "vocabulary_growth_curve",   # 1 tokenize pass + vocab-sized grid aggs
+    "revenue_concentration_hhi", # 2 hash aggs, day-sized output
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

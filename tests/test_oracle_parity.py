@@ -122,6 +122,9 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # r7: NULL/short docs emit no trigrams; the all-stopword
                  # doc's repeated 'the a the' grams must count identically
                  "intra_doc_repetition_audit",
+                 # r7: NULL text/doc_id rows are outside every corpus
+                 # prefix, so the growth curve ignores them on both engines
+                 "vocabulary_growth_curve",
                  # r7 policy curves over documents: NULL text shingles/
                  # tokenizes to nothing on both engines; NULL source is out
                  # of the leakage matrix
@@ -381,6 +384,9 @@ _EVENTS_EDGE_QUERIES = [
     # power advisor: NULL user/ts units are out of the randomization
     # population on both engines (same gate as conversion_rate_ci)
     "experiment_power_advisor",
+    # HHI: NULL user/ts purchases are out of scope; the NULL-value purchase
+    # sums 0 cents and is excluded as a zero-share buyer on both engines
+    "revenue_concentration_hhi",
 ]
 
 
