@@ -102,10 +102,16 @@ def register_cache(df: DataFrame) -> DataFrame:
 def release_rank_caches(blocking: bool = False) -> int:
     """Unpersist every rank cache registered since the last release.
 
-    Safe to call once the consuming DataFrame's action has run; recompute
-    after release re-reads the SAME shuffle dependency (the partitioner is
-    fixed in the RDD DAG), so determinism is preserved even if a released
-    plan is re-executed.  Returns the number of caches released."""
+    Safe to call only once every consuming action is FINAL (results
+    collected and no re-execution of the same DataFrame planned):
+    unpersisting removes the InMemoryRelation, so a plan re-executed after
+    release re-plans its range exchanges and may re-SAMPLE partition
+    boundaries — the two plan branches the persist exists to pin can then
+    disagree on boundary rows, exactly the nondeterminism the cache
+    prevents (r7 ADVICE #3 corrected the earlier claim that the partitioner
+    stays fixed in the RDD DAG).  Harnesses therefore release BETWEEN
+    queries, never between actions of one query.  Returns the number of
+    caches released."""
     n = len(_LIVE_RANK_CACHES)
     for df in _LIVE_RANK_CACHES:
         try:

@@ -1142,9 +1142,10 @@ _PATH_TOP_K = 15
     "event_path_ngrams",
     oracle=f"""
 WITH paths AS (
-    SELECT string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
+    SELECT string_agg(substr(event_type, 1, 1), ''
+               ORDER BY epoch_us(ts), coalesce(event_id, 4611686018427387904))
                AS shape
-    FROM events GROUP BY user_id
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ), grams AS (
     SELECT substr(shape, i, {_PATH_N}) AS gram
     FROM paths, LATERAL unnest(generate_series(1, len(shape) - {_PATH_N - 1})) AS t(i)
@@ -1169,8 +1170,14 @@ def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the path string, and the top-k is TakeOrdered (per-partition
     heaps) after a gram-keyed partial-aggregated count.  The gram alphabet
     is event-type initials, so cardinality is bounded (|types|^{_PATH_N})
-    and the count shuffle is tiny regardless of corpus size."""
-    events = load_table(spark, "events", sf_dir)
+    and the count shuffle is tiny regardless of corpus size.
+
+    Sequencing policy (r8 edge pin): a NULL-ts event cannot be ordered
+    into a path and drops on BOTH engines; a NULL event_id tie-breaks
+    NULLS LAST on both — sort_array cannot express per-field null order,
+    so the struct carries coalesce(event_id, 2^62) and the oracle the same
+    sentinel."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     paths = (
         events.groupBy("user_id")
         .agg(
@@ -1178,7 +1185,9 @@ def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(
                     F.struct(
                         F.unix_micros("ts").alias("ts_us"),
-                        F.col("event_id").alias("event_id"),
+                        F.coalesce(
+                            F.col("event_id"), F.lit(4611686018427387904)
+                        ).alias("event_id"),
                         F.substring("event_type", 1, 1).alias("ini"),
                     )
                 )

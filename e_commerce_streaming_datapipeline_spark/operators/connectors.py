@@ -574,6 +574,12 @@ SELECT
         AS total_value
 FROM events
 WHERE props IS NOT NULL
+  -- a payload without a derivable payment type (e.g. the empty object
+  -- '{}') cannot key the MERGE: payment_type is the upsert PRIMARY KEY,
+  -- so underivable rows are out of the rollup on BOTH engines (r8 edge
+  -- pin; Derby additionally rejects NULL-string staging values via its
+  -- setNull(CLOB) dialect mapping)
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -598,6 +604,9 @@ def q_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir).where(F.col("props").isNotNull())
     agg = (
         with_payment_type(events)
+        # NULL payment_type cannot key the MERGE (NOT NULL PRIMARY KEY);
+        # mirrored in the oracle's json_extract IS NOT NULL (r8 edge pin)
+        .where(F.col("payment_type").isNotNull())
         .groupBy("payment_type")
         .agg(
             F.count("*").alias("n_events"),

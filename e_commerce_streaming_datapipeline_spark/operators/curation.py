@@ -1196,7 +1196,7 @@ WITH scored AS (
                   / len(string_split(text, ' ')) * 50
                   + least(len(string_split(text, ' ')), 100) / 100 * 50)
                  * 100) / 100 AS quality_score
-    FROM documents WHERE text IS NOT NULL
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ), ranked AS (
     SELECT *,
            CAST(row_number() OVER (
@@ -1248,7 +1248,12 @@ def q_source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_streaming_datapipeline_spark.functions.ranks import global_row_number
     from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    # NULL doc_id rows are out of the normalization on BOTH engines: the
+    # rank tie-break keys on doc_id and the Spark self-join back to source
+    # drops NULL keys anyway (r8 edge pin)
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
     scored = text_stats(docs).select("doc_id", "quality_score").join(
         docs.select("doc_id", "source"), "doc_id"
     )
@@ -1947,7 +1952,7 @@ _PACK_SWEEP_BUDGETS = (128, 256, 512, 1024)
     oracle=f"""
 WITH sized AS (
     SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), th AS (
     SELECT unnest([{", ".join(str(b) for b in _PACK_SWEEP_BUDGETS)}]) AS budget
 ), binned AS (
@@ -1986,7 +1991,11 @@ def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: all-integer outputs — ``fill_x1e6`` is an exact scaled
     integer division and the overfull test compares exact token sums, so no
-    float appears in the hashed relation.
+    float appears in the hashed relation.  NULL ``doc_id`` rows are excluded
+    on BOTH engines before the cumulative window: the packer orders by
+    ``doc_id`` and Spark's ASC default is NULLS FIRST while DuckDB's is
+    NULLS LAST, so an unfiltered NULL-id doc would shift every later row's
+    running sum and change bin assignment between engines (r7 ADVICE #1).
 
     Scale: the budget grid is a 4-row broadcast (`bounded_cross_join` — a
     constant-key broadcast hash join, not a CartesianProduct), so the doc
@@ -1997,8 +2006,12 @@ def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin grain (corpus_tokens/budget rows) and 4 rows respectively."""
     from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join
 
-    sized = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    sized = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        )
     )
     th = spark.range(1).select(
         F.explode(F.array(*[F.lit(b) for b in _PACK_SWEEP_BUDGETS])).alias("budget")

@@ -1558,11 +1558,13 @@ def q_telemetry_double_fire_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     pipeline needs a semantic dedup window on (user, type, ~1 s).
 
     Plan shape: the |Δt| <= 1 s predicate is an interval self-join,
-    bucketized on whole seconds so each row joins only its own and the
-    NEXT bucket on an equi-key (user, type, bucket) — the
-    `user_activity_1h` 2-bucket rewrite; Catalyst plans a hash join with
-    blow-up factor exactly 2, never a nested loop.  Microsecond
-    arithmetic is exact integers (`unix_micros` = `epoch_us`)."""
+    bucketized on whole seconds so each row joins only adjacent buckets on
+    an equi-key (user, type, bucket) — the `user_activity_1h` bucketed
+    rewrite; the build side explodes THREE bucket keys (bkt-1, bkt, bkt+1),
+    so Catalyst plans a hash join with blow-up factor exactly 3 (pairs
+    double-counted across bucket offsets collapse in the dropDuplicates),
+    never a nested loop.  Microsecond arithmetic is exact integers
+    (`unix_micros` = `epoch_us`)."""
     e = load_table(spark, "events", sf_dir).where(
         F.col("event_id").isNotNull()
         & F.col("user_id").isNotNull()

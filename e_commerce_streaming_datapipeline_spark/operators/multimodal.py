@@ -33,10 +33,16 @@ MODALITIES = ("image", "audio", "video", "text")
 
 def as_assets(docs: DataFrame) -> DataFrame:
     """Wrap the documents fixture as a multimodal asset table:
-    (asset_id, modality, payload binary, meta struct)."""
+    (asset_id, modality, payload binary, meta struct).
+
+    NULL ``doc_id`` rows are excluded on BOTH engines: the asset id IS the
+    key, and a keyless asset has no stable modality (Spark's
+    ``element_at(arr, NULL)`` and DuckDB's ``arr[NULL]`` disagree in
+    downstream Python-kernel handling) — r8 edge-fixture pin."""
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]), F.pmod(F.col("doc_id"), F.lit(4)).cast("int") + 1
     )
+    docs = docs.where(F.col("doc_id").isNotNull())
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
@@ -59,7 +65,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT
     modality,
@@ -199,7 +205,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), decoded AS (
     SELECT
         asset_id,
@@ -243,7 +249,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), decoded AS (
     SELECT
         asset_id, modality,
@@ -327,7 +333,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), decoded AS (
     SELECT
         asset_id,
@@ -390,7 +396,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 )
 SELECT
     asset_id,
@@ -460,7 +466,7 @@ WITH assets AS (
         doc_id AS asset_id,
         ['image', 'audio', 'video', 'text'][(doc_id % 4) + 1] AS modality,
         encode(text) AS payload
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 ), hashed AS (
     -- DuckDB md5 takes VARCHAR only: hash the hex encoding of the bytes
     -- (Spark side mirrors md5(hex(payload)); hex casing matches)

@@ -320,7 +320,7 @@ def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH shapes AS (
     SELECT event_type,
            CASE WHEN props IS NOT NULL AND json_valid(props)
-                THEN array_to_string(list_sort(json_keys(props)), ',')
+                THEN coalesce(array_to_string(list_sort(json_keys(props)), ','), '')
            END AS key_set
     FROM events
 ), census AS (
@@ -347,7 +347,12 @@ def q_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts known paths; this discovers the unknown ones).  Malformed and
     NULL payloads fingerprint as the NULL shape on BOTH engines (Spark's
     `json_object_keys` returns NULL for either; the oracle pins the same
-    via `json_valid`).
+    via `json_valid`).  The EMPTY object ``'{}'`` is its own ``''`` shape,
+    distinct from the NULL shape: Spark's ``array_join`` of an empty key
+    array is already ``''`` while DuckDB's ``array_to_string`` of an empty
+    list is NULL, so the oracle coalesces the valid-JSON branch to ``''``
+    (r7 ADVICE #2 — previously the two engines disagreed on exactly the
+    ``'{}'`` payload).
 
     Scale: fingerprinting is map-side string/JSON work inside codegen, the
     census is one hash aggregate on (type, fingerprint) — the output is

@@ -83,7 +83,7 @@ FROM (
                PARTITION BY lang
                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
            ) AS rn
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 )
 WHERE rn <= 5
 """,
@@ -95,8 +95,14 @@ def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number() <= k`` plans as a partial WindowGroupLimit: each map task
     forwards at most k rows per group into the shuffle, so cost is bounded by
     k × #tasks × #groups however large the corpus — the same plan shape the
-    dropoff sample uses (operators/dropoff.py)."""
-    docs = load_table(spark, "documents", sf_dir)
+    dropoff sample uses (operators/dropoff.py).
+
+    NULL ``doc_id`` rows are excluded on BOTH engines: the hash order is
+    keyed on doc_id, and a NULL key would sort NULLS FIRST in Spark but
+    NULLS LAST in DuckDB, displacing a real exemplar (r8 edge pin)."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.partitionBy("lang").orderBy(
         hash_bucket(F.col("doc_id"), _MOD), F.col("doc_id")
     )
@@ -224,7 +230,7 @@ WITH strata AS (
            sum(n_chars)    AS s1,
            sum(n_chars * n_chars) AS s2
     FROM documents
-    WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
     GROUP BY lang
 ), weighted AS (
     SELECT lang, cnt,
@@ -253,7 +259,8 @@ FROM (
            row_number() OVER (
                PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
            ) AS rn
-    FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+    FROM documents
+    WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
 ) d JOIN alloc a ON a.lang = d.lang
 WHERE d.rn <= a.n_h
 """,
@@ -293,7 +300,12 @@ def q_neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one global window here is over ≤ |langs| rows), then one
     per-stratum top-n_h window (WindowGroupLimit-bounded)."""
     docs = load_table(spark, "documents", sf_dir).where(
-        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        # the population is the SAMPLEABLE docs: a NULL-id doc cannot be
+        # drawn (the md5 draw keys on doc_id, and NULL orders differently
+        # per engine), so it is out of both the moments and the membership
+        & F.col("doc_id").isNotNull()
     )
     strata = docs.groupBy("lang").agg(
         F.count("*").alias("cnt"),

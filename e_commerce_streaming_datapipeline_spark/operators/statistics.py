@@ -3065,7 +3065,7 @@ WITH scored AS (
                + least(len(string_split(text, ' ')), 100) / 100 * 50)
               * 100) / 100 AS s,
         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-    FROM documents WHERE text IS NOT NULL
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ), grouped AS (
     SELECT fold, s, count(*) AS cnt, sum(y) AS pos_cnt
     FROM scored GROUP BY 1, 2
@@ -3111,11 +3111,16 @@ def q_kfold_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative rank pass runs per fold (window PARTITION BY fold, so folds
     fan out instead of serializing through one partition), per-fold AUCs
     are fixed-pointed to micros, and the CV mean is an integer-sum window
-    over k rows."""
+    over k rows.
+
+    NULL ``doc_id`` docs have no fold (the split hashes doc_id), so they
+    are out of the evaluation on BOTH engines (r8 edge pin)."""
     from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
     from e_commerce_streaming_datapipeline_spark.operators.text import text_stats
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
     scored = text_stats(docs).join(
         docs.select("doc_id", hash_bucket(F.col("doc_id"), 5).alias("fold")), "doc_id"
     ).select(

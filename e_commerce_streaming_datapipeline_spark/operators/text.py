@@ -1438,7 +1438,8 @@ _POSTING_HEAD = 8
     oracle=f"""
 WITH tf AS (
     SELECT doc_id, term, count(*) AS tf
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id IS NOT NULL)
     GROUP BY 1, 2
 ), stats AS (
     SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY 1
@@ -1474,8 +1475,14 @@ def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at 8 entries per term no matter the corpus size.  Full
     posting lists at 100 TB stay relational (term-bucketed files, never a
     driver-side array); collecting a bounded head per key is the pattern
-    for index MANIFESTS, not the lists themselves."""
-    docs = load_table(spark, "documents", sf_dir)
+    for index MANIFESTS, not the lists themselves.
+
+    NULL ``doc_id`` docs are out of the index on BOTH engines: a posting
+    cannot reference a keyless document, and the NULL would order
+    differently per engine inside the posting head (r8 edge pin)."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id").isNotNull()
+    )
     tf = (
         docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -2017,8 +2024,8 @@ ORDER BY 1
 def q_vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VOCABULARY GROWTH curve (Heaps' law) — `ngram_zipf_slope`'s
     companion diagnostic: distinct-token count as the corpus grows through
-    doc_id-ordered prefixes ({", ".join(str(s) for s in _HEAPS_SHARES_X100)}% of the id
-    range).  A natural corpus grows vocabulary ~ tokens^beta (beta≈0.5);
+    doc_id-ordered prefixes (the ``_HEAPS_SHARES_X100`` grid: 10/25/50/75/
+    100% of the id range).  A natural corpus grows vocabulary ~ tokens^beta (beta≈0.5);
     a vocabulary that PLATEAUS flags template/synthetic text, one that
     grows LINEARLY flags id-like garbage tokens — both are corpus-health
     signals a tokenizer-training pipeline checks before spending a BPE

@@ -70,6 +70,25 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_PRIOR = frozenset(
     {
+        # the round-7 window (CORRECTNESS_r07.json): 49/50 all-green, the
+        # 50th (approx_unique_users_hourly) rows-only by design — the first
+        # fully-green driver round since r2.  The six r6 keepers-by-
+        # exception all went green and leave the window; the 20 rotated-in
+        # first-witness queries are recorded here
+        "zorder_layout_stats", "leaderboard_stream", "bloom_filter_prejoin",
+        "compaction_plan", "supplier_triangles", "conformal_interval",
+        "ivm_delta_merge", "deletion_vector_scan",
+        "compaction_rewrite_roundtrip", "vacuum_orphan_files",
+        "index_delta_merge", "index_tombstone_merge", "pit_feature_assembly",
+        "logreg_sgd_step", "fisher_discriminative_dims",
+        "temperature_mixture_weights", "decontam_threshold_sweep",
+        "embedding_drift_centroid", "dp_user_day_revenue",
+        "prefix_filter_simjoin", "telemetry_double_fire_audit",
+        "shuffle_sizing_advisor", "lateness_watermark_profile",
+        "hilbert_layout_stats", "dim_refresh_stream", "kmv_set_overlap",
+    }
+) | frozenset(
+    {
         # the round-6 window (CORRECTNESS_r06.json): every name below got a
         # GREEN driver row in r6.  The six r6 hash-mismatch rows
         # (zorder_layout_stats, leaderboard_stream, bloom_filter_prejoin,
@@ -148,19 +167,19 @@ _DRIVER_WITNESSED_PRIOR = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-7 window: 24 family keepers + SIX keepers-by-exception
-    # (the r6 hash-mismatch rows: zorder_layout_stats, leaderboard_stream,
-    # bloom_filter_prejoin, compaction_plan, supplier_triangles,
-    # conformal_interval — all six were ONE bug, the uncast integer sum()
-    # in their oracle SQL returning DuckDB HUGEINT which the driver's
-    # pandas canonicalizer widens to float64; fixed r7 with CAST(... AS
-    # BIGINT) + the registry-wide DESCRIBE dtype gate in
-    # tests/test_oracle_dtypes.py.  They stay in the window until
-    # driver-green, per the rotation rule's keeper-by-exception clause)
-    # + 20 rotated-in queries that have never had a driver CORRECTNESS row
-    # (lakehouse lifecycle, ML/training-data, similarity join, advisors —
-    # the r6-registered families).  The per-family keeper set is pinned by
-    # tests/test_round3_ops.py.
+    # ---- round-8 window: 22 family keepers + 28 rotated-in queries that
+    # have never had a driver CORRECTNESS row (the witness-backlog
+    # burn-down, VERDICT r7 task #1: 165 of 343 queries were never
+    # driver-witnessed entering r8; this window retires 28 of them,
+    # prioritizing the 13 unwitnessed r7 additions plus the oldest
+    # unwitnessed families — SCD2, attribution, forecasting, retrieval
+    # postings, graph PageRank, cohort analytics, grouping sets, XML
+    # source, window functions, streaming distinct-state, embedding
+    # near-dup, multimodal resize, and the two r7-ADVICE-fixed queries
+    # packing_efficiency_sweep / props_schema_census so the driver
+    # witnesses the fixes).  The per-family keeper set is pinned by
+    # tests/test_round3_ops.py; rotation freshness (>= 25 never-witnessed)
+    # by test_rotation_adds_never_witnessed_queries.
     #
     # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
@@ -193,45 +212,37 @@ _PROOF_PREFIX = (
     "multimodal_decode",
     # Streaming (D2-D4)
     "gmv_stream_minutely",
-    # TPC-H / sessionization
-    "pricing_summary",
-    "user_sessions",
-    # the six keepers-by-exception: r6's red rows, root-caused and fixed
-    # this round (oracle result typing) — stay in the window until
-    # driver-green
-    "zorder_layout_stats",
-    "leaderboard_stream",
-    "bloom_filter_prejoin",
-    "compaction_plan",
-    "supplier_triangles",
-    "conformal_interval",
-    # ---- rotated in for round 7 (never driver-witnessed before) ----
-    # lakehouse lifecycle (commit/maintain/clean — none witnessed yet)
-    "ivm_delta_merge",
-    "deletion_vector_scan",
-    "compaction_rewrite_roundtrip",
-    "vacuum_orphan_files",
-    "index_delta_merge",
-    "index_tombstone_merge",
-    # ML / training-data export
-    "pit_feature_assembly",
-    "logreg_sgd_step",
-    "fisher_discriminative_dims",
-    "temperature_mixture_weights",
-    "decontam_threshold_sweep",
-    "embedding_drift_centroid",
-    "dp_user_day_revenue",
-    # exact similarity join + telemetry dedup audit
-    "prefix_filter_simjoin",
-    "telemetry_double_fire_audit",
-    # tuning advisors + layout sibling
-    "shuffle_sizing_advisor",
-    "lateness_watermark_profile",
-    "hilbert_layout_stats",
-    # streaming: per-micro-batch refreshed dimension
-    "dim_refresh_stream",
-    # KMV/theta sketch set algebra
-    "kmv_set_overlap",
+    # ---- rotated in for round 8 (never driver-witnessed before) ----
+    # the 13 unwitnessed round-7 additions
+    "jaccard_threshold_sweep",
+    "packing_efficiency_sweep",
+    "cross_source_leakage_matrix",
+    "kanon_generalization_ladder",
+    "benford_revenue_audit",
+    "conversion_window_sweep",
+    "schema_drift_audit",
+    "partition_evolution_scan",
+    "embedding_outlier_topk",
+    "session_funnel_conversion",
+    "cohort_ltv_triangle",
+    "vocabulary_growth_curve",
+    "revenue_concentration_hhi",
+    # oldest unwitnessed families, one representative each
+    "props_schema_census",
+    "scd2_priority_history",
+    "term_postings",
+    "attribution_first_last",
+    "forecast_backtest_snaive",
+    "nation_pagerank",
+    "cohort_retention",
+    "grouping_sets_revenue",
+    "top_customers",
+    "daily_revenue_ma",
+    "session_window_stats",
+    "xml_source_stats",
+    "multimodal_resize",
+    "unique_buyers_stream",
+    "embedding_near_dups",
 )
 
 

@@ -97,8 +97,14 @@ def streaming_unique_buyers(events: DataFrame, duration: str = "1 minute") -> Da
     Watermarked: the dedup key contains the event-time window, so both the
     dedup state and the downstream window state are evicted once the
     watermark passes the window — without the watermark the (window, user)
-    dedup state grows one row per pair forever."""
-    purchases = _ensure_watermark(events).where(F.col("event_type") == "purchase")
+    dedup state grows one row per pair forever.
+
+    NULL user_ids are excluded: dropDuplicates keeps NULL as its own group
+    and count(*) would tally it as a buyer, where COUNT(DISTINCT user_id)
+    — the batch semantics this stream twins — skips NULLs (r8 edge pin)."""
+    purchases = _ensure_watermark(events).where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
     w = F.window(F.col("ts"), duration).alias("w")
     return (
         purchases.select(w, "user_id")

@@ -86,19 +86,26 @@ def _load_bench(path: str, overlay_local: bool = False) -> dict:
             full.get("queries", {})
         ) > len(out.get("queries", {})):
             out = {**out, "queries": full["queries"]}
+            if "cold" in full:  # full cold map (r8+): richer than cold_s
+                out["cold"] = full["cold"]
     return out
+
+
+_SECTIONS = ("core32_total", "extended_total", "r3_total", "r4_total",
+             "r5_total", "r6_total", "r7_total",
+             "core32_cold_total", "sections_cold_total", "tail_total")
 
 
 def bench_delta(prev_path: str | None, cur_path: str) -> dict:
     cur = _load_bench(cur_path, overlay_local=True)
     out: dict = {"total": cur.get("value")}
-    for section in ("core32_total", "extended_total", "r3_total", "r4_total"):
+    for section in _SECTIONS:
         if section in cur:
             out[section] = cur[section]
     if not prev_path:
         return out
     prev = _load_bench(prev_path)
-    for section in ("core32_total", "extended_total", "r3_total", "r4_total"):
+    for section in _SECTIONS:
         if section in prev:
             out[f"prev_{section}"] = prev[section]
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
@@ -107,9 +114,19 @@ def bench_delta(prev_path: str | None, cur_path: str) -> dict:
         if pq[q] > 0 and (cq[q] - pq[q]) / pq[q] * 100 > REGRESSION_PCT:
             regressions[q] = {"prev_s": pq[q], "cur_s": cq[q],
                               "pct": round((cq[q] - pq[q]) / pq[q] * 100, 1)}
+    # persist-heavy queries report warm-min AND cold (r8+): compare
+    # cold-to-cold so a cache-measurement change can never flatter a
+    # cross-round delta (the r7 prefix_filter_simjoin 9.45 -> 0.87 s lesson)
+    pc, cc = prev.get("cold", prev.get("cold_s", {})), cur.get("cold", cur.get("cold_s", {}))
+    cold_regressions = {}
+    for q in sorted(set(pc) & set(cc)):
+        if pc[q] > 0 and (cc[q] - pc[q]) / pc[q] * 100 > REGRESSION_PCT:
+            cold_regressions[q] = {"prev_cold_s": pc[q], "cur_cold_s": cc[q],
+                                   "pct": round((cc[q] - pc[q]) / pc[q] * 100, 1)}
     out.update({
         "prev_total": prev.get("value"),
         "regressions_gt_10pct": regressions,
+        "cold_regressions_gt_10pct": cold_regressions,
         "new_queries": sorted(set(cq) - set(pq)),
     })
     return out

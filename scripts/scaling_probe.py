@@ -111,6 +111,11 @@ QUERIES = [
     "experiment_power_advisor",  # user-day agg folded to 1 row + 4-row grid
     "vocabulary_growth_curve",   # 1 tokenize pass + vocab-sized grid aggs
     "revenue_concentration_hhi", # 2 hash aggs, day-sized output
+    # round-8 additions (r7 VERDICT task #5: the lakehouse/audit families)
+    "deletion_vector_scan",      # file-grain anti-join against position DVs
+    "index_delta_merge",         # term-keyed stats merge (vocab-sized)
+    "index_tombstone_merge",     # per-term subtraction merge (vocab-sized)
+    "telemetry_double_fire_audit",  # 3x-explode bucketed interval self-join
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

@@ -24,7 +24,14 @@ def _norm_cell(v) -> str:
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            # NaN hashes as NULL: the driver materializes BOTH sides
+            # through pandas, where a float64 column represents SQL NULL
+            # and genuine NaN identically (NaN), so the two classes are
+            # indistinguishable at the driver and must hash equal locally
+            # too (r7 ADVICE #4).  The semantic risk this conflation hides
+            # is closed separately: compare_query FAILS any query whose
+            # Spark result or oracle result contains a GENUINE NaN.
+            return "␀"
         # driver-style value normalization: fixed decimal form kills
         # 1.0-vs-1 and 1e-? formatting drift
         return f"{v:.6f}".rstrip("0").rstrip(".")
@@ -66,7 +73,18 @@ def _oracle_df_rows(con, sql: str):
     this path — DuckDB HUGEINT/DECIMAL outputs become pandas float64, so an
     uncast integer ``sum()`` hashes ``"3.0"`` where Spark hashes ``"3"``.
     ``fetchall()`` (the pre-r7 local path) hid the class because HUGEINT
-    becomes a Python int there.  Returns (columns, rows, dtypes)."""
+    becomes a Python int there.
+
+    NaN policy (r7 ADVICE #4): pandas float64 represents SQL NULL and
+    genuine NaN identically, so through this path the two classes are
+    inherently conflated — exactly as they are at the driver.  Every
+    pd.isna value maps to None here and ``_norm_cell`` hashes a Spark-side
+    NaN as NULL too, keeping the local hash driver-faithful; the semantic
+    blind spot (an expression that computes NaN on one engine and NULL on
+    the other would hash equal) is closed by ``_genuine_oracle_nans`` +
+    the Spark-side NaN gate in ``compare_query``, which FAIL any query
+    that emits a genuine NaN at all.  Returns (columns, rows, dtypes,
+    has_null)."""
     import numpy as np
 
     import pandas as pd
@@ -97,6 +115,27 @@ def _oracle_df_rows(con, sql: str):
     dtypes = {c: str(df[c].dtype) for c in cols}
     has_null = {c: bool(df[c].isna().any()) for c in cols}
     return cols, rows, dtypes, has_null
+
+
+def _genuine_oracle_nans(con, sql: str, suspect_cols: list[str]) -> list[str]:
+    """Distinguish genuine NaN from SQL NULL on the oracle side: re-read
+    the oracle through ``fetchall()``, which preserves the difference
+    (NULL -> None, NaN -> float('nan')) that the driver's pandas path
+    erases.  Only called when ``.df()`` showed NaNs in a float column, so
+    the extra oracle execution is rare.  Returns the columns that contain
+    at least one GENUINE NaN — an engine-discipline violation (safe
+    division should have produced NULL/0) that the driver would silently
+    conflate with NULL (r7 ADVICE #4)."""
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    idx = [i for i, c in enumerate(cols) if c in suspect_cols]
+    bad: set[str] = set()
+    for row in cur.fetchall():
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                bad.add(cols[i])
+    return sorted(bad)
 
 
 def _dtype_kind_mismatches(
@@ -160,6 +199,38 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     oracle_cols, oracle_rows, oracle_dtypes, oracle_has_null = _oracle_df_rows(
         con, q.oracle
     )
+
+    # NaN gates (r7 ADVICE #4): the pandas canonicalizer conflates genuine
+    # NaN with SQL NULL on both sides, so a query emitting NaN anywhere is
+    # a latent cross-engine trap — fail it outright instead of letting the
+    # conflation hide it.  Spark side: scan the collected rows.  Oracle
+    # side: where .df() showed NaNs in a float column, re-read via
+    # fetchall() (which preserves NULL-vs-NaN) and fail on genuine NaNs.
+    spark_nan_cols = sorted({
+        c for r in spark_rows
+        for c, v in zip(spark_cols, r)
+        if isinstance(v, float) and math.isnan(v)
+    })
+    if spark_nan_cols:
+        return CompareResult(
+            name, False, len(spark_rows), len(oracle_rows),
+            f"spark result contains genuine NaN in {spark_nan_cols} "
+            "(use safe division / coalesce; the driver conflates NaN with "
+            "NULL so this would silently mask divergence)",
+        )
+    nan_suspects = [
+        c for c in oracle_cols
+        if oracle_dtypes.get(c, "").startswith("float") and oracle_has_null.get(c)
+    ]
+    if nan_suspects:
+        genuine = _genuine_oracle_nans(con, q.oracle, nan_suspects)
+        if genuine:
+            return CompareResult(
+                name, False, len(spark_rows), len(oracle_rows),
+                f"oracle result contains genuine NaN in {genuine} "
+                "(fix the oracle expression; the driver conflates NaN with "
+                "NULL so this would silently mask divergence)",
+            )
 
     kind_bad = _dtype_kind_mismatches(sdf, oracle_dtypes, oracle_has_null)
     if kind_bad:

@@ -151,7 +151,7 @@ def edge_sf_dir(sf_dir, tmp_path_factory):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(sf_dir, f), tmp / f)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    base = docs.slice(0, 7).to_pylist()
+    base = docs.slice(0, 8).to_pylist()
     edits = [
         {"doc_id": 100000, "text": None},
         {"doc_id": 100001, "text": "hello world text here", "n_chars": None},
@@ -161,6 +161,11 @@ def edge_sf_dir(sf_dir, tmp_path_factory):
         {"doc_id": 100004, "lang": None},
         {"doc_id": 100005, "source": None},
         {"doc_id": 100006, "n_chars": None},
+        # NULL doc_id with real tokens: any doc_id-ordered window (the
+        # packer) or doc_id-keyed relation must exclude/place it the same
+        # way on both engines — Spark's ASC default is NULLS FIRST,
+        # DuckDB's NULLS LAST (r7 ADVICE #1)
+        {"doc_id": None, "text": "null id doc with live tokens"},
     ]
     rows = []
     for b, e in zip(base, edits):
@@ -409,8 +414,13 @@ def edge_events_sf_dir(sf_dir, tmp_path_factory):
         if f.endswith(".parquet"):
             os.symlink(os.path.join(sf_dir, f), tmp / f)
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    base = ev.slice(0, 8).to_pylist()
+    base = ev.slice(0, 9).to_pylist()
     edits = [
+        # the EMPTY JSON object: a valid payload whose key set is empty —
+        # the '' shape, distinct from the NULL/malformed shape (r7 ADVICE
+        # #2: DuckDB's array_to_string(empty) is NULL, Spark's array_join
+        # is '', so props_schema_census diverged on exactly this payload)
+        {"event_id": 900000, "props": "{}"},
         {"event_id": 900001, "value": None},
         {"event_id": 900002, "user_id": None},
         {"event_id": 900003, "event_type": None},

@@ -19,11 +19,12 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-7 rotation: one keeper per family; the freed slots rotate to
-    # never-before-witnessed queries, tracked by _DRIVER_WITNESSED_PRIOR.
-    # The six r6 hash-mismatch queries are keepers-by-exception until
-    # driver-green — their oracles carried the uncast-integer-sum typing
-    # bug, fixed r7)
+    # (round-8 rotation: one keeper per SURVEY §2 family; 28 slots rotate
+    # to never-before-witnessed queries, tracked by
+    # _DRIVER_WITNESSED_PRIOR.  The r7 window went 49/50 green + 1
+    # rows-only-by-design, so no keepers-by-exception carry into r8; the
+    # r6/r7 lakehouse/ml/advisor witnesses leave the window and their
+    # families are re-witnessed by never-seen siblings where one exists)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
@@ -35,32 +36,31 @@ class TestProofPrefix:
         "D_dedup": {"dedup_events"},
         "approx": {"approx_unique_users_hourly"},
         "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
-                      "python_datasource_feed"},
+                      "python_datasource_feed", "xml_source_stats"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
         "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
-        "llm_dedup": {"minhash_near_dups", "prefix_filter_simjoin"},
-        "llm_ann": {"embedding_topk"},
-        "llm_text": {"text_stats", "index_delta_merge",
-                     "index_tombstone_merge"},
-        "llm_curation": {"pii_redaction", "decontam_threshold_sweep",
-                         "pit_feature_assembly"},
-        "llm_multimodal": {"multimodal_decode"},
-        "streaming": {"gmv_stream_minutely", "leaderboard_stream",
-                      "dim_refresh_stream"},
-        "tpch": {"pricing_summary"},
-        "analytics": {"user_sessions"},
-        "graph": {"supplier_triangles"},
-        "privacy": {"dp_user_day_revenue"},
-        "drift_eval": {"conformal_interval", "embedding_drift_centroid"},
-        "layout": {"zorder_layout_stats", "hilbert_layout_stats",
-                   "bloom_filter_prejoin", "compaction_plan"},
-        "lakehouse": {"ivm_delta_merge", "deletion_vector_scan",
-                      "compaction_rewrite_roundtrip", "vacuum_orphan_files"},
-        "ml_training": {"logreg_sgd_step", "fisher_discriminative_dims",
-                        "temperature_mixture_weights"},
-        "sketches": {"kmv_set_overlap"},
-        "advisors": {"shuffle_sizing_advisor", "lateness_watermark_profile"},
-        "telemetry_quality": {"telemetry_double_fire_audit"},
+        "llm_dedup": {"minhash_near_dups", "jaccard_threshold_sweep"},
+        "llm_ann": {"embedding_topk", "embedding_outlier_topk",
+                    "embedding_near_dups"},
+        "llm_text": {"text_stats", "vocabulary_growth_curve",
+                     "term_postings"},
+        "llm_curation": {"pii_redaction", "packing_efficiency_sweep",
+                         "cross_source_leakage_matrix"},
+        "llm_multimodal": {"multimodal_decode", "multimodal_resize"},
+        "streaming": {"gmv_stream_minutely", "unique_buyers_stream"},
+        "tpch": {"top_customers"},
+        "analytics": {"session_window_stats", "daily_revenue_ma",
+                      "cohort_retention", "scd2_priority_history",
+                      "session_funnel_conversion"},
+        "graph": {"nation_pagerank"},
+        "privacy": {"kanon_generalization_ladder"},
+        "drift_eval": {"benford_revenue_audit", "forecast_backtest_snaive",
+                       "attribution_first_last", "cohort_ltv_triangle",
+                       "revenue_concentration_hhi"},
+        "layout_lakehouse": {"partition_evolution_scan"},
+        "ml_training": {"conversion_window_sweep"},
+        "sql_surface": {"grouping_sets_revenue"},
+        "telemetry_quality": {"schema_drift_audit", "props_schema_census"},
     }
 
     def test_prefix_is_driver_window_sized(self):
@@ -77,12 +77,13 @@ class TestProofPrefix:
             assert witnesses <= window, f"family {family} missing {witnesses - window}"
 
     def test_rotation_adds_never_witnessed_queries(self):
-        """Rotation contract (VERDICT r3 task #2, renewed every round): the
-        current window must witness >= 15 queries that never had a driver
+        """Rotation contract (VERDICT r3 task #2, tightened by VERDICT r7
+        task #1 to burn down the 165-query witness backlog): the current
+        window must witness >= 25 queries that never had a driver
         CORRECTNESS row in any earlier round."""
         window = set(registry._PROOF_PREFIX)
         fresh = window - registry._DRIVER_WITNESSED_PRIOR
-        assert len(fresh) >= 15, sorted(fresh)
+        assert len(fresh) >= 25, sorted(fresh)
 
     def test_reorder_loses_no_queries(self):
         qs = registry.all_queries()

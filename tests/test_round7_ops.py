@@ -85,10 +85,15 @@ class TestRankCacheRelease:
         assert ranked.count() == 100  # action runs with the cache alive
         assert ranks.release_rank_caches() == 1
         assert ranks._LIVE_RANK_CACHES == []
-        # rank survives a post-release re-execution (recompute re-reads the
-        # same shuffle dependency; it never re-samples)
-        total = ranked.agg(F.sum("r")).collect()[0][0]
-        assert total == 100 * 101 // 2
+        # Post-release re-execution re-plans the range exchange and may
+        # re-SAMPLE partition boundaries (r7 ADVICE #3), so assert the full
+        # per-row rank assignment — not just a sum invariant, which any
+        # permutation of ranks would satisfy.  On a duplicate-free total
+        # order the rank is unique regardless of boundary placement, so
+        # this must hold even across a re-sample; a boundary-drift bug
+        # (double-counted or skipped boundary row) breaks it.
+        assignment = {r["k"]: r["r"] for r in ranked.collect()}
+        assert assignment == {k: k + 1 for k in range(100)}
 
 
 class TestScratchDirs:
