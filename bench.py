@@ -238,6 +238,17 @@ EXTENDED_R7 = [
 ]
 
 
+# Eighth section (round 8+): queries REGISTERED in round 8.
+EXTENDED_R8 = [
+    "symspell_typo_linkage",       # deletion-neighborhood fuzzy linkage
+    "golden_record_survivorship",  # duplicate-cluster canonical merge
+    "revenue_acf",                 # exact integer-centered autocorrelation
+    "decision_stump_train",        # exact best-split stump over NDV grid
+    "encoding_advisor",            # NDV + run-length encoding advisor
+    "hour_value_heatmap",          # bounded 2-D binned density rollup
+]
+
+
 def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
     from e_commerce_streaming_datapipeline_spark.session import get_spark
@@ -263,7 +274,7 @@ def main() -> None:
     from e_commerce_streaming_datapipeline_spark.functions.ranks import release_rank_caches
 
     sections = (HEADLINE + EXTENDED + EXTENDED_R3 + EXTENDED_R4
-                + EXTENDED_R5 + EXTENDED_R6 + EXTENDED_R7)
+                + EXTENDED_R5 + EXTENDED_R6 + EXTENDED_R7 + EXTENDED_R8)
     # queries whose plans pin a registered persist (the rank family, the
     # simjoin's token-id cache, ...): their min-of-3 is a WARM number by
     # construction (runs 2-3 reuse run 1's materialization), so the bench
@@ -353,6 +364,7 @@ def main() -> None:
         "r5_total": round(sum(timings[n] for n in EXTENDED_R5), 3),
         "r6_total": round(sum(timings[n] for n in EXTENDED_R6), 3),
         "r7_total": round(sum(timings[n] for n in EXTENDED_R7), 3),
+        "r8_total": round(sum(timings[n] for n in EXTENDED_R8), 3),
         "core32_cold_total": round(sum(cold[n] for n in HEADLINE), 3),
         "sections_cold_total": round(sum(cold.values()), 3),
     }

@@ -1629,3 +1629,83 @@ def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate_x1e6"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D binned heatmap rollup (hour-of-day x value bracket)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hour_value_heatmap",
+    oracle="""
+WITH binned AS (
+    SELECT hour(ts) AS hour_of_day,
+           CASE WHEN value IS NULL THEN -1
+                ELSE least(CAST(floor(value / 10) AS BIGINT), 10) END AS value_decade
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+), cells AS (
+    SELECT hour_of_day, value_decade, count(*) AS n
+    FROM binned GROUP BY 1, 2
+), rows_tot AS (
+    SELECT hour_of_day, sum(n) AS hour_total FROM cells GROUP BY 1
+)
+SELECT
+    CAST(c.hour_of_day AS INT)     AS hour_of_day,
+    CAST(c.value_decade AS INT)    AS value_decade,
+    CAST(c.n AS BIGINT)            AS n_purchases,
+    CAST(c.n * 1000000 // r.hour_total AS BIGINT) AS hour_share_x1e6
+FROM cells c JOIN rows_tot r USING (hour_of_day)
+ORDER BY 1, 2
+""",
+)
+def q_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D BINNED HEATMAP rollup — purchase density over (hour of day ×
+    price bracket), each cell carrying its count and its share of the
+    hour's row total: the exact relation behind a dashboard heatmap panel
+    (the Grafana tier the reference serves with per-metric SQL,
+    QUERIES.md) and the visual where basket-size shifts by daypart show
+    up before any single-dimension rollup moves.  Value brackets are
+    $10 decades capped at 10 ('$100+'); unpriced purchases get their own
+    -1 bracket rather than vanishing.
+
+    Exactness: binning is integer floor-division, shares are exact scaled
+    integer division against the hour-marginal rollup — no floats
+    anywhere.  NULL-ts rows are unbinnable and drop on both engines.
+
+    Scale shape: ONE fact scan into a hash aggregate on the bounded
+    24×12 cell grid (map-side combine collapses everything early); the
+    hour marginal re-aggregates the CELL relation, not the corpus, and
+    the share join is grid-sized.  The same plan shape serves any
+    bounded 2-D binning (weekday×lang, source×length-bucket...)."""
+    binned = (
+        load_table(spark, "events", sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select(
+            F.hour("ts").alias("hour_of_day"),
+            F.when(F.col("value").isNull(), F.lit(-1))
+            .otherwise(
+                F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(10))
+            )
+            .cast("long")
+            .alias("value_decade"),
+        )
+    )
+    cells = binned.groupBy("hour_of_day", "value_decade").agg(
+        F.count("*").cast("long").alias("n_purchases")
+    )
+    hour_tot = cells.groupBy("hour_of_day").agg(
+        F.sum("n_purchases").alias("hour_total")
+    )
+    return (
+        cells.join(hour_tot, "hour_of_day")
+        .select(
+            F.col("hour_of_day").cast("int").alias("hour_of_day"),
+            F.col("value_decade").cast("int").alias("value_decade"),
+            "n_purchases",
+            F.expr("(n_purchases * 1000000) div hour_total").alias(
+                "hour_share_x1e6"
+            ),
+        )
+        .orderBy("hour_of_day", "value_decade")
+    )

@@ -1748,3 +1748,265 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_x100")
     )
+
+
+# --------------------------------------------------------------------------
+# SymSpell deletion-neighborhood record linkage (fuzzy entity resolution)
+# --------------------------------------------------------------------------
+
+_SYMSPELL_DIGITS = 9  # the numeric tail of c_name ("Customer#NNNNNNNNN")
+
+
+@query(
+    "symspell_typo_linkage",
+    oracle=f"""
+WITH clean AS (
+    SELECT c_custkey, c_nationkey, substr(c_name, 10) AS digits
+    FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL
+), dirty AS (
+    -- deterministic corruption: delete the (custkey % 9)+1-th digit
+    SELECT c_custkey AS true_key, c_nationkey,
+           substr(digits, 1, c_custkey % {_SYMSPELL_DIGITS})
+           || substr(digits, c_custkey % {_SYMSPELL_DIGITS} + 2) AS dirty_digits
+    FROM clean
+), variants AS (
+    -- SymSpell index: every 1-deletion variant of every clean record
+    SELECT c_custkey AS cand_key, digits AS cand_digits,
+           substr(digits, 1, i - 1) || substr(digits, i + 1) AS variant
+    FROM clean, LATERAL unnest(generate_series(1, {_SYMSPELL_DIGITS})) AS t(i)
+), cands AS (
+    SELECT DISTINCT d.true_key, d.c_nationkey, d.dirty_digits,
+           v.cand_key, v.cand_digits
+    FROM dirty d JOIN variants v ON v.variant = d.dirty_digits
+), resolved AS (
+    SELECT true_key, c_nationkey, cand_key,
+           row_number() OVER (
+               PARTITION BY true_key
+               ORDER BY levenshtein(cand_digits, dirty_digits), cand_key
+           ) AS rn
+    FROM cands
+)
+SELECT
+    c.c_nationkey                              AS nationkey,
+    CAST(count(*) AS BIGINT)                   AS n_dirty,
+    CAST(coalesce(any_value(p.n_pairs), 0) AS BIGINT)    AS n_candidate_pairs,
+    CAST(count(r.cand_key) AS BIGINT)          AS n_resolved,
+    CAST(count_if(r.cand_key = c.true_key) AS BIGINT)    AS n_correct,
+    CAST(count_if(r.cand_key = c.true_key) * 1000000 // count(*) AS BIGINT)
+                                               AS recall_x1e6
+FROM dirty c
+LEFT JOIN (SELECT * FROM resolved WHERE rn = 1) r USING (true_key)
+LEFT JOIN (
+    SELECT c_nationkey, count(*) AS n_pairs FROM cands GROUP BY 1
+) p ON p.c_nationkey = c.c_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_symspell_typo_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy RECORD LINKAGE via the SymSpell deletion-neighborhood index —
+    entity resolution for typo'd keys at scale: a deterministically
+    corrupted registry (each customer's 9-digit name tail with one digit
+    deleted at position custkey%9) is re-linked to the clean registry by
+    materializing every 1-deletion variant of each clean key and
+    equi-joining variants against the dirty strings, then verifying the
+    survivors with exact ``levenshtein`` and resolving multi-candidate
+    collisions by (edit distance, candidate key).  Per nation: dirty-record
+    count, candidate-pair volume, resolution count, and exact recall
+    against the known ground truth.  Recall < 1 is the operator's honest
+    output, not a defect: leading-zero digit strings make some dirty
+    strings genuinely ambiguous (two clean parents one deletion away),
+    every neighborhood candidate sits at distance exactly 1, and the
+    deterministic tie-break picks the smallest key — so the recall column
+    MEASURES the corpus's ambiguity rate, the number a linkage pipeline
+    tunes its blocking key against.
+
+    Why THIS shape at 100 TB: naive fuzzy linkage is an O(n²) pairwise
+    scan; per-row trigram lookups leave the relational planner entirely.
+    The deletion-neighborhood index is a bounded ×L row explode (L = key
+    length) feeding a plain hash EQUI-join — one shuffle keyed on the
+    variant string, candidate volume bounded by true collisions, never a
+    CartesianProduct — with the expensive ``levenshtein`` evaluated only
+    on surviving candidates (the prefix-filter-simjoin discipline applied
+    to edit distance).  This is SymSpell's server-side design re-expressed
+    relationally.
+
+    Exactness: corruption, variants, and the resolve tie-break are pure
+    string/integer expressions identical on both engines; NULL-name/key
+    rows produce NULL dirty strings, which the equi-join drops on both
+    sides (r8 lineitem-edge pin covers the customer NULLs)."""
+    clean = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_name").isNotNull() & F.col("c_custkey").isNotNull())
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.substring("c_name", 10, _SYMSPELL_DIGITS).alias("digits"),
+        )
+    )
+    p = F.col("c_custkey") % _SYMSPELL_DIGITS
+    dirty = clean.select(
+        F.col("c_custkey").alias("true_key"),
+        "c_nationkey",
+        F.concat(
+            F.expr(f"substr(digits, 1, c_custkey % {_SYMSPELL_DIGITS})"),
+            F.expr(f"substr(digits, c_custkey % {_SYMSPELL_DIGITS} + 2)"),
+        ).alias("dirty_digits"),
+    )
+    variants = clean.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("digits").alias("cand_digits"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {_SYMSPELL_DIGITS}), "
+                "i -> concat(substr(digits, 1, i - 1), substr(digits, i + 1)))"
+            )
+        ).alias("variant"),
+    )
+    cands = (
+        dirty.join(variants, dirty.dirty_digits == variants.variant)
+        .select("true_key", "c_nationkey", "dirty_digits", "cand_key", "cand_digits")
+        .distinct()
+    )
+    rw = Window.partitionBy("true_key").orderBy(
+        F.levenshtein(F.col("cand_digits"), F.col("dirty_digits")), "cand_key"
+    )
+    resolved = (
+        cands.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select("true_key", "cand_key")
+    )
+    pair_counts = cands.groupBy("c_nationkey").agg(F.count("*").alias("n_pairs"))
+    return (
+        dirty.join(resolved, "true_key", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_dirty"),
+            F.count("cand_key").cast("long").alias("n_resolved"),
+            F.sum(F.when(F.col("cand_key") == F.col("true_key"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .join(pair_counts, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_dirty",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_candidate_pairs"),
+            "n_resolved",
+            "n_correct",
+            F.expr("(n_correct * 1000000) div n_dirty").alias("recall_x1e6"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship: merge duplicate submissions into one canonical
+# --------------------------------------------------------------------------
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+WITH keyed AS (
+    SELECT *, date_trunc('hour', ts) AS hour_bucket
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), sized AS (
+    SELECT user_id, event_type, hour_bucket,
+           count(*) AS n_dupes,
+           max(coalesce(value, 0.0)) AS best_value,
+           count(value) AS n_valued,
+           count(props) AS n_props
+    FROM keyed GROUP BY 1, 2, 3
+), survivor AS (
+    SELECT user_id, event_type, hour_bucket, event_id AS survivor_event_id
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type, hour_bucket
+            ORDER BY epoch_us(ts) DESC,
+                     coalesce(value, -1) DESC,
+                     coalesce(event_id, 4611686018427387904)
+        ) AS rn
+        FROM keyed
+    ) WHERE rn = 1
+)
+SELECT
+    s.user_id, s.event_type, s.hour_bucket,
+    CAST(s.n_dupes AS BIGINT)   AS n_dupes,
+    v.survivor_event_id,
+    round(s.best_value, 2)      AS best_value,
+    CAST(s.n_valued AS BIGINT)  AS n_valued,
+    CAST(s.n_props AS BIGINT)   AS n_props
+FROM sized s JOIN survivor v USING (user_id, event_type, hour_bucket)
+WHERE s.n_dupes >= 2
+ORDER BY s.user_id, s.event_type, s.hour_bucket
+""",
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD construction — the step AFTER duplicate detection: each
+    semantic-duplicate cluster (same user, same type, same hour — the
+    coarse-grain sibling of `telemetry_double_fire_audit`'s 1-second
+    retry window) is merged into one
+    canonical record by an explicit SURVIVORSHIP policy: the survivor is
+    the most recent event (ties: highest value, then lowest id, NULL ids
+    last), while merged fields take the best evidence across the cluster
+    (max value, field-completeness tallies).  Only real clusters (>= 2
+    members) are emitted, so output is bounded by the duplicate volume.
+
+    This is the master-data-management half of dedup that
+    `dedup_events`-style winner-picking skips: downstream consumers get
+    one enriched row per entity instead of an arbitrary member.
+
+    Plan: ONE shuffle on the cluster key serves both the rollup (hash
+    aggregate) and the survivor pick (WindowGroupLimit top-1 — map-side
+    bounded); the final join re-uses the same key so AQE plans it
+    shuffle-free on the already-co-partitioned sides.  Policy ordering
+    pins every cross-engine trap: timestamps compare as exact micros,
+    NULL values coalesce below any real value, NULL ids tie-break via the
+    2^62 sentinel (Spark sorts ASC NULLS FIRST, DuckDB NULLS LAST)."""
+    keyed = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+    )
+    sized = keyed.groupBy("user_id", "event_type", "hour_bucket").agg(
+        F.count("*").cast("long").alias("n_dupes"),
+        F.max(F.coalesce(F.col("value"), F.lit(0.0))).alias("__best_value"),
+        F.count("value").cast("long").alias("n_valued"),
+        F.count("props").cast("long").alias("n_props"),
+    )
+    sw = Window.partitionBy("user_id", "event_type", "hour_bucket").orderBy(
+        F.unix_micros("ts").desc(),
+        F.coalesce(F.col("value"), F.lit(-1.0)).desc(),
+        F.coalesce(F.col("event_id"), F.lit(4611686018427387904)),
+    )
+    survivor = (
+        keyed.withColumn("rn", F.row_number().over(sw))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "hour_bucket",
+            F.col("event_id").alias("survivor_event_id"),
+        )
+    )
+    return (
+        sized.where(F.col("n_dupes") >= 2)
+        .join(survivor, ["user_id", "event_type", "hour_bucket"])
+        .select(
+            "user_id",
+            "event_type",
+            "hour_bucket",
+            "n_dupes",
+            "survivor_event_id",
+            fround(F.col("__best_value"), 2).alias("best_value"),
+            "n_valued",
+            "n_props",
+        )
+        .orderBy("user_id", "event_type", "hour_bucket")
+    )

@@ -1384,3 +1384,142 @@ def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("int").alias("day"), "n_purchases", "cents")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Column-encoding advisor: dictionary/RLE suitability from NDV + run counts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "encoding_advisor",
+    oracle="""
+WITH ordered AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+           coalesce(event_id, 4611686018427387904) AS oid,
+           event_type, user_id, value
+    FROM events WHERE ts IS NOT NULL
+), stacked AS (
+    SELECT day, ts, oid, 'event_type' AS col_name,
+           event_type AS val FROM ordered
+    UNION ALL
+    SELECT day, ts, oid, 'user_id', CAST(user_id AS VARCHAR) FROM ordered
+    UNION ALL
+    SELECT day, ts, oid, 'value', CAST(value AS VARCHAR) FROM ordered
+), runs AS (
+    SELECT col_name,
+           count(*) AS n_rows,
+           sum(CASE WHEN val IS DISTINCT FROM prev THEN 1 ELSE 0 END) AS n_runs,
+           sum(coalesce(length(val), 0)) AS total_len
+    FROM (
+        SELECT col_name, val,
+               lag(val) OVER (
+                   PARTITION BY col_name, day
+                   ORDER BY epoch_us(ts), oid, val NULLS LAST
+               ) AS prev
+        FROM stacked
+    ) GROUP BY 1
+), ndv AS (
+    SELECT col_name, count(*) AS ndv
+    FROM (SELECT DISTINCT col_name, val FROM stacked WHERE val IS NOT NULL)
+    GROUP BY 1
+)
+SELECT
+    r.col_name,
+    CAST(r.n_rows AS BIGINT)                     AS n_rows,
+    CAST(n.ndv AS BIGINT)                        AS ndv,
+    CAST(r.n_runs AS BIGINT)                     AS n_runs,
+    CAST(r.total_len * 100 // r.n_rows AS BIGINT) AS avg_len_x100,
+    CASE WHEN r.n_runs * 10 <= r.n_rows THEN 'rle'
+         WHEN n.ndv * 20 <= r.n_rows THEN 'dictionary'
+         ELSE 'plain' END                        AS advice
+FROM runs r JOIN ndv n USING (col_name)
+ORDER BY r.col_name
+""",
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column ENCODING advisor — the physical-design twin of
+    `shuffle_sizing_advisor`: for each fact column, exact NDV, the number
+    of value RUNS under the table's natural layout order (day partition,
+    then event time), and average encoded width, folded into an encoding
+    recommendation (RLE when runs collapse 10:1 under the CURRENT sort
+    order, dictionary when the value domain is <= 5% of rows, plain
+    otherwise).  This is the evidence behind parquet encoding/row-group
+    tuning and Z-order candidate selection: a column that would RLE under
+    a different sort order shows up here as high-NDV-low-runs vs
+    low-runs-after-reorder (`zorder_layout_stats`' before/after pairing).
+
+    Exactness: runs compare via IS DISTINCT FROM (null-safe on both
+    engines) under a fully deterministic order (epoch micros, id sentinel
+    NULLS LAST, then the value itself NULLS LAST) so tied timestamps
+    cannot flip run boundaries cross-engine; NULL-ts rows belong to no
+    layout partition and drop on both sides.
+
+    Scale shape: the column stack is a 3x row multiply feeding ONE
+    (column, day)-partitioned window — the same per-partition-runs
+    semantics parquet encoding actually sees (runs never span row groups)
+    — then two bounded aggregates (per-column rollup + two-phase distinct
+    for exact NDV, no COUNT-DISTINCT Expand).  Output is
+    columns-sized."""
+    ordered = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "ts",
+            F.coalesce(F.col("event_id"), F.lit(4611686018427387904)).alias("oid"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+    )
+    stacked = ordered.select(
+        "day",
+        "ts",
+        "oid",
+        F.expr(
+            "stack(3, 'event_type', event_type, "
+            "'user_id', cast(user_id as string), "
+            "'value', cast(value as string)) AS (col_name, val)"
+        ),
+    )
+    lw = Window.partitionBy("col_name", "day").orderBy(
+        F.unix_micros("ts"), "oid", F.col("val").asc_nulls_last()
+    )
+    runs = (
+        stacked.withColumn("prev", F.lag("val").over(lw))
+        .groupBy("col_name")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(~F.col("val").eqNullSafe(F.col("prev")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs"),
+            F.sum(F.coalesce(F.length("val"), F.lit(0)))
+            .cast("long")
+            .alias("total_len"),
+        )
+    )
+    ndv = (
+        stacked.where(F.col("val").isNotNull())
+        .select("col_name", "val")
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.count("*").cast("long").alias("ndv"))
+    )
+    return (
+        runs.join(ndv, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "ndv",
+            "n_runs",
+            F.expr("(total_len * 100) div n_rows").alias("avg_len_x100"),
+            F.when(F.col("n_runs") * 10 <= F.col("n_rows"), "rle")
+            .when(F.col("ndv") * 20 <= F.col("n_rows"), "dictionary")
+            .otherwise("plain")
+            .alias("advice"),
+        )
+        .orderBy("col_name")
+    )

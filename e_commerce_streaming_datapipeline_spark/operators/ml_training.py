@@ -188,3 +188,128 @@ def q_logreg_sgd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (purchase propensity from value + hour), each step one
     aggregate over events — bit-exact fixed-point weights (module doc)."""
     return logreg_sgd_step(load_table(spark, "events", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Decision-stump training: the exact best 1-feature threshold split
+# --------------------------------------------------------------------------
+
+_STUMP_TOP_K = 5
+
+
+@query(
+    "decision_stump_train",
+    oracle=f"""
+WITH pts AS (
+    SELECT n_chars AS x,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents WHERE n_chars IS NOT NULL
+), grouped AS (
+    SELECT x, count(*) AS cnt, sum(y) AS pos FROM pts GROUP BY 1
+), cum AS (
+    SELECT x,
+           sum(cnt) OVER (ORDER BY x) AS nl,
+           sum(pos) OVER (ORDER BY x) AS pl
+    FROM grouped
+), tot AS (
+    SELECT count(*) AS n, sum(y) AS p FROM pts
+), gains AS (
+    SELECT c.x AS threshold,
+           CAST(c.nl AS BIGINT) AS n_left,
+           CAST(c.pl AS BIGINT) AS pos_left,
+           CAST(t.n - c.nl AS BIGINT) AS n_right,
+           CAST(t.p - c.pl AS BIGINT) AS pos_right,
+           CAST(floor(1000000.0 * (
+               2.0 * t.p * (t.n - t.p) / (CAST(t.n AS DOUBLE) * t.n)
+               - (2.0 / t.n) * (
+                   CAST(c.pl AS DOUBLE) * (c.nl - c.pl) / c.nl
+                   + CAST(t.p - c.pl AS DOUBLE) * ((t.n - c.nl) - (t.p - c.pl))
+                     / (t.n - c.nl))
+           ) + 0.5) AS BIGINT) AS gini_gain_x1e6
+    FROM cum c, tot t
+    WHERE c.nl < t.n  -- the max value splits nothing off
+)
+SELECT threshold, n_left, pos_left, n_right, pos_right, gini_gain_x1e6
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY gini_gain_x1e6 DESC, threshold
+    ) AS rn FROM gains
+) WHERE rn <= {_STUMP_TOP_K}
+ORDER BY gini_gain_x1e6 DESC, threshold
+""",
+)
+def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a DECISION STUMP exactly — the best single threshold on
+    ``n_chars`` predicting ``lang = 'en'`` by Gini-impurity decrease,
+    reporting the top-{_STUMP_TOP_K} candidate splits with their left/right
+    class counts.  The stump is the base learner of boosting and the
+    standard strong-baseline/feature-screening model; unlike sampled or
+    binned trainers this evaluates EVERY distinct feature value as a
+    threshold, exactly.
+
+    Exactness: class counts are integers; the Gini gain is one fixed
+    expression of those integers evaluated in IEEE doubles IDENTICALLY on
+    both engines, quantized to micros via floor(g·1e6 + 0.5), and the
+    top-k RANKS ON THE QUANTIZED integer (never the raw double), so a
+    float tie can't let the engines pick different splits.  NULL n_chars
+    rows are unsplittable and drop on both engines; NULL lang counts as a
+    negative (the `auc_quality_langid` labeling policy).
+
+    Scale shape: ONE corpus pass reduces to the distinct-feature-value
+    relation (hash agg with map-side combine); the cumulative split
+    tallies are a window over that NDV-BOUNDED relation (document lengths
+    — thousands of rows, not corpus rows; registered in the bounded-
+    global-window allowlist like the daily-spine family), and the final
+    ranking is a WindowGroupLimit top-{_STUMP_TOP_K}.  A wide-feature
+    trainer fans this same plan out per feature column."""
+    pts = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            F.col("n_chars").alias("x"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    grouped = pts.groupBy("x").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    from pyspark.sql import Window
+
+    cw = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped.select(
+        "x",
+        F.sum("cnt").over(cw).alias("nl"),
+        F.sum("pos").over(cw).alias("pl"),
+    )
+    tot = pts.agg(F.count("*").alias("__n"), F.sum("y").alias("__p"))
+    n, p = F.col("__n"), F.col("__p")
+    nl, pl = F.col("nl"), F.col("pl")
+    gain = (
+        F.lit(2.0) * p * (n - p) / (n.cast("double") * n)
+        - (F.lit(2.0) / n)
+        * (
+            pl.cast("double") * (nl - pl) / nl
+            + (p - pl).cast("double") * ((n - nl) - (p - pl)) / (n - nl)
+        )
+    )
+    gains = (
+        scalar_join(cum, tot)
+        .where(nl < n)
+        .select(
+            F.col("x").alias("threshold"),
+            nl.cast("long").alias("n_left"),
+            pl.cast("long").alias("pos_left"),
+            (n - nl).cast("long").alias("n_right"),
+            (p - pl).cast("long").alias("pos_right"),
+            F.floor(F.lit(1000000.0) * gain + F.lit(0.5))
+            .cast("long")
+            .alias("gini_gain_x1e6"),
+        )
+    )
+    rw = Window.orderBy(F.col("gini_gain_x1e6").desc(), "threshold")
+    return (
+        gains.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= _STUMP_TOP_K)
+        .drop("rn")
+        .orderBy(F.col("gini_gain_x1e6").desc(), "threshold")
+    )

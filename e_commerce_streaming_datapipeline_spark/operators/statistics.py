@@ -4962,3 +4962,124 @@ def q_revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series (time-series health)
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "revenue_acf",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), stats AS (
+    SELECT count(*) AS n, sum(cents) AS s FROM daily
+), centered AS (
+    -- y_t = n*x_t - S: the mean-centered series scaled by n, exact integers
+    SELECT d.day, CAST(st.n * d.cents - st.s AS BIGINT) AS y
+    FROM daily d, stats st
+), den AS (
+    SELECT sum(y * y) AS den FROM centered
+), lagged AS (
+    SELECT t.i AS lag, a.y AS ya, b.y AS yb
+    FROM (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS i) t
+    JOIN centered a ON TRUE
+    JOIN centered b ON b.day = a.day + t.i * INTERVAL 1 DAY
+), num AS (
+    SELECT lag, count(*) AS n_pairs, sum(ya * yb) AS num
+    FROM lagged GROUP BY 1
+)
+SELECT
+    CAST(n.lag AS INT)       AS lag,
+    CAST(n.n_pairs AS BIGINT) AS n_pairs,
+    CAST(CASE WHEN d.den = 0 THEN 0
+         ELSE floor(1000000.0 * CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+                    + 0.5) END AS BIGINT) AS acf_x1e6
+FROM num n, den d
+ORDER BY 1
+""",
+)
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function of the daily purchase-revenue series at
+    lags 1..{_ACF_MAX_LAG} — the first time-series diagnostic an analyst or a
+    forecasting pipeline computes: a strong lag-7 spike confirms weekly
+    seasonality (feeding `forecast_backtest_snaive`'s season choice), a
+    slow decay flags trend (difference before modeling), and near-zero
+    everywhere says the series is noise and any forecast is fiction.
+
+    Exactness: the mean-centered series is scaled by n (y_t = n·x_t − S),
+    keeping every centered value an exact integer; numerator/denominator
+    products accumulate in DECIMAL(38,0)/HUGEINT so no float enters until
+    the final ratio, and the micros quantization uses floor(r + 0.5) —
+    the identical expression on both engines, immune to the half-even vs
+    half-up divergence that plain round() has on negative ACF values.
+
+    Scale shape: ONE corpus scan builds the day-grain rollup (hash agg,
+    map-side combine); everything after operates on the DAY-sized series
+    — the lag join is a self-equi-join on (day + k) over at most
+    365·years rows, the {_ACF_MAX_LAG}-row lag grid is a bounded
+    broadcast, and the denominator is a 1-row scalar.  At 100 TB the
+    expensive part remains the single fact scan."""
+    from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join
+
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    stats = daily.agg(
+        F.count("*").alias("__n"), F.sum("cents").alias("__s")
+    )
+    centered = scalar_join(daily, stats).select(
+        "day",
+        (F.col("__n") * F.col("cents") - F.col("__s"))
+        .cast("long")
+        .alias("y"),
+    )
+    y_dec = F.col("y").cast("decimal(19,0)")
+    den = centered.agg(F.sum(y_dec * y_dec).alias("__den"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = bounded_cross_join(
+        centered.select(F.col("day").alias("day_a"), F.col("y").alias("ya")), lags
+    ).withColumn("day_b", F.expr("date_add(day_a, lag)"))
+    b = centered.select(F.col("day").alias("day_b"), F.col("y").alias("yb"))
+    num = (
+        a.join(b, "day_b")
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("ya").cast("decimal(19,0)") * F.col("yb").cast("decimal(19,0)")
+            ).alias("__num"),
+        )
+    )
+    return (
+        scalar_join(num, den)
+        .select(
+            "lag",
+            "n_pairs",
+            F.when(F.col("__den") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("__num").cast("double")
+                    / F.col("__den").cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("acf_x1e6"),
+        )
+        .orderBy("lag")
+    )

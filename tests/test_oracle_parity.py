@@ -129,7 +129,10 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # tokenizes to nothing on both engines; NULL source is out
                  # of the leakage matrix
                  "jaccard_threshold_sweep", "packing_efficiency_sweep",
-                 "cross_source_leakage_matrix"]
+                 "cross_source_leakage_matrix",
+                 # r8: NULL n_chars docs are unsplittable and drop on both
+                 # engines; NULL lang counts as a negative label
+                 "decision_stump_train"]
 
 
 @pytest.fixture(scope="module")
@@ -392,6 +395,17 @@ _EVENTS_EDGE_QUERIES = [
     # HHI: NULL user/ts purchases are out of scope; the NULL-value purchase
     # sums 0 cents and is excluded as a zero-share buyer on both engines
     "revenue_concentration_hhi",
+    # r8 survivorship: NULL user/type/ts rows are unclusterable and drop;
+    # the tied NULL-event_id member tie-breaks via the 2^62 sentinel
+    "golden_record_survivorship",
+    # r8 ACF: NULL-ts purchases are out of the daily series; NULL values
+    # count 0 cents on both engines
+    "revenue_acf",
+    # r8 advisor: NULL-ts rows belong to no layout partition; NULL values
+    # length 0 and IS-DISTINCT-FROM run comparison are null-safe both sides
+    "encoding_advisor",
+    # r8 heatmap: NULL-ts rows unbinnable; NULL value is its own -1 bracket
+    "hour_value_heatmap",
 ]
 
 
@@ -485,6 +499,9 @@ _LINEITEM_EDGE_QUERIES = [
     # and group like any other key on both engines)
     "lateral_top_lineitems",
     "salted_join_rewrite",
+    # r8 record linkage: NULL c_name/c_custkey rows produce NULL dirty
+    # strings and variants, which the equi-join drops on both engines
+    "symspell_typo_linkage",
 ]
 
 

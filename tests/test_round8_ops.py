@@ -1,0 +1,166 @@
+"""Round-8 additions: property pins for the six new operators (SymSpell
+linkage, golden-record survivorship, revenue ACF, decision stump, encoding
+advisor, 2-D heatmap), the commit-lint guard's regexes, and the bench
+harness's no-silent-caps contract (sections + tail must cover the whole
+registry)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return all_queries()
+
+
+class TestSymspellLinkage:
+    def test_candidate_generation_is_exhaustive(self, spark, reg):
+        """SymSpell's deletion-neighborhood index is EXHAUSTIVE for one
+        deletion: every dirty record's true clean parent is always a
+        candidate, so every dirty record RESOLVES.  Recall is NOT 1.0,
+        and that is the operator's honest finding: leading-zero digit
+        strings make some dirty strings genuinely ambiguous (deleting a
+        zero from 000000012 and the trailing digit from 000000120 both
+        yield 00000012), every neighborhood candidate sits at edit
+        distance exactly 1, and the deterministic (distance, key)
+        tie-break then picks the smallest key — so ambiguous records
+        resolve to one consistent parent and the recall metric measures
+        the ambiguity rate.  Pin: full resolution, recall in [0.5, 1],
+        candidate volume >= dirty volume."""
+        rows = reg["symspell_typo_linkage"].builder(spark, SF_DIR).collect()
+        assert rows, "linkage produced no nations"
+        total_dirty = sum(r["n_dirty"] for r in rows)
+        total_correct = sum(r["n_correct"] for r in rows)
+        assert all(r["n_resolved"] == r["n_dirty"] for r in rows)
+        assert total_dirty >= 100
+        assert 0.5 * total_dirty <= total_correct <= total_dirty
+        assert all(r["n_candidate_pairs"] >= r["n_dirty"] for r in rows)
+
+
+class TestGoldenRecord:
+    def test_only_real_clusters_and_valid_survivors(self, spark, reg):
+        df = reg["golden_record_survivorship"].builder(spark, SF_DIR)
+        rows = df.collect()
+        assert rows, "no duplicate clusters at fixture scale"
+        assert all(r["n_dupes"] >= 2 for r in rows)
+        # field-completeness tallies are bounded by the cluster size
+        assert all(r["n_valued"] <= r["n_dupes"] for r in rows)
+        assert all(r["n_props"] <= r["n_dupes"] for r in rows)
+
+
+class TestRevenueAcf:
+    def test_lags_and_bounds(self, spark, reg):
+        rows = {r["lag"]: r for r in reg["revenue_acf"].builder(spark, SF_DIR).collect()}
+        assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
+        # |r_k| <= 1 up to micros quantization; pair counts shrink with lag
+        for k, r in rows.items():
+            assert abs(r["acf_x1e6"]) <= 1_000_001, (k, r)
+        assert rows[1]["n_pairs"] >= rows[7]["n_pairs"]
+
+
+class TestDecisionStump:
+    def test_topk_ordering_and_partition_counts(self, spark, reg):
+        rows = reg["decision_stump_train"].builder(spark, SF_DIR).collect()
+        assert len(rows) == 5
+        gains = [r["gini_gain_x1e6"] for r in rows]
+        assert gains == sorted(gains, reverse=True)
+        n = rows[0]["n_left"] + rows[0]["n_right"]
+        for r in rows:
+            assert r["n_left"] + r["n_right"] == n
+            assert 0 <= r["pos_left"] <= r["n_left"]
+            assert 0 <= r["pos_right"] <= r["n_right"]
+            assert r["n_right"] >= 1  # the max value never splits
+
+
+class TestEncodingAdvisor:
+    def test_advice_domain_and_event_type_dictionary(self, spark, reg):
+        rows = {r["col_name"]: r for r in
+                reg["encoding_advisor"].builder(spark, SF_DIR).collect()}
+        assert set(rows) == {"event_type", "user_id", "value"}
+        assert all(r["advice"] in ("rle", "dictionary", "plain")
+                   for r in rows.values())
+        # 5 event types over thousands of rows: must not advise plain
+        et = rows["event_type"]
+        assert et["ndv"] <= 10
+        assert et["advice"] in ("dictionary", "rle")
+        assert all(1 <= r["n_runs"] <= r["n_rows"] for r in rows.values())
+
+
+class TestHourValueHeatmap:
+    def test_shares_sum_per_hour(self, spark, reg):
+        rows = reg["hour_value_heatmap"].builder(spark, SF_DIR).collect()
+        assert rows
+        by_hour: dict[int, list] = {}
+        for r in rows:
+            by_hour.setdefault(r["hour_of_day"], []).append(r)
+        for hour, cells in by_hour.items():
+            share = sum(c["hour_share_x1e6"] for c in cells)
+            # integer-floor division loses < 1 micro-unit per cell
+            assert 1_000_000 - len(cells) < share <= 1_000_000, hour
+            assert all(0 <= c["value_decade"] <= 10 or c["value_decade"] == -1
+                       for c in cells)
+
+
+class TestCommitLint:
+    def test_dangling_endings_flagged(self):
+        from scripts.commit_lint import _DANGLING
+
+        for bad in ("registry 326 -> 331... wait", "refactor and",
+                    "fix the", "add cold times,", "todo", "see (unclosed"):
+            assert _DANGLING.search(bad) or bad.count("(") > bad.count(")"), bad
+        for good in ("Add the round-8 window rotation.",
+                     "Fix NaN policy in the oracle compare",
+                     "registry 326 -> 343"):
+            assert not _DANGLING.search(good), good
+
+    def test_count_claim_extraction(self):
+        from scripts.commit_lint import _COUNT_CLAIM
+
+        m = _COUNT_CLAIM.search("rotate window (registry 326 -> 343)")
+        assert m and int(m.group(1) or m.group(2)) == 343
+        m = _COUNT_CLAIM.search("now 349 registered queries total")
+        assert m and int(m.group(1) or m.group(2)) == 349
+        assert not _COUNT_CLAIM.search("no counts here")
+
+    def test_clean_history_passes(self):
+        from scripts.commit_lint import lint
+
+        assert lint("HEAD~1") == []
+
+
+class TestBenchCoverageContract:
+    def test_sections_plus_tail_cover_registry(self, reg):
+        """The no-silent-caps rule bound to the harness itself (r7 VERDICT
+        task #2): every frozen bench section names only registered queries,
+        and bench.py's registry tail covers everything else by
+        construction — so sections ∪ (registry − sections) == registry."""
+        import bench
+
+        sections = (bench.HEADLINE + bench.EXTENDED + bench.EXTENDED_R3
+                    + bench.EXTENDED_R4 + bench.EXTENDED_R5 + bench.EXTENDED_R6
+                    + bench.EXTENDED_R7 + bench.EXTENDED_R8)
+        assert len(sections) == len(set(sections)), "duplicate section entry"
+        unknown = set(sections) - set(reg)
+        assert not unknown, f"bench sections name unregistered queries: {unknown}"
+
+    def test_bench_local_has_no_unbenched(self):
+        """Machine-readable cap check: once bench.py has run, BENCH_LOCAL
+        must record zero unbenched and zero erroring queries."""
+        import json
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_LOCAL.json")
+        if not os.path.exists(path):
+            pytest.skip("bench has not run yet")
+        data = json.load(open(path))
+        if "unbenched" not in data:
+            pytest.skip("pre-r8 BENCH_LOCAL format")
+        assert data["unbenched"] == []
+        assert data["tail_errors"] == {}
