@@ -246,6 +246,10 @@ EXTENDED_R8 = [
     "decision_stump_train",        # exact best-split stump over NDV grid
     "encoding_advisor",            # NDV + run-length encoding advisor
     "hour_value_heatmap",          # bounded 2-D binned density rollup
+    "ivm_retract_merge",           # signed-delta IVM under deletes/updates
+    "branch_merge_conflicts",      # 3-way catalog branch merge grid
+    "group_kfold_assignment",      # leakage-safe entity-keyed folds
+    "golden_record_stream",        # streaming MDM store (partial merge)
 ]
 
 

@@ -2264,3 +2264,92 @@ def q_kanon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("level")
     )
+
+
+# --------------------------------------------------------------------------
+# Group-aware k-fold: leakage-safe folds keyed on the ENTITY, not the row
+# --------------------------------------------------------------------------
+
+
+@query(
+    "group_kfold_assignment",
+    oracle=f"""
+WITH folded AS (
+    SELECT (user_id * 2654435761) % 4294967296 % {_KFOLDS} AS fold,
+           user_id, event_type, coalesce(value, 0.0) AS value
+    FROM events WHERE user_id IS NOT NULL
+), per_user AS (
+    SELECT user_id, count(DISTINCT fold) AS n_folds FROM folded GROUP BY 1
+), audit AS (
+    SELECT max(n_folds) AS max_folds_per_user FROM per_user
+)
+SELECT
+    f.fold,
+    CAST(count(DISTINCT f.user_id) AS BIGINT)  AS n_users,
+    CAST(count(*) AS BIGINT)                   AS n_events,
+    CAST(count_if(f.event_type = 'purchase') AS BIGINT) AS n_purchases,
+    CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS DOUBLE) / 100
+                                               AS fold_value,
+    CAST(any_value(a.max_folds_per_user) AS BIGINT) AS max_folds_per_user
+FROM folded f, audit a
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment — the leakage-safe sibling of
+    `kfold_assignment`: folds are keyed on the USER (the entity whose
+    behavior the model must generalize to), so every row of a user lands
+    in the same fold and no user's history straddles train and eval — the
+    cross-validation hygiene row-level folds silently violate whenever an
+    entity has multiple rows (its eval rows leak through its train rows).
+    Output: per-fold user/event/purchase balance plus the leakage audit
+    itself (``max_folds_per_user`` — 1 by construction, and PROVEN in the
+    hashed result rather than assumed).
+
+    Same determinism contract as the row-level sibling: the multiplicative
+    hash is stable under append and engine-independent.  Scale shape: one
+    fact scan into a fold-grain hash aggregate (the exact-distinct user
+    count is per-fold, never global), plus a user-grain aggregate for the
+    audit — both map-side-combinable; the audit scalar joins back as a
+    broadcast.  NULL users belong to no entity and are excluded on both
+    engines."""
+    from e_commerce_streaming_datapipeline_spark.operators.sampling import hash_bucket
+
+    folded = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            hash_bucket(F.col("user_id"), _KFOLDS).alias("fold"),
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        )
+    )
+    audit = (
+        folded.groupBy("user_id")
+        .agg(F.count_distinct("fold").alias("n_folds"))
+        .agg(F.max("n_folds").alias("max_folds_per_user"))
+    )
+    per_fold = folded.groupBy("fold").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100
+        ).alias("fold_value"),
+    )
+    return (
+        scalar_join(per_fold, audit)
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            "n_purchases",
+            "fold_value",
+            F.col("max_folds_per_user").cast("long").alias("max_folds_per_user"),
+        )
+        .orderBy("fold")
+    )

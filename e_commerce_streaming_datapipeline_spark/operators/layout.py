@@ -1523,3 +1523,125 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Branch merge with three-way conflict detection (catalog branching)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "branch_merge_conflicts",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+), branched AS (
+    SELECT k, cents,
+           CASE WHEN k % 97 = 0 THEN 'delete'
+                WHEN k % 11 = 0 THEN 'update' ELSE 'none' END AS change_a,
+           CASE WHEN k % 89 = 0 THEN 'delete'
+                WHEN k % 13 = 0 THEN 'update' ELSE 'none' END AS change_b,
+           CASE WHEN k % 11 = 0 THEN cents + 500 END AS cents_a,
+           CASE WHEN k % 13 = 0 THEN cents + 700 END AS cents_b
+    FROM base
+), classified AS (
+    SELECT change_a, change_b,
+           CASE WHEN change_a = 'none' AND change_b = 'none' THEN 'base'
+                WHEN change_b = 'none' THEN 'take_a'
+                WHEN change_a = 'none' THEN 'take_b'
+                WHEN change_a = 'delete' AND change_b = 'delete' THEN 'agree'
+                ELSE 'conflict' END AS resolution,
+           CASE WHEN change_a = 'update' AND change_b = 'none' THEN cents_a - cents
+                WHEN change_b = 'update' AND change_a = 'none' THEN cents_b - cents
+                ELSE 0 END AS applied_delta
+    FROM branched
+)
+SELECT change_a, change_b, resolution,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(applied_delta) AS BIGINT) AS merged_cents_delta
+FROM classified
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_branch_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog BRANCH MERGE with three-way conflict detection — the
+    Nessie/Iceberg-refs workflow: two branches diverge from a common base
+    snapshot of the orders table (branch A re-prices every 11th key +$5
+    and deletes every 97th; branch B re-prices every 13th +$7 and deletes
+    every 89th), and the merge classifies every key three-way against the
+    base: untouched keys keep base, keys changed on exactly one branch
+    fast-forward, both-deleted keys agree, and any other double-change is
+    a CONFLICT requiring human/policy resolution.  Output is the
+    (change_a x change_b x resolution) decision grid with key counts and
+    the cents delta the auto-merge would apply — the table a data-eng
+    reviews before confirming a branch merge.
+
+    Why relational: the three-way diff is two deterministic change maps
+    FULL-joined by key against base — here fused into one scan because
+    the changes are expression-derived; with real branch manifests it is
+    a 3-way key equi-join, shuffle-partitioned by key, no driver state.
+    Conflict volume is the overlap of the branches' change sets, so the
+    output grid is bounded (<= 3x3 cells) however large the table.
+
+    Exactness: all classification is integer modulo arithmetic and the
+    deltas are exact cents; NULL-key/price rows cannot be versioned and
+    are excluded on both engines (r8 edge pin)."""
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    change_a = (
+        F.when(F.col("k") % 97 == 0, "delete")
+        .when(F.col("k") % 11 == 0, "update")
+        .otherwise("none")
+    )
+    change_b = (
+        F.when(F.col("k") % 89 == 0, "delete")
+        .when(F.col("k") % 13 == 0, "update")
+        .otherwise("none")
+    )
+    branched = base.select(
+        "k",
+        "cents",
+        change_a.alias("change_a"),
+        change_b.alias("change_b"),
+        F.when(F.col("k") % 11 == 0, F.col("cents") + 500).alias("cents_a"),
+        F.when(F.col("k") % 13 == 0, F.col("cents") + 700).alias("cents_b"),
+    )
+    resolution = (
+        F.when((F.col("change_a") == "none") & (F.col("change_b") == "none"), "base")
+        .when(F.col("change_b") == "none", "take_a")
+        .when(F.col("change_a") == "none", "take_b")
+        .when((F.col("change_a") == "delete") & (F.col("change_b") == "delete"), "agree")
+        .otherwise("conflict")
+    )
+    applied = (
+        F.when(
+            (F.col("change_a") == "update") & (F.col("change_b") == "none"),
+            F.col("cents_a") - F.col("cents"),
+        )
+        .when(
+            (F.col("change_b") == "update") & (F.col("change_a") == "none"),
+            F.col("cents_b") - F.col("cents"),
+        )
+        .otherwise(0)
+    )
+    return (
+        branched.select(
+            "change_a", "change_b", resolution.alias("resolution"),
+            applied.alias("applied_delta"),
+        )
+        .groupBy("change_a", "change_b", "resolution")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("applied_delta").cast("long").alias("merged_cents_delta"),
+        )
+        .orderBy("change_a", "change_b", "resolution")
+    )

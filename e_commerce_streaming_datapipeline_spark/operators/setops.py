@@ -492,3 +492,86 @@ def q_ivm_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("__cents").cast("double") / 100).alias("month_revenue"),
     )
+
+
+# -- incremental view maintenance under DELETES/UPDATES (signed retraction) ---
+
+
+@query(
+    "ivm_retract_merge",
+    oracle="""
+WITH changed AS (
+    SELECT o_orderdate, o_orderstatus,
+           CASE WHEN coalesce(o_orderkey % 89, 1) = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT coalesce(o_orderkey % 97, 1) = 0
+)
+SELECT
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+    o_orderstatus             AS status,
+    count(*)                  AS n_orders,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                              AS month_revenue
+FROM changed
+GROUP BY 1, 2
+""",
+)
+def q_ivm_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under DELETES and UPDATES — the
+    retraction half `ivm_delta_merge` (insert-only) deliberately excludes:
+    a CDC batch deletes every 97th order and re-prices every 89th
+    (update = retract old + insert new), and the materialized month x
+    status view is maintained by merging the stored aggregate with one
+    SIGNED delta aggregate (weight −1 for deletions and old versions, +1
+    for new versions).  Count and sum are self-maintainable under
+    retraction (merge = group-wise signed +); groups whose maintained
+    count reaches zero are REMOVED from the view, not left as zero rows.
+    Hash-checked against the full post-change recompute: maintenance and
+    recompute must be indistinguishable.
+
+    At 100 TB the stored side is the #groups-row view relation and the
+    signed delta is CDC-batch-sized, so refresh cost is proportional to
+    the CHANGE volume — while MIN/MAX stay recompute-only under deletes
+    (the `ivm_delta_merge` docstring contract).  NULL-key orders match no
+    CDC predicate and ride through unchanged on both engines (the
+    coalesce(..., 1) pins the NULL-modulo case)."""
+    orders = load_table(spark, "orders", sf_dir)
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+        "order_month"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def rollup(df: DataFrame, weight) -> DataFrame:
+        return df.groupBy(month, F.col("o_orderstatus").alias("status")).agg(
+            F.sum(F.lit(weight)).alias("n_orders"),
+            F.sum(F.lit(weight) * cents).alias("__cents"),
+        )
+
+    is_del = F.coalesce(F.col("o_orderkey") % 97, F.lit(1)) == 0
+    is_upd = F.coalesce(F.col("o_orderkey") % 89, F.lit(1)) == 0
+    # the stored view (in production: read back, #groups rows)
+    base_view = rollup(orders, 1)
+    retract = rollup(orders.where(is_del | is_upd), -1)
+    reinsert = rollup(
+        orders.where(is_upd & ~is_del).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+        ),
+        1,
+    )
+    merged = (
+        base_view.unionByName(retract)
+        .unionByName(reinsert)
+        .groupBy("order_month", "status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("__cents").alias("__cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "order_month",
+        "status",
+        "n_orders",
+        (F.col("__cents").cast("double") / 100).alias("month_revenue"),
+    )

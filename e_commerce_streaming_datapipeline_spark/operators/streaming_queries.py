@@ -2705,3 +2705,165 @@ def q_column_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk", "col_name")
     )
+
+
+@query(
+    "golden_record_stream",
+    oracle="""
+WITH keyed AS (
+    SELECT *, date_trunc('hour', ts) AS hour_bucket
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), sized AS (
+    SELECT user_id, event_type, hour_bucket,
+           count(*) AS n_dupes,
+           max(coalesce(value, 0.0)) AS best_value,
+           count(value) AS n_valued,
+           count(props) AS n_props
+    FROM keyed GROUP BY 1, 2, 3
+), survivor AS (
+    SELECT user_id, event_type, hour_bucket, event_id AS survivor_event_id
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type, hour_bucket
+            ORDER BY epoch_us(ts) DESC,
+                     coalesce(value, -1) DESC,
+                     coalesce(event_id, 4611686018427387904)
+        ) AS rn
+        FROM keyed
+    ) WHERE rn = 1
+)
+SELECT
+    s.user_id, s.event_type, s.hour_bucket,
+    CAST(s.n_dupes AS BIGINT)   AS n_dupes,
+    v.survivor_event_id,
+    round(s.best_value, 2)      AS best_value,
+    CAST(s.n_valued AS BIGINT)  AS n_valued,
+    CAST(s.n_props AS BIGINT)   AS n_props
+FROM sized s JOIN survivor v USING (user_id, event_type, hour_bucket)
+WHERE s.n_dupes >= 2
+ORDER BY s.user_id, s.event_type, s.hour_bucket
+""",
+)
+def q_golden_record_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`golden_record_survivorship` maintained ON A STREAM — the MDM store
+    that stays canonical as duplicate submissions keep arriving: the
+    events fixture replays as a REAL multi-micro-batch stream (per-day
+    files, 5 per trigger), each batch folds its rows into per-cluster
+    PARTIALS (member/field-completeness tallies plus the survivor as an
+    argmax STRUCT key), partials append to a store with their batch id,
+    and the final read merges partials across batches — counts add, the
+    best-value max maxes, and the struct-key max re-elects the survivor.
+    Because every piece of the survivorship policy is an associative,
+    commutative aggregate (sum / max / max-of-struct), the merged store is
+    hash-identical to the BATCH twin's single-pass answer no matter how
+    the stream was chunked: cross-batch mergeability is the correctness
+    property, proven against the same oracle.
+
+    The struct key encodes the full policy so one max does the election:
+    (epoch micros, value with NULL below any real value, NEGATED id with
+    the 2^62 NULLS-LAST sentinel) — the max of that triple is exactly
+    "latest ts, then highest value, then lowest id, NULL ids last".
+
+    Scale shape: per batch ONE shuffle on the cluster key (batch-sized);
+    the store holds cluster-grain partials (bounded by live clusters x
+    batches between compactions), and the merge is a cluster-keyed hash
+    aggregate over the store — the compaction itself."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+    run_dir = scratch_dir("goldenstream")
+    feed_dir = os.path.join(run_dir, "feed")
+    store_dir = os.path.join(run_dir, "store")
+    os.makedirs(feed_dir, exist_ok=True)
+    # per-day feed files so availableNow + maxFilesPerTrigger replays as a
+    # genuine multi-batch stream (the changelog_replay_stream feed recipe)
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src)
+    days = pc.cast(
+        pc.floor(
+            pc.divide(
+                pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64"),
+                86_400_000_000,
+            )
+        ),
+        "int64",
+    )
+    base_mtime = os.stat(sf_dir).st_mtime
+    for i, d in enumerate(sorted(x for x in pc.unique(days).to_pylist() if x is not None)):
+        path = os.path.join(feed_dir, f"events-{i:03d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(days, d)), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    if tbl.filter(pc.is_null(tbl["ts"])).num_rows:
+        path = os.path.join(feed_dir, "events-nullts.parquet")
+        pq.write_table(tbl.filter(pc.is_null(tbl["ts"])), path)
+        os.utime(path, (base_mtime, base_mtime))
+
+    surv_key = F.struct(
+        F.unix_micros("ts").alias("us"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("vkey"),
+        (-F.coalesce(F.col("event_id"), F.lit(4611686018427387904))).alias("negid"),
+        F.col("event_id").alias("survivor_event_id"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.where(
+                F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull()
+                & F.col("ts").isNotNull()
+            )
+            .withColumn("hour_bucket", F.date_trunc("hour", F.col("ts")))
+            .groupBy("user_id", "event_type", "hour_bucket")
+            .agg(
+                F.count("*").alias("n_dupes"),
+                F.max(F.coalesce(F.col("value"), F.lit(0.0))).alias("best_value"),
+                F.count("value").alias("n_valued"),
+                F.count("props").alias("n_props"),
+                F.max(surv_key).alias("surv"),
+            )
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partials(batch_df).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(store_dir)
+
+    stream = read_file_stream(spark, feed_dir, "events-*.parquet",
+                              max_files_per_trigger=5)
+    with _stream_run(spark, "goldenstream") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    store = spark.read.parquet(store_dir)
+    merged = store.groupBy("user_id", "event_type", "hour_bucket").agg(
+        F.sum("n_dupes").cast("long").alias("n_dupes"),
+        F.max("best_value").alias("__best_value"),
+        F.sum("n_valued").cast("long").alias("n_valued"),
+        F.sum("n_props").cast("long").alias("n_props"),
+        F.max("surv").alias("surv"),
+    )
+    from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
+
+    return (
+        merged.where(F.col("n_dupes") >= 2)
+        .select(
+            "user_id",
+            "event_type",
+            "hour_bucket",
+            "n_dupes",
+            F.col("surv.survivor_event_id").alias("survivor_event_id"),
+            fround(F.col("__best_value"), 2).alias("best_value"),
+            "n_valued",
+            "n_props",
+        )
+        .orderBy("user_id", "event_type", "hour_bucket")
+    )

@@ -91,12 +91,14 @@ def main() -> None:
     from e_commerce_streaming_datapipeline_spark.plans.registry import all_queries
 
     names = list(all_queries())
-    if not os.environ.get("SPARK_GRAFT_DETERMINISM_ALL"):
-        names = names[:50]  # default: the driver's proof window
     only = os.environ.get("SPARK_GRAFT_DETERMINISM_QUERIES")
     if only:
+        # an explicit list selects from the FULL registry (r8 fix: the
+        # window cap used to apply first and silently drop names past 50)
         wanted = {s.strip() for s in only.split(",")}
         names = [n for n in names if n in wanted]
+    elif not os.environ.get("SPARK_GRAFT_DETERMINISM_ALL"):
+        names = names[:50]  # default: the driver's proof window
 
     results: dict[str, dict[str, tuple[int, str] | str]] = {n: {} for n in names}
     resets: dict[str, dict[str, list[str]]] = {n: {} for n in names}

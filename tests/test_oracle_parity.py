@@ -218,7 +218,14 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "equi_depth_histogram",
                         # r7: NULL totalprice is excluded from the digit
                         # census by the explicit IS NOT NULL on both engines
-                        "benford_revenue_audit"]
+                        "benford_revenue_audit",
+                        # r8 IVM retraction: NULL-key orders match no CDC
+                        # predicate and ride through unchanged; NULL price
+                        # counts but sums nothing on both engines
+                        "ivm_retract_merge",
+                        # r8 branch merge: NULL key/price rows cannot be
+                        # versioned and are out of the 3-way diff
+                        "branch_merge_conflicts"]
 
 
 @pytest.fixture(scope="module")
@@ -406,6 +413,12 @@ _EVENTS_EDGE_QUERIES = [
     "encoding_advisor",
     # r8 heatmap: NULL-ts rows unbinnable; NULL value is its own -1 bracket
     "hour_value_heatmap",
+    # r8 group folds: NULL users belong to no entity and are excluded;
+    # NULL values count 0 cents on both engines
+    "group_kfold_assignment",
+    # r8 streaming MDM store: the same cluster/survivor policy as the
+    # batch twin must hold through the multi-batch partial merge
+    "golden_record_stream",
 ]
 
 

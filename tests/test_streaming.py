@@ -577,8 +577,8 @@ def test_transform_with_state_probe():
     then ``applyInPandasWithState`` (tested above) is the supported CEP
     path — same semantics, RDD-free, watermark-evicted state.
 
-    Probe history: rounds 3, 4 and 5 all re-probed (``import google``
-    still fails, 2026-08-15); the skip below is the suite's single
+    Probe history: rounds 3-8 all re-probed (``import google``
+    still fails, 2026-08-16); the skip below is the suite's single
     deliberate skip."""
     try:
         import google.protobuf  # noqa: F401
