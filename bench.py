@@ -250,6 +250,8 @@ EXTENDED_R8 = [
     "branch_merge_conflicts",      # 3-way catalog branch merge grid
     "group_kfold_assignment",      # leakage-safe entity-keyed folds
     "golden_record_stream",        # streaming MDM store (partial merge)
+    "wap_publish_gate",            # write-audit-publish gate, live both ways
+    "session_gap_sensitivity",     # sessionization tuning curve, one pass
 ]
 
 

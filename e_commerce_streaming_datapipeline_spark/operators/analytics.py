@@ -1709,3 +1709,96 @@ def q_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day", "value_decade")
     )
+
+
+# --------------------------------------------------------------------------
+# Session-gap sensitivity sweep: the sessionization-policy tuning curve
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_SWEEP_MIN = (10, 30, 60)
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), coalesce(event_id, 4611686018427387904)
+           ) AS gap_us
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), folded AS (
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {", ".join(f"count_if(gap_us > CAST({m} AS BIGINT) * 60000000) AS brk_{m}"
+                      for m in _SESSION_GAP_SWEEP_MIN)}
+    FROM gaps
+)
+SELECT
+    CAST(t.gap_minutes AS INT) AS gap_minutes,
+    CAST(CASE t.gap_minutes {" ".join(f"WHEN {m} THEN n_users + brk_{m}"
+                                      for m in _SESSION_GAP_SWEEP_MIN)} END
+         AS BIGINT) AS n_sessions,
+    CAST(f.n_events AS BIGINT) AS n_events,
+    CAST(f.n_events * 100 // (CASE t.gap_minutes
+         {" ".join(f"WHEN {m} THEN n_users + brk_{m}"
+                   for m in _SESSION_GAP_SWEEP_MIN)} END)
+         AS BIGINT) AS events_per_session_x100
+FROM folded f,
+     (SELECT unnest([{", ".join(str(m) for m in _SESSION_GAP_SWEEP_MIN)}])
+          AS gap_minutes) t
+ORDER BY 1
+""",
+)
+def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-POLICY tuning curve — how many sessions the corpus
+    splits into at inactivity gaps of 10/30/60 minutes, with the mean
+    session length at each: the table that decides `user_sessions`' gap
+    parameter (too small fragments journeys, too large fuses visits), the
+    sessionization sibling of the r7 policy sweeps
+    (`conversion_window_sweep`, `jaccard_threshold_sweep`).
+
+    The whole grid costs ONE window pass: per-event inactivity gaps are
+    computed once (user-partitioned lag, the `user_sessions` shuffle), and
+    each threshold's session count is the exact identity
+    n_sessions(T) = n_users + #(gap > T) — a conditional count, so adding
+    grid points costs one counter each, never a re-scan.  Ordering pins
+    the NULL-id tie via the 2^62 sentinel on both engines; NULL user/ts
+    rows are unsessionizable and drop (the `user_sessions` policy)."""
+    us = F.unix_micros("ts")
+    lw = Window.partitionBy("user_id").orderBy(
+        us, F.coalesce(F.col("event_id"), F.lit(4611686018427387904))
+    )
+    gaps = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", (us - F.lag(us).over(lw)).alias("gap_us"))
+    )
+    folded = gaps.agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        *[
+            F.sum(
+                F.when(F.col("gap_us") > m * 60_000_000, 1).otherwise(0)
+            ).alias(f"brk_{m}")
+            for m in _SESSION_GAP_SWEEP_MIN
+        ],
+    )
+    stacked = folded.select(
+        "n_events",
+        F.expr(
+            "stack({n}, {args}) AS (gap_minutes, n_sessions)".format(
+                n=len(_SESSION_GAP_SWEEP_MIN),
+                args=", ".join(
+                    f"{m}, n_users + brk_{m}" for m in _SESSION_GAP_SWEEP_MIN
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        F.col("gap_minutes").cast("int").alias("gap_minutes"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("(n_events * 100) div n_sessions").alias("events_per_session_x100"),
+    ).orderBy("gap_minutes")

@@ -1645,3 +1645,106 @@ def q_branch_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_a", "change_b", "resolution")
     )
+
+
+# --------------------------------------------------------------------------
+# Write-Audit-Publish: staged commits pass a DQ gate before readers see them
+# --------------------------------------------------------------------------
+
+
+@query("wap_publish_gate", oracle=_SNAPSHOT_ORACLE)
+def q_wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH — the deployment discipline on top of
+    `manifest_time_travel`'s commit protocol: candidate snapshots are
+    STAGED (immutable files + manifest, invisible to readers), a
+    declarative audit runs against the staged files (row count within 10%
+    of the published baseline, zero NULL group keys, no negative
+    revenue), and only a PASSING candidate's manifest is atomically
+    promoted to CURRENT — a failing candidate stays quarantined with its
+    audit verdict, costing readers nothing.  Exercised LIVE both ways: a
+    good candidate (the full rollup) and a deliberately broken rewrite
+    (a filter bug that loses ~90% of rows) are staged; the audit passes
+    exactly one; the returned relation is what readers see after the
+    gate — hash-checked against the oracle to prove the bad candidate
+    never leaked.  The quarantine manifest + verdict are pinned by
+    tests/test_round8_ops.py.
+
+    At 100 TB this is how every table mutation ships (Iceberg WAP /
+    Delta CDF + constraints): the audit is one aggregate over the staged
+    snapshot (metadata-sized here, scan-sized at worst), and publish
+    stays an O(1) manifest rename regardless of data volume."""
+    import json
+
+    run_dir = scratch_dir("wap")
+    data_dir = os.path.join(run_dir, "data")
+    os.makedirs(data_dir)
+
+    orders = load_table(spark, "orders", sf_dir)
+    rollup = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100
+        ).alias("day_revenue"),
+    )
+    baseline_rows = rollup.count()  # the published table's row count
+
+    def stage(name: str, df: DataFrame) -> dict:
+        vdir = os.path.join(data_dir, name)
+        df.write.parquet(vdir)
+        files = sorted(
+            os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        return {"name": name, "files": files}
+
+    def audit(manifest: dict) -> dict:
+        staged = spark.read.parquet(*manifest["files"])
+        checks = staged.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("status").isNull(), 1).otherwise(0)).alias(
+                "null_keys"
+            ),
+            F.sum(F.when(F.col("day_revenue") < 0, 1).otherwise(0)).alias(
+                "neg_revenue"
+            ),
+        ).collect()[0]
+        failures = []
+        if checks["n_rows"] * 10 < baseline_rows * 9:
+            failures.append(f"row_count {checks['n_rows']} < 90% of {baseline_rows}")
+        if checks["null_keys"]:
+            failures.append(f"null group keys: {checks['null_keys']}")
+        if checks["neg_revenue"]:
+            failures.append(f"negative revenue rows: {checks['neg_revenue']}")
+        return {"passed": not failures, "failures": failures}
+
+    def publish_or_quarantine(manifest: dict, verdict: dict) -> None:
+        record = {**manifest, "audit": verdict}
+        kind = "manifest" if verdict["passed"] else "quarantine"
+        staged_path = os.path.join(run_dir, f".{kind}_{manifest['name']}.tmp")
+        with open(staged_path, "w") as fh:
+            json.dump(record, fh)
+        os.replace(
+            staged_path, os.path.join(run_dir, f"{kind}_{manifest['name']}.json")
+        )
+        if verdict["passed"]:
+            cur = os.path.join(run_dir, ".CURRENT.tmp")
+            with open(cur, "w") as fh:
+                json.dump({"current": manifest["name"]}, fh)
+            os.replace(cur, os.path.join(run_dir, "CURRENT.json"))
+
+    good = stage("good", rollup)
+    # the broken rewrite a WAP gate exists to catch: silently loses rows
+    bad = stage("bad", rollup.where(F.col("day_revenue") > 90000))
+    for manifest in (bad, good):  # bad audited first: CURRENT must end good
+        publish_or_quarantine(manifest, audit(manifest))
+
+    import json as _json
+
+    with open(os.path.join(run_dir, "CURRENT.json")) as fh:
+        current = _json.load(fh)["current"]
+    with open(os.path.join(run_dir, f"manifest_{current}.json")) as fh:
+        manifest = _json.load(fh)
+    return spark.read.parquet(*manifest["files"])

@@ -225,7 +225,12 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         "ivm_retract_merge",
                         # r8 branch merge: NULL key/price rows cannot be
                         # versioned and are out of the 3-way diff
-                        "branch_merge_conflicts"]
+                        "branch_merge_conflicts",
+                        # r8 WAP: the NULL-orderdate group must survive the
+                        # stage->audit->publish roundtrip byte-stable (the
+                        # audit gates on NULL STATUS keys and row counts;
+                        # a NULL day is a legitimate group)
+                        "wap_publish_gate"]
 
 
 @pytest.fixture(scope="module")
@@ -419,6 +424,9 @@ _EVENTS_EDGE_QUERIES = [
     # r8 streaming MDM store: the same cluster/survivor policy as the
     # batch twin must hold through the multi-batch partial merge
     "golden_record_stream",
+    # r8 gap sweep: NULL user/ts rows are unsessionizable and drop; the
+    # tied NULL-id row breaks via the 2^62 sentinel on both engines
+    "session_gap_sensitivity",
 ]
 
 

@@ -164,3 +164,48 @@ class TestBenchCoverageContract:
             pytest.skip("pre-r8 BENCH_LOCAL format")
         assert data["unbenched"] == []
         assert data["tail_errors"] == {}
+
+
+class TestWapPublishGate:
+    def test_bad_candidate_quarantined_good_published(self, spark, reg):
+        """The WAP gate's whole point: the broken rewrite must be
+        quarantined with its audit verdict while the good candidate is
+        published — and the published manifest must be the good one."""
+        import glob
+        import json
+
+        df = reg["wap_publish_gate"].builder(spark, SF_DIR)
+        assert df.count() > 0  # forces the stage/audit/publish side effects
+        # the builder's scratch dir is the newest wap* dir
+        from e_commerce_streaming_datapipeline_spark.functions import scratch
+
+        run_dirs = [d for d in scratch._SCRATCH_DIRS
+                    if "e_commerce_streaming_datapipeline_wap" in d]
+        assert run_dirs, "wap scratch dir not registered"
+        run_dir = run_dirs[-1]
+        quarantined = glob.glob(os.path.join(run_dir, "quarantine_*.json"))
+        assert len(quarantined) == 1
+        verdict = json.load(open(quarantined[0]))
+        assert verdict["name"] == "bad"
+        assert not verdict["audit"]["passed"]
+        assert any("row_count" in f for f in verdict["audit"]["failures"])
+        current = json.load(open(os.path.join(run_dir, "CURRENT.json")))
+        assert current["current"] == "good"
+
+
+class TestSessionGapSensitivity:
+    def test_monotone_in_gap(self, spark, reg):
+        """A larger inactivity gap can only MERGE sessions: n_sessions must
+        be non-increasing in the gap, bounded below by n_users' sessions
+        and above by n_events; mean session length non-decreasing."""
+        rows = sorted(
+            reg["session_gap_sensitivity"].builder(spark, SF_DIR).collect(),
+            key=lambda r: r["gap_minutes"],
+        )
+        assert [r["gap_minutes"] for r in rows] == [10, 30, 60]
+        sessions = [r["n_sessions"] for r in rows]
+        assert sessions == sorted(sessions, reverse=True)
+        lengths = [r["events_per_session_x100"] for r in rows]
+        assert lengths == sorted(lengths)
+        for r in rows:
+            assert 1 <= r["n_sessions"] <= r["n_events"]
