@@ -116,6 +116,21 @@ QUERIES = [
     "index_delta_merge",         # term-keyed stats merge (vocab-sized)
     "index_tombstone_merge",     # per-term subtraction merge (vocab-sized)
     "telemetry_double_fire_audit",  # 3x-explode bucketed interval self-join
+    # round-8 operators
+    "symspell_typo_linkage",     # x9 variant explode + equi-join (dims NOT
+                                 # replicated: customer is a dim, so this
+                                 # measures fixed-size overhead)
+    "golden_record_survivorship",  # one cluster-key shuffle (agg + top-1)
+    "golden_record_stream",      # per-batch partials + store merge
+    "revenue_acf",               # 1 fact scan -> day-sized lag joins
+    "decision_stump_train",      # 1 fact scan -> NDV-grid window
+    "encoding_advisor",          # 3x stack -> (col, day) window + 2 aggs
+    "hour_value_heatmap",        # 1 scan -> bounded 24x12 grid
+    "ivm_retract_merge",         # 3 rollups of base/retract/reinsert
+    "branch_merge_conflicts",    # single-scan 3-way diff grid
+    "group_kfold_assignment",    # fold-grain agg + user-grain audit
+    "wap_publish_gate",          # stage/audit/publish file lifecycle
+    "session_gap_sensitivity",   # one lag pass + conditional counters
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

