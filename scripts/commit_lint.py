@@ -37,9 +37,13 @@ _DANGLING = re.compile(
     re.IGNORECASE,
 )
 _TRAILER = re.compile(r"^[A-Za-z-]+: ")
+# Only REGISTRY-context claims count: "registry 343 -> 355", "registry 355",
+# or "NNN registered (oracle-checked) queries".  A bare "NNN queries" is NOT
+# a claim (e.g. "tail 188 s across 173 queries" describes a bench subset —
+# the first false positive this regex produced, r8).
 _COUNT_CLAIM = re.compile(
     r"(?:registry\s+(?:\d+\s*->\s*)?(\d{2,4})\b"
-    r"|\b(\d{2,4})\s+(?:queries|registered queries|registered oracle-checked queries))",
+    r"|\b(\d{2,4})\s+registered(?:\s+oracle-checked)?\s+queries)",
     re.IGNORECASE,
 )
 

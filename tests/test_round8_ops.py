@@ -129,6 +129,9 @@ class TestCommitLint:
         m = _COUNT_CLAIM.search("now 349 registered queries total")
         assert m and int(m.group(1) or m.group(2)) == 349
         assert not _COUNT_CLAIM.search("no counts here")
+        # a bare "N queries" is a subset description, not a registry claim
+        # (the r8 false positive: "tail 188 s across 173 queries")
+        assert not _COUNT_CLAIM.search("registry tail 188 s across 173 queries")
 
     def test_clean_history_passes(self):
         """Truncation findings only: the registry-count check is excluded
