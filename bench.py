@@ -252,6 +252,9 @@ EXTENDED_R8 = [
     "golden_record_stream",        # streaming MDM store (partial merge)
     "wap_publish_gate",            # write-audit-publish gate, live both ways
     "session_gap_sensitivity",     # sessionization tuning curve, one pass
+    "kaplan_meier_conversion",     # right-censored KM curve, integer chain
+    "supplier_link_prediction",    # neighborhood-Jaccard wedge join top-k
+    "dsar_access_export",          # broadcast request set + user bundles
 ]
 
 

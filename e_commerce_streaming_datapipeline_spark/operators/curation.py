@@ -2353,3 +2353,93 @@ def q_group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# DSAR access export: the GDPR right-of-access bundle per requesting user
+# --------------------------------------------------------------------------
+
+_DSAR_REQUESTS = 10
+
+
+@query(
+    "dsar_access_export",
+    oracle=f"""
+WITH requests AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ORDER BY user_id LIMIT {_DSAR_REQUESTS}
+)
+SELECT
+    e.user_id,
+    CAST(count(*) AS BIGINT)                          AS n_events,
+    min(e.ts)                                         AS first_ts,
+    max(e.ts)                                         AS last_ts,
+    CAST(count_if(e.event_type = 'view') AS BIGINT)     AS n_views,
+    CAST(count_if(e.event_type = 'click') AS BIGINT)    AS n_clicks,
+    CAST(count_if(e.event_type = 'purchase') AS BIGINT) AS n_purchases,
+    CAST(sum(CASE WHEN e.event_type = 'purchase'
+             THEN CAST(round(coalesce(e.value, 0.0) * 100) AS BIGINT)
+             ELSE 0 END) AS DOUBLE) / 100             AS total_purchase_value,
+    CAST(count_if(e.props IS NOT NULL) AS BIGINT)       AS n_with_payload
+FROM events e JOIN requests r USING (user_id)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_dsar_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSAR ACCESS export — `user_erasure`'s read-side sibling completing
+    the GDPR pair: for each requesting data subject (a deterministic
+    {_DSAR_REQUESTS}-user request set — in production the requests table),
+    ONE summary row of everything the platform holds: event volume,
+    first/last activity, the per-category breakdown, exact purchase
+    totals, and how many records carry a payload.  This is the bundle a
+    privacy officer ships for an Article-15 request, derived with one
+    pass rather than ad-hoc per-user queries.
+
+    Plan shape: the request set is tiny and BROADCAST into a semi-style
+    inner join, so the fact scan prunes to requested users map-side
+    (at 100 TB with a user-bucketed layout this is a metadata-pruned
+    read, not a scan); one hash aggregate at user grain produces the
+    bundles.  Cents discipline on the money column; NULL-user rows
+    belong to no data subject and are excluded on both engines."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull()
+    )
+    requests = (
+        events.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(_DSAR_REQUESTS)
+    )
+    return (
+        events.join(F.broadcast(requests), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                        .cast("long"),
+                    ).otherwise(0)
+                ).cast("double")
+                / 100
+            ).alias("total_purchase_value"),
+            F.sum(F.when(F.col("props").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_payload"),
+        )
+        .orderBy("user_id")
+    )

@@ -565,3 +565,100 @@ def star_component_labels(
     finally:
         if edges is first:  # converged in round 0 exit paths / errors
             first.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Link prediction: neighborhood Jaccard over the supplier co-part graph
+# --------------------------------------------------------------------------
+
+_LINK_PRED_K = 20
+
+
+@query(
+    "supplier_link_prediction",
+    oracle=f"""
+WITH inc AS (
+    SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+    FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+), deg AS (
+    SELECT s, count(*) AS degree FROM inc GROUP BY 1
+), common AS (
+    SELECT a.s AS s_a, b.s AS s_b, count(*) AS common_parts
+    FROM inc a JOIN inc b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+), scored AS (
+    SELECT c.s_a, c.s_b,
+           CAST(c.common_parts AS BIGINT) AS common_parts,
+           CAST(da.degree AS BIGINT)      AS deg_a,
+           CAST(db.degree AS BIGINT)      AS deg_b,
+           CAST(c.common_parts * 1000000
+                // (da.degree + db.degree - c.common_parts) AS BIGINT)
+               AS jaccard_x1e6
+    FROM common c
+    JOIN deg da ON da.s = c.s_a
+    JOIN deg db ON db.s = c.s_b
+)
+SELECT * FROM scored
+ORDER BY jaccard_x1e6 DESC, s_a, s_b
+LIMIT {_LINK_PRED_K}
+""",
+)
+def q_supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the supplier co-part graph: the
+    top-{_LINK_PRED_K} supplier pairs by neighborhood Jaccard (shared
+    parts over the union of part sets) — the classic common-neighbors
+    recommender ("suppliers likely to stock each other's catalog next",
+    and the blocking score entity-resolution pipelines use to merge
+    vendor records).  Where `supplier_triangles` summarizes the graph's
+    closure into one number, this ranks the OPEN wedges most likely to
+    close.
+
+    Plan shape: the pair expansion is the same degree-bounded wedge join
+    as the triangle census — incidence self-joined on the PART key, so
+    blow-up per part is (suppliers-per-part choose 2), never all supplier
+    pairs; degrees join back on the supplier key (dim-sized broadcast);
+    the final ranking is TakeOrdered on the QUANTIZED integer score
+    (exact scaled division — no float ties for engines to break
+    differently).  At 100 TB hot parts get the same df-cap treatment as
+    hot shingles in the dedup family (documented, not silently applied).
+
+    NULL supplier/part keys cannot form graph edges and drop on both
+    engines (lineitem-edge pin)."""
+    inc = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = inc.groupBy("s").agg(F.count("*").alias("degree"))
+    a = inc.select(F.col("s").alias("s_a"), "p")
+    b = inc.select(F.col("s").alias("s_b"), "p")
+    common = (
+        a.join(b, "p")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count("*").alias("common_parts"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(deg.select(F.col("s").alias("s_a"), F.col("degree").alias("deg_a"))),
+            "s_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("s").alias("s_b"), F.col("degree").alias("deg_b"))),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            F.col("common_parts").cast("long").alias("common_parts"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr(
+                "(common_parts * 1000000) div (deg_a + deg_b - common_parts)"
+            ).alias("jaccard_x1e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_x1e6").desc(), "s_a", "s_b"
+    ).limit(_LINK_PRED_K)

@@ -5083,3 +5083,152 @@ def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier conversion survival (right-censored time-to-event)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_conversion",
+    oracle="""
+WITH base AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END)  AS fv,
+           max(ts)                                          AS le
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+), pop AS (
+    SELECT * FROM base WHERE fv IS NOT NULL
+), conv AS (
+    SELECT e.user_id, min(e.ts) AS fp
+    FROM events e JOIN pop p USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= p.fv
+    GROUP BY 1
+), subjects AS (
+    SELECT p.user_id,
+           CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS event,
+           datediff('day', p.fv, coalesce(c.fp, p.le)) AS dur
+    FROM pop p LEFT JOIN conv c USING (user_id)
+), grain AS (
+    SELECT dur AS day, CAST(sum(event) AS BIGINT) AS d,
+           CAST(count(*) - sum(event) AS BIGINT) AS c
+    FROM subjects GROUP BY 1
+), risked AS (
+    SELECT day, d, c,
+           CAST((SELECT count(*) FROM subjects)
+                - coalesce(sum(d + c) OVER (
+                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+    FROM grain
+), steps AS (
+    SELECT day, n_risk, d, c,
+           CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
+    FROM risked WHERE d > 0
+), packed AS (
+    -- each KM step encoded as one BIGINT (n_risk * 1e6 + d): list_reduce
+    -- folds scalars, so the pair rides in fixed decimal fields
+    SELECT list(n_risk * 1000000 + d ORDER BY day) AS ks FROM steps
+)
+SELECT
+    CAST(s.day AS INT)  AS day,
+    s.n_risk            AS n_risk,
+    s.d                 AS n_events,
+    s.c                 AS n_censored,
+    list_reduce(
+        list_prepend(CAST(1000000 AS BIGINT), p.ks[1:s.rn]),
+        (acc, e) -> acc * ((e // 1000000) - (e % 1000000)) // (e // 1000000)
+    ) AS survival_x1e6
+FROM steps s, packed p
+ORDER BY 1
+""",
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit estimator of the view→purchase
+    conversion curve — the right answer to "how long until users convert"
+    when most users HAVEN'T (yet): users without a purchase are
+    right-CENSORED at their last observed activity instead of being
+    dropped (which biases fast) or counted as never (which biases slow).
+    Per event day: the at-risk count, conversions, same-day censorings,
+    and the survival estimate S(t) = Π_{t_i <= t} (1 − d_i/n_i).
+
+    Exactness: the product-limit chain is EXACT INTEGER arithmetic — the
+    survival runs in 1e6-scaled units with floor division at each step
+    (surv ← surv·(n−d) div n), a defined quantized estimator whose fold
+    order is pinned by the sorted step array, so no float and no libm
+    appears anywhere (the same discipline that keeps PMI log-free).  Each
+    (n, d) step rides the fold as one BIGINT (n·1e6 + d) because both
+    engines' fold primitives (`aggregate` HOF / `list_reduce`) reduce
+    scalars.
+
+    Scale shape: two user-keyed shuffles build the subject table (first
+    view + censor time, then first qualifying purchase), the day-grain
+    relation is horizon-BOUNDED (≤ observation days), and the KM chain
+    runs on that bounded relation (global window + per-row bounded fold —
+    `bounded_global_window` class, like the daily-spine family).  At
+    100 TB the subjects aggregation is the only corpus-scale work."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.max("ts").alias("le"),
+    )
+    pop = base.where(F.col("fv").isNotNull())
+    conv = (
+        events.where(F.col("event_type") == "purchase")
+        .join(pop.select("user_id", "fv"), "user_id")
+        .where(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    subjects = pop.join(conv, "user_id", "left").select(
+        F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("event"),
+        F.datediff(
+            F.coalesce(F.col("fp"), F.col("le")).cast("date"),
+            F.col("fv").cast("date"),
+        ).alias("dur"),
+    )
+    grain = subjects.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("event").cast("long").alias("d"),
+        (F.count("*") - F.sum("event")).cast("long").alias("c"),
+    )
+    total = subjects.agg(F.count("*").alias("__n_subjects"))
+    prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risked = scalar_join(grain, total).select(
+        "day",
+        "d",
+        "c",
+        (
+            F.col("__n_subjects")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = (
+        risked.where(F.col("d") > 0)
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")).cast("int"))
+        .withColumn("__ks_elem", F.col("n_risk") * 1000000 + F.col("d"))
+    )
+    packed = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("day"), F.col("__ks_elem")))
+        ).alias("__arr")
+    ).select(F.expr("transform(__arr, x -> x.__ks_elem)").alias("__ks"))
+    return (
+        scalar_join(steps, packed)
+        .select(
+            F.col("day").cast("int").alias("day"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.expr(
+                "aggregate(slice(__ks, 1, rn), CAST(1000000 AS BIGINT), "
+                "(acc, e) -> acc * ((e div 1000000) - (e % 1000000)) "
+                "div (e div 1000000))"
+            ).alias("survival_x1e6"),
+        )
+        .orderBy("day")
+    )

@@ -131,6 +131,9 @@ QUERIES = [
     "group_kfold_assignment",    # fold-grain agg + user-grain audit
     "wap_publish_gate",          # stage/audit/publish file lifecycle
     "session_gap_sensitivity",   # one lag pass + conditional counters
+    "kaplan_meier_conversion",   # 2 user shuffles -> day-grain KM chain
+    "supplier_link_prediction",  # part-keyed wedge join + TakeOrdered
+    "dsar_access_export",        # broadcast request set + user-grain agg
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

@@ -465,6 +465,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark, sf_dir):
         "approx_topk_event_types",   # exploded approx_top_k sketch: <= 5 rows
         "auc_quality_langid",        # 2dp score grid: <= ~10^4 distinct scores
         "decision_stump_train",      # split tallies over the n_chars NDV grid
+        "kaplan_meier_conversion",   # KM chain over the day-grain (horizon-
+                                     # bounded) step relation
         "bootstrap_revenue_ci",      # 200 bootstrap replicate means
         "calibration_bins",          # 10 reliability bins
         "chi2_independence",         # lang x source contingency grid

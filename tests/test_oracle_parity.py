@@ -427,6 +427,12 @@ _EVENTS_EDGE_QUERIES = [
     # r8 gap sweep: NULL user/ts rows are unsessionizable and drop; the
     # tied NULL-id row breaks via the 2^62 sentinel on both engines
     "session_gap_sensitivity",
+    # r8 KM: NULL user/ts rows are out of the population; a NULL-value
+    # purchase still converts (the event is the purchase, not its amount)
+    "kaplan_meier_conversion",
+    # r8 DSAR: NULL users belong to no data subject on both engines;
+    # NULL values/props count into the bundle's tallies identically
+    "dsar_access_export",
 ]
 
 
@@ -523,6 +529,8 @@ _LINEITEM_EDGE_QUERIES = [
     # r8 record linkage: NULL c_name/c_custkey rows produce NULL dirty
     # strings and variants, which the equi-join drops on both engines
     "symspell_typo_linkage",
+    # r8 link prediction: NULL supp/part keys form no incidence edge
+    "supplier_link_prediction",
 ]
 
 

@@ -220,3 +220,40 @@ class TestSessionGapSensitivity:
         assert lengths == sorted(lengths)
         for r in rows:
             assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+class TestKaplanMeier:
+    def test_km_invariants(self, spark, reg):
+        """Survival starts <= 1, is strictly non-increasing over event
+        days, n_risk is non-increasing, and every step has >= 1 event."""
+        rows = sorted(reg["kaplan_meier_conversion"].builder(spark, SF_DIR).collect(),
+                      key=lambda r: r["day"])
+        assert rows
+        surv = [r["survival_x1e6"] for r in rows]
+        assert all(0 <= s <= 1_000_000 for s in surv)
+        assert surv == sorted(surv, reverse=True)
+        risks = [r["n_risk"] for r in rows]
+        assert risks == sorted(risks, reverse=True)
+        assert all(r["n_events"] >= 1 for r in rows)
+
+
+class TestLinkPrediction:
+    def test_jaccard_bounds_and_ordering(self, spark, reg):
+        rows = reg["supplier_link_prediction"].builder(spark, SF_DIR).collect()
+        assert 1 <= len(rows) <= 20
+        for r in rows:
+            assert r["s_a"] < r["s_b"]
+            assert 1 <= r["common_parts"] <= min(r["deg_a"], r["deg_b"])
+            assert 0 < r["jaccard_x1e6"] <= 1_000_000
+        js = [r["jaccard_x1e6"] for r in rows]
+        assert js == sorted(js, reverse=True)
+
+
+class TestDsarExport:
+    def test_bundle_tallies(self, spark, reg):
+        rows = reg["dsar_access_export"].builder(spark, SF_DIR).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["n_views"] + r["n_clicks"] + r["n_purchases"] <= r["n_events"]
+            assert r["first_ts"] <= r["last_ts"]
+            assert r["n_with_payload"] <= r["n_events"]
