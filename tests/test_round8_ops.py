@@ -257,3 +257,29 @@ class TestDsarExport:
             assert r["n_views"] + r["n_clicks"] + r["n_purchases"] <= r["n_events"]
             assert r["first_ts"] <= r["last_ts"]
             assert r["n_with_payload"] <= r["n_events"]
+
+
+class TestNanGates:
+    """r7 ADVICE #4: the pandas canonicalizer conflates genuine NaN with
+    SQL NULL, so the compare (a) hashes NaN as NULL on both sides —
+    driver-faithful — and (b) FAILS any query that emits a genuine NaN at
+    all.  Pin both halves so the gates stay armed."""
+
+    def test_norm_cell_conflates_nan_with_null(self):
+        from tests.oracle_compare import _norm_cell
+
+        assert _norm_cell(float("nan")) == _norm_cell(None) == "␀"
+
+    def test_genuine_oracle_nan_detected_vs_null(self):
+        import duckdb
+
+        from tests.oracle_compare import _genuine_oracle_nans, _oracle_df_rows
+
+        con = duckdb.connect()
+        sql = ("SELECT CAST('nan' AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b, "
+               "1.5 AS c")
+        cols, rows, dtypes, has_null = _oracle_df_rows(con, sql)
+        # through .df() both a and b look like NULL...
+        assert rows[0][0] is None and rows[0][1] is None
+        # ...but the fetchall re-read distinguishes the genuine NaN
+        assert _genuine_oracle_nans(con, sql, ["a", "b", "c"]) == ["a"]
