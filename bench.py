@@ -255,6 +255,13 @@ EXTENDED_R8 = [
     "kaplan_meier_conversion",     # right-censored KM curve, integer chain
     "supplier_link_prediction",    # neighborhood-Jaccard wedge join top-k
     "dsar_access_export",          # broadcast request set + user bundles
+    "purged_timeseries_folds",     # embargoed walk-forward CV splits
+    "sorted_neighborhood_pairs",   # SNM blocking + recall vs interval join
+    "stratified_uplift_ipw",       # subclassification treatment effect
+    "label_propagation_communities",  # 3-round synchronous LPA, unrolled
+    "rake_keyphrases",             # degree/freq keyphrase extraction
+    "supplier_pareto_frontier",    # per-nation skyline, one window pass
+    "stream_state_size_advisor",   # watermark-delay state capacity grid
 ]
 
 

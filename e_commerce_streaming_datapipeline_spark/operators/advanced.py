@@ -765,3 +765,116 @@ def q_conversion_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_s")
     )
+
+
+# -- skyline / Pareto-frontier preference query ------------------------------
+
+
+@query(
+    "supplier_pareto_frontier",
+    oracle="""
+WITH m AS (
+    SELECT
+        s.s_nationkey AS nationkey,
+        s.s_suppkey   AS suppkey,
+        CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents,
+        CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS volume
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal IS NOT NULL AND l.l_quantity IS NOT NULL
+    GROUP BY 1, 2, 3
+), flagged AS (
+    SELECT *,
+        max(bal_cents) OVER (
+            PARTITION BY nationkey ORDER BY volume DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS best_bal_higher_vol,
+        max(bal_cents) OVER (PARTITION BY nationkey, volume)
+            AS best_bal_same_vol
+    FROM m
+)
+SELECT
+    CAST(nationkey AS INT)  AS nationkey,
+    CAST(suppkey AS BIGINT) AS suppkey,
+    volume,
+    CAST(bal_cents AS DOUBLE) / 100 AS acctbal,
+    CAST(rank() OVER (PARTITION BY nationkey ORDER BY volume DESC, suppkey)
+         AS INT) AS frontier_rank
+FROM flagged
+WHERE coalesce(best_bal_higher_vol, -9223372036854775808) < bal_cents
+  AND best_bal_same_vol <= bal_cents
+ORDER BY nationkey, frontier_rank
+""",
+)
+def q_supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) preference query (Börzsönyi et al., ICDE
+    2001, public) — a NEW query family: per nation, the suppliers not
+    DOMINATED on the (shipped volume, account balance) plane, i.e. no
+    same-nation supplier is >= on both metrics and > on one.  This is the
+    multi-criteria shortlist a sourcing team actually wants ("most volume
+    for the balance sheet"), unanswerable by any single ORDER BY.
+
+    Plan shape: one fact scan → supplier-grain hash aggregate for volume
+    (the only data-proportional shuffle), then the classic one-pass
+    skyline: within each nation ordered by volume DESC, a supplier is on
+    the frontier iff its balance strictly beats the best balance among
+    STRICTLY-higher-volume peers (a RANGE frame ending 1 PRECEDING on the
+    integer volume — value-based, so volume ties are excluded from their
+    own comparison) and is not beaten within its volume tie group.  Both
+    windows are PARTITIONED BY nation — parallel, never a global window.
+    All metrics are exact integers (cents, rounded quantity units); the
+    NULL-balance/quantity rows are excluded explicitly on both engines.
+    Dominance uses (>=, >) semantics: exact metric ties are co-frontier."""
+    m = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal").isNotNull())
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        .join(
+            load_table(spark, "lineitem", sf_dir)
+            .where(F.col("l_quantity").isNotNull())
+            .select(
+                F.col("l_suppkey").alias("suppkey"),
+                F.round("l_quantity").cast("long").alias("qty"),
+            ),
+            "suppkey",
+        )
+        .groupBy("nationkey", "suppkey", "bal_cents")
+        .agg(F.sum("qty").cast("long").alias("volume"))
+    )
+    higher_vol = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.col("volume").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_vol = Window.partitionBy("nationkey", "volume")
+    frontier_rank = Window.partitionBy("nationkey").orderBy(
+        F.col("volume").desc(), F.col("suppkey").asc()
+    )
+    flagged = m.select(
+        "*",
+        F.max("bal_cents").over(higher_vol).alias("best_bal_higher_vol"),
+        F.max("bal_cents").over(same_vol).alias("best_bal_same_vol"),
+    )
+    return (
+        flagged.where(
+            (
+                F.coalesce(
+                    F.col("best_bal_higher_vol"),
+                    F.lit(-(2**63)).cast("long"),
+                )
+                < F.col("bal_cents")
+            )
+            & (F.col("best_bal_same_vol") <= F.col("bal_cents"))
+        )
+        .select(
+            F.col("nationkey").cast("int").alias("nationkey"),
+            F.col("suppkey").cast("long").alias("suppkey"),
+            "volume",
+            (F.col("bal_cents").cast("double") / 100).alias("acctbal"),
+            F.rank().over(frontier_rank).cast("int").alias("frontier_rank"),
+        )
+        .orderBy("nationkey", "frontier_rank")
+    )

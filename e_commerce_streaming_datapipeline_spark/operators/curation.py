@@ -2443,3 +2443,219 @@ def q_dsar_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Purged time-series cross-validation folds (embargoed walk-forward splits)
+# --------------------------------------------------------------------------
+
+_PURGE_K = 5       # contiguous time folds
+_PURGE_EMBARGO = 3  # days removed from training on EACH side of a test span
+
+
+@query(
+    "purged_timeseries_folds",
+    oracle=f"""
+WITH days AS (
+    SELECT
+        datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+            AS day_num,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS rev_cents
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1
+),
+bounds AS (
+    SELECT min(day_num) AS lo, max(day_num) - min(day_num) + 1 AS span
+    FROM days
+),
+tagged AS (
+    SELECT d.*, CAST(((d.day_num - b.lo) * {_PURGE_K}) // b.span AS BIGINT)
+        AS fold
+    FROM days d, bounds b
+),
+spans AS (
+    SELECT fold, min(day_num) AS test_lo, max(day_num) AS test_hi
+    FROM tagged GROUP BY fold
+),
+classified AS (
+    SELECT
+        s.fold,
+        s.test_lo,
+        s.test_hi,
+        d.day_num,
+        d.n_events,
+        d.rev_cents,
+        CASE
+            WHEN d.day_num BETWEEN s.test_lo AND s.test_hi THEN 'test'
+            WHEN d.day_num BETWEEN s.test_lo - {_PURGE_EMBARGO}
+                               AND s.test_hi + {_PURGE_EMBARGO} THEN 'embargo'
+            ELSE 'train'
+        END AS role,
+        CASE WHEN d.day_num < s.test_lo THEN s.test_lo - d.day_num
+             ELSE d.day_num - s.test_hi END AS gap
+    FROM spans s JOIN days d ON TRUE
+)
+SELECT
+    CAST(fold AS BIGINT)                                  AS fold,
+    CAST(min(test_lo) AS BIGINT)                          AS test_lo_day,
+    CAST(min(test_hi) AS BIGINT)                          AS test_hi_day,
+    CAST(count_if(role = 'test') AS BIGINT)               AS n_test_days,
+    CAST(count_if(role = 'embargo') AS BIGINT)            AS n_embargo_days,
+    CAST(count_if(role = 'train') AS BIGINT)              AS n_train_days,
+    CAST(sum(CASE WHEN role = 'test' THEN n_events ELSE 0 END)
+         AS BIGINT)                                       AS n_test_events,
+    CAST(sum(CASE WHEN role = 'train' THEN n_events ELSE 0 END)
+         AS BIGINT)                                       AS n_train_events,
+    CAST(sum(CASE WHEN role = 'test' THEN rev_cents ELSE 0 END)
+         AS DOUBLE) / 100                                 AS test_revenue,
+    CAST(sum(CASE WHEN role = 'train' THEN rev_cents ELSE 0 END)
+         AS DOUBLE) / 100                                 AS train_revenue,
+    CAST(min(CASE WHEN role = 'train' THEN gap END) AS BIGINT)
+                                                          AS min_train_gap_days
+FROM classified
+GROUP BY fold
+ORDER BY fold
+""",
+)
+def q_purged_timeseries_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold time-series cross-validation with an embargo (the
+    financial-ML walk-forward discipline, e.g. Lopez de Prado's purged
+    k-fold, public): the event history is cut into {_PURGE_K} contiguous
+    test spans by day; for each fold, training days within
+    {_PURGE_EMBARGO} days of the test span on EITHER side are embargoed so
+    serially-correlated labels (multi-day conversion windows, rolling
+    features) cannot leak across the cut.  Completes the leakage-safety
+    family: `leakage_safe_labels` is one temporal cut, `group_kfold_assignment`
+    keys folds by entity — this one makes REPEATED temporal evaluation safe.
+    The audit is in the result: `min_train_gap_days` is the smallest
+    distance from any train day to the fold's test span and must exceed
+    the embargo (pinned in tests; > {_PURGE_EMBARGO} by construction).
+
+    Plan shape: ONE fact scan → day-grain hash aggregate (the only
+    data-proportional shuffle; day relation is calendar-bounded, ~3.7k rows
+    per decade regardless of data size); fold bounds attach via
+    `scalar_join` (broadcast 1-row min/span); the day×fold classification
+    is a bounded ×{_PURGE_K} explode of the calendar-bounded day relation
+    followed by a broadcast HASH equi-join on fold (never a nested loop,
+    never a blow-up of the fact table).  All arithmetic is exact integer
+    day/cent math; fold assignment `(day - lo) * K div span` uses integer
+    division on both engines (Spark `div` ≡ DuckDB `//` — a double
+    division + CAST would round on DuckDB but truncate on Spark)."""
+    days = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull())
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("day_num")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                    .cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    bounds = days.agg(
+        F.min("day_num").alias("lo"),
+        (F.max("day_num") - F.min("day_num") + 1).alias("span"),
+    )
+    tagged = scalar_join(days, bounds).withColumn(
+        "fold",
+        F.expr(f"(day_num - lo) * {_PURGE_K} div span").cast("long"),
+    )
+    spans = tagged.groupBy("fold").agg(
+        F.min("day_num").alias("test_lo"), F.max("day_num").alias("test_hi")
+    )
+    fold_grid = days.withColumn(
+        "fold",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(_PURGE_K)])),
+    )
+    classified = fold_grid.join(F.broadcast(spans), "fold").select(
+        "fold",
+        "test_lo",
+        "test_hi",
+        "day_num",
+        "n_events",
+        "rev_cents",
+        F.when(
+            F.col("day_num").between(F.col("test_lo"), F.col("test_hi")),
+            "test",
+        )
+        .when(
+            F.col("day_num").between(
+                F.col("test_lo") - _PURGE_EMBARGO,
+                F.col("test_hi") + _PURGE_EMBARGO,
+            ),
+            "embargo",
+        )
+        .otherwise("train")
+        .alias("role"),
+        F.when(
+            F.col("day_num") < F.col("test_lo"),
+            F.col("test_lo") - F.col("day_num"),
+        )
+        .otherwise(F.col("day_num") - F.col("test_hi"))
+        .alias("gap"),
+    )
+    return (
+        classified.groupBy("fold")
+        .agg(
+            F.min("test_lo").cast("long").alias("test_lo_day"),
+            F.min("test_hi").cast("long").alias("test_hi_day"),
+            F.sum(F.when(F.col("role") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test_days"),
+            F.sum(F.when(F.col("role") == "embargo", 1).otherwise(0))
+            .cast("long")
+            .alias("n_embargo_days"),
+            F.sum(F.when(F.col("role") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train_days"),
+            F.sum(F.when(F.col("role") == "test", F.col("n_events")).otherwise(0))
+            .cast("long")
+            .alias("n_test_events"),
+            F.sum(
+                F.when(F.col("role") == "train", F.col("n_events")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_train_events"),
+            (
+                F.sum(
+                    F.when(F.col("role") == "test", F.col("rev_cents")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / 100
+            ).alias("test_revenue"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("role") == "train", F.col("rev_cents")
+                    ).otherwise(0)
+                ).cast("double")
+                / 100
+            ).alias("train_revenue"),
+            F.min(F.when(F.col("role") == "train", F.col("gap")))
+            .cast("long")
+            .alias("min_train_gap_days"),
+        )
+        .withColumn("fold", F.col("fold").cast("long"))
+        .select(
+            "fold", "test_lo_day", "test_hi_day", "n_test_days",
+            "n_embargo_days", "n_train_days", "n_test_events",
+            "n_train_events", "test_revenue", "train_revenue",
+            "min_train_gap_days",
+        )
+        .orderBy("fold")
+    )

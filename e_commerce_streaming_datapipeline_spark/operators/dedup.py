@@ -2010,3 +2010,215 @@ def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "hour_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (SNM) — the sort-based candidate generator
+# --------------------------------------------------------------------------
+
+_SNM_WINDOW = 5             # sliding window size over the sorted order (w)
+_SNM_BURST_US = 300_000_000  # ground truth: same user within 5 minutes
+_SNM_KEY_US = 60_000_000     # sort-key time granularity: whole minutes
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+           epoch_us(ts) // {_SNM_KEY_US} AS minute
+    FROM events
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL AND ts IS NOT NULL
+), r AS (
+    SELECT *, row_number() OVER (
+        ORDER BY minute, user_id, us, event_id) AS rn
+    FROM e
+), cand AS (
+    SELECT least(a.event_type, b.event_type)    AS type_a,
+           greatest(a.event_type, b.event_type) AS type_b,
+           CASE WHEN a.user_id = b.user_id
+                 AND abs(a.us - b.us) <= {_SNM_BURST_US}
+                THEN 1 ELSE 0 END AS found
+    FROM r a JOIN r b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_SNM_WINDOW - 1}
+), cand_counts AS (
+    SELECT type_a, type_b,
+           count(*) AS n_candidates, sum(found) AS n_found
+    FROM cand GROUP BY 1, 2
+), truth_counts AS (
+    SELECT least(a.event_type, b.event_type)    AS type_a,
+           greatest(a.event_type, b.event_type) AS type_b,
+           count(*) AS n_truth
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(a.us - b.us) <= {_SNM_BURST_US}
+    GROUP BY 1, 2
+)
+SELECT
+    coalesce(c.type_a, t.type_a)                      AS type_a,
+    coalesce(c.type_b, t.type_b)                      AS type_b,
+    CAST(coalesce(c.n_candidates, 0) AS BIGINT)       AS n_candidates,
+    CAST(coalesce(t.n_truth, 0) AS BIGINT)            AS n_truth_pairs,
+    CAST(coalesce(c.n_found, 0) AS BIGINT)            AS n_found_pairs,
+    CAST(CASE WHEN coalesce(t.n_truth, 0) > 0
+         THEN coalesce(c.n_found, 0) * 10000 // t.n_truth END AS BIGINT)
+                                                      AS recall_bp
+FROM cand_counts c
+FULL OUTER JOIN truth_counts t USING (type_a, type_b)
+ORDER BY 1, 2
+""",
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo's merge/purge
+    method, public) — the THIRD candidate-generation strategy in the
+    record-linkage family, next to the bucketized interval join
+    (`telemetry_double_fire_audit`) and the deletion-neighborhood hash
+    (`symspell_typo_linkage`): sort everything ONCE on a composite
+    blocking key (minute, user), slide a w={_SNM_WINDOW} window over the
+    sorted order, and compare only rows that share a window — O(n·w)
+    comparisons instead of O(n²).  Ground truth is the session-burst
+    relation (same user within {_SNM_BURST_US // 60_000_000} minutes —
+    what sessionization stitches); the per-type-pair `recall_bp`
+    quantifies SNM's textbook weakness: a true pair straddling a MINUTE
+    boundary in the sort key sorts far apart (every other user's events
+    in between), so the recall curve is exactly the number a linkage
+    pipeline reads to choose window size w and key granularity.
+
+    Plan shape: the global sort order comes from the two-phase
+    distributed rank (`functions/ranks.py` — range-repartition + local
+    rank + bounded offsets; no single-partition window over event-scale
+    data); window pairs join on rank-bucket equi-keys with the build side
+    exploding two bucket offsets (blow-up exactly 2, hash join, never a
+    nested loop, each pair matches under exactly one offset); the
+    ground-truth leg is the double-fire-style bucketized interval join
+    (three bucket offsets, dropDuplicates collapses the double-counted).
+    All time math is exact integer microseconds; recall is integer basis
+    points (`div`), NULL where a type pair has no true pairs."""
+    from e_commerce_streaming_datapipeline_spark.functions.ranks import (
+        global_row_number,
+    )
+
+    w = _SNM_WINDOW
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.expr(f"unix_micros(ts) div {_SNM_KEY_US}").alias("minute"),
+        )
+    )
+    ranked = global_row_number(
+        e,
+        [
+            F.col("minute").asc_nulls_last(),
+            F.col("user_id").asc_nulls_last(),
+            F.col("us").asc_nulls_last(),
+            F.col("event_id").asc_nulls_last(),
+        ],
+        rank_col="rn",
+    ).withColumn("bkt", F.expr(f"(rn - 1) div {w}"))
+    a = ranked.select(
+        F.col("event_type").alias("t_a"),
+        F.col("user_id").alias("u_a"),
+        F.col("us").alias("us_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("bkt").alias("jbkt"),
+    )
+    # a pair at rank distance <= w-1 lands in the same or the previous
+    # rank bucket of the right row, so the build side probes both: blow-up
+    # exactly 2, and each pair matches under exactly one offset
+    b = ranked.select(
+        F.col("event_type").alias("t_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("us").alias("us_b"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("jbkt"),
+    )
+    cand_counts = (
+        a.join(b, "jbkt")
+        .where(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + (w - 1))
+        )
+        .select(
+            F.least("t_a", "t_b").alias("type_a"),
+            F.greatest("t_a", "t_b").alias("type_b"),
+            F.when(
+                (F.col("u_a") == F.col("u_b"))
+                & (F.abs(F.col("us_a") - F.col("us_b")) <= _SNM_BURST_US),
+                1,
+            )
+            .otherwise(0)
+            .alias("found"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("found").alias("n_found"),
+        )
+    )
+    ta = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("et_a"),
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+        F.expr(f"us div {_SNM_BURST_US}").alias("tbkt"),
+    )
+    tb = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("et_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+        F.explode(
+            F.array(
+                F.expr(f"us div {_SNM_BURST_US}"),
+                F.expr(f"us div {_SNM_BURST_US}") - 1,
+                F.expr(f"us div {_SNM_BURST_US}") + 1,
+            )
+        ).alias("tbkt"),
+    )
+    truth_counts = (
+        ta.join(tb, ["u", "tbkt"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= _SNM_BURST_US)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.least("et_a", "et_b").alias("type_a"),
+            F.greatest("et_a", "et_b").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_truth"))
+    )
+    return (
+        cand_counts.join(truth_counts, ["type_a", "type_b"], "full_outer")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_truth"), F.lit(0))
+            .cast("long")
+            .alias("n_truth_pairs"),
+            F.coalesce(F.col("n_found"), F.lit(0))
+            .cast("long")
+            .alias("n_found_pairs"),
+            F.when(
+                F.coalesce(F.col("n_truth"), F.lit(0)) > 0,
+                F.expr("coalesce(n_found, 0) * 10000 div n_truth"),
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -18,7 +18,7 @@ list itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
@@ -662,3 +662,139 @@ def q_supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard_x1e6").desc(), "s_a", "s_b"
     ).limit(_LINK_PRED_K)
+
+
+# --------------------------------------------------------------------------
+# Label-propagation community detection (mode-of-neighbors, synchronous)
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+_LPA_ORACLE = f"""
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem WHERE l_quantity >= 49
+), e AS (
+    SELECT DISTINCT a.sk AS u, b.sk AS v
+    FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+), adj AS (
+    SELECT u AS node, v AS nbr FROM e
+    UNION ALL
+    SELECT v AS node, u AS nbr FROM e
+), l0 AS (
+    SELECT DISTINCT node, node AS label FROM adj
+), l1 AS (
+    SELECT node, label FROM (
+        SELECT a.node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY a.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM adj a JOIN l0 l ON l.node = a.nbr
+        GROUP BY a.node, l.label
+    ) WHERE rn = 1
+), l2 AS (
+    SELECT node, label FROM (
+        SELECT a.node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY a.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM adj a JOIN l1 l ON l.node = a.nbr
+        GROUP BY a.node, l.label
+    ) WHERE rn = 1
+), l3 AS (
+    SELECT node, label FROM (
+        SELECT a.node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY a.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM adj a JOIN l2 l ON l.node = a.nbr
+        GROUP BY a.node, l.label
+    ) WHERE rn = 1
+)
+SELECT
+    CAST(label AS BIGINT)    AS community_id,
+    CAST(count(*) AS BIGINT) AS n_members,
+    CAST(min(node) AS BIGINT) AS min_member,
+    CAST(max(node) AS BIGINT) AS max_member
+FROM l3
+GROUP BY label
+ORDER BY community_id
+"""
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, public) over the supplier co-part graph — the DENSITY
+    clustering that completes the graph family: `supplier_components`
+    answers "what is connected at all" (min-label fixed point),
+    this answers "which suppliers cluster together" (each node adopts the
+    MODE of its neighbors' labels for {_LPA_ROUNDS} synchronous rounds,
+    ties broken to the smallest label so the run is deterministic — the
+    async/random variant of the published algorithm is deliberately not
+    used, determinism is a correctness requirement here).  Output: one
+    row per surviving community with size and member span.
+
+    Plan shape: each round is ONE equi-join of the adjacency list against
+    the node-sized label relation plus a hash aggregate on (node, label)
+    and a node-partitioned top-1 window (PARTITION BY node — parallel,
+    never a global window); {_LPA_ROUNDS} rounds are unrolled statically,
+    so there is no driver loop and no collect.  The label relation stays
+    node-sized every round; the vote relation is edge-sized — the same
+    shuffle budget as one PageRank step.  The oracle unrolls the identical
+    rounds as CTEs, so the fixed labels themselves are hash-checked."""
+    ps = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_quantity") >= 49)
+        .select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    a = ps.select(F.col("pk"), F.col("sk").alias("u"))
+    b = ps.select(F.col("pk"), F.col("sk").alias("v"))
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+            F.max("node").cast("long").alias("max_member"),
+        )
+        .select(
+            F.col("label").cast("long").alias("community_id"),
+            "n_members",
+            "min_member",
+            "max_member",
+        )
+        .orderBy("community_id")
+    )

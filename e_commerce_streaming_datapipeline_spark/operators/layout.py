@@ -1748,3 +1748,125 @@ def q_wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(run_dir, f"manifest_{current}.json")) as fh:
         manifest = _json.load(fh)
     return spark.read.parquet(*manifest["files"])
+
+
+# --------------------------------------------------------------------------
+# Streaming state-store sizing advisor (watermark-delay capacity planning)
+# --------------------------------------------------------------------------
+
+_STATE_DELAYS_MIN = (5, 10, 30)
+# per-row state overhead: 8B key + 8B event-time + 8B value slot; the
+# variable part is the payload (props) length
+_STATE_FIXED_BYTES = 24
+
+
+@query(
+    "stream_state_size_advisor",
+    oracle=f"""
+WITH m AS (
+    SELECT
+        event_type,
+        epoch_us(ts) // 60000000 AS minute,
+        count(*) AS arrivals,
+        CAST(sum({_STATE_FIXED_BYTES} + coalesce(len(props), 0)) AS BIGINT)
+            AS arrival_bytes
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+), framed AS (
+    SELECT event_type, minute, arrivals, arrival_bytes,
+        {", ".join(
+            f'''sum(arrivals) OVER (PARTITION BY event_type ORDER BY minute
+                RANGE BETWEEN {d - 1} PRECEDING AND CURRENT ROW)
+                AS rows_d{d},
+            sum(arrival_bytes) OVER (PARTITION BY event_type ORDER BY minute
+                RANGE BETWEEN {d - 1} PRECEDING AND CURRENT ROW)
+                AS bytes_d{d}'''
+            for d in _STATE_DELAYS_MIN)}
+    FROM m
+), u AS (
+    {" UNION ALL ".join(
+        f'''SELECT event_type, {d} AS delay_min,
+               rows_d{d} AS state_rows, bytes_d{d} AS state_bytes
+        FROM framed'''
+        for d in _STATE_DELAYS_MIN)}
+)
+SELECT
+    event_type,
+    CAST(delay_min AS INT)                       AS delay_min,
+    CAST(max(state_rows) AS BIGINT)              AS peak_state_rows,
+    CAST(sum(state_rows) * 100 // count(*) AS BIGINT)
+                                                 AS mean_state_rows_x100,
+    CAST(max(state_bytes) AS BIGINT)             AS peak_state_bytes
+FROM u
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_stream_state_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing advisor — the capacity-planning
+    companion to `lateness_watermark_profile` (which picks the watermark
+    DELAY for completeness; this prices what that delay COSTS): a
+    watermarked stateful operator retains every event younger than the
+    delay, so projected state occupancy at minute t is exactly the
+    trailing-delay arrival sum.  For each event type and each candidate
+    delay (5 / 10 / 30 min — `_STATE_DELAYS_MIN`), reports
+    peak and mean concurrent state rows plus peak state bytes (fixed
+    24 B/row + exact payload lengths, `_STATE_FIXED_BYTES`) — the number that
+    decides executor memory or the RocksDB switch BEFORE the stream is
+    deployed, derived from the historical batch table.
+
+    Plan shape: one fact scan → (type, minute) hash aggregate (the only
+    data-proportional shuffle; the minute relation is calendar-bounded),
+    then three VALUE-RANGE sliding windows partitioned by type — parallel,
+    gap-correct (a quiet minute contributes nothing to any frame), never
+    a global window — and a bounded ×3 UNION unpivot.  All arithmetic
+    exact integers; mean is over ACTIVE minutes
+    (state between arrivals only drains, so peaks are attained at arrival
+    minutes and the mean excludes fully-idle minutes, documented here)."""
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 60000000").alias("minute"),
+            (
+                F.lit(_STATE_FIXED_BYTES)
+                + F.coalesce(F.length("props"), F.lit(0))
+            ).alias("row_bytes"),
+        )
+    )
+    m = e.groupBy("event_type", "minute").agg(
+        F.count("*").alias("arrivals"),
+        F.sum("row_bytes").cast("long").alias("arrival_bytes"),
+    )
+    framed = m
+    for d in _STATE_DELAYS_MIN:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("minute")
+            .rangeBetween(-(d - 1), Window.currentRow)
+        )
+        framed = framed.withColumn(
+            f"rows_d{d}", F.sum("arrivals").over(w)
+        ).withColumn(f"bytes_d{d}", F.sum("arrival_bytes").over(w))
+    u = None
+    for d in _STATE_DELAYS_MIN:
+        part = framed.select(
+            "event_type",
+            F.lit(d).cast("int").alias("delay_min"),
+            F.col(f"rows_d{d}").alias("state_rows"),
+            F.col(f"bytes_d{d}").alias("state_bytes"),
+        )
+        u = part if u is None else u.unionAll(part)
+    return (
+        u.groupBy("event_type", "delay_min")
+        .agg(
+            F.max("state_rows").cast("long").alias("peak_state_rows"),
+            F.expr("sum(state_rows) * 100 div count(*)")
+            .cast("long")
+            .alias("mean_state_rows_x100"),
+            F.max("state_bytes").cast("long").alias("peak_state_bytes"),
+        )
+        .orderBy("event_type", "delay_min")
+    )

@@ -5232,3 +5232,126 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified treatment-effect adjustment (observational uplift, IPW family)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stratified_uplift_ipw",
+    oracle="""
+WITH o AS (
+    SELECT
+        c.c_mktsegment AS stratum,
+        CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END AS treated,
+        CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+    SELECT
+        stratum,
+        count(*)                                        AS n_orders,
+        sum(treated)                                    AS n_treated,
+        count(*) - sum(treated)                         AS n_control,
+        sum(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS t_cents,
+        sum(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS c_cents
+    FROM o GROUP BY 1
+)
+SELECT
+    stratum,
+    CAST(n_orders AS BIGINT)  AS n_orders,
+    CAST(n_treated AS BIGINT) AS n_treated,
+    CAST(n_control AS BIGINT) AS n_control,
+    CAST(CASE WHEN n_treated > 0
+         THEN (t_cents * 100) // n_treated END AS BIGINT) AS mean_treated_c100,
+    CAST(CASE WHEN n_control > 0
+         THEN (c_cents * 100) // n_control END AS BIGINT) AS mean_control_c100,
+    CAST(CASE WHEN n_treated > 0 AND n_control > 0
+         THEN (t_cents * 100) // n_treated - (c_cents * 100) // n_control
+         END AS BIGINT)                                   AS stratum_ate_c100,
+    CAST(CASE WHEN n_treated > 0 AND n_control > 0
+         THEN n_orders * ((t_cents * 100) // n_treated
+                          - (c_cents * 100) // n_control)
+         END AS BIGINT)                                   AS weighted_contrib_c100
+FROM s
+ORDER BY stratum
+""",
+)
+def q_stratified_uplift_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect adjustment (Cochran's subclassification
+    — the coarse-strata limit of inverse-propensity weighting, public):
+    the OBSERVATIONAL causal estimator completing the experiment pair
+    (`cuped_did_lift` assumes randomized assignment; here assignment is
+    confounded).  Treatment = expedited order priority (1-URGENT/2-HIGH),
+    outcome = order value, confounding stratum = the customer's market
+    segment; within each stratum the treated/control contrast is
+    approximately unconfounded, and the population effect is the
+    n_s-weighted sum of per-stratum contrasts — `sum(weighted_contrib_c100)
+    / (100 * sum(n_orders))` cents, versus the naive pooled diff that
+    Simpson's-paradox segment mix can flip.
+
+    Plan shape: one fact-dim equi-join (customer side broadcastable — it
+    is dimension-sized), ONE hash aggregate at stratum grain, and pure
+    projection after; strata counts are segment-bounded (5 rows) no matter
+    the data size.  All arithmetic is exact integers: money in cents,
+    per-stratum means in centi-cents via `div` (≡ DuckDB `//`), NULL where
+    a stratum has no treated or no control leg rather than a fabricated
+    zero effect."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = o.groupBy("stratum").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("treated").alias("n_treated"),
+        (F.count("*") - F.sum("treated")).alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)).alias(
+            "t_cents"
+        ),
+        F.sum(F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)).alias(
+            "c_cents"
+        ),
+    )
+    mean_t = F.expr("(t_cents * 100) div n_treated")
+    mean_c = F.expr("(c_cents * 100) div n_control")
+    return (
+        s.select(
+            "stratum",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_treated").cast("long").alias("n_treated"),
+            F.col("n_control").cast("long").alias("n_control"),
+            F.when(F.col("n_treated") > 0, mean_t)
+            .cast("long")
+            .alias("mean_treated_c100"),
+            F.when(F.col("n_control") > 0, mean_c)
+            .cast("long")
+            .alias("mean_control_c100"),
+            F.when(
+                (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+                mean_t - mean_c,
+            )
+            .cast("long")
+            .alias("stratum_ate_c100"),
+            F.when(
+                (F.col("n_treated") > 0) & (F.col("n_control") > 0),
+                F.col("n_orders") * (mean_t - mean_c),
+            )
+            .cast("long")
+            .alias("weighted_contrib_c100"),
+        )
+        .orderBy("stratum")
+    )

@@ -2087,3 +2087,138 @@ def q_vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("corpus_share_x100")
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency co-occurrence scoring)
+# --------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+_RAKE_MAX_WORDS = 4  # the standard RAKE candidate cap (Rose et al. use 3-5)
+# stopword delimiters — matches the corpus stopword list (_STOPWORDS); a
+# real deployment broadcasts a full list, the mechanics are identical
+_RAKE_SPLIT_RE = r"\b(the|a)\b"
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+WITH inst AS (
+    SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+    FROM documents,
+         unnest(string_split(
+             regexp_replace(lower(text), '{_RAKE_SPLIT_RE}', '|', 'g'),
+             '|')) AS t(p)
+    WHERE text IS NOT NULL
+      AND trim(regexp_replace(p, ' +', ' ', 'g')) <> ''
+      AND len(string_split(trim(regexp_replace(p, ' +', ' ', 'g')), ' '))
+          <= {_RAKE_MAX_WORDS}
+), phrase_freq AS (
+    SELECT phrase, count(*) AS n_occurrences,
+           len(string_split(phrase, ' ')) AS n_words
+    FROM inst GROUP BY 1
+), words AS (
+    SELECT w, count(*) AS freq,
+           CAST(sum(len(string_split(i.phrase, ' '))) AS BIGINT) AS degree
+    FROM inst i, unnest(string_split(i.phrase, ' ')) AS t(w)
+    GROUP BY 1
+), scored AS (
+    SELECT p.phrase,
+           CAST(sum((w.degree * 1000000) // w.freq) AS BIGINT) AS score_x1e6
+    FROM (SELECT DISTINCT phrase FROM phrase_freq) p,
+         unnest(string_split(p.phrase, ' ')) AS t(pw)
+    JOIN words w ON w.w = pw
+    GROUP BY 1
+)
+SELECT
+    f.phrase,
+    CAST(f.n_words AS INT)        AS n_words,
+    CAST(f.n_occurrences AS BIGINT) AS n_occurrences,
+    s.score_x1e6
+FROM phrase_freq f JOIN scored s USING (phrase)
+ORDER BY s.score_x1e6 DESC, f.phrase
+LIMIT {_RAKE_TOPK}
+""",
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents", public): candidate phrases are
+    the maximal stopword-free token runs; each word scores degree/freq
+    (degree = total length of phrases it appears in — co-occurrence
+    weight; freq = raw count), and a phrase scores the sum of its words'
+    ratios, so multi-word phrases built from well-connected words outrank
+    bare frequent unigrams.  Candidates longer than {_RAKE_MAX_WORDS} words
+    are discarded (the published cap — without it a stopword-sparse corpus
+    like this fixture degenerates into document-length "phrases" that
+    trivially top the degree sum).  Top-{_RAKE_TOPK} corpus keyphrases — the
+    cheap, training-free keyword extractor for corpus exploration and
+    topic labeling ahead of `tfidf_top_terms` (which needs a document
+    grain) and `bigram_pmi_topk` (which only sees pairs).
+
+    Plan shape: one documents scan → stopword-delimited phrase explode
+    (regexp_replace + split — codegen'd, no UDF); word statistics are ONE
+    hash aggregate over the exploded instance-words; phrase scores join
+    the DISTINCT-phrase word list against the vocabulary-sized word
+    relation (shuffle on word, both sides token-sized, never the corpus
+    squared); top-k is TakeOrdered, never a global sort.  The score is
+    exact integer micro-units — `degree * 1e6 div freq` summed — so the
+    ranking is bit-deterministic cross-engine (ties broken on phrase
+    text)."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    inst = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), _RAKE_SPLIT_RE, "|"),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(
+            F.trim(F.regexp_replace(F.col("p"), " +", " ")).alias("phrase")
+        )
+        .where(
+            (F.col("phrase") != "")
+            & (F.size(F.split("phrase", " ")) <= _RAKE_MAX_WORDS)
+        )
+    )
+    phrase_freq = (
+        inst.groupBy("phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("n_words", F.size(F.split("phrase", " ")))
+    )
+    words = (
+        inst.select(
+            F.size(F.split("phrase", " ")).alias("k"),
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("k").cast("long").alias("degree"),
+        )
+    )
+    scored = (
+        phrase_freq.select("phrase")
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("pw"))
+        .join(words, F.col("pw") == F.col("w"))
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("(degree * 1000000) div freq"))
+            .cast("long")
+            .alias("score_x1e6")
+        )
+    )
+    return (
+        phrase_freq.join(scored, "phrase")
+        .select(
+            "phrase",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "score_x1e6",
+        )
+        .orderBy(F.col("score_x1e6").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -134,6 +134,13 @@ QUERIES = [
     "kaplan_meier_conversion",   # 2 user shuffles -> day-grain KM chain
     "supplier_link_prediction",  # part-keyed wedge join + TakeOrdered
     "dsar_access_export",        # broadcast request set + user-grain agg
+    "purged_timeseries_folds",   # day-grain agg + bounded x5 fold grid
+    "sorted_neighborhood_pairs",  # two-phase rank + rank-bucket pair join
+    "stratified_uplift_ipw",     # dim broadcast join + stratum-grain agg
+    "label_propagation_communities",  # 3 unrolled edge-label join rounds
+    "rake_keyphrases",           # phrase explode + vocab-grain score join
+    "supplier_pareto_frontier",  # supplier-grain agg + per-nation windows
+    "stream_state_size_advisor",  # (type, minute) agg + 3 range windows
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

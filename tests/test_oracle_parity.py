@@ -226,6 +226,10 @@ _ORDERS_EDGE_QUERIES = ["rfm_segments", "clv_pareto_deciles", "interpurchase_sur
                         # r8 branch merge: NULL key/price rows cannot be
                         # versioned and are out of the 3-way diff
                         "branch_merge_conflicts",
+                        # r8 stratified uplift: NULL custkey drops at the
+                        # dim join; NULL priority is control; a NULL price
+                        # counts in n but adds no cents on both engines
+                        "stratified_uplift_ipw",
                         # r8 WAP: the NULL-orderdate group must survive the
                         # stage->audit->publish roundtrip byte-stable (the
                         # audit gates on NULL STATUS keys and row counts;
@@ -433,6 +437,15 @@ _EVENTS_EDGE_QUERIES = [
     # r8 DSAR: NULL users belong to no data subject on both engines;
     # NULL values/props count into the bundle's tallies identically
     "dsar_access_export",
+    # r8 purged folds: NULL-ts events are out of the day series on both
+    # engines; NULL values count 0 cents in either split
+    "purged_timeseries_folds",
+    # r8 SNM blocking: NULL id/user/type/ts rows are unsortable/unpairable
+    # and drop before the rank on both engines
+    "sorted_neighborhood_pairs",
+    # r8 state advisor: NULL ts/type rows join no minute cell; a NULL
+    # props payload counts the fixed row overhead only on both engines
+    "stream_state_size_advisor",
 ]
 
 
@@ -531,6 +544,12 @@ _LINEITEM_EDGE_QUERIES = [
     "symspell_typo_linkage",
     # r8 link prediction: NULL supp/part keys form no incidence edge
     "supplier_link_prediction",
+    # r8 LPA communities: NULL supp/part keys form no edge, so the label
+    # rounds run over a NULL-free adjacency on both engines
+    "label_propagation_communities",
+    # r8 skyline: NULL quantity rows add no volume units; NULL suppkey
+    # lineitems match no supplier on either engine
+    "supplier_pareto_frontier",
 ]
 
 

@@ -283,3 +283,207 @@ class TestNanGates:
         assert rows[0][0] is None and rows[0][1] is None
         # ...but the fetchall re-read distinguishes the genuine NaN
         assert _genuine_oracle_nans(con, sql, ["a", "b", "c"]) == ["a"]
+
+
+class TestPurgedTimeseriesFolds:
+    def test_embargo_holds_and_partition_is_complete(self, spark, reg):
+        """The whole point of the purge: no training day may sit within
+        the embargo of its fold's test span, every fold's day partition
+        (test + embargo + train) must cover the same day census, and the
+        test spans must tile the timeline in fold order."""
+        from e_commerce_streaming_datapipeline_spark.operators.curation import (
+            _PURGE_EMBARGO,
+            _PURGE_K,
+        )
+
+        rows = reg["purged_timeseries_folds"].builder(spark, SF_DIR).collect()
+        assert len(rows) == _PURGE_K
+        n_days = {r["n_test_days"] + r["n_embargo_days"] + r["n_train_days"]
+                  for r in rows}
+        assert len(n_days) == 1, "folds disagree on the day census"
+        for r in rows:
+            assert r["min_train_gap_days"] > _PURGE_EMBARGO
+            assert r["n_test_days"] >= 1 and r["n_train_days"] >= 1
+        spans = sorted((r["test_lo_day"], r["test_hi_day"]) for r in rows)
+        for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+            assert lo_a <= hi_a < lo_b, "test spans must be ordered/disjoint"
+
+
+class TestSortedNeighborhoodPairs:
+    def test_candidate_economy_and_recall_bounds(self, spark, reg):
+        """SNM generates O(n*w) candidates — at w=5 that is at most
+        (w-1)*n pairs total — and found pairs are bounded by truth pairs
+        (a candidate can only 'find' a pair the interval join also sees),
+        so recall_bp lives in [0, 10000]."""
+        from e_commerce_streaming_datapipeline_spark.operators.dedup import _SNM_WINDOW
+
+        rows = reg["sorted_neighborhood_pairs"].builder(spark, SF_DIR).collect()
+        assert rows, "no type pairs"
+        n_events = 10_000  # sf0.001 events fixture, non-null rows dominate
+        total_cand = sum(r["n_candidates"] for r in rows)
+        assert 0 < total_cand <= (_SNM_WINDOW - 1) * n_events
+        for r in rows:
+            assert 0 <= r["n_found_pairs"] <= r["n_truth_pairs"]
+            if r["n_truth_pairs"] > 0:
+                assert 0 <= r["recall_bp"] <= 10000
+            else:
+                assert r["recall_bp"] is None
+
+
+class TestStratifiedUplift:
+    def test_weighted_contrib_reconstructs_adjusted_ate(self, spark, reg):
+        """The per-stratum rows must reassemble into the adjusted ATE:
+        sum(weighted_contrib) / sum(n_orders) equals the n-weighted mean
+        of stratum effects, and every stratum must carry both legs at
+        fixture scale (orders are ~40/60 split by priority)."""
+        rows = reg["stratified_uplift_ipw"].builder(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["n_treated"] + r["n_control"] == r["n_orders"]
+            assert r["n_treated"] > 0 and r["n_control"] > 0
+            assert (r["stratum_ate_c100"]
+                    == r["mean_treated_c100"] - r["mean_control_c100"])
+            assert (r["weighted_contrib_c100"]
+                    == r["n_orders"] * r["stratum_ate_c100"])
+
+
+class TestLabelPropagation:
+    def test_partition_of_nodes_with_min_labels(self, spark, reg):
+        """LPA output must partition the node set: sizes sum to the node
+        census, each community id is one of its own members' ids only if
+        it survived as a label (the id is a NODE id by construction), and
+        member spans bracket the id."""
+        rows = reg["label_propagation_communities"].builder(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["n_members"]
+            assert r["min_member"] <= r["max_member"]
+        # node census from the same edge rule
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        ps = (
+            load_table(spark, "lineitem", SF_DIR)
+            .where(F.col("l_quantity") >= 49)
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        deg = (
+            ps.alias("a")
+            .join(ps.alias("b"), "l_partkey")
+            .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            .select(F.col("a.l_suppkey").alias("n"))
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_members"] for r in rows) == deg
+
+
+class TestRakeKeyphrases:
+    def test_phrase_cap_and_score_floor(self, spark, reg):
+        """Every emitted keyphrase obeys the candidate cap, contains no
+        stopword (stopwords DELIMIT phrases), and scores at least
+        n_words * 1e6 micro-units — each word's degree/freq ratio is >= 1
+        because degree counts the word's own occurrences too."""
+        from e_commerce_streaming_datapipeline_spark.operators.text import (
+            _RAKE_MAX_WORDS,
+            _RAKE_TOPK,
+        )
+
+        rows = reg["rake_keyphrases"].builder(spark, SF_DIR).collect()
+        assert 0 < len(rows) <= _RAKE_TOPK
+        for r in rows:
+            words = r["phrase"].split(" ")
+            assert 1 <= len(words) <= _RAKE_MAX_WORDS
+            assert len(words) == r["n_words"]
+            assert "the" not in words and "a" not in words
+            assert r["n_occurrences"] >= 1
+            assert r["score_x1e6"] >= r["n_words"] * 1_000_000
+
+
+class TestParetoFrontier:
+    def test_no_frontier_row_is_dominated(self, spark, reg):
+        """Skyline soundness, checked exhaustively at fixture scale: no
+        emitted supplier may be dominated by ANY same-nation supplier
+        (>= both metrics, > one), and per nation at least one supplier
+        (the volume max) is always on the frontier."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = reg["supplier_pareto_frontier"].builder(spark, SF_DIR).collect()
+        assert rows
+        m = (
+            load_table(spark, "supplier", SF_DIR)
+            .where(F.col("s_acctbal").isNotNull())
+            .select(
+                F.col("s_nationkey").alias("nk"),
+                F.col("s_suppkey").alias("sk"),
+                F.round(F.col("s_acctbal") * 100).cast("long").alias("bal"),
+            )
+            .join(
+                load_table(spark, "lineitem", SF_DIR)
+                .where(F.col("l_quantity").isNotNull())
+                .select(
+                    F.col("l_suppkey").alias("sk"),
+                    F.round("l_quantity").cast("long").alias("q"),
+                ),
+                "sk",
+            )
+            .groupBy("nk", "sk", "bal")
+            .agg(F.sum("q").alias("vol"))
+            .collect()
+        )
+        by_nation = {}
+        for r in m:
+            by_nation.setdefault(r["nk"], []).append((r["vol"], r["bal"], r["sk"]))
+        for f in rows:
+            vol, bal = f["volume"], round(f["acctbal"] * 100)
+            for v2, b2, sk2 in by_nation[f["nationkey"]]:
+                dominated = (v2 >= vol and b2 >= bal
+                             and (v2 > vol or b2 > bal))
+                assert not dominated, (
+                    f"frontier supplier {f['suppkey']} dominated by {sk2}")
+        emitted = {(f["nationkey"], f["suppkey"]) for f in rows}
+        for nk, members in by_nation.items():
+            top = max(members)
+            assert (nk, top[2]) in emitted or any(
+                (v, b) >= (top[0], top[1]) and s != top[2]
+                for v, b, s in members if (nk, s) in emitted
+            ), f"nation {nk} volume-max supplier missing from frontier"
+
+
+class TestStreamStateAdvisor:
+    def test_monotone_in_delay_and_bounded_by_totals(self, spark, reg):
+        """A longer watermark delay can only retain MORE state: peak and
+        mean rows/bytes must be non-decreasing in delay_min per type, and
+        every projection is bounded by the type's total arrivals."""
+        from collections import defaultdict
+
+        rows = reg["stream_state_size_advisor"].builder(spark, SF_DIR).collect()
+        assert rows
+        per_type = defaultdict(list)
+        for r in rows:
+            per_type[r["event_type"]].append(r)
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        totals = dict(
+            load_table(spark, "events", SF_DIR)
+            .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        for t, rs in per_type.items():
+            rs.sort(key=lambda r: r["delay_min"])
+            assert [r["delay_min"] for r in rs] == [5, 10, 30]
+            for a, b in zip(rs, rs[1:]):
+                assert b["peak_state_rows"] >= a["peak_state_rows"]
+                assert b["mean_state_rows_x100"] >= a["mean_state_rows_x100"]
+                assert b["peak_state_bytes"] >= a["peak_state_bytes"]
+            for r in rs:
+                assert 1 <= r["peak_state_rows"] <= totals[t]
+                assert r["peak_state_bytes"] >= 24 * r["peak_state_rows"]
