@@ -262,6 +262,8 @@ EXTENDED_R8 = [
     "rake_keyphrases",             # degree/freq keyphrase extraction
     "supplier_pareto_frontier",    # per-nation skyline, one window pass
     "stream_state_size_advisor",   # watermark-delay state capacity grid
+    "event_burst_detection",       # integer-threshold burst episodes
+    "ab_srm_check",                # sample-ratio-mismatch guardrail
 ]
 
 

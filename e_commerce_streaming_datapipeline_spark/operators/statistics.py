@@ -5355,3 +5355,172 @@ def q_stratified_uplift_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-rate burst detection (threshold episodes via gaps-and-islands)
+# --------------------------------------------------------------------------
+
+_BURST_FACTOR = 2  # an hour is bursty when its arrivals >= factor x mean
+
+
+@query(
+    "event_burst_detection",
+    oracle=f"""
+WITH h AS (
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS hour,
+           count(*) AS n
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+), tot AS (
+    SELECT event_type,
+           sum(n) AS total, count(*) AS n_hours
+    FROM h GROUP BY 1
+), bursty AS (
+    SELECT h.event_type, h.hour, h.n
+    FROM h JOIN tot USING (event_type)
+    WHERE h.n * tot.n_hours >= {_BURST_FACTOR} * tot.total
+), islands AS (
+    SELECT *, hour - row_number() OVER (
+        PARTITION BY event_type ORDER BY hour) AS grp
+    FROM bursty
+)
+SELECT
+    event_type,
+    CAST(min(hour) AS BIGINT)  AS start_hour,
+    CAST(max(hour) AS BIGINT)  AS end_hour,
+    CAST(count(*) AS BIGINT)   AS n_bursty_hours,
+    CAST(sum(n) AS BIGINT)     AS episode_events,
+    CAST(max(n) AS BIGINT)     AS peak_hour_events
+FROM islands
+GROUP BY event_type, grp
+ORDER BY event_type, start_hour
+""",
+)
+def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection — the stream-mining monitor next to
+    `revenue_anomaly_days` (which z-scores DAILY money; this flags HOURLY
+    traffic): an hour is bursty when its arrivals reach {_BURST_FACTOR}×
+    the type's mean hourly rate (compared multiplicatively —
+    `n · n_hours >= factor · total` — so the threshold is exact integer
+    arithmetic, no rate division anywhere), and consecutive bursty hours
+    merge into EPISODES via the gaps-and-islands trick (hour − row_number
+    is constant exactly on a run).  Output: one row per burst episode
+    with span, volume and peak — what an on-call dashboard pages on, and
+    what a crawler-trap / bot-surge triage in a data pipeline cuts on.
+
+    Plan shape: one fact scan → (type, hour) hash aggregate (the only
+    data-proportional shuffle; the hour relation is calendar-bounded),
+    a broadcast-sized per-type totals join, and a type-PARTITIONED
+    row_number over the bursty subset (parallel, never a global window).
+    Mean here is over ACTIVE hours — an hour with zero arrivals is not in
+    the denominator, making the threshold conservative for sparse types."""
+    h = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_hours")
+    )
+    bursty = h.join(F.broadcast(tot), "event_type").where(
+        F.col("n") * F.col("n_hours") >= _BURST_FACTOR * F.col("total")
+    )
+    islands = bursty.withColumn(
+        "grp",
+        F.col("hour")
+        - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hour")
+        ),
+    )
+    return (
+        islands.groupBy("event_type", "grp")
+        .agg(
+            F.min("hour").cast("long").alias("start_hour"),
+            F.max("hour").cast("long").alias("end_hour"),
+            F.count("*").cast("long").alias("n_bursty_hours"),
+            F.sum("n").cast("long").alias("episode_events"),
+            F.max("n").cast("long").alias("peak_hour_events"),
+        )
+        .select(
+            "event_type", "start_hour", "end_hour", "n_bursty_hours",
+            "episode_events", "peak_hour_events",
+        )
+        .orderBy("event_type", "start_hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check — the experiment-validity guardrail
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_srm_check",
+    oracle="""
+WITH arms AS (
+    SELECT (user_id * 2654435761) % 4294967296 % 2 AS arm,
+           count(DISTINCT user_id) AS n
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+), wide AS (
+    SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        max(CASE WHEN arm = 1 THEN n END) AS n_b
+    FROM arms
+)
+SELECT
+    CAST(n_a AS BIGINT) AS n_a,
+    CAST(n_b AS BIGINT) AS n_b,
+    CAST(n_a - n_b AS BIGINT) AS delta,
+    CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
+        AS srm_chi2_x1e6,
+    (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
+        AS srm_detected
+FROM wide
+""",
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the validity guardrail that must run
+    BEFORE `ab_test_zscore` is believed (public practice: Fabijan et al.,
+    "Diagnosing Sample Ratio Mismatch", KDD'19): under the same fixed
+    per-user hash assignment as the z-test, a 50/50 design whose realized
+    arm sizes fail a one-degree chi-square (for two equal-expectation
+    cells the statistic collapses to (n_a−n_b)²/N, computed here in exact
+    integer micro-units against the 3.841459 critical value) indicates
+    broken randomization — redirects, bot filtering, or logging loss
+    biased one arm, and every downstream lift number is invalid.
+
+    Plan shape: one fact scan → per-arm distinct-user count (the
+    assignment grain — users, not events) → a 2-row pivot; the statistic
+    is pure integer projection.  The healthy fixture should NOT flag
+    (the hash split is genuinely ~50/50; the null behaving as a null is
+    test-asserted, same discipline as `ab_test_zscore`)."""
+    arms = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.expr("(user_id * 2654435761) % 4294967296 % 2").alias("arm"),
+            "user_id",
+        )
+        .groupBy("arm")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+    )
+    chi2 = F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("n_a") - F.col("n_b")).cast("long").alias("delta"),
+        chi2.cast("long").alias("srm_chi2_x1e6"),
+        (chi2 > 3841459).alias("srm_detected"),
+    )

@@ -141,6 +141,8 @@ QUERIES = [
     "rake_keyphrases",           # phrase explode + vocab-grain score join
     "supplier_pareto_frontier",  # supplier-grain agg + per-nation windows
     "stream_state_size_advisor",  # (type, minute) agg + 3 range windows
+    "event_burst_detection",     # (type, hour) agg + islands window
+    "ab_srm_check",              # per-arm distinct users + 2-row pivot
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

@@ -446,6 +446,10 @@ _EVENTS_EDGE_QUERIES = [
     # r8 state advisor: NULL ts/type rows join no minute cell; a NULL
     # props payload counts the fixed row overhead only on both engines
     "stream_state_size_advisor",
+    # r8 burst episodes: NULL ts/type rows belong to no hour cell
+    "event_burst_detection",
+    # r8 SRM: NULL users are outside the randomization population
+    "ab_srm_check",
 ]
 
 

@@ -487,3 +487,39 @@ class TestStreamStateAdvisor:
             for r in rs:
                 assert 1 <= r["peak_state_rows"] <= totals[t]
                 assert r["peak_state_bytes"] >= 24 * r["peak_state_rows"]
+
+
+class TestBurstDetection:
+    def test_episodes_are_maximal_and_above_threshold(self, spark, reg):
+        """Every episode's peak hour must actually clear the integer
+        threshold, episodes of one type must not touch (maximality of the
+        islands merge), and hours/events tallies must be consistent."""
+        from collections import defaultdict
+
+        rows = reg["event_burst_detection"].builder(spark, SF_DIR).collect()
+        assert rows
+        per_type = defaultdict(list)
+        for r in rows:
+            per_type[r["event_type"]].append(r)
+            assert r["start_hour"] <= r["end_hour"]
+            assert r["n_bursty_hours"] <= r["end_hour"] - r["start_hour"] + 1
+            assert r["peak_hour_events"] <= r["episode_events"]
+        for t, rs in per_type.items():
+            rs.sort(key=lambda r: r["start_hour"])
+            for a, b in zip(rs, rs[1:]):
+                assert b["start_hour"] > a["end_hour"] + 1, (
+                    f"{t}: adjacent episodes should have merged")
+
+
+class TestSrmCheck:
+    def test_healthy_split_does_not_flag(self, spark, reg):
+        """The fixture's hash split is genuinely ~50/50, so the guardrail
+        must NOT fire (the null behaving as a null), and the statistic
+        must reassemble from the reported arm sizes."""
+        rows = reg["ab_srm_check"].builder(spark, SF_DIR).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["delta"] == r["n_a"] - r["n_b"]
+        n = r["n_a"] + r["n_b"]
+        assert r["srm_chi2_x1e6"] == (r["delta"] * r["delta"] * 1_000_000) // n
+        assert r["srm_detected"] is False
