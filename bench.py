@@ -264,6 +264,9 @@ EXTENDED_R8 = [
     "stream_state_size_advisor",   # watermark-delay state capacity grid
     "event_burst_detection",       # integer-threshold burst episodes
     "ab_srm_check",                # sample-ratio-mismatch guardrail
+    "boolean_and_search",          # conjunctive postings intersection
+    "kcore_decomposition",         # 4-round degree peel, unrolled
+    "peak_concurrent_sessions",    # sweep-line interval concurrency
 ]
 
 

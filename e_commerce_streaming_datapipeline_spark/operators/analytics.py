@@ -1802,3 +1802,142 @@ def q_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.expr("(n_events * 100) div n_sessions").alias("events_per_session_x100"),
     ).orderBy("gap_minutes")
+
+
+# --------------------------------------------------------------------------
+# Peak concurrent sessions (sweep-line over session intervals)
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "peak_concurrent_sessions",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), numbered AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM ordered
+), sessions AS (
+    SELECT user_id, session_seq,
+           epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+    FROM numbered GROUP BY 1, 2
+), seg AS (
+    SELECT s.*, d.day,
+           greatest(s.s_us, d.day * {_DAY_US})           AS seg_start,
+           least(s.e_us, (d.day + 1) * {_DAY_US} - 1)    AS seg_end
+    FROM sessions s,
+         unnest(generate_series(s.s_us // {_DAY_US}, s.e_us // {_DAY_US}))
+             AS d(day)
+), points AS (
+    SELECT day, seg_start AS us, 1 AS delta FROM seg
+    UNION ALL
+    SELECT day, seg_end + 1 AS us, -1 AS delta FROM seg
+), swept AS (
+    SELECT day, sum(delta) OVER (
+        PARTITION BY day ORDER BY us, delta
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+    FROM points
+), segs_per_day AS (
+    SELECT day, count(*) AS n_segments FROM seg GROUP BY 1
+)
+SELECT
+    CAST(sw.day AS BIGINT)         AS day_num,
+    CAST(sp.n_segments AS BIGINT)  AS n_segments,
+    CAST(max(sw.load) AS BIGINT)   AS peak_concurrent
+FROM swept sw JOIN segs_per_day sp USING (day)
+GROUP BY 1, 2
+ORDER BY 1
+""",
+)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the SWEEP-LINE algorithm over
+    session intervals (the capacity metric connection pools, state
+    stores, and licensing are sized on; `user_sessions` builds the
+    intervals, this measures their OVERLAP, which no per-session
+    aggregate can see).  Sessions use the identical 30-minute
+    gaps-and-islands rule as the twin; intervals crossing midnight split
+    into per-day segments; each segment contributes +1 at its (inclusive)
+    start and -1 just after its end, and the peak is the max prefix sum —
+    end-exclusive tie order (-1 before +1 at the same microsecond), so
+    back-to-back sessions never double-count.
+
+    Plan shape: one user-keyed shuffle for sessionization (shared shape
+    with the twin), a bounded per-session day explode (sessions are
+    minutes long — almost always 1 segment), and a DAY-PARTITIONED
+    prefix-sum window over the 2×segments point relation — parallel
+    across days, never a global window.  All exact integer microseconds;
+    NULL users are excluded (an unidentified row is nobody's session)."""
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            (F.col("ts") - prev_ts)
+            > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    sessions = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    seg = sessions.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_DAY_US}"), F.expr(f"e_us div {_DAY_US}")
+            )
+        ),
+    ).select(
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * _DAY_US).alias("seg_start"),
+        F.least(F.col("e_us"), (F.col("day") + 1) * _DAY_US - 1).alias(
+            "seg_end"
+        ),
+    )
+    points = seg.select(
+        "day", F.col("seg_start").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select(
+            "day", (F.col("seg_end") + 1).alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep_w = (
+        Window.partitionBy("day")
+        .orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = points.select("day", F.sum("delta").over(sweep_w).alias("load"))
+    segs_per_day = seg.groupBy("day").agg(F.count("*").alias("n_segments"))
+    return (
+        swept.join(segs_per_day, "day")
+        .groupBy("day", "n_segments")
+        .agg(F.max("load").cast("long").alias("peak_concurrent"))
+        .select(
+            F.col("day").cast("long").alias("day_num"),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            "peak_concurrent",
+        )
+        .orderBy("day_num")
+    )

@@ -585,3 +585,84 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg_at_10"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conjunctive boolean retrieval (AND-of-terms postings intersection)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "boolean_and_search",
+    oracle="""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL)
+    WHERE term IN ('join', 'stream', 'window')
+    GROUP BY 1, 2
+), hits AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN term = 'join' THEN tf END) AS BIGINT)   AS tf_join,
+           CAST(sum(CASE WHEN term = 'stream' THEN tf END) AS BIGINT) AS tf_stream,
+           CAST(sum(CASE WHEN term = 'window' THEN tf END) AS BIGINT) AS tf_window
+    FROM tf
+    GROUP BY doc_id
+    HAVING count(*) = 3
+)
+SELECT h.doc_id, h.tf_join, h.tf_stream, h.tf_window,
+       CAST(h.tf_join + h.tf_stream + h.tf_window AS BIGINT) AS tf_total
+FROM hits h
+ORDER BY tf_total DESC, h.doc_id
+""",
+)
+def q_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval — the AND-of-terms postings
+    intersection that precedes RANKED retrieval in every search stack
+    (`bm25_topk` scores any match; this returns only documents containing
+    ALL query terms, the candidate-narrowing step a hybrid engine runs
+    before scoring).  Same query terms as the BM25 twin so the two
+    result sets compose.
+
+    Plan shape: the postings are FILTERED to the query terms at the
+    explode (the IN predicate prunes the token stream map-side, so only
+    query-term postings ever shuffle — identical discipline to BM25);
+    the intersection is one hash aggregate with `HAVING count(*) = k`,
+    never a k-way self-join; per-term tfs pivot out of the same
+    aggregate.  Ordering is (total tf desc, doc_id) — deterministic."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hits = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(F.col("term") == "join", F.col("tf")))
+            .cast("long")
+            .alias("tf_join"),
+            F.sum(F.when(F.col("term") == "stream", F.col("tf")))
+            .cast("long")
+            .alias("tf_stream"),
+            F.sum(F.when(F.col("term") == "window", F.col("tf")))
+            .cast("long")
+            .alias("tf_window"),
+        )
+        .where(F.col("n_terms") == len(QUERY_TERMS))
+    )
+    return hits.select(
+        "doc_id",
+        "tf_join",
+        "tf_stream",
+        "tf_window",
+        (F.col("tf_join") + F.col("tf_stream") + F.col("tf_window"))
+        .cast("long")
+        .alias("tf_total"),
+    ).orderBy(F.col("tf_total").desc(), "doc_id")

@@ -143,6 +143,9 @@ QUERIES = [
     "stream_state_size_advisor",  # (type, minute) agg + 3 range windows
     "event_burst_detection",     # (type, hour) agg + islands window
     "ab_srm_check",              # per-arm distinct users + 2-row pivot
+    "boolean_and_search",        # filtered postings + one hash agg
+    "kcore_decomposition",       # 4 peel rounds (agg + 2 joins each)
+    "peak_concurrent_sessions",  # user shuffle + day-partitioned sweep
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

