@@ -267,6 +267,8 @@ EXTENDED_R8 = [
     "boolean_and_search",          # conjunctive postings intersection
     "kcore_decomposition",         # 4-round degree peel, unrolled
     "peak_concurrent_sessions",    # sweep-line interval concurrency
+    "holt_winters_backtest",       # seasonal-array fold, one-step backtest
+    "burst_detection_stream",      # mergeable arrival-count store twin
 ]
 
 

@@ -5364,9 +5364,7 @@ def q_stratified_uplift_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BURST_FACTOR = 2  # an hour is bursty when its arrivals >= factor x mean
 
 
-@query(
-    "event_burst_detection",
-    oracle=f"""
+_BURST_ORACLE = f"""
 WITH h AS (
     SELECT event_type,
            epoch_us(ts) // 3600000000 AS hour,
@@ -5397,35 +5395,13 @@ SELECT
 FROM islands
 GROUP BY event_type, grp
 ORDER BY event_type, start_hour
-""",
-)
-def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-rate burst detection — the stream-mining monitor next to
-    `revenue_anomaly_days` (which z-scores DAILY money; this flags HOURLY
-    traffic): an hour is bursty when its arrivals reach {_BURST_FACTOR}×
-    the type's mean hourly rate (compared multiplicatively —
-    `n · n_hours >= factor · total` — so the threshold is exact integer
-    arithmetic, no rate division anywhere), and consecutive bursty hours
-    merge into EPISODES via the gaps-and-islands trick (hour − row_number
-    is constant exactly on a run).  Output: one row per burst episode
-    with span, volume and peak — what an on-call dashboard pages on, and
-    what a crawler-trap / bot-surge triage in a data pipeline cuts on.
+"""
 
-    Plan shape: one fact scan → (type, hour) hash aggregate (the only
-    data-proportional shuffle; the hour relation is calendar-bounded),
-    a broadcast-sized per-type totals join, and a type-PARTITIONED
-    row_number over the bursty subset (parallel, never a global window).
-    Mean here is over ACTIVE hours — an hour with zero arrivals is not in
-    the denominator, making the threshold conservative for sparse types."""
-    h = (
-        load_table(spark, "events", sf_dir)
-        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-        .groupBy(
-            "event_type",
-            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
-        )
-        .agg(F.count("*").alias("n"))
-    )
+
+def burst_episodes(h: DataFrame) -> DataFrame:
+    """Shared episode derivation for the batch op and its streaming twin:
+    ``h`` is the (event_type, hour, n) arrival relation; returns threshold
+    episodes (docstring of ``q_event_burst_detection``)."""
     tot = h.groupBy("event_type").agg(
         F.sum("n").alias("total"), F.count("*").alias("n_hours")
     )
@@ -5454,6 +5430,37 @@ def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "start_hour")
     )
+
+
+@query("event_burst_detection", oracle=_BURST_ORACLE)
+def q_event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection — the stream-mining monitor next to
+    `revenue_anomaly_days` (which z-scores DAILY money; this flags HOURLY
+    traffic): an hour is bursty when its arrivals reach {_BURST_FACTOR}×
+    the type's mean hourly rate (compared multiplicatively —
+    `n · n_hours >= factor · total` — so the threshold is exact integer
+    arithmetic, no rate division anywhere), and consecutive bursty hours
+    merge into EPISODES via the gaps-and-islands trick (hour − row_number
+    is constant exactly on a run).  Output: one row per burst episode
+    with span, volume and peak — what an on-call dashboard pages on, and
+    what a crawler-trap / bot-surge triage in a data pipeline cuts on.
+
+    Plan shape: one fact scan → (type, hour) hash aggregate (the only
+    data-proportional shuffle; the hour relation is calendar-bounded),
+    a broadcast-sized per-type totals join, and a type-PARTITIONED
+    row_number over the bursty subset (parallel, never a global window).
+    Mean here is over ACTIVE hours — an hour with zero arrivals is not in
+    the denominator, making the threshold conservative for sparse types."""
+    h = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return burst_episodes(h)
 
 
 # --------------------------------------------------------------------------
@@ -5523,4 +5530,164 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a") - F.col("n_b")).cast("long").alias("delta"),
         chi2.cast("long").alias("srm_chi2_x1e6"),
         (chi2 > 3841459).alias("srm_detected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, weekly seasonality)
+# --------------------------------------------------------------------------
+
+_HW_PERIOD = 7  # weekly seasonality over the daily revenue series
+
+
+@query(
+    "holt_winters_backtest",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    GROUP BY 1
+), seq AS (
+    SELECT cents, row_number() OVER (ORDER BY day_num) AS rn FROM daily
+), r AS (
+    SELECT CAST(1 AS BIGINT) AS rn,
+           cents * 1000      AS l,
+           CAST(0 AS BIGINT) AS b,
+           CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[]) AS s,
+           CAST(0 AS BIGINT) AS errsum,
+           CAST(0 AS BIGINT) AS ysum
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s2.rn,
+           CAST(round(0.5 * (s2.cents * 1000 - r.s[CAST(s2.rn % {_HW_PERIOD} AS INT) + 1])
+                      + 0.5 * (r.l + r.b)) AS BIGINT) AS l_new,
+           CAST(round(0.3 * (l_new - r.l) + 0.7 * r.b) AS BIGINT),
+           list_resize(
+               list_concat(
+                   list_concat(
+                       r.s[1:CAST(s2.rn % {_HW_PERIOD} AS INT)],
+                       [CAST(round(0.5 * (s2.cents * 1000 - l_new)
+                                   + 0.5 * r.s[CAST(s2.rn % {_HW_PERIOD} AS INT) + 1])
+                             AS BIGINT)]),
+                   r.s[CAST(s2.rn % {_HW_PERIOD} AS INT) + 2:{_HW_PERIOD}]),
+               {_HW_PERIOD}, 0),
+           r.errsum + abs(s2.cents * 1000
+                          - (r.l + r.b + r.s[CAST(s2.rn % {_HW_PERIOD} AS INT) + 1])),
+           r.ysum + s2.cents * 1000
+    FROM r JOIN seq s2 ON s2.rn = r.rn + 1
+)
+SELECT
+    CAST(rn AS BIGINT)                 AS n_days,
+    round(l / 100000.0, 4)             AS final_level,
+    round(b / 100000.0, 4)             AS final_trend,
+    round((list_max(s) - list_min(s)) / 100000.0, 4) AS seasonal_amplitude,
+    CASE WHEN rn > 1
+         THEN round(errsum / ((rn - 1) * 100000.0), 4)
+         ELSE CAST(0 AS DOUBLE) END    AS mae,
+    CASE WHEN ysum > 0
+         THEN round(CAST(errsum AS DOUBLE) / ysum, 4)
+         ELSE CAST(0 AS DOUBLE) END    AS wmape
+FROM r WHERE rn = (SELECT max(rn) FROM r)
+""",
+)
+def q_holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing (α=0.5, β=0.3,
+    γ=0.5, weekly period P=7) as a walk-forward one-step-ahead backtest
+    over daily revenue — the seasonal rung completing the forecasting
+    ladder (`forecast_backtest_snaive` = pure seasonality,
+    `holt_forecast_backtest` = level+trend, this = all three components).
+    The smoothing state now includes a P-slot SEASONAL ARRAY updated in
+    place each step — the hardest cross-engine state shape so far: Spark
+    folds a struct-with-array accumulator through `aggregate` (slice /
+    concat rebuild the array), the oracle walks the identical recurrence
+    as a `WITH RECURSIVE` over a DuckDB LIST, and every component is
+    fixed to millicents integers via one round() per step, so the two
+    maximally different executions carry bit-identical state.  Seasonal
+    slots initialize to 0 (the first week's forecasts are level+trend
+    only — documented cold-start, identical both engines).
+
+    Scale shape: the corpus collapses to the daily grain in one hash
+    aggregate; the P-array fold runs over #days elements inside one task
+    (distribute the rollup, not the recurrence — the Holt twin's
+    argument, unchanged by the larger state)."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    daily = _purchase_cents_rollup(
+        events, F.floor(F.unix_timestamp("ts") / 86400).cast("long"), "day_num"
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day_num", "cents"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("n"),
+        zero.alias("l"),
+        zero.alias("b"),
+        F.array_repeat(zero, _HW_PERIOD).alias("s"),
+        zero.alias("errsum"),
+        zero.alias("ysum"),
+    )
+
+    def step(acc, x):
+        y = (x["cents"] * 1000).cast("long")
+        n_new = acc["n"] + 1
+        # 1-based seasonal slot for THIS step: (n_new % P) + 1, matching
+        # the oracle's rn-indexed slot walk
+        pos = (n_new % _HW_PERIOD + 1).cast("int")
+        s_old = F.element_at(acc["s"], pos)
+        f = acc["l"] + acc["b"] + s_old
+        l_new = F.round(0.5 * (y - s_old) + 0.5 * (acc["l"] + acc["b"]), 0).cast(
+            "long"
+        )
+        b_new = F.round(0.3 * (l_new - acc["l"]) + 0.7 * acc["b"], 0).cast("long")
+        s_val = F.round(0.5 * (y - l_new) + 0.5 * s_old, 0).cast("long")
+        s_new = F.concat(
+            F.slice(acc["s"], 1, pos - 1),
+            F.array(s_val),
+            F.slice(acc["s"], pos + 1, F.lit(_HW_PERIOD) - pos),
+        )
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n"),
+                y.alias("l"),
+                zero.alias("b"),
+                F.array_repeat(zero, _HW_PERIOD).alias("s"),
+                zero.alias("errsum"),
+                zero.alias("ysum"),
+            ),
+        ).otherwise(
+            F.struct(
+                n_new.alias("n"),
+                l_new.alias("l"),
+                b_new.alias("b"),
+                s_new.alias("s"),
+                (acc["errsum"] + F.abs(y - f)).alias("errsum"),
+                (acc["ysum"] + y).alias("ysum"),
+            )
+        )
+
+    folded = arr.select(F.aggregate(F.col("arr"), init, step).alias("s"))
+    folded = folded.where(F.col("s.n") > 0)
+    return folded.select(
+        F.col("s.n").alias("n_days"),
+        fround(F.col("s.l") / 100000.0, 4).alias("final_level"),
+        fround(F.col("s.b") / 100000.0, 4).alias("final_trend"),
+        fround(
+            (F.array_max(F.col("s.s")) - F.array_min(F.col("s.s")))
+            / 100000.0,
+            4,
+        ).alias("seasonal_amplitude"),
+        F.when(
+            F.col("s.n") > 1,
+            fround(F.col("s.errsum") / ((F.col("s.n") - 1) * 100000.0), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mae"),
+        F.when(
+            F.col("s.ysum") > 0,
+            fround(F.col("s.errsum").cast("double") / F.col("s.ysum"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("wmape"),
     )

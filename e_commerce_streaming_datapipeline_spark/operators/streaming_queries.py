@@ -2867,3 +2867,95 @@ def q_golden_record_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type", "hour_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection maintained on a stream (mergeable arrival-count store)
+# --------------------------------------------------------------------------
+
+from e_commerce_streaming_datapipeline_spark.operators.statistics import (  # noqa: E402
+    _BURST_ORACLE,
+    burst_episodes,
+)
+
+
+@query("burst_detection_stream", oracle=_BURST_ORACLE)
+def q_burst_detection_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`event_burst_detection` maintained ON A STREAM — the traffic-surge
+    monitor as it actually runs in production: the events fixture replays
+    as a REAL multi-micro-batch stream (per-day feed files, 5 per
+    trigger), each batch folds its rows into (type, hour) arrival-count
+    PARTIALS appended to a store, and the final read merges partials by
+    SUM before deriving thresholds and episodes through the SAME helper
+    (and the same oracle) as the batch twin.  Because arrival counts are
+    associative and commutative, the merged store is hash-identical to
+    the batch answer no matter how the stream was chunked — the
+    cross-batch mergeability proof, same discipline as
+    `golden_record_stream`.  (The threshold itself needs the corpus-wide
+    mean, so episode derivation is a read-side view over the store — the
+    lambda-style split between cheap streaming partials and an exact
+    consumer query.)
+
+    Scale shape: per batch ONE hash aggregate at (type, hour) grain
+    (batch-sized); the store holds calendar-bounded partials (hours ×
+    batches between compactions); the merge is the compaction."""
+    import pyarrow as pa  # noqa: F401 — parity with the feed recipe twins
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    run_dir = scratch_dir("burststream")
+    feed_dir = os.path.join(run_dir, "feed")
+    store_dir = os.path.join(run_dir, "store")
+    os.makedirs(feed_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src)
+    days = pc.cast(
+        pc.floor(
+            pc.divide(
+                pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64"),
+                86_400_000_000,
+            )
+        ),
+        "int64",
+    )
+    base_mtime = os.stat(sf_dir).st_mtime
+    for i, d in enumerate(
+        sorted(x for x in pc.unique(days).to_pylist() if x is not None)
+    ):
+        path = os.path.join(feed_dir, f"events-{i:03d}.parquet")
+        pq.write_table(tbl.filter(pc.equal(days, d)), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.where(
+                F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+            )
+            .groupBy(
+                "event_type",
+                F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+            )
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    stream = read_file_stream(
+        spark, feed_dir, "events-*.parquet", max_files_per_trigger=5
+    )
+    with _stream_run(spark, "burststream") as (name, checkpoint):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("event_type", "hour")
+        .agg(F.sum("n").alias("n"))
+    )
+    return burst_episodes(merged)

@@ -146,6 +146,8 @@ QUERIES = [
     "boolean_and_search",        # filtered postings + one hash agg
     "kcore_decomposition",       # 4 peel rounds (agg + 2 joins each)
     "peak_concurrent_sessions",  # user shuffle + day-partitioned sweep
+    "holt_winters_backtest",     # day-grain rollup + in-task P-array fold
+    "burst_detection_stream",    # per-batch (type, hour) partials + merge
 ]
 
 # optional subset: SPARK_GRAFT_SCALE_QUERIES=a,b,c

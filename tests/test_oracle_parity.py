@@ -452,6 +452,13 @@ _EVENTS_EDGE_QUERIES = [
     "ab_srm_check",
     # r8 sweep-line: NULL user/ts rows are nobody's session interval
     "peak_concurrent_sessions",
+    # r8 Holt-Winters: NULL-ts purchases are out of the daily series,
+    # NULL values fold as 0 cents — same policy as the Holt twin
+    "holt_winters_backtest",
+    # r8 streaming burst twin: NULL-ts rows never enter the feed (they
+    # belong to no day file) and the batch oracle drops them identically;
+    # NULL event_type rows are filtered in the per-batch fold
+    "burst_detection_stream",
 ]
 
 

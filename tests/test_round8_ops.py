@@ -579,3 +579,43 @@ class TestPeakConcurrentSessions:
         days = [r["day_num"] for r in rows]
         assert days == sorted(days)
         assert len(days) >= 28  # the fixture spans ~a month
+
+
+class TestHoltWinters:
+    def test_state_reassembly_and_seasonality(self, spark, reg):
+        """The fold must consume every day exactly once (n_days == the
+        day census), the error metrics must be finite and consistent,
+        and the weekly seasonal array must have learned a non-zero
+        amplitude on a month of data."""
+        from pyspark.sql import functions as F
+
+        from e_commerce_streaming_datapipeline_spark.sources.batch import load_table
+
+        rows = reg["holt_winters_backtest"].builder(spark, SF_DIR).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        n_days = (
+            load_table(spark, "events", SF_DIR)
+            .where(
+                (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+            )
+            .select(F.floor(F.unix_timestamp("ts") / 86400))
+            .distinct()
+            .count()
+        )
+        assert r["n_days"] == n_days
+        assert r["mae"] >= 0 and 0 <= r["wmape"] < 1
+        assert r["seasonal_amplitude"] > 0
+
+
+class TestBurstStreamTwin:
+    def test_stream_store_merge_equals_batch(self, spark, reg):
+        """Cross-batch mergeability: the streaming store's episodes must
+        equal the batch twin's rows exactly, however the feed chunked."""
+        batch = {
+            tuple(r) for r in reg["event_burst_detection"].builder(spark, SF_DIR).collect()
+        }
+        stream = {
+            tuple(r) for r in reg["burst_detection_stream"].builder(spark, SF_DIR).collect()
+        }
+        assert batch == stream
