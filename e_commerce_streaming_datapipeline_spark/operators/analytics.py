@@ -1640,8 +1640,12 @@ def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hour_value_heatmap",
     oracle="""
 WITH binned AS (
+    -- -1 is EXCLUSIVELY the unpriced (NULL) sentinel; negative values
+    -- (refunds) get their own -2 bracket rather than floor-colliding
+    -- with it (r8 ADVICE #3)
     SELECT hour(ts) AS hour_of_day,
            CASE WHEN value IS NULL THEN -1
+                WHEN value < 0 THEN -2
                 ELSE least(CAST(floor(value / 10) AS BIGINT), 10) END AS value_decade
     FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
 ), cells AS (
@@ -1667,7 +1671,9 @@ def q_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES.md) and the visual where basket-size shifts by daypart show
     up before any single-dimension rollup moves.  Value brackets are
     $10 decades capped at 10 ('$100+'); unpriced purchases get their own
-    -1 bracket rather than vanishing.
+    -1 bracket rather than vanishing, and NEGATIVE values (refunds) get a
+    distinct -2 bracket so they can never floor-collide with the NULL
+    sentinel (r8 ADVICE #3: a value in (-10, 0) floors to -1).
 
     Exactness: binning is integer floor-division, shares are exact scaled
     integer division against the hour-marginal rollup — no floats
@@ -1684,6 +1690,7 @@ def q_hour_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.hour("ts").alias("hour_of_day"),
             F.when(F.col("value").isNull(), F.lit(-1))
+            .when(F.col("value") < 0, F.lit(-2))
             .otherwise(
                 F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(10))
             )

@@ -1405,7 +1405,12 @@ WITH ordered AS (
     UNION ALL
     SELECT day, ts, oid, 'user_id', CAST(user_id AS VARCHAR) FROM ordered
     UNION ALL
-    SELECT day, ts, oid, 'value', CAST(value AS VARCHAR) FROM ordered
+    -- stringify the QUANTIZED cents integer, not the raw double: Spark
+    -- renders doubles >= 1e7 in Java scientific notation (1.0E7) where
+    -- DuckDB renders 10000000.0, so raw-double strings diverge the moment
+    -- a value leaves [1e-3, 1e7) (r8 ADVICE #2)
+    SELECT day, ts, oid, 'value',
+           CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) FROM ordered
 ), runs AS (
     SELECT col_name,
            count(*) AS n_rows,
@@ -1453,7 +1458,12 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) under a fully deterministic order (epoch micros, id sentinel
     NULLS LAST, then the value itself NULLS LAST) so tied timestamps
     cannot flip run boundaries cross-engine; NULL-ts rows belong to no
-    layout partition and drop on both sides.
+    layout partition and drop on both sides.  The `value` column is
+    stringified as its QUANTIZED cents integer (round(value*100) as
+    BIGINT), never as a raw double: Spark renders doubles >= 1e7 in Java
+    scientific notation while DuckDB renders plain decimal, so raw-double
+    strings silently diverge outside [1e-3, 1e7) (r8 ADVICE #2) — and the
+    cents width is the honest encoded width for a money column anyway.
 
     Scale shape: the column stack is a 3x row multiply feeding ONE
     (column, day)-partitioned window — the same per-partition-runs
@@ -1480,7 +1490,8 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "stack(3, 'event_type', event_type, "
             "'user_id', cast(user_id as string), "
-            "'value', cast(value as string)) AS (col_name, val)"
+            "'value', cast(cast(round(value * 100) as bigint) as string)) "
+            "AS (col_name, val)"
         ),
     )
     lw = Window.partitionBy("col_name", "day").orderBy(

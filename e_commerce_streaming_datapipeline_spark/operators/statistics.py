@@ -5127,19 +5127,25 @@ WITH base AS (
            CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
     FROM risked WHERE d > 0
 ), packed AS (
-    -- each KM step encoded as one BIGINT (n_risk * 1e6 + d): list_reduce
-    -- folds scalars, so the pair rides in fixed decimal fields
-    SELECT list(n_risk * 1000000 + d ORDER BY day) AS ks FROM steps
+    -- each KM step encoded as one HUGEINT (n_risk * 1e12 + d): list_reduce
+    -- folds scalars, so the pair rides in fixed decimal fields.  The 1e12
+    -- field width admits d < 1e12 conversions/day and n_risk < 1e26 —
+    -- far beyond 100 TB scale (the former 1e6 width silently bled d into
+    -- n_risk past a million conversions/day)
+    SELECT list(CAST(n_risk AS HUGEINT) * 1000000000000 + d ORDER BY day)
+           AS ks
+    FROM steps
 )
 SELECT
     CAST(s.day AS INT)  AS day,
     s.n_risk            AS n_risk,
     s.d                 AS n_events,
     s.c                 AS n_censored,
-    list_reduce(
-        list_prepend(CAST(1000000 AS BIGINT), p.ks[1:s.rn]),
-        (acc, e) -> acc * ((e // 1000000) - (e % 1000000)) // (e // 1000000)
-    ) AS survival_x1e6
+    CAST(list_reduce(
+        list_prepend(CAST(1000000 AS HUGEINT), p.ks[1:s.rn]),
+        (acc, e) -> acc * ((e // 1000000000000) - (e % 1000000000000))
+                    // (e // 1000000000000)
+    ) AS BIGINT) AS survival_x1e6
 FROM steps s, packed p
 ORDER BY 1
 """,
@@ -5158,9 +5164,12 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (surv ← surv·(n−d) div n), a defined quantized estimator whose fold
     order is pinned by the sorted step array, so no float and no libm
     appears anywhere (the same discipline that keeps PMI log-free).  Each
-    (n, d) step rides the fold as one BIGINT (n·1e6 + d) because both
-    engines' fold primitives (`aggregate` HOF / `list_reduce`) reduce
-    scalars.
+    (n, d) step rides the fold as one wide scalar (n·1e12 + d, Spark
+    DECIMAL(38,0) / DuckDB HUGEINT) because both engines' fold primitives
+    (`aggregate` HOF / `list_reduce`) reduce scalars; the 1e12 field
+    width bounds d < 1e12 conversions/day and n < 1e26 at-risk subjects,
+    both unreachable at 100 TB (the acc·(n−d) intermediate peaks at
+    1e6·n ≤ 1e32, inside DECIMAL(38,0)).
 
     Scale shape: two user-keyed shuffles build the subject table (first
     view + censor time, then first qualifying purchase), the day-grain
@@ -5210,7 +5219,10 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = (
         risked.where(F.col("d") > 0)
         .withColumn("rn", F.row_number().over(Window.orderBy("day")).cast("int"))
-        .withColumn("__ks_elem", F.col("n_risk") * 1000000 + F.col("d"))
+        .withColumn(
+            "__ks_elem",
+            F.col("n_risk").cast("decimal(38,0)") * 1000000000000 + F.col("d"),
+        )
     )
     packed = steps.agg(
         F.sort_array(
@@ -5225,9 +5237,11 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("n_events"),
             F.col("c").alias("n_censored"),
             F.expr(
-                "aggregate(slice(__ks, 1, rn), CAST(1000000 AS BIGINT), "
-                "(acc, e) -> acc * ((e div 1000000) - (e % 1000000)) "
-                "div (e div 1000000))"
+                "CAST(aggregate(slice(__ks, 1, rn), "
+                "CAST(1000000 AS DECIMAL(38,0)), "
+                "(acc, e) -> CAST(acc "
+                "* ((e div 1000000000000) - (e % 1000000000000)) "
+                "div (e div 1000000000000) AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("survival_x1e6"),
         )
         .orderBy("day")
@@ -5486,10 +5500,12 @@ SELECT
     CAST(n_a AS BIGINT) AS n_a,
     CAST(n_b AS BIGINT) AS n_b,
     CAST(n_a - n_b AS BIGINT) AS delta,
-    CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT)
-        AS srm_chi2_x1e6,
-    (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 3841459
-        AS srm_detected
+    -- square in HUGEINT: BIGINT delta^2 * 1e6 wraps at |delta| ~3.04e6
+    -- users (r8 ADVICE #4)
+    CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000 // (n_a + n_b)
+         AS BIGINT) AS srm_chi2_x1e6,
+    CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000 // (n_a + n_b)
+        > 3841459 AS srm_detected
 FROM wide
 """,
 )
@@ -5523,7 +5539,13 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
         F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
     )
-    chi2 = F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+    # square in DECIMAL(38,0): a BIGINT delta^2 * 1e6 wraps silently at
+    # |delta| >= ~3.04e6 users — Spark wraps where DuckDB promotes, a
+    # latent cross-engine divergence at production scale (r8 ADVICE #4)
+    chi2 = F.expr(
+        "CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b) * 1000000 "
+        "div (n_a + n_b)"
+    )
     return wide.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),

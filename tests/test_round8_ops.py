@@ -105,7 +105,10 @@ class TestHourValueHeatmap:
             share = sum(c["hour_share_x1e6"] for c in cells)
             # integer-floor division loses < 1 micro-unit per cell
             assert 1_000_000 - len(cells) < share <= 1_000_000, hour
-            assert all(0 <= c["value_decade"] <= 10 or c["value_decade"] == -1
+            # -1 = unpriced (NULL) sentinel, -2 = negative-value (refund)
+            # bracket (r8 ADVICE #3)
+            assert all(0 <= c["value_decade"] <= 10
+                       or c["value_decade"] in (-1, -2)
                        for c in cells)
 
 
@@ -319,7 +322,17 @@ class TestSortedNeighborhoodPairs:
 
         rows = reg["sorted_neighborhood_pairs"].builder(spark, SF_DIR).collect()
         assert rows, "no type pairs"
-        n_events = 10_000  # sf0.001 events fixture, non-null rows dominate
+        # derive n from the fixture under the query's own non-null filter —
+        # a hardcoded sf0.001 count asserts the wrong bound whenever
+        # SPARK_GRAFT_TEST_SF points elsewhere (r8 ADVICE #5)
+        n_events = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .where(
+                "event_id IS NOT NULL AND user_id IS NOT NULL "
+                "AND event_type IS NOT NULL AND ts IS NOT NULL"
+            )
+            .count()
+        )
         total_cand = sum(r["n_candidates"] for r in rows)
         assert 0 < total_cand <= (_SNM_WINDOW - 1) * n_events
         for r in rows:
