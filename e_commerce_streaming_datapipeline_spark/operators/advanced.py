@@ -363,20 +363,52 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- approximate percentiles (100 TB twin of value_percentiles) ---------------
 
-@query("approx_value_percentiles")  # no oracle: t-digest estimates are engine-specific
+@query(
+    "approx_value_percentiles",
+    oracle="""
+SELECT
+    event_type,
+    CAST(count(value) AS BIGINT) AS n_values,
+    TRUE AS p50_in_bracket,
+    TRUE AS p90_in_bracket,
+    TRUE AS p99_in_bracket
+FROM events
+GROUP BY 1
+""",
+)
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` twin of value_percentiles: the Greenwald-Khanna
     sketch aggregates in one pass with bounded memory and NO per-group sort,
-    which is the only viable percentile plan at 100 TB.  Estimates are
-    engine-specific (driver records the rows-only check); accuracy is the
-    documented 1/accuracy=10000 bound, and the sanity floor is pinned by
-    test_approx_percentiles_bracket_exact."""
+    which is the only viable percentile plan at 100 TB.
+
+    Checked as a BOUNDS-ORACLE audit (r8 verdict task #7): GK estimates
+    are engine-specific, so the hashed output carries the exact value
+    count plus one boolean per quantile asserting the GK estimate lies
+    inside the EXACT percentile bracket [q-0.05, min(q+0.05, 1.0)] — a
+    500x-looser envelope than GK's documented 1/accuracy=1e-4 rank bound,
+    so the booleans are deterministic-in-practice while the driver now
+    verifies the sketch's accuracy contract cross-engine (previously a
+    permanent rows-only row; decision recorded in QUERIES.md).  The exact
+    brackets cost a per-group sort — the AUDIT's price, not the sketch's;
+    the tighter local floor stays pinned by
+    test_approx_percentiles_bracket_exact.  A group with zero non-NULL
+    values yields NULL estimates and NULL brackets: defined TRUE (nothing
+    to be wrong about) via coalesce on both engines."""
     events = load_table(spark, "events", sf_dir)
+
+    def ok(q: float, lo: float, hi: float):
+        approx = F.approx_percentile(F.col("value"), q, 10000)
+        lo_v = F.percentile(F.col("value"), lo)
+        hi_v = F.percentile(F.col("value"), hi)
+        return F.coalesce(
+            (approx >= lo_v) & (approx <= hi_v), F.lit(True)
+        )
+
     return events.groupBy("event_type").agg(
-        fround(F.approx_percentile(F.col("value"), 0.5, 10000), 4).alias("p50"),
-        fround(F.approx_percentile(F.col("value"), 0.9, 10000), 4).alias("p90"),
-        fround(F.approx_percentile(F.col("value"), 0.99, 10000), 4).alias("p99"),
         F.count("value").alias("n_values"),
+        ok(0.5, 0.45, 0.55).alias("p50_in_bracket"),
+        ok(0.9, 0.85, 0.95).alias("p90_in_bracket"),
+        ok(0.99, 0.94, 1.0).alias("p99_in_bracket"),
     )
 
 

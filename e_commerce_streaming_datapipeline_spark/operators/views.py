@@ -196,20 +196,50 @@ def q_status_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_unique_users_hourly")  # no oracle: HLL estimates don't cross-match
+@query(
+    "approx_unique_users_hourly",
+    oracle="""
+SELECT
+    CAST(date_trunc('hour', ts) AS TIMESTAMP)                   AS window_start,
+    CAST(date_trunc('hour', ts) + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+    CAST(count(DISTINCT user_id) AS BIGINT)                     AS n_users_exact,
+    TRUE                                                        AS hll_within_envelope
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2
+""",
+)
 def q_approx_unique_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 approx_count_distinct surface (HyperLogLog++, the reference's
-    choice in every processor).  Exposed rows-only: sketch estimates are
-    engine-specific.  Exact twins of every metric are oracle-checked."""
-    events = load_table(spark, "events", sf_dir)
+    choice in every processor) — as a BOUNDS-ORACLE audit: the raw HLL
+    estimate is engine-private (DuckDB's sketch would never hash-match
+    Spark's), so instead of a rows-only row the query hashes the exact
+    per-hour distinct count plus a boolean asserting the HLL estimate
+    landed within 5x its configured rsd (0.05 → ±25%) of it.  The sketch
+    still genuinely runs (the boolean derives from it) and the driver now
+    verifies its accuracy CONTRACT cross-engine — stronger than the
+    permanent `err: no_oracle` row it replaces (r8 verdict task #7;
+    decision recorded in QUERIES.md).  The 5σ envelope makes the boolean
+    deterministic-in-practice: HLL++ is exact in sparse mode and a >5σ
+    deviation on the dense path is astronomically unlikely.
+
+    NULL-ts rows are unwindowable and drop on both engines; an all-NULL
+    user hour yields exact 0 = approx 0, inside any envelope."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     w = F.window(F.col("ts"), "1 hour")
     return (
         events.groupBy(w.alias("w"))
-        .agg(F.approx_count_distinct("user_id").alias("approx_unique_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
-            "approx_unique_users",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact")) * 100
+                <= F.col("n_users_exact") * 25
+            ).alias("hll_within_envelope"),
         )
     )
 
@@ -239,7 +269,18 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_users_daily_to_monthly")  # no oracle: sketch estimates are engine-specific
+@query(
+    "hll_users_daily_to_monthly",
+    oracle="""
+SELECT
+    CAST(date_trunc('month', ts) AS TIMESTAMP)  AS month,
+    CAST(count(*) AS BIGINT)                    AS events,
+    CAST(count(DISTINCT user_id) AS BIGINT)     AS n_users_exact,
+    TRUE                                        AS merged_within_envelope
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
+""",
+)
 def q_hll_users_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of user_id, unioned up
     to a monthly distinct estimate WITHOUT re-touching the raw events — the
@@ -249,20 +290,38 @@ def q_hll_users_daily_to_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_count_distinct` (the reference's per-window choice) can't do
     this: its estimate is final, not mergeable.  `hll_sketch_agg` emits the
     sketch itself as a binary column; `hll_union_agg` + `hll_sketch_estimate`
-    do the lossless union at rollup time.  Rows-only check (estimates are
-    engine-specific); the daily exact twin is `funnel_hourly`'s
-    count_distinct surface."""
-    events = load_table(spark, "events", sf_dir)
+    do the lossless union at rollup time.
+
+    Checked as a BOUNDS-ORACLE audit (r8 verdict task #7, same design as
+    `approx_unique_users_hourly`): the hashed output carries the exact
+    monthly distinct count plus a boolean asserting the MERGED-sketch
+    estimate landed within ±25% of it, so the driver verifies the
+    merge path's accuracy contract instead of recording a permanent
+    rows-only row.  The exact leg re-scans events — that is the audit's
+    cost, not the rollup's (at 100 TB the audit runs sampled; the rollup
+    itself stays sketch-only).  NULL-ts rows are date-truncatable on
+    neither engine's month grain consistently with the hourly family, so
+    both sides drop them."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count("*").alias("events"),
     )
-    return (
-        daily.groupBy(F.date_trunc("month", F.col("day")).alias("month"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_monthly_users"),
-            F.sum("events").alias("events"),
-        )
+    merged = daily.groupBy(F.date_trunc("month", F.col("day")).alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+        F.sum("events").alias("events"),
+    )
+    exact = events.groupBy(F.date_trunc("month", F.col("ts")).alias("month")).agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return merged.join(exact, "month").select(
+        "month",
+        "events",
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_users_exact")) * 100
+            <= F.col("n_users_exact") * 25
+        ).alias("merged_within_envelope"),
     )
 
 

@@ -561,7 +561,11 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
     the fixture) returns a DISCRETE order statistic while the exact twin
     interpolates — so the right sanity floor is a quantile bracket: the
     sketch's p-quantile must lie within the exact [p-0.02, p+0.02] value
-    range.  Its values stay excluded from hash checks (engine-specific)."""
+    range (tighter than the registered query's ±0.05 driver envelope, so
+    this test is the binding local floor).  The raw GK values stay out of
+    the hashed query output (engine-specific); since r9 the registered
+    query instead hashes per-quantile in-bracket booleans — asserted
+    all-TRUE here too."""
     from e_commerce_streaming_datapipeline_spark.operators.advanced import (
         q_approx_value_percentiles,
     )
@@ -580,15 +584,28 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
                 F.percentile(F.col("value"), min(p + 0.02, 1.0)).alias(f"hi{i}")
                 for i, p in enumerate((0.5, 0.9, 0.99))
             ],
+            *[
+                F.approx_percentile(F.col("value"), p, 10000).alias(f"gk{i}")
+                for i, p in enumerate((0.5, 0.9, 0.99))
+            ],
         )
         .collect()
     }
-    approx = {r["event_type"]: r for r in q_approx_value_percentiles(spark, sf_dir).collect()}
-    assert brackets.keys() == approx.keys()
-    for et, a in approx.items():
-        b = brackets[et]
-        for i, p in enumerate(("p50", "p90", "p99")):
-            assert b[f"lo{i}"] - 1e-9 <= a[p] <= b[f"hi{i}"] + 1e-9, (et, p, a[p])
+    assert brackets
+    for et, b in brackets.items():
+        for i in range(3):
+            assert b[f"lo{i}"] - 1e-9 <= b[f"gk{i}"] <= b[f"hi{i}"] + 1e-9, (
+                et,
+                i,
+                b[f"gk{i}"],
+            )
+    audited = {
+        r["event_type"]: r
+        for r in q_approx_value_percentiles(spark, sf_dir).collect()
+    }
+    assert audited.keys() == brackets.keys()
+    for et, a in audited.items():
+        assert a["p50_in_bracket"] and a["p90_in_bracket"] and a["p99_in_bracket"], et
 
 
 def test_ordered_funnel_single_fact_shuffle(spark, sf_dir):

@@ -348,13 +348,19 @@ _EVENTS_EDGE_QUERIES = [
     # matrix and the label identically on both engines
     "logreg_sgd_step",
     # r5 window pins over events: the funnel join + payment re-rollup
-    # (NULL type/user/ts groups), the HLL sketch (rows-only: must not
-    # crash), the Derby MERGE roundtrip, the Variant JSON path (NULL
+    # (NULL type/user/ts groups), the HLL sketch (bounds-oracle since r9:
+    # exact leg + envelope boolean hash-check; NULL ts drops, NULL users
+    # leave both the exact and approx distinct counts), the Derby MERGE
+    # roundtrip, the Variant JSON path (NULL
     # props), the DataSource feed (reads no fixture table — invariance
     # pin), CDC latest-per-key and LOCF gap fill (NULL ts/value), the
     # three-way watermarked stream join, and the MATCH_RECOGNIZE-style
     # pattern top-k (NULL ts/type rows leave every journey unchanged)
     "payment_rollup", "complete_funnel", "approx_unique_users_hourly",
+    # r9 bounds-oracle conversions (verdict task #7): the merged-HLL
+    # monthly rollup and the GK percentile audit — NULL value groups
+    # yield NULL estimates, defined TRUE via coalesce on both engines
+    "hll_users_daily_to_monthly", "approx_value_percentiles",
     "jdbc_upsert_roundtrip", "python_datasource_feed", "variant_props_stats",
     "cdc_apply_latest", "locf_value_15min", "journey_stream_join",
     "gmv_pattern_topk",
