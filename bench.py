@@ -325,18 +325,25 @@ def main() -> None:
     # (round-3 showed +-10% whole-suite drift between driver draws).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_spread_pct: dict[str, float] = {}
     for name in sections:
         q = registry[name]
         best = float("inf")
         first = None
+        iters: list[float] = []
         for _ in range(3):
             start = time.perf_counter()
             df = q.builder(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
+            iters.append(elapsed)
             if first is None:
                 first = elapsed
             best = min(best, elapsed)
+        # spread of the two WARM iterations (run 1 is the cold number):
+        # the per-query input to the machine-measured noise band below
+        w_lo, w_hi = min(iters[1:]), max(iters[1:])
+        warm_spread_pct[name] = round((w_hi - w_lo) / w_lo * 100, 1) if w_lo > 0 else 0.0
         # release AFTER the three timed runs, not between them: the
         # CacheManager matches persisted plans by canonicalized logical
         # plan, so runs 2-3 of a rank query legitimately reuse run 1's
@@ -374,6 +381,44 @@ def main() -> None:
         set(registry) - set(timings) - set(tail) - set(tail_errors)
     )
 
+    # Machine-measured noise band (r8 VERDICT task #3): the r8 round saw 15
+    # warm "regressions" of 10-32% that were machine draw, argued in README
+    # prose.  Make the band a measured artifact instead: REPLAY the core-32
+    # section (a second back-to-back min-of-3 pass in the same JVM) and
+    # take the p90 of per-query |replay - first| / first deltas, unioned
+    # with the p90 of the per-query warm-iteration spreads.  round_delta.py
+    # flags a WARM delta as structural only above max(10%, this band);
+    # cold deltas keep the plain 10% threshold.
+    replay_delta_pct: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            q.builder(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - start)
+        release_rank_caches()
+        if timings[name] > 0:
+            replay_delta_pct[name] = round(
+                abs(best - timings[name]) / timings[name] * 100, 1
+            )
+
+    def _p90(vals: list[float]) -> float:
+        if not vals:
+            return 0.0
+        s = sorted(vals)
+        return s[min(len(s) - 1, int(0.9 * (len(s) - 1) + 0.999))]
+
+    noise_band_pct = round(
+        max(
+            _p90(list(replay_delta_pct.values())),
+            _p90([warm_spread_pct[n] for n in HEADLINE]),
+        ),
+        1,
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -397,6 +442,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
+        "warm_spread_pct": warm_spread_pct,
+        "replay_delta_pct": replay_delta_pct,
+        "noise_band_pct": noise_band_pct,
         "persist_heavy": sorted(persist_heavy),
         "tail_queries": tail,
         "tail_total": round(sum(tail.values()), 3),
@@ -434,6 +482,7 @@ def main() -> None:
         "n_tail": len(tail),
         "n_tail_errors": len(tail_errors),
         "n_unbenched": len(unbenched),
+        "noise_band_pct": noise_band_pct,
         **totals,
         "sf": sf_val,
     }

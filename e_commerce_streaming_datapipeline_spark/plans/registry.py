@@ -70,6 +70,25 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_PRIOR = frozenset(
     {
+        # the round-8 window (CORRECTNESS_r08.json): 49/50 all-green, the
+        # 50th (approx_unique_users_hourly, rows-only by design then —
+        # bounds-oracle since r9) witnessed in r1-r3.  The 28 rotated-in
+        # first-witness queries below all got green rows
+        "jaccard_threshold_sweep", "packing_efficiency_sweep",
+        "cross_source_leakage_matrix", "kanon_generalization_ladder",
+        "benford_revenue_audit", "conversion_window_sweep",
+        "schema_drift_audit", "partition_evolution_scan",
+        "embedding_outlier_topk", "session_funnel_conversion",
+        "cohort_ltv_triangle", "vocabulary_growth_curve",
+        "revenue_concentration_hhi", "props_schema_census",
+        "scd2_priority_history", "term_postings", "attribution_first_last",
+        "forecast_backtest_snaive", "nation_pagerank", "cohort_retention",
+        "grouping_sets_revenue", "top_customers", "daily_revenue_ma",
+        "session_window_stats", "xml_source_stats", "multimodal_resize",
+        "unique_buyers_stream", "embedding_near_dups",
+    }
+) | frozenset(
+    {
         # the round-7 window (CORRECTNESS_r07.json): 49/50 all-green, the
         # 50th (approx_unique_users_hourly) rows-only by design — the first
         # fully-green driver round since r2.  The six r6 keepers-by-
@@ -167,19 +186,20 @@ _DRIVER_WITNESSED_PRIOR = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-8 window: 22 family keepers + 28 rotated-in queries that
-    # have never had a driver CORRECTNESS row (the witness-backlog
-    # burn-down, VERDICT r7 task #1: 165 of 343 queries were never
-    # driver-witnessed entering r8; this window retires 28 of them,
-    # prioritizing the 13 unwitnessed r7 additions plus the oldest
-    # unwitnessed families — SCD2, attribution, forecasting, retrieval
-    # postings, graph PageRank, cohort analytics, grouping sets, XML
-    # source, window functions, streaming distinct-state, embedding
-    # near-dup, multimodal resize, and the two r7-ADVICE-fixed queries
-    # packing_efficiency_sweep / props_schema_census so the driver
-    # witnesses the fixes).  The per-family keeper set is pinned by
-    # tests/test_round3_ops.py; rotation freshness (>= 25 never-witnessed)
-    # by test_rotation_adds_never_witnessed_queries.
+    # ---- round-9 window: 15 SURVEY §2 flagship keepers + 35 rotated-in
+    # queries that have never had a driver CORRECTNESS row (VERDICT r8
+    # task #1: 174 of 372 never witnessed and r8's net progress was -1;
+    # this window trims keepers 22 -> 15 and pushes the rotation 28 -> 35,
+    # prioritizing (a) the 14 post-close r8 additions the judge verified
+    # at sf0.01 but the driver never saw, (b) the streaming family — the
+    # reference's core competency, almost none of it driver-witnessed:
+    # 13 stream queries including all five stream-stream join types,
+    # (c) the three approx sketches just converted to bounds-oracles and
+    # the three r8-ADVICE-fixed queries, so the driver witnesses the
+    # flips, (d) one fresh representative for families whose keeper
+    # rotated out.  Family coverage is pinned by tests/test_round3_ops.py;
+    # rotation freshness (>= 35 never-witnessed) by
+    # test_rotation_adds_never_witnessed_queries.
     #
     # A1-A4 core reference processors (one witness each)
     "gmv_minutely",
@@ -193,56 +213,61 @@ _PROOF_PREFIX = (
     # J joins
     "complete_funnel",
     "order_details",
-    # D dedup + approx sketch
+    # D dedup + the HLL bounds-oracle (first hash-checked round)
     "dedup_events",
     "approx_unique_users_hourly",
-    # S sources / K sinks (Kafka wire, CSV, live-Derby MERGE, DataSource)
+    # S sources / K sinks (Kafka wire, live-Derby MERGE)
     "kafka_payload_roundtrip",
-    "csv_source_stats",
     "jdbc_upsert_roundtrip",
-    "python_datasource_feed",
-    # UDF/UDAF/UDTF/Variant surface
+    # UDF/Variant surface
     "variant_props_stats",
-    "doc_chunks_udtf",
-    # LLM pipeline family witnesses
-    "minhash_near_dups",
-    "embedding_topk",
-    "text_stats",
-    "pii_redaction",
-    "multimodal_decode",
     # Streaming (D2-D4)
     "gmv_stream_minutely",
-    # ---- rotated in for round 8 (never driver-witnessed before) ----
-    # the 13 unwitnessed round-7 additions
-    "jaccard_threshold_sweep",
-    "packing_efficiency_sweep",
-    "cross_source_leakage_matrix",
-    "kanon_generalization_ladder",
-    "benford_revenue_audit",
-    "conversion_window_sweep",
-    "schema_drift_audit",
-    "partition_evolution_scan",
-    "embedding_outlier_topk",
-    "session_funnel_conversion",
-    "cohort_ltv_triangle",
-    "vocabulary_growth_curve",
-    "revenue_concentration_hhi",
-    # oldest unwitnessed families, one representative each
-    "props_schema_census",
-    "scd2_priority_history",
-    "term_postings",
-    "attribution_first_last",
-    "forecast_backtest_snaive",
-    "nation_pagerank",
-    "cohort_retention",
-    "grouping_sets_revenue",
-    "top_customers",
-    "daily_revenue_ma",
-    "session_window_stats",
-    "xml_source_stats",
-    "multimodal_resize",
-    "unique_buyers_stream",
-    "embedding_near_dups",
+    # LLM dedup flagship
+    "minhash_near_dups",
+    # ---- rotated in for round 9 (never driver-witnessed before) ----
+    # (a) the 14 post-close r8 additions
+    "holt_winters_backtest",
+    "kcore_decomposition",
+    "peak_concurrent_sessions",
+    "boolean_and_search",
+    "supplier_pareto_frontier",
+    "label_propagation_communities",
+    "purged_timeseries_folds",
+    "sorted_neighborhood_pairs",
+    "stratified_uplift_ipw",
+    "rake_keyphrases",
+    "stream_state_size_advisor",
+    "event_burst_detection",
+    "ab_srm_check",
+    "burst_detection_stream",
+    # (b) the never-witnessed streaming family: chained/stateful aggs,
+    # CEP, session windows, and all five stream-stream join types
+    "cart_abandonment_stream",
+    "funnel_completion_stream",
+    "multi_metric_stream",
+    "gmv_cascade_stream",
+    "session_stream",
+    "attribution_stream_join",
+    "click_purchase_full_outer_stream",
+    "attributed_clicks_semi_stream",
+    "complete_funnel_stream",
+    "funnel_stream_hourly",
+    "gmv_sliding_stream",
+    "golden_record_stream",
+    # (c) the two remaining bounds-oracle conversions + the three
+    # r8-ADVICE-fixed queries
+    "hll_users_daily_to_monthly",
+    "approx_value_percentiles",
+    "kaplan_meier_conversion",
+    "encoding_advisor",
+    "hour_value_heatmap",
+    # (d) fresh family representatives (ANN scale path, multimodal,
+    # TPC-H shapes, Python DataSource sink)
+    "embedding_topk_lsh_multiprobe",
+    "multimodal_frame_sample",
+    "min_cost_supplier",
+    "python_datasource_sink_roundtrip",
 )
 
 

@@ -92,7 +92,7 @@ def _load_bench(path: str, overlay_local: bool = False) -> dict:
 
 
 _SECTIONS = ("core32_total", "extended_total", "r3_total", "r4_total",
-             "r5_total", "r6_total", "r7_total",
+             "r5_total", "r6_total", "r7_total", "r8_total",
              "core32_cold_total", "sections_cold_total", "tail_total")
 
 
@@ -109,11 +109,27 @@ def bench_delta(prev_path: str | None, cur_path: str) -> dict:
         if section in prev:
             out[f"prev_{section}"] = prev[section]
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    # WARM deltas are judged against the machine-measured noise band
+    # (bench.py r9+: p90 of core-32 replay deltas + warm-iteration
+    # spreads), never below the plain 10% floor — r8 saw 15 warm
+    # "regressions" of 10-32% that were machine draw argued in prose;
+    # now "within band" vs "structural" is a recorded fact.  Rounds
+    # benched before the band existed fall back to the 10% floor.
+    noise_band = max(
+        float(cur.get("noise_band_pct") or 0.0),
+        float(prev.get("noise_band_pct") or 0.0),
+    )
+    warm_threshold = max(REGRESSION_PCT, noise_band)
     regressions = {}
+    within_band = {}
     for q in sorted(set(pq) & set(cq)):
-        if pq[q] > 0 and (cq[q] - pq[q]) / pq[q] * 100 > REGRESSION_PCT:
-            regressions[q] = {"prev_s": pq[q], "cur_s": cq[q],
-                              "pct": round((cq[q] - pq[q]) / pq[q] * 100, 1)}
+        if pq[q] <= 0:
+            continue
+        pct = round((cq[q] - pq[q]) / pq[q] * 100, 1)
+        if pct > warm_threshold:
+            regressions[q] = {"prev_s": pq[q], "cur_s": cq[q], "pct": pct}
+        elif pct > REGRESSION_PCT:
+            within_band[q] = {"prev_s": pq[q], "cur_s": cq[q], "pct": pct}
     # persist-heavy queries report warm-min AND cold (r8+): compare
     # cold-to-cold so a cache-measurement change can never flatter a
     # cross-round delta (the r7 prefix_filter_simjoin 9.45 -> 0.87 s lesson)
@@ -125,7 +141,9 @@ def bench_delta(prev_path: str | None, cur_path: str) -> dict:
                                    "pct": round((cc[q] - pc[q]) / pc[q] * 100, 1)}
     out.update({
         "prev_total": prev.get("value"),
-        "regressions_gt_10pct": regressions,
+        "warm_threshold_pct": warm_threshold,
+        "warm_regressions_gt_band": regressions,
+        "warm_within_noise_band": within_band,
         "cold_regressions_gt_10pct": cold_regressions,
         "new_queries": sorted(set(cq) - set(pq)),
     })
@@ -133,12 +151,26 @@ def bench_delta(prev_path: str | None, cur_path: str) -> dict:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="record this round's delta line instead of the latest "
+             "(backfill; compares against the nearest earlier round)",
+    )
+    args = ap.parse_args()
+
     corr, bench = _rounds("CORRECTNESS_r*.json"), _rounds("BENCH_r*.json")
     if not corr and not bench:
         print("no driver round files found", file=sys.stderr)
         raise SystemExit(1)
-    cur_round = max(set(corr) | set(bench))
-    prev_rounds = [r for r in set(corr) | set(bench) if r < cur_round]
+    all_rounds = set(corr) | set(bench)
+    cur_round = args.round if args.round is not None else max(all_rounds)
+    if cur_round not in all_rounds:
+        print(f"no driver files for round {cur_round}", file=sys.stderr)
+        raise SystemExit(1)
+    prev_rounds = [r for r in all_rounds if r < cur_round]
     prev_round = max(prev_rounds) if prev_rounds else None
 
     line = {"round": cur_round, "vs_round": prev_round}
@@ -152,17 +184,19 @@ def main() -> None:
         )
 
     out_path = os.path.join(REPO, "ROUND_DELTAS.jsonl")
-    existing = []
+    # one line per round, ordered by round: replace any existing line(s)
+    # for this round (idempotent re-runs, and a historical duplicate-line
+    # cleanup) rather than appending a second copy
+    by_round: dict[int, dict] = {}
     if os.path.exists(out_path):
-        existing = [
-            json.loads(ln)
-            for ln in open(out_path)
-            if ln.strip() and json.loads(ln).get("round") != cur_round
-        ]
+        for ln in open(out_path):
+            if ln.strip():
+                e = json.loads(ln)
+                by_round[e.get("round")] = e
+    by_round[cur_round] = line
     with open(out_path, "w") as f:
-        for e in existing:
-            f.write(json.dumps(e) + "\n")
-        f.write(json.dumps(line) + "\n")
+        for r in sorted(by_round):
+            f.write(json.dumps(by_round[r]) + "\n")
     print(json.dumps(line, indent=2))
 
 

@@ -19,12 +19,13 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-8 rotation: one keeper per SURVEY §2 family; 28 slots rotate
-    # to never-before-witnessed queries, tracked by
-    # _DRIVER_WITNESSED_PRIOR.  The r7 window went 49/50 green + 1
-    # rows-only-by-design, so no keepers-by-exception carry into r8; the
-    # r6/r7 lakehouse/ml/advisor witnesses leave the window and their
-    # families are re-witnessed by never-seen siblings where one exists)
+    # (round-9 rotation, VERDICT r8 task #1: keepers trimmed 22 -> 15
+    # SURVEY §2 flagships, rotation pushed 28 -> 35 never-witnessed slots.
+    # The r8 window went 49/50 green + 1 rows-only-by-design, so no
+    # keepers-by-exception carry into r9.  Families whose r8 keeper
+    # rotated out are re-witnessed by never-seen siblings — the witness
+    # below is the FRESH name where one exists, so family coverage and
+    # backlog burn-down are the same slots)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
@@ -34,33 +35,39 @@ class TestProofPrefix:
         "V_views_A6": {"payment_rollup"},
         "J_joins": {"complete_funnel", "order_details"},
         "D_dedup": {"dedup_events"},
-        "approx": {"approx_unique_users_hourly"},
-        "S_sources": {"kafka_payload_roundtrip", "csv_source_stats",
-                      "python_datasource_feed", "xml_source_stats"},
+        # all three sketches carry bounds-oracles since r9 — this window
+        # is the first to hash-check them at the driver
+        "approx": {"approx_unique_users_hourly", "hll_users_daily_to_monthly",
+                   "approx_value_percentiles"},
+        "S_sources": {"kafka_payload_roundtrip",
+                      "python_datasource_sink_roundtrip"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
-        "UDF_surface": {"variant_props_stats", "doc_chunks_udtf"},
-        "llm_dedup": {"minhash_near_dups", "jaccard_threshold_sweep"},
-        "llm_ann": {"embedding_topk", "embedding_outlier_topk",
-                    "embedding_near_dups"},
-        "llm_text": {"text_stats", "vocabulary_growth_curve",
-                     "term_postings"},
-        "llm_curation": {"pii_redaction", "packing_efficiency_sweep",
-                         "cross_source_leakage_matrix"},
-        "llm_multimodal": {"multimodal_decode", "multimodal_resize"},
-        "streaming": {"gmv_stream_minutely", "unique_buyers_stream"},
-        "tpch": {"top_customers"},
-        "analytics": {"session_window_stats", "daily_revenue_ma",
-                      "cohort_retention", "scd2_priority_history",
-                      "session_funnel_conversion"},
-        "graph": {"nation_pagerank"},
-        "privacy": {"kanon_generalization_ladder"},
-        "drift_eval": {"benford_revenue_audit", "forecast_backtest_snaive",
-                       "attribution_first_last", "cohort_ltv_triangle",
-                       "revenue_concentration_hhi"},
-        "layout_lakehouse": {"partition_evolution_scan"},
-        "ml_training": {"conversion_window_sweep"},
-        "sql_surface": {"grouping_sets_revenue"},
-        "telemetry_quality": {"schema_drift_audit", "props_schema_census"},
+        "UDF_surface": {"variant_props_stats"},
+        "llm_dedup": {"minhash_near_dups", "sorted_neighborhood_pairs"},
+        "llm_ann": {"embedding_topk_lsh_multiprobe"},
+        "llm_text": {"rake_keyphrases"},
+        "llm_curation": {"purged_timeseries_folds"},
+        "llm_multimodal": {"multimodal_frame_sample"},
+        # the r9 centerpiece: chained stateful aggs, CEP, session windows,
+        # and all five stream-stream join types, none ever driver-seen
+        "streaming": {"gmv_stream_minutely", "burst_detection_stream",
+                      "cart_abandonment_stream", "funnel_completion_stream",
+                      "multi_metric_stream", "gmv_cascade_stream",
+                      "session_stream", "attribution_stream_join",
+                      "click_purchase_full_outer_stream",
+                      "attributed_clicks_semi_stream",
+                      "complete_funnel_stream", "funnel_stream_hourly",
+                      "gmv_sliding_stream", "golden_record_stream"},
+        "tpch": {"min_cost_supplier"},
+        "analytics": {"peak_concurrent_sessions", "hour_value_heatmap"},
+        "graph": {"kcore_decomposition", "label_propagation_communities"},
+        "retrieval": {"boolean_and_search"},
+        "drift_eval": {"holt_winters_backtest", "event_burst_detection",
+                       "ab_srm_check", "stratified_uplift_ipw",
+                       "kaplan_meier_conversion",
+                       "supplier_pareto_frontier"},
+        "layout_lakehouse": {"stream_state_size_advisor",
+                             "encoding_advisor"},
     }
 
     def test_prefix_is_driver_window_sized(self):
@@ -78,12 +85,13 @@ class TestProofPrefix:
 
     def test_rotation_adds_never_witnessed_queries(self):
         """Rotation contract (VERDICT r3 task #2, tightened by VERDICT r7
-        task #1 to burn down the 165-query witness backlog): the current
-        window must witness >= 25 queries that never had a driver
-        CORRECTNESS row in any earlier round."""
+        task #1 and again by r8 task #1 — registry growth was outpacing
+        driver-window throughput): the current window must witness >= 35
+        queries that never had a driver CORRECTNESS row in any earlier
+        round."""
         window = set(registry._PROOF_PREFIX)
         fresh = window - registry._DRIVER_WITNESSED_PRIOR
-        assert len(fresh) >= 25, sorted(fresh)
+        assert len(fresh) >= 35, sorted(fresh)
 
     def test_reorder_loses_no_queries(self):
         qs = registry.all_queries()
