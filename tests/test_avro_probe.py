@@ -7,7 +7,7 @@ ported (operators/connectors.py).  TRUE binary `from_avro`/`to_avro`
 needs the org.apache.spark:spark-avro connector jar, which this container
 does not ship (the avro-core jars are present but
 ``to_avro`` raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at execution —
-re-probed round 7, 2026-08-16).  When this probe starts passing, add a
+re-probed round 9, 2026-08-17).  When this probe starts passing, add a
 `kafka_payload_avro_roundtrip` twin of `kafka_payload_roundtrip` that
 wire-encodes with to_avro and hash-checks the decode.
 
