@@ -453,9 +453,14 @@ def q_gmv_cascade_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wm AS (
     -- Spark tracks event time in ms: watermark = floor_ms(max ts) - delay,
-    -- over the filtered (view/purchase) stream the operator reads
+    -- over the filtered (view/purchase, keyed-user) stream the operator
+    -- reads: NULL-user rows are nobody's cart session and are dropped on
+    -- both engines before the watermark and the state grouping (Spark's
+    -- groupBy treats NULLs as equal; SQL's equality correlation never
+    -- matches NULL — r9 edge pin)
     SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '10 minutes' AS w
-    FROM events WHERE event_type IN ('view', 'purchase')
+    FROM events
+    WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
 )
 SELECT
     v.user_id,
@@ -464,6 +469,7 @@ SELECT
     v.ts + INTERVAL '30 minutes'    AS abandoned_at
 FROM events v, wm
 WHERE v.event_type = 'view'
+  AND v.user_id IS NOT NULL
   AND v.ts + INTERVAL '30 minutes' < wm.w
   AND NOT EXISTS (
       SELECT 1 FROM events p
@@ -977,10 +983,14 @@ WITH wm AS (
         (SELECT date_trunc('milliseconds', max(ts)) FROM events WHERE event_type = 'purchase')
     ) - INTERVAL '10 minutes' AS w
 ), c AS (
-    SELECT user_id, event_id AS click_id, ts AS click_ts
+    -- -1 = "no id available" on BOTH engines: a keyless (NULL event_id)
+    -- click/purchase keeps its match semantics (the join correlates on
+    -- user + time, never on id) but surfaces the sentinel, exactly as the
+    -- stream side coalesces — r9 edge pin
+    SELECT user_id, coalesce(event_id, -1) AS click_id, ts AS click_ts
     FROM events WHERE event_type = 'click'
 ), p AS (
-    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    SELECT user_id, coalesce(event_id, -1) AS purchase_id, ts AS purchase_ts
     FROM events WHERE event_type = 'purchase'
 ), matched AS (
     SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
@@ -1067,12 +1077,21 @@ def build_full_outer_click_purchase(
         "full_outer",
     ).select(
         F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        # -1 = "no id available": the side is absent OR the arriving event
+        # was keyless (NULL event_id) — both engines coalesce identically,
+        # so the sentinel never conflates with a real id and the column
+        # stays NaN-free for the pandas canonicalizers
         F.coalesce(F.col("c_id"), F.lit(-1)).alias("click_id"),
         F.coalesce(F.col("p_id"), F.lit(-1)).alias("purchase_id"),
         "click_ts",
         "purchase_ts",
-        F.when(F.col("c_id").isNull(), "purchase_only")
-        .when(F.col("p_id").isNull(), "click_only")
+        # side-PRESENCE decides the match class, keyed on the event-time
+        # columns (the file feed admits no NULL-ts rows, so a NULL ts here
+        # means the side is genuinely absent) — keying on id nullability
+        # misclassified a KEYLESS click's matched pair as purchase_only
+        # (r9 edge pin)
+        F.when(F.col("click_ts").isNull(), "purchase_only")
+        .when(F.col("purchase_ts").isNull(), "click_only")
         .otherwise("matched")
         .alias("match_type"),
     )

@@ -270,7 +270,15 @@ def streaming_cart_abandonment(
                 for eid, ts, et in zip(
                     pdf["event_id"], pdf["ts"], pdf["event_type"]
                 ):
-                    rows.append((int(ts.value // 1000), et == "purchase", int(eid)))
+                    # a keyless VIEW still counts as a pending view and a
+                    # keyless PURCHASE still converts — event_id is output
+                    # identity, not semantics (pd.isna: NULL ids arrive as
+                    # NaN through Arrow and int(NaN) would throw)
+                    rows.append((
+                        int(ts.value // 1000),
+                        et == "purchase",
+                        None if pd.isna(eid) else int(eid),
+                    ))
             # event-time order; views before purchases on equal timestamps so
             # a same-instant purchase converts the view (BETWEEN is inclusive)
             rows.sort(key=lambda r: (r[0], r[1]))
@@ -320,8 +328,15 @@ def streaming_cart_abandonment(
 
     return (
         _ensure_watermark(
-            events.where(F.col("event_type").isin("view", "purchase"))
-            .select("user_id", "event_id", "ts", "event_type")
+            # NULL-user rows are nobody's cart session and must not form a
+            # state group: Spark's groupBy treats NULLs as EQUAL (a NULL-user
+            # purchase would convert NULL-user views) while the oracle's
+            # NOT-EXISTS equality correlation never matches NULL — drop them
+            # explicitly on both engines (r9 edge pin)
+            events.where(
+                F.col("event_type").isin("view", "purchase")
+                & F.col("user_id").isNotNull()
+            ).select("user_id", "event_id", "ts", "event_type")
         )
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -77,6 +77,11 @@ _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chun
                  # inverted index: NULL text posts nothing; the empty-string
                  # doc posts the '' term identically on both engines
                  "term_postings",
+                 # r9 window pins — conjunctive search: NULL/empty text
+                 # yields no postings, so the HAVING-count intersection is
+                 # unperturbed; RAKE: NULL text explodes no phrases and the
+                 # empty-string doc trims to zero candidates on both engines
+                 "boolean_and_search", "rake_keyphrases",
                  # per-fold AUC: NULL text drops, NULL lang is a negative,
                  # fold hash is NULL-free (doc_id non-null)
                  "kfold_auc",
@@ -465,6 +470,17 @@ _EVENTS_EDGE_QUERIES = [
     # belong to no day file) and the batch oracle drops them identically;
     # NULL event_type rows are filtered in the per-batch fold
     "burst_detection_stream",
+    # r9 window pins — the streaming rotation: every stream twin must
+    # carry the NULL-ts/user/type/value/props rows through its file feed,
+    # watermarked state and (for the join family) both join sides exactly
+    # as the batch oracle drops or groups them
+    "cart_abandonment_stream", "funnel_completion_stream",
+    "multi_metric_stream", "gmv_cascade_stream", "attribution_stream_join",
+    "click_purchase_full_outer_stream", "attributed_clicks_semi_stream",
+    "gmv_sliding_stream",
+    # r9 DataSource sink roundtrip: reads no fixture table — invariance
+    # pin (same class as python_datasource_feed above)
+    "python_datasource_sink_roundtrip",
 ]
 
 
