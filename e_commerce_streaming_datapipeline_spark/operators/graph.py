@@ -18,11 +18,9 @@ list itself.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -356,7 +354,8 @@ def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     way.  Convergence here is O(diameter) rounds (assert-capped); at
     10⁹-node scale the same loop uses the large-star/small-star rewiring
     (Kiveris et al., SoCC'14) to collapse rounds to O(log n), and each
-    round persists/unpersists its frontier exactly as done here.
+    round checkpoints its frontier exactly as done here (lineage
+    truncation — without it the plan, not the data, is what blows up).
     """
     ps = (
         load_table(spark, "lineitem", sf_dir)
@@ -371,9 +370,20 @@ def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = ps.select(F.col("sk").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).persist()
+    # localCheckpoint (not persist) per round: each round's labels are read
+    # by TWO consumers of the NEXT round (neighbor join + left join), so
+    # without lineage truncation the logical plan grows ~3x per round and
+    # the driver spends more time PLANNING the final aggregate than the
+    # executors spend running it (r9 measurement: the persisted-loop plan
+    # was 16,889 lines / 2,363 Exchange nodes; checkpointed it is
+    # round-count-independent) — the star variant already does exactly
+    # this, for the same reason.
+    labels = (
+        ps.select(F.col("sk").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     try:
         for _round in range(30):
             neighbor_min = (
@@ -382,24 +392,21 @@ def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            # old label rides along so convergence is a filter+count on the
+            # checkpointed round output — the former separate old⋈new join
+            # re-shuffled the node relation once per round just to count
+            # changes (one full equi-join removed per round, guide §2.4)
+            joined = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("label").alias("__old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            ).localCheckpoint()
+            changed = joined.where(
+                F.col("label") != F.col("__old_label")
+            ).count()
+            labels = joined.select("node", "label")
             if changed == 0:
                 break
         else:  # pragma: no cover - diameter 30 would be a fixture anomaly
@@ -862,8 +869,8 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle budget per round as a PageRank step; the adjacency only
     shrinks.  No driver loop, no collect; the convergence flag attaches
     via `scalar_join` (1-row broadcast).  At 10^9 nodes the identical
-    loop runs until fixpoint with each round persisted — O(peel-depth)
-    rounds, each edge-linear."""
+    loop runs until fixpoint with each round checkpoint-materialized —
+    O(peel-depth) rounds, each edge-linear."""
     ps = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_quantity") >= 49)
@@ -891,16 +898,19 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeps.append(keep)
         # each round's adjacency is read by THREE consumers (next round's
         # degree census, the next join, and ultimately the core/convergence
-        # outputs): without a persist every consumer re-executes the whole
-        # peel lineage above it — measured 7.6 s -> 4.7 s warm at sf0.1
-        # (the rest is fixed per-round stage overhead on the 1000-node
-        # fixture), and at 10^9 nodes the recompute would repeat
-        # corpus-scale shuffles per consumer.  Registered so harnesses
-        # release between queries (the rank-cache discipline).
-        adj = register_cache(
+        # outputs): materialize it per round so no consumer re-executes the
+        # peel lineage above it (r8 fix, measured 7.6 s -> 4.7 s warm at
+        # sf0.1), and localCheckpoint rather than persist so the LINEAGE is
+        # truncated too — each reference to a persisted round re-embeds the
+        # whole upstream plan (the r8 plan was 7,019 lines / 1,172 Exchange
+        # nodes and the driver re-optimized all of it per run; checkpointed
+        # rounds keep the plan round-count-independent, the
+        # star_component_labels discipline).  Blocks are reclaimed by the
+        # ContextCleaner as round references drop.
+        adj = (
             adj.join(keep, "node")
             .join(keep.select(F.col("node").alias("nbr")), "nbr")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
     # convergence: the last round's survivor census equals the one before
     n_last = keeps[-1].agg(F.count("*").alias("n_after"))

@@ -1084,8 +1084,14 @@ def q_compaction_rewrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "file_id", F.floor(F.unix_timestamp("ts") / 21600).cast("long")
     )
     # land the fragmented layout: one directory (≈one small file) per
-    # 6-hour ingest chunk
-    with_file.write.partitionBy("file_id").parquet(small_dir)
+    # 6-hour ingest chunk.  Shuffle by the partition column BEFORE the
+    # partitioned write (guide §6: hash-distribute to the partition key) so
+    # each chunk is written by ONE task — without it every scan task opens a
+    # writer per chunk it sees (#scan_tasks × #chunks small files, measured
+    # 232 at sf0.1) and the landing write dominates the query.  The
+    # fragmentation the query demonstrates is the per-chunk layout itself,
+    # which is unchanged (inventory counts ROWS per file_id, not files).
+    with_file.repartition("file_id").write.partitionBy("file_id").parquet(small_dir)
 
     small = spark.read.parquet(small_dir)
     inventory = small.groupBy("file_id").agg(F.count("*").alias("size_kb"))
@@ -1362,8 +1368,15 @@ def q_partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    with_day.where(F.col("day") <= 15).write.partitionBy("day").parquet(v1_dir)
-    with_day.where(F.col("day") > 15).write.partitionBy(
+    # hash-distribute to the partition key before each partitioned write
+    # (guide §6): one writer task per leaf directory instead of every scan
+    # task opening a writer per partition value it happens to see —
+    # #scan_tasks × #partitions small files and their open/commit overhead
+    # (the same fix as compaction_rewrite_roundtrip's landing write)
+    with_day.where(F.col("day") <= 15).repartition("day").write.partitionBy(
+        "day"
+    ).parquet(v1_dir)
+    with_day.where(F.col("day") > 15).repartition("day", "event_type").write.partitionBy(
         "day", "event_type"
     ).parquet(v2_dir)
 

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
+from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
@@ -1005,20 +1007,23 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    gram_docs = (
-        grams.select("g", "doc_id")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("n_docs"))
-    )
-    joined = grams.join(gram_docs, "g")
-    return joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
-        fround(
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)) * 1.0 / F.count("*"),
-            4,
-        ).alias("dup_fraction"),
+    # aggregate to the (gram, doc) grain FIRST: the former shape consumed
+    # the raw gram expansion from two branches keyed differently (a
+    # (g, doc_id) distinct and a g-keyed join), so the explode+md5 subtree
+    # executed twice — on this grain both consumers are g-keyed exchanges
+    # over the SAME aggregate and Spark's ReusedExchange runs the expansion
+    # once (guide §2.4); the join also carries the smaller deduped relation
+    gd = grams.groupBy("g", "doc_id").agg(F.count("*").alias("k"))
+    gram_docs = gd.groupBy("g").agg(F.count("*").alias("n_docs"))
+    dup_k = F.sum(F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(F.lit(0)))
+    return (
+        gd.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_grams"),
+            dup_k.alias("n_dup_grams"),
+            fround(dup_k * 1.0 / F.sum("k"), 4).alias("dup_fraction"),
+        )
     )
 
 
@@ -1601,11 +1606,21 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataF
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    wc = (
+    # ONE corpus pass: every trainer round ends in an eager 1-row argmax
+    # (the localCheckpoint below), and each of those actions — plus the
+    # caller's final action — replays the full lineage, so without this
+    # persist the corpus-sized explode + word-count aggregation re-runs
+    # once per merge round (6x per query at _BPE_MERGES=5; at 100 TB that
+    # is 6 corpus scans for 1 scan of real work).  The rounds themselves
+    # only touch the vocabulary-sized (word, freq) relation, which is the
+    # published way BPE trainers distribute.  Registered for the harness
+    # release discipline (rank-cache lifecycle).
+    wc = register_cache(
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.length("w") >= _BPE_MIN_WORD_LEN)
         .groupBy("w")
         .agg(F.count("*").alias("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     words = wc.select(
         F.concat(

@@ -69,6 +69,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE partition-coalescing policy, env-parameterized.  Local default
+        # keeps Spark's parallelismFirst=true: an r9 A/B over a 32-query
+        # cross-section at sf0.1 measured parallelismFirst=false 46% SLOWER
+        # (53.0 s vs 36.3 s warm) — at this scale per-stage compute is real
+        # but small, and collapsing KB-sized shuffles to one 64 MB-advisory
+        # task serializes work 32 cores finish faster (OPTIMIZATION_r09.md).
+        # On a production 100 TB cluster, flip SPARK_GRAFT_AQE_PARALLELISM_
+        # FIRST=false so post-shuffle partitions honor the advisory size
+        # (Spark's own tuning-guide recommendation once shuffles are GB-
+        # scale and scheduling overhead is amortized).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "64m"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -62,6 +62,32 @@ def _gen(part: _RangePartition):
         i += part.stride
 
 
+def _gen_arrow(part: _RangePartition):
+    """The batch reader's vectorized twin of ``_gen``: one Arrow
+    RecordBatch per partition instead of per-row pickled tuples (guide §4 —
+    the row path pays a Python-loop LCG plus per-row serialization; the
+    same integer arithmetic over a numpy range is one vectorized pass and
+    one Arrow hand-off).  Values are bit-identical to ``_gen``'s: int64
+    arithmetic never exceeds 1103515245·n, far under 2^63 for any
+    realistic n."""
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(part.start, part.end, part.stride, dtype=np.int64)
+    user = ((1103515245 * i + 12345) % 2147483648) % 997
+    amount = ((i * 137) % 100_000).astype(np.float64)
+    etype = np.asarray(EVENT_TYPES, dtype=object)[(i % 4)]
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(i, type=pa.int64()),
+            pa.array(user, type=pa.int64()),
+            pa.array(etype, type=pa.string()),
+            pa.array(amount, type=pa.float64()),
+        ],
+        names=["event_id", "user_id", "event_type", "amount_cents"],
+    )
+
+
 class EcommerceReplayReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", N_DEFAULT))
@@ -74,7 +100,7 @@ class EcommerceReplayReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        return _gen(partition)
+        return _gen_arrow(partition)
 
 
 class EcommerceReplayStreamReader(DataSourceStreamReader):
