@@ -629,23 +629,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # old label rides along so convergence is a filter+count on the
+        # checkpointed round output — a separate old⋈new join would re-
+        # shuffle the node relation once per round just to count changes
+        # (the supplier_components r9 fix, guide §2.4)
+        joined = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("__old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = joined.where(F.col("label") != F.col("__old_label")).count()
+        labels = joined.select("node", "label")
         if changed == 0:
             break
     else:

@@ -577,9 +577,15 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = nation.select("n_nationkey", "n_name")
 
     ranks = nodes.select("n_nationkey", F.lit(1.0 / n_nodes).alias("p"))
+    # materialize the normalized edge shares once: the relation is
+    # nation²-bounded (≤625 rows) but its lineage is the corpus-sized
+    # customer⋈orders⋈supplier join — without truncation every power
+    # iteration re-embeds that join in the plan, so the final plan carries
+    # it ×_PR_ITERATIONS and each rank update re-executes it (the
+    # iterative-lineage rule from supplier_components/kcore, guide §3.3)
     contrib_edges = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("total_w")).alias("share")
-    )
+    ).localCheckpoint()
     for _ in range(_PR_ITERATIONS):
         contribs = (
             contrib_edges.join(

@@ -83,6 +83,12 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "64m"))
+        # Join-strategy preference (optimization-guide §9 suggests allowing
+        # shuffled-hash joins); env-tunable so the choice is measured, not
+        # assumed — r9 A/B legs at sf0.1 were inside the machine's noise
+        # band, so the Spark default (sort-merge preferred) stands locally.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -115,6 +121,12 @@ def get_spark(
                 ))
         .config("spark.streaming.stopGracefullyOnShutdown", "true")
     )
+    # deployment-specific overrides without code changes (e.g. cluster
+    # shuffle codecs, memoryOverhead):  SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
