@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
+from e_commerce_streaming_datapipeline_spark.functions.checkpoints import round_checkpoint
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -618,7 +619,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(round_checkpoint)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -642,7 +643,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .transform(round_checkpoint)
         )
         changed = joined.where(F.col("label") != F.col("__old_label")).count()
         labels = joined.select("node", "label")

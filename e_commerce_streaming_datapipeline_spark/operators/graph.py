@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.checkpoints import round_checkpoint
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -382,7 +383,7 @@ def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.select(F.col("sk").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .transform(round_checkpoint)
     )
     try:
         for _round in range(30):
@@ -402,7 +403,7 @@ def q_supplier_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            ).localCheckpoint()
+            ).transform(round_checkpoint)
             changed = joined.where(
                 F.col("label") != F.col("__old_label")
             ).count()
@@ -543,7 +544,7 @@ def star_component_labels(
             # dies planning it — the canonical iterative-algorithm pitfall.
             # A fault-tolerant cluster deployment uses reliable checkpoint()
             # to HDFS instead; same plan, durable blocks.
-            new_edges = _small_star(_large_star(edges)).localCheckpoint()
+            new_edges = _small_star(_large_star(edges)).transform(round_checkpoint)
             n_new = new_edges.count()
             # exceptAll (the exact set compare) runs only when the cheap
             # cardinality check already matches — near convergence, not
@@ -867,10 +868,15 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: each round is one hash aggregate (degrees) + two
     node-keyed semi-style joins filtering the adjacency — the same
     shuffle budget per round as a PageRank step; the adjacency only
-    shrinks.  No driver loop, no collect; the convergence flag attaches
-    via `scalar_join` (1-row broadcast).  At 10^9 nodes the identical
-    loop runs until fixpoint with each round checkpoint-materialized —
-    O(peel-depth) rounds, each edge-linear."""
+    shrinks.  Each round is eagerly checkpoint-materialized (one
+    driver-submitted job per peel round at build time — the price of
+    keeping the plan round-count-independent); no data is collected to
+    the driver, and the convergence flag attaches via `scalar_join`
+    (1-row broadcast).  At 10^9 nodes the identical loop runs until
+    fixpoint — O(peel-depth) rounds, each edge-linear, with
+    SPARK_GRAFT_CHECKPOINT_DIR making each round's materialization a
+    reliable HDFS checkpoint (executor-loss-safe) instead of
+    executor-local blocks."""
     ps = (
         load_table(spark, "lineitem", sf_dir)
         .where(F.col("l_quantity") >= 49)
@@ -906,11 +912,14 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nodes and the driver re-optimized all of it per run; checkpointed
         # rounds keep the plan round-count-independent, the
         # star_component_labels discipline).  Blocks are reclaimed by the
-        # ContextCleaner as round references drop.
+        # ContextCleaner as round references drop.  round_checkpoint flips
+        # to reliable checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR —
+        # executor-local blocks are lost on executor failure/decommission,
+        # which would fail the loop on a real cluster (r9 ADVICE #3).
         adj = (
             adj.join(keep, "node")
             .join(keep.select(F.col("node").alias("nbr")), "nbr")
-            .localCheckpoint()
+            .transform(round_checkpoint)
         )
     # convergence: the last round's survivor census equals the one before
     n_last = keeps[-1].agg(F.count("*").alias("n_after"))

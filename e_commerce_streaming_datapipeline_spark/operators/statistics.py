@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from e_commerce_streaming_datapipeline_spark.functions.checkpoints import round_checkpoint
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 from e_commerce_streaming_datapipeline_spark.functions.scalars import scalar_join
 from e_commerce_streaming_datapipeline_spark.plans.registry import query
@@ -585,7 +586,7 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative-lineage rule from supplier_components/kcore, guide §3.3)
     contrib_edges = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("total_w")).alias("share")
-    ).localCheckpoint()
+    ).transform(round_checkpoint)
     for _ in range(_PR_ITERATIONS):
         contribs = (
             contrib_edges.join(

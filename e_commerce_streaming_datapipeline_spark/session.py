@@ -122,11 +122,23 @@ def get_spark(
         .config("spark.streaming.stopGracefullyOnShutdown", "true")
     )
     # deployment-specific overrides without code changes (e.g. cluster
-    # shuffle codecs, memoryOverhead):  SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    # shuffle codecs, memoryOverhead):  SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2".
+    # Limitation: ';' separates pairs, so VALUES cannot contain ';' — use
+    # spark-defaults.conf / --conf for those.  Entries without '=' are a
+    # typo'd override that would otherwise be silently ignored: warn loudly
+    # (r9 ADVICE #4).
     for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in pair:
             k, _, v = pair.partition("=")
             builder = builder.config(k.strip(), v.strip())
+        elif pair.strip():
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_EXTRA_CONF entry {pair!r} has no '=' and was "
+                "ignored (format: 'key=value;key2=value2')",
+                stacklevel=2,
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
