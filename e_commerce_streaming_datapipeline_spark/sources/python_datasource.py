@@ -73,6 +73,15 @@ def _gen_arrow(part: _RangePartition):
     import numpy as np
     import pyarrow as pa
 
+    # int64 headroom guard: the row-path twin ``_gen`` computes the LCG in
+    # exact Python ints, while this path wraps at 2^63 — beyond
+    # n ≈ 8.36e9 the two readers would silently diverge.  Fail loudly
+    # instead (r9 ADVICE #1).
+    assert part.end <= (2**63) // 1103515245, (
+        f"_gen_arrow int64 overflow: end={part.end} exceeds "
+        f"{(2**63) // 1103515245} (LCG multiply would wrap); "
+        "compute modulo before multiply to lift the bound"
+    )
     i = np.arange(part.start, part.end, part.stride, dtype=np.int64)
     user = ((1103515245 * i + 12345) % 2147483648) % 997
     amount = ((i * 137) % 100_000).astype(np.float64)
@@ -173,7 +182,11 @@ import json
 import os
 import uuid
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclasses.dataclass
@@ -205,6 +218,24 @@ class _JsonlStagingMixin:
                 n += 1
         return _StagedFile(staged_path=fname, rows=n)
 
+    def _stage_arrow_partition(self, iterator) -> _StagedFile:
+        """Arrow twin of ``_stage_partition`` for the batch writer: the
+        input crosses the JVM→Python boundary as Arrow RecordBatches
+        (guide §4 — one columnar hand-off per batch instead of a pickled
+        Row per record) and ``to_pylist`` yields dicts in schema order, so
+        the staged JSONL bytes are identical to the row path's
+        ``json.dumps(row.asDict())``."""
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for batch in iterator:
+                rows = batch.to_pylist()
+                f.write("".join(json.dumps(r) + "\n" for r in rows))
+                n += len(rows)
+        return _StagedFile(staged_path=fname, rows=n)
+
     @staticmethod
     def _remove_staged(messages) -> None:
         for m in messages:
@@ -220,14 +251,20 @@ class _JsonlStagingMixin:
                 pass
 
 
-class EcommerceJsonlWriter(_JsonlStagingMixin, DataSourceWriter):
+class EcommerceJsonlWriter(_JsonlStagingMixin, DataSourceArrowWriter):
     """Executor half of the commit protocol: each task writes its partition
     to ``<path>/_staging/<uuid>.jsonl`` and returns the staged filename as
     its commit message.  Nothing under ``<path>`` outside ``_staging`` is
     touched until the DRIVER commits — a failed/speculative task leaves only
     orphaned staging files, never half-published data (the same
     staging-then-publish contract Spark's own FileCommitProtocol and
-    object-store manifest commits implement)."""
+    object-store manifest commits implement).
+
+    ``DataSourceArrowWriter`` (guide §4): input arrives as Arrow
+    RecordBatches rather than pickled Rows — the staged bytes are
+    unchanged (see ``_stage_arrow_partition``).  The STREAM writer below
+    keeps the row path: its per-epoch volumes are offsets-bounded and the
+    row path stays exercised by the restart tests."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -236,7 +273,7 @@ class EcommerceJsonlWriter(_JsonlStagingMixin, DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _StagedFile:
-        return self._stage_partition(iterator)
+        return self._stage_arrow_partition(iterator)
 
     def commit(self, messages) -> None:
         """Driver-side atomic publish: rename every staged file into the
