@@ -1462,13 +1462,49 @@ def _ivf_rational_dist():
 
 def ivf_assign(vectors: DataFrame, cents: DataFrame, top: int = 1) -> DataFrame:
     """Broadcast-codebook argmin assignment (ties on c_label); ``top`` > 1
-    yields the nprobe-nearest centroids per vector for query probing."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
-    return (
-        vectors.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "e", "c_label", _ivf_rational_dist().alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= top)
+    yields the nprobe-nearest centroids per vector (with probe rank ``rn``)
+    for query probing.
+
+    Shape (r9 VERDICT task #3): the codebook stays a broadcast RELATION
+    (literal/collected codebooks measured catastrophically slower — r9
+    rejected #3) and the per-vector argmin is a single AGGREGATE, not a
+    ``row_number`` window: the former window exchanged all N×K scored rows
+    and sorted them per vector — at 10⁹ vectors an N×K shuffle — while the
+    aggregate partially reduces map-side to one row per vector, so the
+    exchange carries N rows whatever K is."""
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "e",
+        F.struct(_ivf_rational_dist().alias("d"), F.col("c_label")).alias("sc"),
+    )
+    if top == 1:
+        return scored.groupBy("vec_id").agg(
+            F.any_value("v").alias("v"),
+            F.any_value("e").alias("e"),
+            F.min("sc").alias("sc"),
+        ).select(
+            "vec_id",
+            "v",
+            "e",
+            F.col("sc.c_label").alias("c_label"),
+            F.col("sc.d").alias("d"),
+            F.lit(1).alias("rn"),
+        )
+    tops = scored.groupBy("vec_id").agg(
+        F.any_value("v").alias("v"),
+        F.any_value("e").alias("e"),
+        F.slice(F.array_sort(F.collect_list("sc")), 1, top).alias("tops"),
+    )
+    return tops.select(
+        "vec_id", "v", "e", F.posexplode("tops").alias("pos", "sc")
+    ).select(
+        "vec_id",
+        "v",
+        "e",
+        F.col("sc.c_label").alias("c_label"),
+        F.col("sc.d").alias("d"),
+        (F.col("pos") + 1).alias("rn"),
     )
 
 
@@ -2169,14 +2205,23 @@ def _pq_int_dist():
 
 def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
     """Exact-integer argmin assignment of every subvector to its nearest
-    codeword (ties broken on the code id) via broadcast codebook join."""
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d"), F.col("lab"))
+    codeword (ties broken on the code id) via broadcast codebook join.
+
+    Same aggregate-argmin shape as ``ivf_assign`` (r9 VERDICT task #3):
+    BroadcastHashJoin on ``sub`` then ONE aggregate whose map-side partial
+    reduces the N×K scored rows to one per (vec_id, sub) before the
+    exchange — the former ``row_number`` window shuffled and sorted all
+    N×K rows."""
+    scored = subv.join(F.broadcast(cents), "sub").select(
+        "vec_id",
+        "sub",
+        "sv",
+        F.struct(_pq_int_dist().alias("d"), F.col("lab")).alias("sc"),
+    )
     return (
-        subv.join(F.broadcast(cents), "sub")
-        .select("vec_id", "sub", "sv", "lab", _pq_int_dist().alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "sv", "lab")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.any_value("sv").alias("sv"), F.min("sc").alias("sc"))
+        .select("vec_id", "sub", "sv", F.col("sc.lab").alias("lab"))
     )
 
 
