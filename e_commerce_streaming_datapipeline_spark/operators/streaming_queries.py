@@ -1609,16 +1609,26 @@ def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The merge exploits the SCD2 CDC invariant: with time-ordered arrival,
     only ``is_current`` rows are mutable — a later change can close the
-    open interval but can never rewrite an already-closed one.  Each batch
-    therefore touches ONLY the current rows of the custkeys it contains
-    (broadcast semi/anti split), re-derives those customers' open tails via
-    the shared `scd2_history` builder (seeded with the stored current row
-    so an unchanged priority does NOT open a spurious version), and unions
-    the untouched remainder back.  At 100 TB the store is a key-bucketed
-    table and the keep/replace union is a MERGE INTO keyed on
-    (custkey, effective_from); per-batch work is proportional to the batch,
-    not the dimension.  The year-chunking below is test-harness scaffolding
-    for what a Kafka CDC feed provides naturally.
+    open interval but can never rewrite an already-closed one.  The store
+    is therefore VERSIONED on that invariant: each micro-batch reads only
+    the previous version's live snapshot (``is_current`` filter — served
+    by parquet row-group stats; a 100 TB table makes it a physical
+    partition and this read a partition prune), splits it on the batch's
+    custkeys (broadcast semi/anti), re-derives the affected customers'
+    open tails via the shared `scd2_history` builder (seeded with the
+    stored current row so an unchanged priority does NOT open a spurious
+    version), and writes ONE plain job: the new snapshot plus this batch's
+    newly-closed rows.  Closed history is never re-read and never
+    rewritten — before r10 every batch rewrote the FULL history store, so
+    per-batch I/O was O(history); now it is O(current dimension + batch).
+    This is deliberately the single-write formulation: the r9 two-job
+    split store (closed-log append + current rewrite) measured ~30 %
+    slower at sf0.1, and a physically seg-partitioned single write
+    re-measured ~20 % slower in r10 (repartition exchange + partitioned
+    commit per micro-batch) — equivalent at 100 TB where MERGE INTO with
+    dynamic partition overwrite does the same thing transactionally.  The
+    year-chunking below is test-harness scaffolding for what a Kafka CDC
+    feed provides naturally.
     """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -1643,28 +1653,28 @@ def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # invariant; stamp strictly ascending mtimes to pin arrival order
         os.utime(path, (base_mtime + i, base_mtime + i))
 
-    store: dict[str, str | None] = {"path": None}
+    # current = latest version dir (its is_current rows are the live
+    # snapshot); versions = the append-only list of per-batch dirs, whose
+    # non-current rows are that batch's immutable newly-closed versions
+    # (never re-read, never rewritten)
+    store: dict = {"current": None, "versions": []}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         batch = batch_df.select(
             "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
         )
-        if store["path"] is None:
-            keep = sp.createDataFrame([], _SCD2_HISTORY_SCHEMA)
-            seeds = keep
+        if store["current"] is None:
+            untouched = sp.createDataFrame([], _SCD2_HISTORY_SCHEMA)
+            seeds = untouched
         else:
-            hist = sp.read.parquet(store["path"])
+            cur = sp.read.parquet(store["current"]).where(F.col("is_current"))
             affected = batch.select(F.col("o_custkey").alias("custkey")).distinct()
-            hit = hist.join(
+            hit = cur.join(
                 F.broadcast(affected).withColumn("__hit", F.lit(1)), "custkey", "left"
             )
-            keep = hit.where(
-                F.col("__hit").isNull() | ~F.col("is_current")
-            ).drop("__hit")
-            seeds = hit.where(
-                F.col("__hit").isNotNull() & F.col("is_current")
-            ).drop("__hit")
+            untouched = hit.where(F.col("__hit").isNull()).drop("__hit")
+            seeds = hit.where(F.col("__hit").isNotNull()).drop("__hit")
         # the stored open version re-enters change detection as a pseudo-row
         # strictly before every batch row (its effective_from is from an
         # earlier chunk), so a batch whose first priority matches it extends
@@ -1676,8 +1686,22 @@ def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("o_orderkey"),
         )
         out = os.path.join(run_dir, f"store_v{batch_id}")
-        keep.unionByName(scd2_history(seed_rows.unionByName(batch))).write.parquet(out)
-        store["path"] = out
+        # ONE plain write job per batch: the new current snapshot plus this
+        # batch's newly-closed rows (scd2_history over seed+batch emits
+        # exactly the affected customers' re-derived versions, so every
+        # non-current row in `merged` is newly closed).  A physically
+        # partitioned seg=current/seg=closed write was A/B-measured ~20 %
+        # slower at sf0.1 (the repartition exchange + partitioned-commit
+        # overhead per micro-batch outweighs the tiny store) — the
+        # is_current split happens at read time instead, which parquet
+        # row-group stats serve for free; a 100 TB deployment flips back
+        # to the physical partition once per-batch data dwarfs commit
+        # overhead.
+        untouched.unionByName(
+            scd2_history(seed_rows.unionByName(batch))
+        ).write.parquet(out)
+        store["versions"].append(out)
+        store["current"] = out
 
     stream = read_file_stream(
         spark, cdc_dir, "orders-*.parquet", max_files_per_trigger=1
@@ -1690,10 +1714,14 @@ def q_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    # the final store version stays on disk for the returned (lazy) scan;
-    # superseded versions are already-materialized inputs and could be
-    # reaped, but the run dir is /tmp-scoped like the other roundtrips
-    return spark.read.parquet(store["path"])
+    # the final store = every version's immutable newly-closed rows plus
+    # the live snapshot from the last version; superseded current
+    # snapshots stay on disk but the run dir is /tmp-scoped like the
+    # other roundtrips
+    closed = spark.read.parquet(*store["versions"]).where(~F.col("is_current"))
+    return closed.unionByName(
+        spark.read.parquet(store["current"]).where(F.col("is_current"))
+    )
 
 
 _DEDUP_STATE_ORACLE = """
