@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from e_commerce_streaming_datapipeline_spark.functions.ranks import register_cache
+from e_commerce_streaming_datapipeline_spark.functions.checkpoints import round_checkpoint
 from e_commerce_streaming_datapipeline_spark.functions.rounding import fround
 
 from e_commerce_streaming_datapipeline_spark.functions.scalars import bounded_cross_join, scalar_join
@@ -1007,13 +1008,17 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    # aggregate to the (gram, doc) grain FIRST: the former shape consumed
-    # the raw gram expansion from two branches keyed differently (a
-    # (g, doc_id) distinct and a g-keyed join), so the explode+md5 subtree
-    # executed twice — on this grain both consumers are g-keyed exchanges
-    # over the SAME aggregate and Spark's ReusedExchange runs the expansion
-    # once (guide §2.4); the join also carries the smaller deduped relation
-    gd = grams.groupBy("g", "doc_id").agg(F.count("*").alias("k"))
+    # aggregate to the (gram, doc) grain FIRST so the doc-keyed exchange
+    # carries distinct (gram, doc) rows, not every occurrence (guide §2.3,
+    # the r9 win) — then MATERIALIZE that grain: its two consumers below
+    # (the per-gram doc count and the join probe side) produce DIFFERENT
+    # partial aggregates over it, so ReusedExchange never fires and the
+    # corpus-sized explode+md5 Generate executed twice (verified in the r9
+    # executed plan; r9 VERDICT task #7).  One round_checkpoint runs the
+    # expansion once and both consumers replay the materialized grain.
+    gd = grams.groupBy("g", "doc_id").agg(F.count("*").alias("k")).transform(
+        round_checkpoint
+    )
     gram_docs = gd.groupBy("g").agg(F.count("*").alias("n_docs"))
     dup_k = F.sum(F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(F.lit(0)))
     return (
@@ -1666,7 +1671,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataF
                 F.concat("lhs", "rhs").alias("merged"),
                 F.col("n").cast("long").alias("pair_count"),
             )
-            .localCheckpoint()
+            .transform(round_checkpoint)
         )
         merges.append(best)
         words = scalar_join(words, best).select(
