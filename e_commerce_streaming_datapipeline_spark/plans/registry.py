@@ -70,6 +70,29 @@ _OPERATOR_MODULES = [
 # adds never-before-witnessed queries:
 _DRIVER_WITNESSED_PRIOR = frozenset(
     {
+        # the round-9 window (CORRECTNESS_r09.json): 50/50 all-green — the
+        # first fully-green hash-checked round including all three
+        # bounds-oracle sketches.  The 35 rotated-in first-witness queries
+        # below all got green rows
+        "holt_winters_backtest", "kcore_decomposition",
+        "peak_concurrent_sessions", "boolean_and_search",
+        "supplier_pareto_frontier", "label_propagation_communities",
+        "purged_timeseries_folds", "sorted_neighborhood_pairs",
+        "stratified_uplift_ipw", "rake_keyphrases",
+        "stream_state_size_advisor", "event_burst_detection", "ab_srm_check",
+        "burst_detection_stream", "cart_abandonment_stream",
+        "funnel_completion_stream", "multi_metric_stream",
+        "gmv_cascade_stream", "session_stream", "attribution_stream_join",
+        "click_purchase_full_outer_stream", "attributed_clicks_semi_stream",
+        "complete_funnel_stream", "funnel_stream_hourly",
+        "gmv_sliding_stream", "golden_record_stream",
+        "hll_users_daily_to_monthly", "approx_value_percentiles",
+        "kaplan_meier_conversion", "encoding_advisor", "hour_value_heatmap",
+        "embedding_topk_lsh_multiprobe", "multimodal_frame_sample",
+        "min_cost_supplier", "python_datasource_sink_roundtrip",
+    }
+) | frozenset(
+    {
         # the round-8 window (CORRECTNESS_r08.json): 49/50 all-green, the
         # 50th (approx_unique_users_hourly, rows-only by design then —
         # bounds-oracle since r9) witnessed in r1-r3.  The 28 rotated-in
@@ -186,19 +209,23 @@ _DRIVER_WITNESSED_PRIOR = frozenset(
 )
 
 _PROOF_PREFIX = (
-    # ---- round-9 window: 15 SURVEY §2 flagship keepers + 35 rotated-in
-    # queries that have never had a driver CORRECTNESS row (VERDICT r8
-    # task #1: 174 of 372 never witnessed and r8's net progress was -1;
-    # this window trims keepers 22 -> 15 and pushes the rotation 28 -> 35,
-    # prioritizing (a) the 14 post-close r8 additions the judge verified
-    # at sf0.01 but the driver never saw, (b) the streaming family — the
-    # reference's core competency, almost none of it driver-witnessed:
-    # 13 stream queries including all five stream-stream join types,
-    # (c) the three approx sketches just converted to bounds-oracles and
-    # the three r8-ADVICE-fixed queries, so the driver witnesses the
-    # flips, (d) one fresh representative for families whose keeper
-    # rotated out.  Family coverage is pinned by tests/test_round3_ops.py;
-    # rotation freshness (>= 35 never-witnessed) by
+    # ---- round-10 window: 15 SURVEY §2 flagship keepers + 35 rotated-in
+    # queries that have never had a driver CORRECTNESS row (VERDICT r9
+    # task #8: keep burning the witness backlog — 133 never-witnessed at
+    # r10 start, ≤ 98 after this window).  Priorities: (a) the two
+    # r10-optimization-touched never-witnessed queries (minhash_audit's
+    # sampled truth set and dup_ngram_coverage's materialized grain get
+    # driver-verified the same round they changed), (b) the remaining
+    # never-witnessed streaming family — state-store readers, changelog
+    # replay, per-batch monitors, bitmap/histogram/CMS sketch stores and
+    # the asymmetric-watermark joins, (c) one fresh representative per
+    # SURVEY/LLM family that still has unwitnessed names (dedup, text,
+    # ANN, curation, multimodal, TPC-H shapes, analytics, graph,
+    # drift/eval, layout).  Retrieval has no never-witnessed names left,
+    # so its family witness is the r4-witnessed flagship bm25_topk
+    # (keeper-by-family, swapped for the J_joins second witness).
+    # Family coverage is pinned by tests/test_round3_ops.py; rotation
+    # freshness (>= 35 never-witnessed) by
     # test_rotation_adds_never_witnessed_queries.
     #
     # A1-A4 core reference processors (one witness each)
@@ -212,8 +239,9 @@ _PROOF_PREFIX = (
     "payment_rollup",
     # J joins
     "complete_funnel",
-    "order_details",
-    # D dedup + the HLL bounds-oracle (first hash-checked round)
+    # retrieval family witness (no never-witnessed retrieval names remain)
+    "bm25_topk",
+    # D dedup + the HLL bounds-oracle keeper
     "dedup_events",
     "approx_unique_users_hourly",
     # S sources / K sinks (Kafka wire, live-Derby MERGE)
@@ -225,49 +253,46 @@ _PROOF_PREFIX = (
     "gmv_stream_minutely",
     # LLM dedup flagship
     "minhash_near_dups",
-    # ---- rotated in for round 9 (never driver-witnessed before) ----
-    # (a) the 14 post-close r8 additions
-    "holt_winters_backtest",
-    "kcore_decomposition",
-    "peak_concurrent_sessions",
-    "boolean_and_search",
-    "supplier_pareto_frontier",
-    "label_propagation_communities",
-    "purged_timeseries_folds",
-    "sorted_neighborhood_pairs",
-    "stratified_uplift_ipw",
-    "rake_keyphrases",
-    "stream_state_size_advisor",
-    "event_burst_detection",
-    "ab_srm_check",
-    "burst_detection_stream",
-    # (b) the never-witnessed streaming family: chained/stateful aggs,
-    # CEP, session windows, and all five stream-stream join types
-    "cart_abandonment_stream",
-    "funnel_completion_stream",
-    "multi_metric_stream",
-    "gmv_cascade_stream",
-    "session_stream",
-    "attribution_stream_join",
-    "click_purchase_full_outer_stream",
-    "attributed_clicks_semi_stream",
-    "complete_funnel_stream",
-    "funnel_stream_hourly",
-    "gmv_sliding_stream",
-    "golden_record_stream",
-    # (c) the two remaining bounds-oracle conversions + the three
-    # r8-ADVICE-fixed queries
-    "hll_users_daily_to_monthly",
-    "approx_value_percentiles",
-    "kaplan_meier_conversion",
-    "encoding_advisor",
-    "hour_value_heatmap",
-    # (d) fresh family representatives (ANN scale path, multimodal,
-    # TPC-H shapes, Python DataSource sink)
-    "embedding_topk_lsh_multiprobe",
-    "multimodal_frame_sample",
-    "min_cost_supplier",
-    "python_datasource_sink_roundtrip",
+    # ---- rotated in for round 10 (never driver-witnessed before) ----
+    # (a) r10-optimization-touched
+    "minhash_audit",
+    "dup_ngram_coverage",
+    # (b) the never-witnessed streaming tail: stateful monitors, sketch
+    # stores, state-store readers, changelog replay, asymmetric watermarks
+    "user_stats_stream",
+    "segment_revenue_stream",
+    "unattributed_purchases_stream",
+    "unattributed_asym_watermark_stream",
+    "session_dynamic_stream",
+    "unique_buyers_bitmap_stream",
+    "histogram_stream_quantiles",
+    "heavy_hitters_cms_stream",
+    "state_store_inspect",
+    "changelog_replay_stream",
+    "agg_state_inspect",
+    "column_stats_stream",
+    # (c) fresh family representatives
+    "incremental_minhash_dedup",
+    "symspell_typo_linkage",
+    "top_terms",
+    "vocab_oov_rates",
+    "lsh_recall_audit",
+    "embedding_topk_sq",
+    "matryoshka_recall_audit",
+    "weighted_doc_sample",
+    "kfold_assignment",
+    "user_erasure",
+    "multimodal_asset_stats",
+    "nation_trade_volume",
+    "late_ship_priority",
+    "top_supplier",
+    "revenue_cusum_changepoints",
+    "bootstrap_revenue_ci",
+    "supplier_link_prediction",
+    "revenue_acf",
+    "chi2_independence",
+    "wap_publish_gate",
+    "ivm_retract_merge",
 )
 
 

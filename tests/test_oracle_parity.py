@@ -37,6 +37,11 @@ def test_entry_contract(spark):
 
 
 _EDGE_QUERIES = ["snapshot_diff", "text_normalize", "doc_chunks_udtf", "doc_chunks",
+                 # r10 rotation pins: NULL/degenerate docs must flow through
+                 # the sampled-truth audit, the materialized dup-gram grain,
+                 # and the vocabulary/top-term tiers without divergence
+                 "minhash_audit", "dup_ngram_coverage", "top_terms",
+                 "vocab_oov_rates",
                  "text_stats", "pii_redaction", "dedup_docs_exact",
                  # NULL payload must flow through every Arrow kernel as NULL
                  # metadata, not a bytes(None) crash (round-3 review)
@@ -306,6 +311,17 @@ _EVENTS_EDGE_QUERIES = [
     "promo_window_attribution",
     # statestore/restart queries: NULL event_ids flow through dedup state
     "state_store_inspect", "checkpoint_resume_stream",
+    # r10 rotation pins: the never-witnessed streaming tail must hold the
+    # same NULL policies through stateful monitors, sketch stores and the
+    # asymmetric-watermark joins...
+    "user_stats_stream", "segment_revenue_stream",
+    "unattributed_purchases_stream", "unattributed_asym_watermark_stream",
+    "unique_buyers_bitmap_stream", "histogram_stream_quantiles",
+    "heavy_hitters_cms_stream",
+    # ...and the batch-side rotation pins: CUSUM over the daily rollup
+    # (NULL ts/value rows excluded identically) and the GDPR erasure
+    # export (NULL user ids are nobody's data — dropped on both engines)
+    "revenue_cusum_changepoints", "user_erasure",
     # update-mode changelog: NULL-ts rows must drop on BOTH sides of the
     # capture/replay roundtrip
     "changelog_replay_stream",
@@ -552,6 +568,8 @@ _LINEITEM_EDGE_QUERIES = [
     "discount_revenue_potential", "nation_market_share", "product_type_profit",
     "important_part_values", "customer_order_distribution", "top_supplier",
     "small_qty_order_revenue", "dominant_part_suppliers", "late_sole_supplier",
+    # r10 rotation pin: NULL ship/commit dates must not count as late
+    "late_ship_priority",
     "idle_rich_customers", "window_shoppers", "above_avg_orders",
     "orders_vs_customer_avg", "big_spender_nations", "supplier_triangles",
     "copurchase_pairs", "salted_priority_revenue", "bucketed_order_join",

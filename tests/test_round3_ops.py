@@ -19,13 +19,12 @@ class TestProofPrefix:
     query per SURVEY §2 family and per LLM-pipeline family."""
 
     # family -> representative queries that MUST sit inside the driver window
-    # (round-9 rotation, VERDICT r8 task #1: keepers trimmed 22 -> 15
-    # SURVEY §2 flagships, rotation pushed 28 -> 35 never-witnessed slots.
-    # The r8 window went 49/50 green + 1 rows-only-by-design, so no
-    # keepers-by-exception carry into r9.  Families whose r8 keeper
-    # rotated out are re-witnessed by never-seen siblings — the witness
-    # below is the FRESH name where one exists, so family coverage and
-    # backlog burn-down are the same slots)
+    # (round-10 rotation, VERDICT r9 task #8: 15 SURVEY §2 flagship keepers
+    # + 35 never-witnessed slots.  The r9 window went 50/50 green, so no
+    # keepers-by-exception carry into r10.  Families whose r9 witness
+    # rotated out are re-witnessed by never-seen siblings where one exists;
+    # retrieval has none left, so its witness is the r4-witnessed flagship
+    # bm25_topk, which took the J_joins second slot)
     FAMILY_WITNESSES = {
         "A_gmv": {"gmv_minutely"},
         "A_funnel": {"funnel_hourly"},
@@ -33,41 +32,37 @@ class TestProofPrefix:
         "A_payment": {"payment_hourly"},
         "P_row_ops": {"enrich_lineitem"},
         "V_views_A6": {"payment_rollup"},
-        "J_joins": {"complete_funnel", "order_details"},
+        "J_joins": {"complete_funnel"},
         "D_dedup": {"dedup_events"},
-        # all three sketches carry bounds-oracles since r9 — this window
-        # is the first to hash-check them at the driver
-        "approx": {"approx_unique_users_hourly", "hll_users_daily_to_monthly",
-                   "approx_value_percentiles"},
-        "S_sources": {"kafka_payload_roundtrip",
-                      "python_datasource_sink_roundtrip"},
+        "approx": {"approx_unique_users_hourly"},
+        "S_sources": {"kafka_payload_roundtrip"},
         "K_jdbc_sink": {"jdbc_upsert_roundtrip"},
         "UDF_surface": {"variant_props_stats"},
-        "llm_dedup": {"minhash_near_dups", "sorted_neighborhood_pairs"},
-        "llm_ann": {"embedding_topk_lsh_multiprobe"},
-        "llm_text": {"rake_keyphrases"},
-        "llm_curation": {"purged_timeseries_folds"},
-        "llm_multimodal": {"multimodal_frame_sample"},
-        # the r9 centerpiece: chained stateful aggs, CEP, session windows,
-        # and all five stream-stream join types, none ever driver-seen
-        "streaming": {"gmv_stream_minutely", "burst_detection_stream",
-                      "cart_abandonment_stream", "funnel_completion_stream",
-                      "multi_metric_stream", "gmv_cascade_stream",
-                      "session_stream", "attribution_stream_join",
-                      "click_purchase_full_outer_stream",
-                      "attributed_clicks_semi_stream",
-                      "complete_funnel_stream", "funnel_stream_hourly",
-                      "gmv_sliding_stream", "golden_record_stream"},
-        "tpch": {"min_cost_supplier"},
-        "analytics": {"peak_concurrent_sessions", "hour_value_heatmap"},
-        "graph": {"kcore_decomposition", "label_propagation_communities"},
-        "retrieval": {"boolean_and_search"},
-        "drift_eval": {"holt_winters_backtest", "event_burst_detection",
-                       "ab_srm_check", "stratified_uplift_ipw",
-                       "kaplan_meier_conversion",
-                       "supplier_pareto_frontier"},
-        "layout_lakehouse": {"stream_state_size_advisor",
-                             "encoding_advisor"},
+        "llm_dedup": {"minhash_near_dups", "minhash_audit",
+                      "incremental_minhash_dedup", "symspell_typo_linkage"},
+        "llm_ann": {"lsh_recall_audit", "embedding_topk_sq",
+                    "matryoshka_recall_audit"},
+        "llm_text": {"top_terms", "vocab_oov_rates", "dup_ngram_coverage"},
+        "llm_curation": {"weighted_doc_sample", "kfold_assignment",
+                         "user_erasure"},
+        "llm_multimodal": {"multimodal_asset_stats"},
+        # the r10 streaming slots: the never-witnessed tail — stateful
+        # monitors, sketch stores, state-store readers, changelog replay,
+        # asymmetric watermarks
+        "streaming": {"gmv_stream_minutely", "user_stats_stream",
+                      "segment_revenue_stream",
+                      "unattributed_purchases_stream",
+                      "unattributed_asym_watermark_stream",
+                      "session_dynamic_stream", "unique_buyers_bitmap_stream",
+                      "histogram_stream_quantiles", "heavy_hitters_cms_stream",
+                      "state_store_inspect", "changelog_replay_stream",
+                      "agg_state_inspect", "column_stats_stream"},
+        "tpch": {"nation_trade_volume", "late_ship_priority", "top_supplier"},
+        "analytics": {"revenue_cusum_changepoints", "bootstrap_revenue_ci"},
+        "graph": {"supplier_link_prediction"},
+        "retrieval": {"bm25_topk"},
+        "drift_eval": {"revenue_acf", "chi2_independence"},
+        "layout_lakehouse": {"wap_publish_gate", "ivm_retract_merge"},
     }
 
     def test_prefix_is_driver_window_sized(self):
