@@ -550,8 +550,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain hash anti join that AQE will broadcast when the index side is
     small."""
     # token array projected once per row (inline split inside the lambda
-    # would re-evaluate per shingle position — O(n_tokens^2) per doc)
-    docs = load_table(spark, "documents", sf_dir).withColumn(
+    # would re-evaluate per shingle position — O(n_tokens^2) per doc);
+    # repartition BEFORE the md5-heavy fingerprint projection — the
+    # single-file fixture otherwise runs the whole hash pipeline on one
+    # scan task (the minhash_near_dups discipline; r10 profile: the
+    # md5 stages were the query's floor at 1 task each)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
@@ -561,9 +567,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
         )
     )
+    # materialize the fingerprint relation ONCE (r10): the anti join infers
+    # isnotnull(min_shingle_fp) on both sides, and Catalyst pushes that
+    # constraint BELOW the projection as a Filter over the full fingerprint
+    # expression — so the corpus-sized md5 chain evaluated twice per side
+    # (and split(text) three times; verified in the executed plan, the
+    # guide-§4.4 duplication pathology for a JVM expression).  The
+    # checkpoint gives the join's constraints a materialized column to
+    # filter instead — and IS the scale story: the existing-corpus index
+    # is a stored 16-byte-hash table, not a recomputed expression.
     fp = (
         docs.where(F.size(toks) >= 3)
         .select("doc_id", "source", min_shingle.alias("min_shingle_fp"))
+        .transform(round_checkpoint)
     )
     new_batch = fp.where(F.col("source") == "src19").select("doc_id", "min_shingle_fp")
     existing = (
